@@ -1,0 +1,109 @@
+"""Exact deduplication operators (reference T1, Q1) — scale-out versions.
+
+The reference dedups with an in-memory Python set keyed on
+`campaign|ad|date_start|platform`, keep-FIRST in arrival order
+(main.py:500-515; backfill.py:236-251) — O(dataset) driver memory.
+Here every variant is a shuffle-based hash aggregate that spills and
+AQE-coalesces, so it scales to 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from fb_ads_bigquery_etl_spark.schema import DEDUP_KEY
+
+
+def dedup_any(df: DataFrame, key: Sequence[str] = DEDUP_KEY) -> DataFrame:
+    """Cheap key-dedup keeping an arbitrary row per key.
+
+    `dropDuplicates` = partial+final hash aggregate; no total order needed,
+    so it is the fastest variant and the right default when the input has
+    byte-identical duplicates (e.g. replayed loads).
+    """
+    return df.dropDuplicates(list(key))
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key: Sequence[str] = DEDUP_KEY,
+    order_by: Sequence[str] = ("_ingest_order",),
+) -> DataFrame:
+    """Exact keep-first-by-arrival dedup (reference main.py:504-509).
+
+    Plain dropDuplicates is order-nondeterministic under shuffle
+    (SURVEY.md §7 hard parts), so the exact semantics need a total order:
+    row_number over an explicit ingest-order column, keep rank 1.
+
+    Scale note: one shuffle on the key. Skewed keys (hot campaign names)
+    are handled by AQE skew mitigation; for pathological skew, pre-salt
+    with `salted_dedup_keep_first`.
+    """
+    w = Window.partitionBy(*key).orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_ingest_order(df: DataFrame, col_name: str = "_ingest_order") -> DataFrame:
+    """Attach a monotonically increasing ingest-order column.
+
+    Stable within each source partition (the unit of arrival order for a
+    paginated API read), which is exactly the determinism the reference's
+    fetch-order dedup provides.
+    """
+    return df.withColumn(col_name, F.monotonically_increasing_id())
+
+
+def salted_dedup_keep_first(
+    df: DataFrame,
+    key: Sequence[str] = DEDUP_KEY,
+    order_by: Sequence[str] = ("_ingest_order",),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase keep-first for skewed keys.
+
+    Phase 1 reduces each (key, salt) bucket to its local first row;
+    phase 2 reduces the (tiny) survivors per key. Both phases shuffle,
+    but phase 2's input is <= salt_buckets rows per key, so the hot key
+    never lands on a single task with its full row volume.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(salt_buckets))
+    )
+    local = dedup_keep_first(salted, [*key, "_salt"], order_by)
+    return dedup_keep_first(local, key, order_by).drop("_salt")
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """Full-row DISTINCT (reference Q1: SELECT DISTINCT *, README.md:383-385)."""
+    return df.distinct()
+
+
+def exact_content_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact content dedup via content-hash group-by (LLM-pipeline op).
+
+    Groups on md5(normalized content) rather than the content itself so the
+    shuffle moves a 16-byte key, not the document body; keeps the row with
+    the smallest id (deterministic winner).
+    """
+    content = F.col(content_col)
+    if normalize:
+        content = F.lower(F.trim(F.regexp_replace(content, r"\s+", " ")))
+    hashed = df.withColumn("_content_hash", F.md5(content))
+    w = Window.partitionBy("_content_hash").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_content_hash")
+    )

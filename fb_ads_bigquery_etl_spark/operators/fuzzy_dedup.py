@@ -1,0 +1,234 @@
+"""Fuzzy / near-duplicate detection operators (LLM-pipeline extensions).
+
+Four families, all shuffle-disciplined for 100 TB:
+
+  * n-gram Jaccard join — exact near-dup pairs via shingle inverted index.
+  * MinHash + LSH      — signatures computed per-row (narrow), candidates
+                         via band-bucket join, verified with exact Jaccard.
+  * SimHash            — 60-bit fingerprints per-row; pairs via pigeonhole
+                         banding (EXACT for a Hamming radius, not approx).
+  * Embedding cosine   — see operators/similarity.py.
+
+Scale design notes:
+  - Signatures/fingerprints are pure projections: zero shuffle until the
+    candidate join, whose left/right sides carry only (id, key) pairs.
+  - The shingle inverted index drops ultra-frequent shingles (document
+    frequency cap) — the classic skew killer for text corpora.
+  - Verification joins re-attach the shingle arrays by id, so the wide
+    text columns never ride through the candidate-generation shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from fb_ads_bigquery_etl_spark.functions.portable import (
+    band_keys,
+    hash32,
+    hash60,
+    hamming60,
+    minhash_signature,
+    simhash60,
+    tokens,
+    word_shingles,
+)
+
+NUM_HASHES = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = 4
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Project (id, shingles: array<string>) — narrow, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs via shingle inverted index.
+
+    explode(shingles) -> self-join on shingle -> count shared shingles per
+    pair -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Any pair with
+    similarity >= threshold shares >= 1 shingle, so the inverted index
+    loses nothing (for threshold > 0).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    — they generate quadratic candidate blowup but can only support
+    low-similarity pairs; at corpus scale this cap is what keeps the
+    self-join tractable. None = exact (default for oracle parity).
+    """
+    sh = with_shingles(df, text_col, id_col, k)
+    sizes = sh.select("id", F.size("shingles").alias("n_shingles"))
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
+        inv = (
+            inv.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq)), "shingle")
+            .drop("_df")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(id, signature: array<bigint>) — computed entirely per-row."""
+    sh = with_shingles(df, text_col, id_col, k)
+    hashes = F.transform(F.col("shingles"), lambda s: hash32(s))
+    return sh.select(
+        "id",
+        F.col("shingles"),
+        minhash_signature(hashes, num_hashes).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard.
+
+    Candidate generation: explode band keys (num_bands rows per doc, each
+    a 32-char key + id — tiny), self-join on band key, distinct pairs.
+    Verification: re-attach shingle arrays by id and compute exact
+    Jaccard via array_intersect/array_union, keep >= threshold.
+
+    Deterministic end-to-end (md5-derived hashes), hence oracle-matchable.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(band_keys(F.col("signature"), num_bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("id", "shingles")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    return (
+        cands.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+                / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 60-bit fingerprint, per-row projection."""
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: hash60(t)
+    )
+    return df.select(
+        F.col(id_col).alias("id"), simhash60(tok_hashes).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """All pairs with Hamming(simhash_a, simhash_b) <= max_hamming — EXACT.
+
+    Pigeonhole banding: split the fingerprint into (max_hamming + 1)
+    contiguous blocks; any pair within the radius must agree on at least
+    one whole block, so joining per-block finds every qualifying pair —
+    this is exact recall, not approximation. Join keys are
+    (block_id, block_value) ints; the fingerprint table itself is two
+    bigints per doc, so this scales to billions of docs.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    fp = simhash_fingerprints(df, text_col, id_col)
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "simhash", "blk.block_id", "blk.block_val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming60(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,154 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns plus a typed metadata struct;
+all heavy per-item work (decode, resize, frame-sample, feature-extract)
+runs as Arrow-batched pandas iterators (`mapInPandas`) so Python touches
+each batch once, not each row.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode kernels are stubbed: `decode_stub=True` produces a
+deterministic fake feature vector derived from the payload bytes (so the
+whole distributed pipeline — schema, batching, partitioning, UDF
+signatures — is real and testable), and `decode_stub=False` raises
+NotImplementedError at the point a real codec would be called.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: md5-seeded vector."""
+    d = hashlib.md5(payload or b"").digest()
+    return [d[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame, *, decode_stub: bool = True) -> DataFrame:
+    """binary payload -> fixed-dim feature vector, Arrow-batched.
+
+    Real pipeline shape: mapInPandas over (media_id, media_type, payload)
+    with a small output schema, so the wide binary column is projected
+    away immediately after decode — the downstream plan never shuffles
+    raw media bytes.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg (not in container); "
+                    "run with decode_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, schema=_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, *, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    Stub synthesizes frame offsets from meta.duration_ms; a real build
+    would demux the payload. Output explodes rows, so the kernel yields
+    more rows than it consumes — mapInPandas handles that natively.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("offset_ms", T.LongType()),
+            T.StructField("frame_features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real demux requires ffmpeg")
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["duration_ms"] or 0
+                payload = r["payload"] or b""
+                for i, off in enumerate(range(0, int(dur), every_ms)):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "offset_ms": off,
+                            "frame_features": _fake_features(
+                                payload + off.to_bytes(8, "little")
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    flat = df.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(kernel, schema=out_schema)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (no codecs needed)."""
+    rows = []
+    for i in range(n):
+        mtype = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 4)
+        rows.append(
+            (
+                i,
+                mtype,
+                bytearray(payload),
+                (64 + i, 48 + i, 3000 + 500 * i, "fake"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,122 @@
+"""Text-analysis operators (LLM-pipeline extensions).
+
+Language ID (stopword-overlap heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting.
+All pure JVM expressions over the `documents` table — a narrow
+projection, no shuffle, which is exactly what you want for a 100 TB
+text sweep (the scan is the whole job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (shared verbatim with the SQL oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "una"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1"),
+}
+
+# BPE-ish word/number/punctuation pieces (GPT-2-style simplification).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token multiset."""
+    tok = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(
+            F.filter(tok, lambda t: F.array_contains(marker_arr, t))
+        )
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """argmax language by marker count; tie-break alphabetical; 'und' if 0.
+
+    Implemented as a greatest-of CASE chain so the whole classifier is one
+    codegen'd expression.
+    """
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tie-break: first max wins
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Sequential-update fold in alphabetical order with a strict `>`:
+    # on ties the earlier (alphabetically first) language wins.
+    for lang in langs:
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features (all exact integer/ratio math)."""
+    tok = tokens(text)
+    n_tok = F.size(tok)
+    n_chars = F.length(text)
+    stop_en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_en, t)))
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_bpe_tokens": token_count_bpe_ish(text).cast("long"),
+        "stopword_ratio": n_stop / F.greatest(n_tok, F.lit(1)),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "mean_word_len": (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from length/stopword/punct signals.
+
+    score = 0.4*len_norm + 0.4*stopword_component + 0.2*(1 - punct_ratio)
+    with len_norm = min(n_tokens, 256)/256. Pure double arithmetic on
+    integer-derived inputs => bit-reproducible anywhere.
+    """
+    f = quality_features(text)
+    len_norm = F.least(f["n_tokens"], F.lit(256)).cast("double") / F.lit(256.0)
+    stop_component = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    return (
+        len_norm * 0.4 + stop_component * 0.4 + (F.lit(1.0) - f["punct_ratio"]) * 0.2
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whitespace/case-normalized md5 content fingerprint."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis projection over a documents table."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    return df.select(
+        "*",
+        language_id(text).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_bpe_tokens"].alias("n_bpe_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        quality_score(text).alias("quality"),
+        fingerprint_md5(text).alias("fingerprint"),
+    )

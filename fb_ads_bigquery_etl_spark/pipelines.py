@@ -1,0 +1,118 @@
+"""End-to-end pipelines (reference EP1-EP3) as thin compositions.
+
+EP1 run_daily:  source -> flatten -> keep-first dedup -> partitioned write
+EP2 backfill:   ranged source -> flatten -> dedup -> range-filter -> CSV/table
+EP3 load_csv:   inferred CSV read -> append (plus the MERGE fix)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fb_ads_bigquery_etl_spark.operators.dedup import (
+    dedup_keep_first,
+    with_ingest_order,
+)
+from fb_ads_bigquery_etl_spark.operators.normalize import (
+    filter_date_range,
+    flatten_insights,
+)
+from fb_ads_bigquery_etl_spark.sinks import (
+    append_with_schema_evolution,
+    merge_upsert,
+    read_csv_inferred,
+    write_csv_artifact,
+)
+from fb_ads_bigquery_etl_spark.sources import fb_source
+
+
+@dataclass
+class RunReport:
+    """C3 (main.py:498,550)."""
+
+    status: str
+    message: str
+    rows_processed: int = 0
+    failed_accounts: list[str] = field(default_factory=list)
+
+
+def _read_insights(
+    spark: SparkSession, accounts: list[str], start: str, end: str, **opts
+) -> DataFrame:
+    fb_source.register(spark)
+    reader = (
+        spark.read.format("fb_insights")
+        .option("accounts", ",".join(accounts))
+        .option("start_date", start)
+        .option("end_date", end)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def run_daily(
+    spark: SparkSession,
+    *,
+    accounts: list[str],
+    run_date: str,
+    table_path: str,
+    csv_artifact: str | None = None,
+    dry_run: bool = False,
+    **source_opts,
+) -> RunReport:
+    """EP1 (main.py:454-550): one day, all accounts, dedup, load."""
+    raw = _read_insights(spark, accounts, run_date, run_date, **source_opts)
+    flat = flatten_insights(with_ingest_order(raw))
+    deduped = dedup_keep_first(flat).drop("_ingest_order")
+    if csv_artifact:
+        write_csv_artifact(deduped, csv_artifact)
+    if dry_run:  # C2 (main.py:538-540)
+        n = deduped.count()
+        return RunReport("dry_run", f"skipped load of {n} rows", n)
+    result = append_with_schema_evolution(spark, deduped, table_path)
+    n = deduped.count()
+    return RunReport("success", f"loaded {n} rows", n)
+
+
+def backfill(
+    spark: SparkSession,
+    *,
+    accounts: list[str],
+    start_date: str,
+    end_date: str,
+    csv_path: str | None = None,
+    table_path: str | None = None,
+    **source_opts,
+) -> RunReport:
+    """EP2 (backfill.py:177-291): date range, dedup, range guard, CSV."""
+    raw = _read_insights(spark, accounts, start_date, end_date, **source_opts)
+    flat = flatten_insights(with_ingest_order(raw))
+    deduped = filter_date_range(
+        dedup_keep_first(flat).drop("_ingest_order"), start_date, end_date
+    )
+    if csv_path:
+        write_csv_artifact(deduped, csv_path)
+    if table_path:
+        merge_upsert(spark, deduped, table_path)
+    n = deduped.count()
+    return RunReport("success", f"backfilled {n} rows", n)
+
+
+def load_csv(
+    spark: SparkSession, csv_path: str, table_path: str, *, upsert: bool = False
+) -> RunReport:
+    """EP3 (load_csv_to_bq.py:41-111): inferred CSV -> table.
+
+    Reference appends blindly (duplicate-on-reload); `upsert=True` is the
+    MERGE fix on the canonical key.
+    """
+    df = read_csv_inferred(spark, csv_path)
+    if upsert:
+        merge_upsert(spark, df, table_path)
+    else:
+        df.write.mode("append").partitionBy("date_start").parquet(table_path)
+    n = df.count()
+    return RunReport("success", f"loaded {n} rows from {csv_path}", n)

