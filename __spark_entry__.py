@@ -490,7 +490,7 @@ def _oracle() -> dict[str, str]:
         "dedup_simhash": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
             hashed AS (SELECT doc_id,
-                list_transform(list_distinct(t),
+                list_transform({_SHINGLES},
                                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
               FROM toks),
             fp AS (SELECT doc_id, {_SIMHASH} AS simhash FROM hashed)

@@ -57,80 +57,87 @@ def word_shingles(tok: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_permutation(h: Column, i: int) -> Column:
+def minhash_permutation(h: Column, i: Column) -> Column:
     """i-th universal-hash permutation of a 32-bit value: (a*h + b) mod P.
 
-    a_i = 2i+1 (odd), b_i = (i * KNUTH) mod P. Products stay < 2^63.
+    a_i = 2i+1 (odd), b_i = (i * KNUTH) mod P — all integer arithmetic,
+    products stay < 2^63. `i` is a Column so one shared lambda covers all
+    permutations (an unrolled per-i expression tree makes Catalyst
+    analysis/codegen cost dominate small jobs).
     """
-    a = 2 * i + 1
-    b = (i * KNUTH) % MERSENNE_P
-    return (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+    a = i * 2 + F.lit(1)
+    b = (i * F.lit(KNUTH)) % F.lit(MERSENNE_P)
+    return (h * a + b) % F.lit(MERSENNE_P)
 
 
 def minhash_signature(shingle_hashes: Column, num_hashes: int) -> Column:
     """Array of num_hashes MinHash values — computed per-row, no shuffle.
 
-    Empty shingle set -> array of P (sentinel = "no shingles"), so empty
+    Nested higher-order functions (transform over permutation indices,
+    inner transform over shingle hashes) keep the expression tree O(1)
+    in num_hashes. Empty shingle set -> array of P (sentinel), so empty
     docs never spuriously collide with real ones except with each other.
     """
-    sigs = [
-        F.coalesce(
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
             F.array_min(
-                F.transform(shingle_hashes, lambda h, i=i: minhash_permutation(h, i))
+                F.transform(shingle_hashes, lambda h: minhash_permutation(h, i))
             ),
             F.lit(MERSENNE_P).cast("long"),
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+        ),
+    )
 
 
 def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """LSH band keys: md5 over each contiguous signature slice + band id.
 
     Band id is baked into the key so different bands can never collide.
+    The signature column is referenced exactly ONCE (slice inside one
+    shared lambda) — per-position element_at references would let
+    CollapseProject duplicate the whole signature expression per band.
+    Callers should still materialize the signature behind an exchange
+    (see minhash_lsh_pairs) before exploding band keys.
     """
-    keys = [
-        F.md5(
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
             F.concat_ws(
                 ",",
-                F.lit(str(b)),
-                *[
-                    F.element_at(signature, b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
+                b.cast("string"),
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
             )
-        )
-        for b in range(num_bands)
-    ]
-    return F.array(*keys)
+        ),
+    )
 
 
 def simhash60(token_hashes: Column) -> Column:
     """60-bit SimHash over (distinct) 60-bit token hashes.
 
     Bit j of the result is set when more than half the tokens have bit j
-    set. Single pass over the array, all in codegen.
+    set. Expressed with nested higher-order functions (per-bit transform
+    over a shared filter lambda) so the expression tree stays O(1) in the
+    bit width — a 60-way unrolled tree makes Catalyst planning dominate.
+    All integer arithmetic: bit-exact in any engine.
     """
     n = F.size(token_hashes)
-
-    def bit_set_predicate(j: int):
-        # single-arg lambda: F.filter passes the element index to 2-arg
-        # lambdas, which would clobber a `j=j` default capture
-        mask = F.lit(1 << j)
-        return lambda h: h.bitwiseAND(mask) != F.lit(0)
-
-    bit_terms = [
-        F.when(
-            F.size(F.filter(token_hashes, bit_set_predicate(j))) * 2 > n,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(60)
-    ]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(60)])
+    bit_values = F.transform(
+        masks,
+        lambda mask: F.when(
+            F.size(F.filter(token_hashes, lambda h: h.bitwiseAND(mask) != F.lit(0)))
+            * 2
+            > n,
+            mask,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def hamming60(a: Column, b: Column) -> Column:

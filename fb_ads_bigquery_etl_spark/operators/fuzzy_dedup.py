@@ -38,11 +38,24 @@ NUM_BANDS = 8
 ROWS_PER_BAND = 4
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure compute-heavy projections aren't serialized on few tasks.
+
+    A small single-file parquet scan yields one input partition, which
+    would run the whole hash/shingle projection on one core. At real
+    scale inputs already have >= cores partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
     """Project (id, shingles: array<string>) — narrow, no shuffle."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
     )
@@ -105,13 +118,24 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """(id, signature: array<bigint>) — computed entirely per-row."""
+    """(id, signature: array<bigint>) — computed entirely per-row.
+
+    The shingle-hash array is materialized behind an exchange before the
+    per-permutation min loop: minhash_signature references its input once
+    per permutation, and CollapseProject would otherwise inline (and
+    re-evaluate) the tokenize->shingle->md5 pipeline num_hashes times
+    per row.
+    """
     sh = with_shingles(df, text_col, id_col, k)
-    hashes = F.transform(F.col("shingles"), lambda s: hash32(s))
-    return sh.select(
+    hashed = sh.select(
         "id",
-        F.col("shingles"),
-        minhash_signature(hashes, num_hashes).alias("signature"),
+        "shingles",
+        F.transform(F.col("shingles"), lambda s: hash32(s)).alias("_hs"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    return hashed.select(
+        "id",
+        "shingles",
+        minhash_signature(F.col("_hs"), num_hashes).alias("signature"),
     )
 
 
@@ -136,6 +160,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
+    # Materialization barrier: the exchange makes `signature` an attribute
+    # downstream, so band-key extraction can't trigger CollapseProject
+    # into re-evaluating the MinHash expression per band (32x blowup).
+    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     banded = sigs.select(
         "id",
         F.explode(band_keys(F.col("signature"), num_bands, rows_per_band)).alias(
@@ -167,14 +195,29 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash: bigint) — 60-bit fingerprint, per-row projection."""
-    tok_hashes = F.transform(
-        F.array_distinct(tokens(F.col(text_col))), lambda t: hash60(t)
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, simhash: bigint) — 60-bit fingerprint, per-row projection.
+
+    Fingerprints k-word SHINGLES, not unigram tokens: with a small
+    vocabulary every document contains nearly every token, so token-level
+    simhashes collapse onto a few values and hamming-radius search
+    degenerates to all-pairs. Shingle sets are (near-)unique per document
+    and keep the fingerprint discriminative.
+    """
+    sh_hashes = F.transform(
+        word_shingles(tokens(F.col(text_col)), k), lambda s: hash60(s)
     )
-    return df.select(
-        F.col(id_col).alias("id"), simhash60(tok_hashes).alias("simhash")
+    # Materialize the hash array behind an exchange: simhash60 scans its
+    # input once per bit, and CollapseProject would otherwise inline the
+    # tokenize->shingle->md5 pipeline into all 60 scans.
+    hashed = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), sh_hashes.alias("_hs"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     )
+    return hashed.select("id", simhash60(F.col("_hs")).alias("simhash"))
 
 
 def simhash_pairs(
@@ -198,6 +241,9 @@ def simhash_pairs(
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     fp = simhash_fingerprints(df, text_col, id_col)
+    # materialization barrier (see minhash_lsh_pairs): block extraction
+    # references simhash 4x; keep it an attribute, not an expression
+    fp = fp.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     blocks = fp.select(
         "id",
         "simhash",

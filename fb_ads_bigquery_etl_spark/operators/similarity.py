@@ -15,14 +15,30 @@ Three tiers:
 
 All cosine math uses sequential-order double accumulation
 (functions.portable.dot_product) so an independent engine reproduces the
-numbers bit-for-bit.
+numbers bit-for-bit. Norms are precomputed once per vector (a narrow
+projection) — cosine(a,b) = dot(a,b) / (norm_a * norm_b) yields the exact
+same double either way, but pair joins then cost one dot product per
+pair instead of three.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fb_ads_bigquery_etl_spark.functions.portable import cosine_similarity
+from fb_ads_bigquery_etl_spark.functions.portable import dot_product, l2_norm
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str, *extra: str) -> DataFrame:
+    """(id, vec: array<double>, norm, *extra) — one narrow pass."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import spread
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        vec_d.alias("vec"),
+        l2_norm(vec_d).alias("norm"),
+        *[F.col(c) for c in extra],
+    )
 
 
 def brute_force_topk(
@@ -36,13 +52,15 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector.
 
     The query vector is a literal array baked into the plan (the
-    degenerate broadcast); scoring is a narrow projection over the scan.
+    degenerate broadcast; its norm constant-folds). Scoring is a narrow
+    projection; the reduction is TakeOrdered — no full-sort shuffle.
     Ties broken by id ascending for determinism.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        cosine_similarity(F.col(vec_col), q).alias("score"),
+    prep = _prepared(df, id_col, vec_col)
+    scored = prep.select(
+        F.col("id").alias(id_col),
+        (dot_product(F.col("vec"), q) / (F.col("norm") * l2_norm(q))).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -59,20 +77,29 @@ def assign_ivf_buckets(
     Centroids = rows with id % centroid_mod == 0 (a deterministic sample;
     a production build would run k-means — the assignment/probe plumbing
     is identical). Assignment = broadcast nested-loop join vectors ×
-    centroids, keep nearest (max cosine, tie-break smallest centroid id).
+    centroids keeping the nearest (max cosine, tie-break smallest
+    centroid id). One dot product per (vector, centroid): both sides
+    carry precomputed norms.
 
-    Returns (centroids, assigned) where assigned has (id, vec, bucket).
+    Returns (centroids, assigned); assigned = (id, vec, norm, bucket).
     """
-    centroids = df.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    prep = _prepared(df, id_col, vec_col)
+    centroids = prep.filter((F.col("id") % centroid_mod) == 0).select(
+        F.col("id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
     )
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine_similarity(F.col(vec_col), F.col("centroid_vec")).alias("c_score"),
+    scored = prep.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "norm",
+        "centroid_id",
+        (
+            dot_product(F.col("vec"), F.col("cvec"))
+            / (F.col("norm") * F.col("cnorm"))
+        ).alias("c_score"),
     )
-    best = scored.groupBy(id_col, vec_col).agg(
+    best = scored.groupBy("id", "vec", "norm").agg(
         F.max_by(
             F.col("centroid_id"), F.struct(F.col("c_score"), -F.col("centroid_id"))
         ).alias("bucket")
@@ -101,7 +128,10 @@ def ivf_topk(
     )
     probed = (
         centroids.select(
-            "centroid_id", cosine_similarity(F.col("centroid_vec"), q).alias("q_score")
+            "centroid_id",
+            (dot_product(F.col("cvec"), q) / (F.col("cnorm") * l2_norm(q))).alias(
+                "q_score"
+            ),
         )
         .orderBy(F.col("q_score").desc(), F.col("centroid_id").asc())
         .limit(nprobe)
@@ -111,7 +141,8 @@ def ivf_topk(
         F.broadcast(probed), assigned["bucket"] == probed["centroid_id"]
     )
     scored = in_buckets.select(
-        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("score")
+        F.col("id").alias(id_col),
+        (dot_product(F.col("vec"), q) / (F.col("norm") * l2_norm(q))).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -130,14 +161,17 @@ def cosine_pairs(
     block — e.g. a coarse cluster/label); None = full cross product,
     which is exact but quadratic (test scales only).
     """
-    left = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+    prep = _prepared(df, id_col, vec_col, *( [block_col] if block_col else [] ))
+    left = prep.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
         *([F.col(block_col).alias("blk_a")] if block_col else []),
     )
-    right = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+    right = prep.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
         *([F.col(block_col).alias("blk_b")] if block_col else []),
     )
     cond = F.col("id_a") < F.col("id_b")
@@ -149,7 +183,10 @@ def cosine_pairs(
         joined.select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            (
+                dot_product(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
