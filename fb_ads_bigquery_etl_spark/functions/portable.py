@@ -13,7 +13,30 @@ WholeStageCodegen; no Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, functions as F
+
+
+def bind(value: Column, f: Callable[[Column], Column]) -> Column:
+    """Let-binding at the expression level: evaluate ``value`` exactly once
+    per row and hand it to ``f`` as a bound lambda variable.
+
+    Two Catalyst behaviors make this necessary for expensive subtrees
+    (tokenize -> shingle -> md5 pipelines):
+
+    1. Higher-order functions re-evaluate any non-trivial child expression
+       on every iteration of an enclosing lambda — ``transform(seq, i ->
+       array_min(transform(HS, ...)))`` computes HS once per outer element.
+    2. Optimizer rules clone subtrees wholesale: InferFiltersFromConstraints
+       + PushDownPredicate will copy a nullable join key's entire defining
+       expression into an ``isnotnull`` filter at the scan.
+
+    ``transform`` over a 1-element array turns the subtree into a bound
+    variable: evaluated once, and every downstream reference is a cheap
+    variable lookup. ``get`` (0-based, null-safe) unwraps the result.
+    """
+    return F.get(F.transform(F.array(value), f), 0)
 
 # Prime > 2^32 for universal hashing (classic MinHash choice).
 MERSENNE_P = 4294967311

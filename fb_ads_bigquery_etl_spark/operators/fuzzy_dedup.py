@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import (
     band_keys,
+    bind,
     hash32,
     hash60,
     hamming60,
@@ -118,24 +119,22 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """(id, signature: array<bigint>) — computed entirely per-row.
+    """(id, shingles, signature: array<bigint>) — one narrow projection.
 
-    The shingle-hash array is materialized behind an exchange before the
-    per-permutation min loop: minhash_signature references its input once
-    per permutation, and CollapseProject would otherwise inline (and
-    re-evaluate) the tokenize->shingle->md5 pipeline num_hashes times
-    per row.
+    The shingle-hash array is let-bound (portable.bind) before the
+    per-permutation min loop: the outer transform in minhash_signature
+    re-evaluates its child expression once per permutation, which would
+    re-run the tokenize->shingle->md5 pipeline num_hashes times per row
+    if the array were an inline expression. No shuffle, no barrier.
     """
     sh = with_shingles(df, text_col, id_col, k)
-    hashed = sh.select(
+    return sh.select(
         "id",
         "shingles",
-        F.transform(F.col("shingles"), lambda s: hash32(s)).alias("_hs"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-    return hashed.select(
-        "id",
-        "shingles",
-        minhash_signature(F.col("_hs"), num_hashes).alias("signature"),
+        bind(
+            F.transform(F.col("shingles"), lambda s: hash32(s)),
+            lambda hs: minhash_signature(hs, num_hashes),
+        ).alias("signature"),
     )
 
 
@@ -160,11 +159,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
-    # Materialization barrier: the exchange makes `signature` an attribute
-    # downstream, so band-key extraction can't trigger CollapseProject
-    # into re-evaluating the MinHash expression per band (32x blowup).
-    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-    banded = sigs.select(
+    # Slim barrier: (id, signature) is ~260 B/row post-reduction — cheap to
+    # shuffle at any scale, and the exchange is shared (ReusedExchange) by
+    # both sides of the band-key self-join, so the MinHash pipeline runs
+    # exactly once over the corpus instead of once per join side.
+    slim = sigs.select("id", "signature").repartition("id")
+    banded = slim.select(
         "id",
         F.explode(band_keys(F.col("signature"), num_bands, rows_per_band)).alias(
             "band_key"
@@ -209,15 +209,14 @@ def simhash_fingerprints(
     sh_hashes = F.transform(
         word_shingles(tokens(F.col(text_col)), k), lambda s: hash60(s)
     )
-    # Materialize the hash array behind an exchange: simhash60 scans its
-    # input once per bit, and CollapseProject would otherwise inline the
-    # tokenize->shingle->md5 pipeline into all 60 scans.
-    hashed = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), sh_hashes.alias("_hs"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-    )
-    return hashed.select("id", simhash60(F.col("_hs")).alias("simhash"))
+    # bind: simhash60's per-bit filter loop re-evaluates its child 60x per
+    # row when it's an inline expression; the let-binding computes the
+    # tokenize->shingle->md5 array once. coalesce makes the fingerprint
+    # non-nullable, so joins on derived block values can never infer an
+    # isnotnull(simhash) predicate that clones the whole pipeline into a
+    # pushed-down scan filter (observed 20x slowdown without it).
+    fp = F.coalesce(bind(sh_hashes, simhash60), F.lit(0).cast("long"))
+    return spread(df).select(F.col(id_col).alias("id"), fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -241,9 +240,10 @@ def simhash_pairs(
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     fp = simhash_fingerprints(df, text_col, id_col)
-    # materialization barrier (see minhash_lsh_pairs): block extraction
-    # references simhash 4x; keep it an attribute, not an expression
-    fp = fp.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    # Slim barrier: (id, simhash) is 16 B/row — both sides of the
+    # block-key self-join read this one ReusedExchange, so fingerprinting
+    # runs once over the corpus rather than once per join side.
+    fp = fp.repartition("id")
     blocks = fp.select(
         "id",
         "simhash",
