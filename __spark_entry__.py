@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from fb_ads_bigquery_etl_spark.operators import similarity
+from fb_ads_bigquery_etl_spark.operators import multimodal, similarity, temporal
 from fb_ads_bigquery_etl_spark.operators.dedup import exact_content_dedup
 from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
     minhash_lsh_pairs,
@@ -234,6 +234,327 @@ def q_sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage: outer/semi/anti joins, set ops, cube, subqueries,
+# windows, percentiles, conditional aggs, JSON, temporal joins.
+# ---------------------------------------------------------------------------
+
+def q_join_outer_agg(spark, sf_dir):
+    """Left-outer join + agg: per-customer order count/spend incl. zeros."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers holding at least one 'F'-status order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT: customers ordering in both 1995 and 2000."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return a.intersect(b)
+
+
+def q_set_except(spark, sf_dir):
+    """EXCEPT: customer keys that never appear in orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+def q_cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets over (status, priority) with count + sum."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_exists_late_lineitem(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape): orders with a lineitem shipped
+    after the order date, counted per priority. Decorrelated to a
+    left-semi join with a non-equi residual — one shuffle pair."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"])
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_avg_qty_threshold(spark, sf_dir):
+    """Scalar-subquery shape (TPC-H Q17): lineitems below half their
+    part's average quantity. Per-part avg is a co-partitioned shuffle
+    join on l_partkey (both sides hash the same key — no broadcast
+    needed, survives 100× part cardinality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_thr")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (_dsum(F.col("l_extendedprice"), "x") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-simultaneous view (sort-merge via union + keyed window —
+    one shuffle, no range cross-product; operators/temporal.py)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = e.filter(F.col("event_type") == "view")
+    return temporal.asof_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+        right_order=["event_id"],
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded range join: views per user within 1h before each purchase
+    (bucketed equi-join, no theta cross-product; operators/temporal.py)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = e.filter(F.col("event_type") == "view")
+    return temporal.range_count_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_us=3_600_000_000,
+        right_vals=["value"],
+        agg=[
+            F.count(F.col("_r__ts")).alias("n_views"),
+            F.coalesce(
+                F.sum(F.col("_r_value").cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias("view_value"),
+        ],
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per priority class."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """Global NTILE(4) quartile stats. NB: a global window is a
+    single-task sort — fine for rollup outputs; at 100 TB use
+    approx-quantile bucket boundaries instead (documented tradeoff)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy("quartile")
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Filtered/conditional aggregation (CASE-inside-agg pushed map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            _dsum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(
+                    F.lit(0.0)
+                ),
+                "open_total",
+            ),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured: extract props.k from the JSON column, aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h window agg (batch form; streaming/windows.py runs the
+    identical logic incrementally with a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "total_value", scale=6),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_running_total(spark, sf_dir):
+    """Per-customer running revenue (cumulative window, exact decimal)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approx distinct vs exact (approximate by design: rows-only
+    correctness check, no DuckDB oracle — sketches differ across engines)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload columns + Arrow-batched decode kernels
+# (operators/multimodal.py; codecs stubbed deterministically per brief).
+# ---------------------------------------------------------------------------
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def _media_from_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary columns through the Arrow-batched feature kernel
+    (mapInPandas), then aggregate — proves the schema/batch plumbing."""
+    media = _media_from_documents(spark, sf_dir)
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling (1 row per synthesized frame via mapInPandas),
+    re-aggregated per media item."""
+    media = _media_from_documents(spark, sf_dir).filter(
+        (F.col("media_type") == "video") & (F.col("meta.duration_ms") > 0)
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("offset_ms").alias("last_offset_ms"),
+        )
+        .orderBy("media_id")
     )
 
 
@@ -553,6 +874,130 @@ def _oracle() -> dict[str, str]:
                      + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 AS quality,
                    md5({_NORM_TEXT}) AS fingerprint
             FROM (SELECT *, g FROM (SELECT *, {greatest} AS g FROM scored))""",
+        "join_outer_agg": """
+            SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+                   CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                        AS DOUBLE) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_mktsegment""",
+        "join_semi": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+        "join_anti": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "set_intersect": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000""",
+        "set_except": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders""",
+        "cube_status_priority": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_dsum_sql('o_totalprice', 'total')}
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "exists_late_lineitem": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "avg_qty_threshold": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                     AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS thr
+                  FROM lineitem GROUP BY l_partkey) t
+              ON l_partkey = pk
+            WHERE l_quantity < thr""",
+        "asof_join": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value, 1 AS is_l
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, NULL AS value, 0
+              FROM events WHERE event_type = 'view'),
+            w AS (
+              SELECT user_id, ts, event_id, value, is_l,
+                     last_value(CASE WHEN is_l = 0 THEN event_id END IGNORE NULLS)
+                       OVER win AS asof_event_id,
+                     last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS)
+                       OVER win AS asof_ts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts ASC, is_l ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts, value, asof_event_id, asof_ts
+            FROM w WHERE is_l = 1""",
+        "range_join": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   COUNT(v.ts) AS n_views,
+                   CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,6))), 0)
+                        AS DOUBLE) AS view_value
+            FROM events p
+            LEFT JOIN events v
+              ON v.user_id = p.user_id AND v.event_type = 'view'
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts, p.value""",
+        "percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "ntile_quartiles": f"""
+            SELECT quartile, COUNT(*) AS n, {_dsum_sql('o_totalprice', 'total')}
+            FROM (SELECT o_totalprice,
+                         ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                           AS quartile
+                  FROM orders)
+            GROUP BY quartile ORDER BY quartile""",
+        "conditional_agg": f"""
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+                   {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 'open_total')},
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS n_distinct_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "tumbling_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   {_dsum_sql('value', 'total_value', 6)}
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "running_total": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders""",
+        "multimodal_features": """
+            SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "multimodal_frames": """
+            SELECT doc_id AS media_id,
+                   CAST((n_chars * 10 + 999) // 1000 AS BIGINT) AS n_frames,
+                   CAST(((n_chars * 10 + 999) // 1000 - 1) * 1000 AS BIGINT)
+                     AS last_offset_ms
+            FROM documents
+            WHERE doc_id % 3 = 2 AND n_chars > 0
+            ORDER BY doc_id""",
         "quality_by_source": f"""
             WITH base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
             scored AS (
@@ -585,6 +1030,25 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "rollup_region_nation": q_rollup_region_nation,
     "sessionize": q_sessionize,
+    "join_outer_agg": q_join_outer_agg,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "cube_status_priority": q_cube_status_priority,
+    "exists_late_lineitem": q_exists_late_lineitem,
+    "avg_qty_threshold": q_avg_qty_threshold,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "percentiles": q_percentiles,
+    "ntile_quartiles": q_ntile_quartiles,
+    "conditional_agg": q_conditional_agg,
+    "json_extract": q_json_extract,
+    "tumbling_hourly": q_tumbling_hourly,
+    "running_total": q_running_total,
+    "approx_distinct": q_approx_distinct,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
