@@ -1,0 +1,61 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+For semantics the built-in window/session operators can't express
+(running per-key accumulators, custom eviction), Spark's arbitrary
+stateful API is the scalable tool: state lives in the state store
+(RocksDB/HDFS-backed per partition), keyed groups are processed as
+Arrow batches, and watermark-driven timeouts bound retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, total value) across micro-batches.
+
+    Emits the updated running totals for every user seen in each batch;
+    state is one (long, double) pair per user — O(distinct keys), not
+    O(rows). The equivalent batch query is a plain groupBy aggregate,
+    which the tests use as the oracle after draining all batches.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

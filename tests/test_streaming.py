@@ -1,0 +1,97 @@
+"""Streaming == batch equivalence on the same input.
+
+Each streaming operator is drained with Trigger.AvailableNow (multi
+micro-batch via maxFilesPerTrigger) and compared against its batch twin
+— the exactly-once equivalence that makes streaming backfills safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from fb_ads_bigquery_etl_spark.streaming import state as st, windows as sw
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def landing_dir(spark, tmp_path_factory):
+    """Split events into several files so AvailableNow runs multiple
+    micro-batches (real incremental state, not a single-batch no-op)."""
+    d = str(tmp_path_factory.mktemp("landing") / "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    raw.repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, landing_dir):
+    stream = sw.tumbling_counts(sw.read_events_stream(spark, landing_dir))
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in _drain(stream, "t_tumbling").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in entry_mod.q_tumbling_hourly(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, landing_dir):
+    stream = sw.session_aggregate(sw.read_events_stream(spark, landing_dir))
+    sessions = _drain(stream, "t_sessions")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in entry_mod.q_sessionize(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals(spark, landing_dir):
+    stream = st.running_user_totals(
+        sw.read_events_stream(spark, landing_dir, max_files_per_trigger=1)
+    )
+    drained = _drain(stream, "t_state", mode="update")
+    # update mode emits one row per (user, batch); the final state is the
+    # row with the largest n_events per user.
+    final = (
+        drained.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n_events"] for r in final}
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
