@@ -21,6 +21,7 @@ Scale design notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fb_ads_bigquery_etl_spark.functions.portable import (
     band_keys,
@@ -37,6 +38,22 @@ from fb_ads_bigquery_etl_spark.functions.portable import (
 NUM_HASHES = 32
 NUM_BANDS = 8
 ROWS_PER_BAND = 4
+
+
+def shared(df: DataFrame) -> DataFrame:
+    """Persist a subresult consumed by multiple plan branches.
+
+    Catalyst/AQE do NOT reuse exchanges across the sides of these
+    self-joins (verified empirically: the signature pipeline was executed
+    once per consumer), so an explicit cache is what makes the expensive
+    tokenize->shingle->md5 projection run ONCE over the corpus.
+    MEMORY_AND_DISK: columnar in-memory with disk spill — at extreme
+    scale swap for DISK_ONLY or accept recompute (narrow, CPU-only).
+    Lifecycle: lazy (no-op until an action); lives until session end or
+    `unpersist()` — these operators are one-shot pipeline stages, so the
+    caller owns cleanup for long-lived sessions.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -83,7 +100,7 @@ def ngram_jaccard_pairs(
     low-similarity pairs; at corpus scale this cap is what keeps the
     self-join tractable. None = exact (default for oracle parity).
     """
-    sh = with_shingles(df, text_col, id_col, k)
+    sh = shared(with_shingles(df, text_col, id_col, k))
     sizes = sh.select("id", F.size("shingles").alias("n_shingles"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
@@ -94,7 +111,7 @@ def ngram_jaccard_pairs(
         )
     a = inv.alias("a")
     b = inv.alias("b")
-    shared = (
+    pair_counts = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
@@ -102,7 +119,7 @@ def ngram_jaccard_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        pair_counts.join(sa, F.col("id_a") == F.col("sa.id"))
         .join(sb, F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
@@ -158,13 +175,11 @@ def minhash_lsh_pairs(
     Deterministic end-to-end (md5-derived hashes), hence oracle-matchable.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
-    # Slim barrier: (id, signature) is ~260 B/row post-reduction — cheap to
-    # shuffle at any scale, and the exchange is shared (ReusedExchange) by
-    # both sides of the band-key self-join, so the MinHash pipeline runs
-    # exactly once over the corpus instead of once per join side.
-    slim = sigs.select("id", "signature").repartition("id")
-    banded = slim.select(
+    # One cached pass computes signatures + shingles; the band self-join
+    # (both sides) and the verification joins all read the cache instead
+    # of re-running the md5/minhash pipeline per consumer (4x at worst).
+    sigs = shared(minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes))
+    banded = sigs.select(
         "id",
         F.explode(band_keys(F.col("signature"), num_bands, rows_per_band)).alias(
             "band_key"
@@ -239,11 +254,10 @@ def simhash_pairs(
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    fp = simhash_fingerprints(df, text_col, id_col)
-    # Slim barrier: (id, simhash) is 16 B/row — both sides of the
-    # block-key self-join read this one ReusedExchange, so fingerprinting
-    # runs once over the corpus rather than once per join side.
-    fp = fp.repartition("id")
+    # Cached: both sides of the block-key self-join read one materialized
+    # fingerprint table ((id, simhash) = 16 B/row), so fingerprinting runs
+    # once over the corpus rather than once per join side.
+    fp = shared(simhash_fingerprints(df, text_col, id_col))
     blocks = fp.select(
         "id",
         "simhash",

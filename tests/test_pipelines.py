@@ -1,0 +1,206 @@
+"""ETL surface tests: pipelines (EP1-EP3), sinks, flatten semantics,
+dedup properties — the reference behaviors SURVEY.md §2/§5 pins.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fb_ads_bigquery_etl_spark import pipelines
+from fb_ads_bigquery_etl_spark.operators.dedup import dedup_keep_first, with_ingest_order
+from fb_ads_bigquery_etl_spark.operators.normalize import flatten_insights
+from fb_ads_bigquery_etl_spark.schema import DEDUP_KEY, RAW_INSIGHTS_SCHEMA
+from fb_ads_bigquery_etl_spark.sinks import (
+    append_with_schema_evolution,
+    read_csv_inferred,
+)
+
+KEY = list(DEDUP_KEY)
+
+
+def _raw_row(
+    campaign="c1",
+    ad="a1",
+    platform="facebook",
+    day="2026-01-15",
+    impressions="100",
+    video_p25=None,
+    actions=None,
+    order=0,
+):
+    return (
+        campaign,
+        ad,
+        platform,
+        impressions,
+        "5",
+        "1.25",
+        day,
+        day,
+        None,
+        None,
+        None,
+        video_p25,
+        None,
+        None,
+        None,
+        actions,
+        None,
+        f"acct_{order}",
+    )
+
+
+def test_run_daily_end_to_end(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    rep = pipelines.run_daily(
+        spark,
+        accounts=["a", "b"],
+        run_date="2026-01-15",
+        table_path=table,
+    )
+    assert rep.status == "success" and rep.rows_processed > 0
+    assert glob.glob(os.path.join(table, "date_start=2026-01-15"))
+    df = spark.read.parquet(table)
+    assert df.count() == df.select(*KEY).distinct().count()  # dedup holds
+
+
+def test_run_daily_dry_run_writes_nothing(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    rep = pipelines.run_daily(
+        spark, accounts=["a"], run_date="2026-01-15", table_path=table, dry_run=True
+    )
+    assert rep.status == "dry_run" and rep.rows_processed > 0
+    assert not os.path.exists(table)
+
+
+def test_error_isolation_degrades_failed_account(spark, tmp_path):
+    good = pipelines.run_daily(
+        spark,
+        accounts=["a", "b"],
+        run_date="2026-01-15",
+        table_path=str(tmp_path / "t1"),
+    )
+    with_bad = pipelines.run_daily(
+        spark,
+        accounts=["a", "b", "bad"],
+        run_date="2026-01-15",
+        table_path=str(tmp_path / "t2"),
+        fail_accounts="bad",
+    )
+    # the failing account contributes nothing; the job still succeeds
+    assert with_bad.status == "success"
+    assert with_bad.rows_processed == good.rows_processed
+
+    with pytest.raises(Exception, match="simulated API error"):
+        pipelines.run_daily(
+            spark,
+            accounts=["a", "bad"],
+            run_date="2026-01-15",
+            table_path=str(tmp_path / "t3"),
+            fail_accounts="bad",
+            error_isolation="false",
+        )
+
+
+def test_backfill_csv_range_guard(spark, tmp_path):
+    csv_dir = str(tmp_path / "bf.csv")
+    rep = pipelines.backfill(
+        spark,
+        accounts=["a"],
+        start_date="2026-01-10",
+        end_date="2026-01-12",
+        csv_path=csv_dir,
+    )
+    assert rep.status == "success" and rep.rows_processed > 0
+    back = read_csv_inferred(spark, csv_dir)
+    assert back.count() == rep.rows_processed
+    dates = [str(r[0]) for r in back.select("date_start").distinct().collect()]
+    assert all("2026-01-10" <= d <= "2026-01-12" for d in dates)
+
+
+def test_load_csv_append_duplicates_upsert_idempotent(spark, tmp_path):
+    csv_dir = str(tmp_path / "bf.csv")
+    pipelines.backfill(
+        spark, accounts=["a"], start_date="2026-01-10", end_date="2026-01-10",
+        csv_path=csv_dir,
+    )
+    n = read_csv_inferred(spark, csv_dir).count()
+
+    # reference behavior: blind append duplicates on reload (SURVEY §3 EP3)
+    ap = str(tmp_path / "append_tbl")
+    pipelines.load_csv(spark, csv_dir, ap)
+    pipelines.load_csv(spark, csv_dir, ap)
+    appended = spark.read.parquet(ap)
+    assert appended.count() == 2 * n
+    # ...and Q1's SELECT DISTINCT * recovers exactly the originals
+    assert appended.distinct().count() == n
+
+    # MERGE fix: reload is idempotent on the canonical key
+    up = str(tmp_path / "upsert_tbl")
+    pipelines.load_csv(spark, csv_dir, up, upsert=True)
+    pipelines.load_csv(spark, csv_dir, up, upsert=True)
+    assert spark.read.parquet(up).count() == n
+
+
+def test_schema_evolution_typing_rule(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    pipelines.run_daily(
+        spark, accounts=["a"], run_date="2026-01-15", table_path=table
+    )
+    base = spark.read.parquet(table)
+    # a newly discovered action metric arrives as a numeric string
+    evolved_in = base.withColumn("brand_lift", F.lit("0.5"))
+    # unknown columns evolve as DOUBLE (STRING only for the known name
+    # list) — reference main.py:427-434
+    out = append_with_schema_evolution(spark, evolved_in, table)
+    types = dict(out.dtypes)
+    assert types["brand_lift"] == "double"
+    # old rows read as NULL for the evolved column (mergeSchema union)
+    assert out.filter(F.col("brand_lift").isNull()).count() == base.count()
+
+
+def test_flatten_metric_and_action_semantics(spark):
+    raw = spark.createDataFrame(
+        [
+            _raw_row(
+                video_p25=[{"value": "7"}],
+                actions=[
+                    {"action_type": "offsite_conversion.fb_pixel_lead", "value": "3"},
+                ],
+            ),
+            _raw_row(ad="a2", video_p25=[], actions=None),  # empty wrapper + no actions
+        ],
+        RAW_INSIGHTS_SCHEMA,
+    )
+    flat = flatten_insights(raw)
+    rows = {r["ad_name"]: r for r in flat.collect()}
+    # [{value:7}] -> 7 ; [] -> 0 (guarded extract, backfill.py:126-133)
+    assert rows["a1"]["video_p25_watched_actions"] == 7
+    assert rows["a2"]["video_p25_watched_actions"] == 0
+    # dot-sanitized pivot column, zero-filled where absent (main.py:383-391)
+    assert rows["a1"]["offsite_conversion_fb_pixel_lead"] == 3.0
+    assert rows["a2"]["offsite_conversion_fb_pixel_lead"] == 0.0
+
+
+def test_dedup_keep_first_semantics_and_idempotence(spark):
+    rows = [
+        ("c", "a", "2026-01-01", "facebook", 10.0, 1),
+        ("c", "a", "2026-01-01", "facebook", 99.0, 2),  # dup key, later arrival
+        ("c", "a", "2026-01-02", "facebook", 5.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, ["campaign_name", "ad_name", "date_start", "publisher_platform", "spend", "_ingest_order"]
+    )
+    once = dedup_keep_first(df)
+    assert {r["spend"] for r in once.collect()} == {10.0, 5.0}  # first wins
+    twice = dedup_keep_first(once)
+    assert sorted(once.collect()) == sorted(twice.collect())  # idempotent
+
+
+def test_with_ingest_order_monotone_within_partition(spark):
+    df = with_ingest_order(spark.range(100).repartition(4))
+    assert df.select(F.countDistinct("_ingest_order")).head()[0] == 100
