@@ -500,6 +500,144 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_max_per_group_join_back(spark, sf_dir):
+    """TPC-H Q2 shape: rows achieving their group's max (agg + join-back,
+    co-partitioned on the group key — not a window, so the max side
+    reduces map-side before the shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    mx = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.max("c_acctbal").alias("max_bal")
+    )
+    return c.join(
+        mx, (c["c_nationkey"] == mx["nk"]) & (c["c_acctbal"] == mx["max_bal"])
+    ).select("c_nationkey", "c_custkey", "c_acctbal")
+
+
+def q_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation (orders-per-customer
+    histogram), outer join preserving zero-order customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_count")
+    )
+
+
+def q_union_all_labeled(spark, sf_dir):
+    """UNION ALL of labeled segments (reference S5 multi-source union)."""
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") >= 200000).select(
+        F.lit("high_value").alias("label"), "o_totalprice"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("label"), "o_totalprice"
+    )
+    return (
+        high.unionByName(urgent)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy("label")
+    )
+
+
+def q_order_gaps(spark, sf_dir):
+    """LAG window: days between consecutive orders, averaged per customer
+    (integer day arithmetic -> exact across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap"),
+    )
+    return (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_gaps"), F.avg("gap").alias("avg_gap_days"))
+        .orderBy("o_custkey")
+    )
+
+
+def q_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist per priority class (rank-based, so
+    engine-independent under ties)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").asc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_collect_segments(spark, sf_dir):
+    """Array aggregation: sorted distinct market segments per nation."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            )
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """String kernel coverage: LIKE/contains, upper, split, length."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.count(F.when(F.col("p_name").contains("red"), 1)).alias("n_red"),
+            F.countDistinct(F.upper(F.col("p_type"))).alias("n_types"),
+            F.sum(F.length("p_name")).alias("total_name_len"),
+            F.countDistinct(F.split(F.col("p_name"), " ").getItem(1)).alias(
+                "n_nouns"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_quarterly_revenue(spark, sf_dir):
+    """Date-part bucketing: revenue by (year, quarter)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.quarter("o_orderdate").alias("q")
+        )
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "total"))
+        .orderBy("y", "q")
+    )
+
+
+def q_grouping_sets_sql(spark, sf_dir):
+    """Explicit GROUPING SETS via the spark.sql surface (temp view)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payload columns + Arrow-batched decode kernels
 # (operators/multimodal.py; codecs stubbed deterministically per brief).
@@ -984,6 +1122,65 @@ def _oracle() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS running_total
             FROM orders""",
+        "max_per_group_join_back": """
+            SELECT c_nationkey, c_custkey, c_acctbal
+            FROM customer
+            JOIN (SELECT c_nationkey AS nk, MAX(c_acctbal) AS mb
+                  FROM customer GROUP BY c_nationkey) t
+              ON c_nationkey = nk AND c_acctbal = mb""",
+        "count_distribution": """
+            SELECT c_count, COUNT(*) AS n_customers FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY c_count""",
+        "union_all_labeled": f"""
+            SELECT label, COUNT(*) AS n, {_dsum_sql('o_totalprice', 'total')}
+            FROM (
+              SELECT 'high_value' AS label, o_totalprice FROM orders
+              WHERE o_totalprice >= 200000
+              UNION ALL
+              SELECT 'urgent' AS label, o_totalprice FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+            GROUP BY label ORDER BY label""",
+        "order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                     date_diff('day',
+                       CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+              FROM orders)
+            SELECT o_custkey, COUNT(*) AS n_gaps, AVG(gap) AS avg_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey""",
+        "percent_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 6) AS pr,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)""",
+        "collect_segments": """
+            SELECT c_nationkey,
+                   array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+                     AS segments
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "string_funcs": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   COUNT(CASE WHEN contains(p_name, 'red') THEN 1 END) AS n_red,
+                   COUNT(DISTINCT upper(p_type)) AS n_types,
+                   CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len,
+                   COUNT(DISTINCT string_split(p_name, ' ')[2]) AS n_nouns
+            FROM part GROUP BY p_brand ORDER BY p_brand""",
+        "quarterly_revenue": f"""
+            SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                   COUNT(*) AS n_orders, {_dsum_sql('o_totalprice', 'total')}
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+        "grouping_sets_sql": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
         "multimodal_features": """
             SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -1047,6 +1244,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_hourly": q_tumbling_hourly,
     "running_total": q_running_total,
     "approx_distinct": q_approx_distinct,
+    "max_per_group_join_back": q_max_per_group_join_back,
+    "count_distribution": q_count_distribution,
+    "union_all_labeled": q_union_all_labeled,
+    "order_gaps": q_order_gaps,
+    "percent_rank": q_percent_rank,
+    "collect_segments": q_collect_segments,
+    "string_funcs": q_string_funcs,
+    "quarterly_revenue": q_quarterly_revenue,
+    "grouping_sets_sql": q_grouping_sets_sql,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "dedup_exact": q_dedup_exact,

@@ -66,6 +66,32 @@ def append_with_schema_evolution(
     return spark.read.option("mergeSchema", True).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: the co-located-join layout for 100 TB.
+
+    Hash-bucketing on the join/dedup key at WRITE time moves the shuffle
+    to ingest (paid once): every later equi-join or aggregation on the
+    bucket key runs shuffle-FREE (SortMergeJoin with zero Exchange when
+    both sides share bucketing; tests/test_bucketing.py pins this).
+    `sortBy` additionally pre-sorts within buckets, dropping the
+    per-query sort. This is Spark's answer to the reference's
+    day-partitioned BigQuery table for *join* locality rather than scan
+    pruning — use both (partitionBy for pruning, bucketBy for joins).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name, format="parquet")
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

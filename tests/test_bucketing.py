@@ -1,0 +1,76 @@
+"""Bucketed-table join locality: the pay-the-shuffle-once-at-ingest
+layout. The assertions prove the 100 TB claim locally: a join between
+two tables bucketed on the join key plans ZERO shuffle exchanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fb_ads_bigquery_etl_spark.plans import inspect as PI
+from fb_ads_bigquery_etl_spark.sinks import write_bucketed
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "okey"),
+        "orders_b",
+        ["okey"],
+        n_buckets=8,
+        sort_cols=["okey"],
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "okey"),
+        "lineitem_b",
+        ["okey"],
+        n_buckets=8,
+        sort_cols=["okey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    # disable auto-broadcast so the join strategy is the bucketed SMJ,
+    # which is what a 100 TB fact-fact join would use
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("orders_b")
+        li = spark.table("lineitem_b")
+        joined = li.join(o, "okey").groupBy("o_orderpriority").agg(
+            F.count("*").alias("n")
+        )
+        nc = PI.node_counts(joined)
+        assert nc["SortMergeJoin"] >= 1, nc
+        # the ONLY exchange allowed is the one for the final groupBy —
+        # the join itself must not shuffle either side
+        assert nc["Exchange"] <= 1, nc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
+    o = spark.table("orders_b")
+    li = spark.table("lineitem_b")
+    got = li.join(o, "okey").count()
+    want = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert got == want
+
+
+def test_bucketed_groupby_on_bucket_key_is_shuffle_free(spark, bucketed_tables):
+    li = spark.table("lineitem_b")
+    agg = li.groupBy("okey").agg(F.sum("l_quantity").alias("q"))
+    assert PI.node_counts(agg)["Exchange"] == 0
