@@ -147,6 +147,63 @@ def ivf_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_mod: int = 50,
+) -> None:
+    """Materialize the IVF index: vectors parquet-partitioned BY BUCKET,
+    centroids as a tiny sibling table.
+
+    This is what makes ANN sublinear at 100 TB: a probe reads only the
+    nprobe matching partition directories (Catalyst partition pruning on
+    the `bucket` filter — no data files outside probed buckets are even
+    listed), instead of re-scoring the whole corpus per query.
+    """
+    centroids, assigned = assign_ivf_buckets(
+        df, vec_col=vec_col, id_col=id_col, centroid_mod=centroid_mod
+    )
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    centroids.write.mode("overwrite").parquet(f"{path}_centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: pick nprobe nearest centroids
+    (driver-side over the tiny centroid table), then partition-pruned
+    scan + exact re-scoring inside those buckets only."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(f"{path}_centroids")
+    probed = [
+        r["centroid_id"]
+        for r in cents.select(
+            "centroid_id",
+            (dot_product(F.col("cvec"), q) / (F.col("cnorm") * l2_norm(q))).alias(
+                "q_score"
+            ),
+        )
+        .orderBy(F.col("q_score").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    data = spark.read.parquet(path).filter(F.col("bucket").isin(probed))
+    scored = data.select(
+        F.col("id").alias(id_col),
+        (dot_product(F.col("vec"), q) / (F.col("norm") * l2_norm(q))).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

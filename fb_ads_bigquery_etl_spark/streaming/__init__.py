@@ -1,1 +1,1 @@
-from fb_ads_bigquery_etl_spark.streaming import windows, state  # noqa: F401
+from fb_ads_bigquery_etl_spark.streaming import ingest, windows, state  # noqa: F401

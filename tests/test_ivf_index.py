@@ -1,0 +1,54 @@
+"""Persisted IVF index: probe results must equal the in-memory IVF
+query, and the probe scan must be partition-pruned to the probed
+buckets (the sublinear-ANN claim, verified on the actual plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fb_ads_bigquery_etl_spark.operators import similarity
+from fb_ads_bigquery_etl_spark.plans import inspect as PI
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    similarity.build_ivf_index(emb, path, centroid_mod=50)
+    return path
+
+
+def _qvec(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+
+
+def test_index_probe_matches_inmemory_ivf(spark, index_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = _qvec(spark)
+    want = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in similarity.ivf_topk(emb, q, k=10, nprobe=2, centroid_mod=50).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in similarity.query_ivf_index(
+            spark, index_path, q, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_index_probe_is_partition_pruned(spark, index_path):
+    q = _qvec(spark)
+    df = similarity.query_ivf_index(spark, index_path, q, k=10, nprobe=2)
+    plan = PI.explain_str(df)
+    # the bucket filter must land in PartitionFilters (directory pruning),
+    # not in PushedFilters/post-scan Filter over the full corpus
+    assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "bucket" in plan
+    ), plan[:2000]

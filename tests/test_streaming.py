@@ -74,6 +74,48 @@ def test_session_stream_matches_batch(spark, landing_dir):
     assert got == want
 
 
+def test_stream_merge_ingest_exactly_once(spark, tmp_path):
+    """Landing-zone ingest: duplicates across files converge via MERGE;
+    a re-run on the same checkpoint is a no-op; new files incrementally
+    merge. (At-least-once delivery + idempotent sink == exactly-once.)"""
+    from fb_ads_bigquery_etl_spark import pipelines
+    from fb_ads_bigquery_etl_spark.streaming.ingest import stream_merge_ingest
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # produce flattened rows into the landing zone, duplicated across files
+    src = str(tmp_path / "src")
+    pipelines.run_daily(
+        spark, accounts=["a", "b"], run_date="2026-01-15", table_path=src
+    )
+    flat = spark.read.parquet(src)
+    n_unique = flat.count()
+    flat.repartition(2).write.mode("overwrite").parquet(landing)
+    flat.limit(10).write.mode("append").parquet(landing)  # replayed subset
+
+    n_batches = stream_merge_ingest(
+        spark, landing, table, checkpoint_path=ckpt, max_files_per_trigger=1
+    )
+    assert n_batches >= 2
+    assert spark.read.parquet(table).count() == n_unique
+
+    # restart on same checkpoint: nothing new to ingest, table unchanged
+    stream_merge_ingest(spark, landing, table, checkpoint_path=ckpt)
+    assert spark.read.parquet(table).count() == n_unique
+
+    # late file with a NEW day lands incrementally
+    pipelines.run_daily(
+        spark, accounts=["a"], run_date="2026-01-16", table_path=src
+    )
+    late = spark.read.parquet(src).where("date_start = '2026-01-16'")
+    n_late = late.count()
+    late.write.mode("append").parquet(landing)
+    stream_merge_ingest(spark, landing, table, checkpoint_path=ckpt)
+    assert spark.read.parquet(table).count() == n_unique + n_late
+
+
 def test_stateful_running_totals(spark, landing_dir):
     stream = st.running_user_totals(
         sw.read_events_stream(spark, landing_dir, max_files_per_trigger=1)
