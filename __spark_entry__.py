@@ -500,6 +500,90 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter -> 3-way join -> revenue top-10.
+    Customer dim broadcasts; the order/lineitem join shuffles on the
+    orderkey both sides (co-partitioned)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-side conjunctive filter -> scalar agg.
+    Every predicate reaches the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=6
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-sum ratio over a dimension join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", disc)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(18,6)")
+            ).cast("double")
+            / F.sum(disc.cast("decimal(18,6)")).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a join (the planner
+    must not expand this into a cross product)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 10))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") < 5))
+        | ((F.col("p_type") == "LARGE") & (F.col("l_discount") > 0.05))
+    )
+    return joined.filter(cond).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+            scale=6,
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_max_per_group_join_back(spark, sf_dir):
     """TPC-H Q2 shape: rows achieving their group's max (agg + join-back,
     co-partitioned on the group key — not a window, so the max side
@@ -1122,6 +1206,41 @@ def _oracle() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS running_total
             FROM orders""",
+        "shipping_priority": f"""
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue', 6)}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate  > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "revenue_forecast": f"""
+            SELECT {_dsum_sql('l_extendedprice * l_discount', 'revenue', 6)},
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "promo_revenue_ratio": """
+            SELECT 100.0
+                   * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey""",
+        "disjunctive_filter": f"""
+            SELECT {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue', 6)},
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity >= 10)
+               OR (p_size >= 40 AND l_quantity < 5)
+               OR (p_type = 'LARGE' AND l_discount > 0.05)""",
         "max_per_group_join_back": """
             SELECT c_nationkey, c_custkey, c_acctbal
             FROM customer
@@ -1244,6 +1363,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_hourly": q_tumbling_hourly,
     "running_total": q_running_total,
     "approx_distinct": q_approx_distinct,
+    "shipping_priority": q_shipping_priority,
+    "revenue_forecast": q_revenue_forecast,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "disjunctive_filter": q_disjunctive_filter,
     "max_per_group_join_back": q_max_per_group_join_back,
     "count_distribution": q_count_distribution,
     "union_all_labeled": q_union_all_labeled,

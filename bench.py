@@ -45,12 +45,17 @@ def main() -> None:
     # (its own cache lifecycle, cleared afterwards).
     spark.catalog.clearCache()
 
+    # min of 2 runs per query: steady-state timing robust to GC /
+    # scheduler noise (each run builds and tears down its own caches).
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
