@@ -1,1 +1,6 @@
-from fb_ads_bigquery_etl_spark.streaming import ingest, windows, state  # noqa: F401
+from fb_ads_bigquery_etl_spark.streaming import (  # noqa: F401
+    ingest,
+    joins,
+    state,
+    windows,
+)

@@ -74,6 +74,36 @@ def test_session_stream_matches_batch(spark, landing_dir):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark, landing_dir):
+    """Stream-stream interval join == the same join on static frames."""
+    from fb_ads_bigquery_etl_spark.streaming.joins import purchases_with_recent_views
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    sp, sv = split(sw.read_events_stream(spark, landing_dir))
+    joined = purchases_with_recent_views(sp, sv)
+    got = {
+        (r["p_event_id"], r["v_event_id"])
+        for r in _drain(joined, "t_ssj", mode="append").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    bp, bv = split(batch)
+    want = {
+        (r["p_event_id"], r["v_event_id"])
+        for r in purchases_with_recent_views(bp, bv).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_merge_ingest_exactly_once(spark, tmp_path):
     """Landing-zone ingest: duplicates across files converge via MERGE;
     a re-run on the same checkpoint is a no-op; new files incrementally
