@@ -837,6 +837,32 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (substring-level identity):
+    per doc, the count + an md5 digest of the sorted fingerprint set."""
+    from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
+
+    from fb_ads_bigquery_etl_spark.functions.portable import bind
+
+    d = _t(spark, sf_dir, "documents")
+    # let-bind the fingerprint array: size + digest read ONE evaluation
+    packed = bind(
+        fingerprint_rolling(F.col("text"), k=5, w=4),
+        lambda f: F.struct(
+            F.size(f).alias("n"),
+            F.md5(
+                F.concat_ws(",", F.transform(f, lambda x: x.cast("string")))
+            ).alias("d"),
+        ),
+    )
+    staged = d.select("doc_id", packed.alias("_p"))
+    return staged.select(
+        "doc_id",
+        F.col("_p.n").alias("n_fps"),
+        F.col("_p.d").alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
 def q_quality_by_source(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     scored = analyze_documents(d)
@@ -1314,6 +1340,29 @@ def _oracle() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 3 = 2 AND n_chars > 0
             ORDER BY doc_id""",
+        "rolling_fingerprints": f"""
+            WITH n AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN length(t) >= 5
+                         THEN list_transform(generate_series(1, length(t)-4),
+                                             i -> substr(t, i, 5))
+                         ELSE CAST([] AS VARCHAR[]) END AS grams
+                  FROM n),
+            h AS (SELECT doc_id,
+                    list_transform(grams,
+                                   g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                    CASE WHEN len(hs) >= 4
+                         THEN list_sort(list_distinct(
+                                list_transform(generate_series(1, len(hs)-3),
+                                               j -> list_min(hs[j:j+3]))))
+                         ELSE CAST([] AS BIGINT[]) END AS fps
+                  FROM h)
+            SELECT doc_id, len(fps) AS n_fps,
+                   md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ','))
+                     AS fp_digest
+            FROM w ORDER BY doc_id""",
         "quality_by_source": f"""
             WITH base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
             scored AS (
@@ -1386,6 +1435,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
+    "rolling_fingerprints": q_rolling_fingerprints,
     "quality_by_source": q_quality_by_source,
 }
 

@@ -140,6 +140,47 @@ def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling character k-gram hashes, min per sliding window of w, distinct
+    + sorted. The standard plagiarism/near-dup fingerprint — guarantees
+    any shared substring of length >= k+w-1 shares a fingerprint.
+
+    Pure per-row expression (narrow, no shuffle); md5-derived gram hashes
+    keep it bit-portable (DuckDB twin in __spark_entry__). Both the
+    normalized text and the hash array are let-bound (`bind`) — the
+    sliding-window transform references them once per row, not once per
+    window position.
+    """
+
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+    def grams_of(t: Column) -> Column:
+        n = F.length(t) - (k - 1)
+        return F.when(
+            n >= F.lit(1),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: t.substr(i, F.lit(k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    hs = F.transform(bind(norm, grams_of), hash32)
+
+    def windows_of(h: Column) -> Column:
+        m = F.size(h) - (w - 1)
+        wins = F.when(
+            m >= F.lit(1),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda j: F.array_min(F.slice(h, j, w)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.array_sort(F.array_distinct(wins))
+
+    return bind(hs, windows_of)
+
+
 def simhash60(token_hashes: Column) -> Column:
     """60-bit SimHash over (distinct) 60-bit token hashes.
 

@@ -11,7 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from fb_ads_bigquery_etl_spark.functions.portable import tokens
+from fb_ads_bigquery_etl_spark.functions.portable import (
+    tokens,
+    winnowing_fingerprints,
+)
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small + deterministic (shared verbatim with the SQL oracle).
@@ -104,6 +107,16 @@ def quality_score(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Whitespace/case-normalized md5 content fingerprint."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def fingerprint_rolling(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing rolling-hash fingerprint set (array<bigint>).
+
+    Unlike `fingerprint_md5` (whole-document identity), the winnowed set
+    supports SUBSTRING-level matching: two documents sharing any run of
+    >= k+w-1 normalized characters share at least one fingerprint, so a
+    join on exploded fingerprints finds partial-overlap near-dups."""
+    return winnowing_fingerprints(text, k=k, w=w)
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
