@@ -30,9 +30,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts over the token multiset."""
-    tok = tokens(text)
+def lang_scores_from_tokens(tok: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a token array."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
@@ -42,13 +41,18 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
-def language_id(text: Column) -> Column:
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token multiset."""
+    return lang_scores_from_tokens(tokens(text))
+
+
+def language_id_from_tokens(tok: Column) -> Column:
     """argmax language by marker count; tie-break alphabetical; 'und' if 0.
 
     Implemented as a greatest-of CASE chain so the whole classifier is one
-    codegen'd expression.
+    expression over an (ideally let-bound) token array.
     """
-    scores = lang_scores(text)
+    scores = lang_scores_from_tokens(tok)
     langs = sorted(scores)  # alphabetical tie-break: first max wins
     best = F.lit("und")
     best_score = F.lit(0)
@@ -59,6 +63,10 @@ def language_id(text: Column) -> Column:
         best = F.when(s > best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(s > best_score, s).otherwise(best_score)
     return best
+
+
+def language_id(text: Column) -> Column:
+    return language_id_from_tokens(tokens(text))
 
 
 def token_count_ws(text: Column) -> Column:
@@ -119,17 +127,54 @@ def fingerprint_rolling(text: Column, k: int = 5, w: int = 4) -> Column:
     return winnowing_fingerprints(text, k=k, w=w)
 
 
+_ANALYZE_FIELDS = (
+    "lang_pred",
+    "n_tokens",
+    "n_bpe_tokens",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality",
+    "fingerprint",
+)
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection over a documents table."""
+    """Full text-analysis projection over a documents table.
+
+    The tokenize pipeline is let-bound (portable.bind) and every derived
+    column reads the SAME token array — higher-order functions are
+    CodegenFallback (interpreted), so codegen common-subexpression
+    elimination can't dedupe them; without the bind the split+filter ran
+    once per output column (~4x per row)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import bind
+
     text = F.col(text_col)
-    feats = quality_features(text)
-    return df.select(
-        "*",
-        language_id(text).alias("lang_pred"),
-        feats["n_tokens"].alias("n_tokens"),
-        feats["n_bpe_tokens"].alias("n_bpe_tokens"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        quality_score(text).alias("quality"),
-        fingerprint_md5(text).alias("fingerprint"),
+
+    def packed_of(tok: Column) -> Column:
+        n_tok = F.size(tok)
+        stop_en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+        n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_en, t)))
+        n_chars = F.length(text)
+        n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+        stopword_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+        punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+        len_norm = F.least(n_tok, F.lit(256)).cast("double") / F.lit(256.0)
+        quality = (
+            len_norm * 0.4
+            + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - punct_ratio) * 0.2
+        )
+        return F.struct(
+            language_id_from_tokens(tok).alias("lang_pred"),
+            n_tok.cast("long").alias("n_tokens"),
+            token_count_bpe_ish(text).cast("long").alias("n_bpe_tokens"),
+            stopword_ratio.alias("stopword_ratio"),
+            punct_ratio.alias("punct_ratio"),
+            quality.alias("quality"),
+            fingerprint_md5(text).alias("fingerprint"),
+        )
+
+    staged = df.select("*", bind(tokens(text), packed_of).alias("_ta"))
+    return staged.select(
+        *df.columns, *[F.col(f"_ta.{c}").alias(c) for c in _ANALYZE_FIELDS]
     )
