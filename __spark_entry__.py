@@ -924,6 +924,250 @@ _SIMHASH = (
 _NORM_TEXT = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the testdata columns (no
+# partsupp / l_shipmode / l_commitdate / c_phone in TESTDATA.md tables).
+# ---------------------------------------------------------------------------
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year.
+
+    supplier+nation and customer+nation are broadcast dims; the only
+    shuffle is lineitem<->orders on orderkey plus the final tiny groupBy.
+    The disjunctive nation pair filter lands AFTER both dim joins but on
+    broadcast-hash-join output, so it never forces a shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY-part
+    import volume per year. All dims broadcast; ratio is a conditional
+    sum over the joined fact — exact DECIMAL accumulation on both
+    numerator and denominator for engine-independent doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp/supplycost in testdata —
+    profit is discounted revenue): per supplier-nation per year over
+    parts whose name contains 'red'. part+supplier+nation broadcast;
+    single orderkey shuffle join then small agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_profit",
+                scale=6,
+            )
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter. Orders is date-pruned before the join; customer+nation
+    broadcast; deterministic tie-break on custkey for stable LIMIT."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue-per-supplier view over one quarter, keep
+    the supplier(s) at MAX revenue. The scalar max is a broadcast
+    (single-row) join, not a driver collect; revenue computed ONCE and
+    reused on both sides of the comparison via exact DECIMAL sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "total_revenue",
+            scale=6,
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_parts_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier set derived from lineitem —
+    testdata has no partsupp): distinct-supplier count per brand/type/size
+    for selected sizes, excluding one brand. COUNT(DISTINCT) is a two-
+    phase partial-distinct aggregate; part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 19, 25, 36, 45, 49)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 300.
+    The HAVING pre-aggregation shrinks lineitem to a tiny key set that
+    then broadcast-joins back to orders — no giant-side shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), "sum_qty", scale=2))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: no c_phone — bucket by custkey mod 7;
+    'idle' = no orders on/after 2000-01-01): above-average-balance
+    customers with no recent orders. NOT EXISTS compiles to a left-anti
+    join against the date-pruned orders side; the scalar average is a
+    broadcast cross-join of a 1-row aggregate, never a driver collect."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 7).cast("int").alias("cust_bucket"))
+        .agg(
+            F.count("*").alias("num_cust"),
+            _dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("cust_bucket")
+    )
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -1379,6 +1623,112 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "volume_shipping": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   {_dsum_sql('volume', 'revenue', 6)}
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         year(l_shipdate) AS l_year,
+                         l_extendedprice * (1.0 - l_discount) AS volume
+                  FROM lineitem
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                       AND TIMESTAMP '1997-12-31 23:59:59')
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                         THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31 23:59:59'
+            GROUP BY o_year ORDER BY o_year""",
+        "profit_by_nation": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'sum_profit', 6)}
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation ASC, o_year DESC""",
+        "returned_revenue": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue', 6)}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        "top_supplier": f"""
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'total_revenue', 6)}
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "parts_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 9, 19, 25, 36, 45, 49)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""",
+        "large_orders": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, {_dsum_sql('l_quantity', 'sum_qty')}
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         > 300) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+        "idle_customers": f"""
+            SELECT CAST(c_custkey % 7 AS INT) AS cust_bucket,
+                   COUNT(*) AS num_cust,
+                   {_dsum_sql('c_acctbal', 'total_acctbal')}
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY cust_bucket ORDER BY cust_bucket""",
     }
 
 
@@ -1437,6 +1787,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "rolling_fingerprints": q_rolling_fingerprints,
     "quality_by_source": q_quality_by_source,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "profit_by_nation": q_profit_by_nation,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_cnt": q_parts_supplier_cnt,
+    "large_orders": q_large_orders,
+    "idle_customers": q_idle_customers,
 }
 
 
