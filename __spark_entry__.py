@@ -865,7 +865,7 @@ def q_rolling_fingerprints(spark, sf_dir):
 
 def q_quality_by_source(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    scored = analyze_documents(d)
+    scored = analyze_documents(d, fields=("n_tokens", "quality"))
     return (
         scored.filter(F.col("quality") >= 0.5)
         .groupBy("source")

@@ -138,16 +138,29 @@ _ANALYZE_FIELDS = (
 )
 
 
-def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full text-analysis projection over a documents table.
+def analyze_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    fields: tuple[str, ...] = _ANALYZE_FIELDS,
+) -> DataFrame:
+    """Text-analysis projection over a documents table.
 
     The tokenize pipeline is let-bound (portable.bind) and every derived
     column reads the SAME token array — higher-order functions are
     CodegenFallback (interpreted), so codegen common-subexpression
     elimination can't dedupe them; without the bind the split+filter ran
-    once per output column (~4x per row)."""
+    once per output column (~4x per row).
+
+    ``fields`` selects which derived columns to compute. The let-bound
+    struct is opaque to Catalyst's nested-field pruning (the bind hides
+    it behind a lambda variable), so pruning must happen HERE, at plan
+    construction — a caller that needs only `quality` should not pay for
+    language-ID's 30-branch CASE or the md5 fingerprint."""
     from fb_ads_bigquery_etl_spark.functions.portable import bind
 
+    unknown = set(fields) - set(_ANALYZE_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown analyze fields: {sorted(unknown)}")
     text = F.col(text_col)
 
     def packed_of(tok: Column) -> Column:
@@ -164,17 +177,18 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.4
             + (F.lit(1.0) - punct_ratio) * 0.2
         )
-        return F.struct(
-            language_id_from_tokens(tok).alias("lang_pred"),
-            n_tok.cast("long").alias("n_tokens"),
-            token_count_bpe_ish(text).cast("long").alias("n_bpe_tokens"),
-            stopword_ratio.alias("stopword_ratio"),
-            punct_ratio.alias("punct_ratio"),
-            quality.alias("quality"),
-            fingerprint_md5(text).alias("fingerprint"),
-        )
+        makers = {
+            "lang_pred": lambda: language_id_from_tokens(tok),
+            "n_tokens": lambda: n_tok.cast("long"),
+            "n_bpe_tokens": lambda: token_count_bpe_ish(text).cast("long"),
+            "stopword_ratio": lambda: stopword_ratio,
+            "punct_ratio": lambda: punct_ratio,
+            "quality": lambda: quality,
+            "fingerprint": lambda: fingerprint_md5(text),
+        }
+        return F.struct(*[makers[c]().alias(c) for c in fields])
 
     staged = df.select("*", bind(tokens(text), packed_of).alias("_ta"))
     return staged.select(
-        *df.columns, *[F.col(f"_ta.{c}").alias(c) for c in _ANALYZE_FIELDS]
+        *df.columns, *[F.col(f"_ta.{c}").alias(c) for c in fields]
     )
