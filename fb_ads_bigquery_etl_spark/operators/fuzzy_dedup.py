@@ -102,7 +102,13 @@ def ngram_jaccard_pairs(
     """
     sh = shared(with_shingles(df, text_col, id_col, k))
     sizes = sh.select("id", F.size("shingles").alias("n_shingles"))
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    # Join on a 64-bit hash of the shingle, not the string: the self-join
+    # shuffles every posting twice, and an 8-byte key halves-or-better the
+    # shuffle bytes vs variable-length shingle text while keeping the pair
+    # set exact up to xxhash64 collisions (~1e-9 at 1e5 distinct shingles).
+    inv = sh.select("id", F.explode("shingles").alias("s")).select(
+        "id", F.xxhash64("s").alias("shingle")
+    )
     if max_doc_freq is not None:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("_df"))
         inv = (
