@@ -801,6 +801,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: MinHash-LSH pairs -> iterative hash-to-min
+    connected components -> one row per cluster. The only non-SQL step
+    is the fixpoint loop (operators/graph.py); the DuckDB oracle runs
+    the same closure as a recursive CTE."""
+    from fb_ads_bigquery_etl_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return dedup_clusters(pairs).select(
+        "component", "n_members", F.array_join("members", ",").alias("members")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
@@ -922,6 +936,37 @@ _SIMHASH = (
 )
 
 _NORM_TEXT = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _minhash_pairs_sql() -> str:
+    """Shared DuckDB CTE body: MinHash-LSH verified pairs (id_a, id_b)."""
+    return f"""
+            toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+            hashed AS (SELECT doc_id, shingles,
+                list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM shl),
+            sigs AS (SELECT doc_id, shingles, {_MINHASH_SIG} AS sig FROM hashed),
+            bands AS (
+              SELECT doc_id, md5(concat_ws(',', b::VARCHAR,
+                       sig[4*b+1]::VARCHAR, sig[4*b+2]::VARCHAR,
+                       sig[4*b+3]::VARCHAR, sig[4*b+4]::VARCHAR)) AS band_key
+              FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(sa.shingles, sb.shingles)) /
+                     (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+              FROM cands
+              JOIN sigs sa ON id_a = sa.doc_id
+              JOIN sigs sb ON id_b = sb.doc_id
+              WHERE len(list_intersect(sa.shingles, sb.shingles)) /
+                    (len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1275,31 +1320,20 @@ def _oracle() -> dict[str, str]:
             JOIN sz sb ON id_b = sb.doc_id
             WHERE c / (sa.n + sb.n - c) >= 0.5""",
         "dedup_minhash_lsh": f"""
-            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
-            shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
-            hashed AS (SELECT doc_id, shingles,
-                list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
-              FROM shl),
-            sigs AS (SELECT doc_id, shingles, {_MINHASH_SIG} AS sig FROM hashed),
-            bands AS (
-              SELECT doc_id, md5(concat_ws(',', b::VARCHAR,
-                       sig[4*b+1]::VARCHAR, sig[4*b+2]::VARCHAR,
-                       sig[4*b+3]::VARCHAR, sig[4*b+4]::VARCHAR)) AS band_key
-              FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
-            cands AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b,
-                   len(list_intersect(sa.shingles, sb.shingles)) /
-                   (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-            FROM cands
-            JOIN sigs sa ON id_a = sa.doc_id
-            JOIN sigs sb ON id_b = sb.doc_id
-            WHERE len(list_intersect(sa.shingles, sb.shingles)) /
-                  (len(sa.shingles) + len(sb.shingles)
-                   - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5""",
+            WITH {_minhash_pairs_sql()}
+            SELECT id_a, id_b, jaccard FROM verified""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+            SELECT component, COUNT(*) AS n_members,
+                   array_to_string(list_sort(list(node)), ',') AS members
+            FROM cc GROUP BY component ORDER BY component""",
         "dedup_simhash": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
             hashed AS (SELECT doc_id,
@@ -1780,6 +1814,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,

@@ -1,0 +1,112 @@
+"""Distributed connected components — dedup-cluster construction.
+
+Near-dup pair operators (fuzzy_dedup.py) emit an EDGE LIST; turning
+edges into dedup groups needs the transitive closure: if A~B and B~C,
+then {A,B,C} is one cluster with one canonical survivor. The reference
+has no counterpart (its dedup is exact-key, SURVEY.md §2 T1); this is
+a north-star LLM-pipeline operator (BASELINE.json).
+
+Algorithm: iterative *hash-to-min* label propagation (Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+ICDE 2013, simplified). Every node starts labeled with itself; each
+round every node takes the min label in its closed neighborhood; stop
+when no label changes. Rounds ~ graph diameter (near-dup clusters are
+small and dense, so 2-4 rounds in practice).
+
+Scale design:
+- Each round is one shuffle (groupBy node) over the edge list — no
+  driver-side adjacency, no collect of nodes or edges.
+- `localCheckpoint(eager=True)` after each round truncates lineage;
+  without it the plan doubles per iteration and Catalyst analysis
+  time blows up long before data size matters.
+- Convergence test is a single `count()` of changed labels — a scalar
+  per round, not a data pull.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    ``edges`` is an undirected edge list (each pair once, either
+    orientation); isolated nodes don't appear (callers union them in if
+    needed — for dedup, docs with no near-dup pair are their own
+    cluster and never need the shuffle).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    # label(u) starts as min(u, min neighbor) — one round for free.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nmin"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Closed-neighborhood min: node's own label vs min of neighbors'.
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup clusters from a similar-pairs DataFrame.
+
+    Returns (component, n_members, members: sorted array) — one row per
+    cluster of size >= 2. Canonical-survivor selection is then
+    `F.array_min(members)` (== component) or any caller-chosen rule.
+    """
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )
