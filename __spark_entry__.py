@@ -815,6 +815,53 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based split assignment (train/val/test 90/5/5):
+    pure narrow projection — reproducible across engines, partitionings,
+    and appends (operators/sampling.py)."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(assign_split(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic sampling at different rates; the rate map
+    compiles to a CASE filter that pushes down to the scan."""
+    import hashlib
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import stratified_sample_hash
+
+    d = _t(spark, sf_dir, "documents")
+    sources = [r[0] for r in d.select("source").distinct().collect()]
+    # Rate derived from a hash OF THE SOURCE NAME (not enumeration order)
+    # so the DuckDB oracle can state the same rule without knowing the
+    # source universe: md5-even sources sample at 50%, odd at 10%.
+    def rate(s: str) -> float:
+        return 0.5 if int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2 == 0 else 0.1
+
+    fractions = {s: rate(s) for s in sources}
+    sampled = stratified_sample_hash(d, "source", "doc_id", fractions)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid sums over the embedding column: posexplode +
+    map-side-combined groupBy; integer-scaled accumulation for
+    engine-independent exactness (operators/similarity.label_centroids)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e).orderBy("label", "dim")
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
@@ -1657,6 +1704,39 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "train_test_split": """
+            SELECT CASE
+                     WHEN b < 9000 THEN 'train'
+                     WHEN b < 9500 THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM (SELECT n_chars,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 10000 AS b
+                  FROM documents)
+            GROUP BY split ORDER BY split""",
+        "stratified_sample": """
+            SELECT source, COUNT(*) AS n_sampled,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM (SELECT source, n_chars,
+                         ('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 10000 AS b,
+                         CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 0
+                              THEN 5000 ELSE 1000 END AS thresh
+                  FROM documents)
+            WHERE b < thresh
+            GROUP BY source ORDER BY source""",
+        "embedding_centroids": """
+            SELECT label, dim - 1 AS dim,
+                   CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+                        AS BIGINT) AS sum_scaled,
+                   COUNT(*) AS n
+            FROM (SELECT label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim""",
         "volume_shipping": f"""
             SELECT supp_nation, cust_nation, l_year,
                    {_dsum_sql('volume', 'revenue', 6)}
@@ -1816,6 +1896,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "embedding_centroids": q_embedding_centroids,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
     "ann_ivf": q_ann_ivf,

@@ -1,0 +1,88 @@
+"""Deterministic sampling / split-assignment operators.
+
+Training-data pipelines need REPRODUCIBLE splits and samples: re-running
+the pipeline on the same corpus (or an appended superset) must assign
+every existing document to the same split, with no RNG state and no
+coordination. `rand(seed)` can't give that — it depends on partitioning
+— so these operators derive the decision from a content hash of the row
+key (portable.hash32: md5-based, identical in DuckDB), making them:
+
+- deterministic across runs, engines, partitionings, and cluster sizes;
+- stable under append (new docs don't reshuffle old assignments);
+- embarrassingly parallel: a narrow projection, no shuffle, no state.
+
+No reference counterpart (north-star extension, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fb_ads_bigquery_etl_spark.functions.portable import hash32
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from the row key (+ optional salt).
+
+    The salt decorrelates independent sampling decisions over the same
+    keys (e.g. a 10% eval sample drawn independently of the train/test
+    split) — same mechanism as a new hash function family.
+    """
+    return hash32(F.concat(F.lit(salt), key.cast("string"))) % BUCKETS
+
+
+def assign_split(
+    key: Column,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+) -> Column:
+    """Split label from cumulative hash-bucket ranges.
+
+    ``splits`` is (name, fraction) in order; fractions are quantized to
+    1/10000. Rows hash into [0,10000) and take the first range they fall
+    in; any residual bucket (fractions summing < 1) gets 'holdout'.
+    """
+    b = hash_bucket(key, salt)
+    expr: Column | None = None
+    edge = 0.0
+    cases = []
+    for name, frac in splits:
+        edge += frac
+        cases.append((int(round(edge * BUCKETS)), name))
+    expr = F.lit("holdout")
+    for hi, name in reversed(cases):
+        expr = F.when(b < hi, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by hash threshold.
+
+    Unlike `df.sampleBy` (RNG, partitioning-dependent), membership is a
+    pure function of (salt, key): exact reproducibility and append
+    stability. The per-stratum threshold map compiles to a small CASE
+    over the stratum column — no join, no shuffle, filter pushes down
+    to the scan boundary.
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    thresh = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

@@ -247,3 +247,32 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-label centroid as (label, dim, sum_scaled, n) rows.
+
+    posexplode -> groupBy(label, dim) is the scale path: map-side partial
+    aggregation collapses each task's rows to |labels|*|dims| partials
+    before the shuffle, so shuffle volume is independent of row count.
+
+    Sums accumulate as floor(value * scale) BIGINTs — integer addition is
+    associative, so the result is bit-identical for any partitioning and
+    any engine (a double SUM is not); callers divide sum_scaled/(n*scale)
+    for the centroid value.
+    """
+    return (
+        df.select(label_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(label_col, "dim")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long")).alias(
+                "sum_scaled"
+            ),
+            F.count("*").alias("n"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Deterministic-sampling operator guarantees (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from fb_ads_bigquery_etl_spark.operators.sampling import (
+    assign_split,
+    hash_bucket,
+    stratified_sample_hash,
+)
+
+
+def test_split_deterministic_and_partitioning_independent(spark):
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a = df.repartition(1).select("k", assign_split(F.col("k")).alias("s"))
+    b = df.repartition(16).select("k", assign_split(F.col("k")).alias("s"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_stable_under_append(spark):
+    base = spark.range(1000)
+    bigger = spark.range(3000)
+    lhs = {r["id"]: r["s"] for r in base.select("id", assign_split(F.col("id")).alias("s")).collect()}
+    rhs = {r["id"]: r["s"] for r in bigger.select("id", assign_split(F.col("id")).alias("s")).collect()}
+    assert all(rhs[k] == v for k, v in lhs.items())
+
+
+def test_split_fractions_approximate(spark):
+    df = spark.range(20000)
+    counts = dict(
+        df.select(assign_split(F.col("id")).alias("s")).groupBy("s").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+
+
+def test_salt_decorrelates(spark):
+    df = spark.range(5000)
+    joint = df.select(
+        (hash_bucket(F.col("id")) < 1000).alias("a"),
+        (hash_bucket(F.col("id"), "other") < 1000).alias("b"),
+    )
+    both = joint.filter("a AND b").count()
+    # independent 10% samples overlap ~1%; identical ones would overlap 10%
+    assert both < 5000 * 0.03
+
+
+def test_stratified_rates_and_subset(spark):
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("g")
+    )
+    out = stratified_sample_hash(df, "g", "id", {"true": 0.5, "false": 0.1})
+    rates = {
+        r["g"]: r["n"] / 5000
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["true"] - 0.5) < 0.05 and abs(rates["false"] - 0.1) < 0.02
+    # sampled ids are a subset of the input and deterministic on re-run
+    again = stratified_sample_hash(df, "g", "id", {"true": 0.5, "false": 0.1})
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
