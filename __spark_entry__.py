@@ -862,6 +862,72 @@ def q_embedding_centroids(spark, sf_dir):
     return similarity.label_centroids(e).orderBy("label", "dim")
 
 
+def q_top_terms(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by document frequency. explode ->
+    two-level agg (token,doc distinct via pre-distinct) with map-side
+    combine; deterministic tie-break (count desc, token asc)."""
+    d = _t(spark, sf_dir, "documents")
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()  # document frequency, not term frequency
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return tok.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(50)
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Corpus bigram counts (vocabulary for BPE-style merges): adjacent
+    token pairs via zip-with-shifted-self, explode, count. Top-50 with
+    deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+
+    def bigrams_of(tok):
+        return F.when(
+            F.size(tok) >= 2,
+            F.transform(
+                F.slice(tok, 1, F.size(tok) - 1),
+                lambda t, i: F.concat_ws(" ", t, F.get(tok, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = d.select(
+        F.explode(bind(tokens(F.col("text")), bigrams_of)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+def q_rolling_30d_spend(spark, sf_dir):
+    """RANGE-frame window: per-customer spend over the trailing 30 days
+    (inclusive) for each order. rangeBetween over epoch-days — the frame
+    is value-based, not row-based, so gaps in order history are handled
+    correctly. One shuffle on custkey."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
@@ -1704,6 +1770,29 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "top_terms": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+                         FROM documents)
+            SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token
+            ORDER BY doc_freq DESC, token ASC LIMIT 50""",
+        "bigram_counts": f"""
+            WITH t AS (SELECT {_TOK} AS tok FROM documents),
+            g AS (SELECT unnest(
+                    CASE WHEN len(tok) >= 2
+                         THEN list_transform(generate_series(1, len(tok)-1),
+                                             i -> tok[i] || ' ' || tok[i+1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM t)
+            SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 50""",
+        "rolling_30d_spend": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY datediff('day', DATE '1995-01-01',
+                                          CAST(o_orderdate AS DATE))
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS spend_30d
+            FROM orders""",
         "train_test_split": """
             SELECT CASE
                      WHEN b < 9000 THEN 'train'
@@ -1899,6 +1988,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
+    "top_terms": q_top_terms,
+    "bigram_counts": q_bigram_counts,
+    "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
     "ann_ivf": q_ann_ivf,
