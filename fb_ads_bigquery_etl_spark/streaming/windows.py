@@ -113,3 +113,23 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state.
+
+    `dropDuplicatesWithinWatermark`: a key's state is retained only
+    until the watermark passes its last-seen event time, so state size
+    tracks the duplicate-arrival horizon instead of the full stream
+    history — the 100 TB-safe form of T1/Q1's DISTINCT (plain
+    `dropDuplicates` on a stream retains every key forever).
+
+    Batch twin: `dropDuplicates(keys)` over the same input — equal
+    row sets whenever duplicates arrive within the watermark horizon.
+    """
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -167,3 +167,34 @@ def test_stateful_running_totals(spark, landing_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Duplicated landing files -> streaming dedup == batch DISTINCT."""
+    d = str(tmp_path / "dup_landing")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # two copies in separate files: duplicates arrive across micro-batches
+    raw.repartition(3).write.mode("overwrite").parquet(d)
+    raw.repartition(2).write.mode("append").parquet(d)
+
+    stream = sw.streaming_dedup(
+        sw.read_events_stream(spark, d, max_files_per_trigger=2)
+    )
+    got = _drain(stream, "t_dedup", mode="append")
+    assert got.count() == raw.count()
+    assert got.select("event_id").distinct().count() == raw.count()
+    # value-level spot check: per-type counts equal the batch dedup
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_counts = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_counts == want
