@@ -74,3 +74,42 @@ def test_agg_queries_have_partial_aggregation(spark):
     for name in ["pricing_summary", "daily_rollup", "conditional_agg"]:
         counts = PI.node_counts(_q(spark, name))
         assert counts["HashAggregate"] >= 2, f"{name}: no partial agg"
+
+
+def test_tpch_shape_queries_broadcast_dims(spark):
+    for name, min_bhj in [
+        ("volume_shipping", 2),
+        ("market_share", 3),
+        ("profit_by_nation", 2),
+        ("returned_revenue", 2),
+        ("large_orders", 2),
+    ]:
+        df = _q(spark, name)
+        assert PI.broadcast_join_count(df) >= min_bhj, name
+        assert not PI.has_cartesian(df), name
+
+
+def test_rolling_window_single_shuffle(spark):
+    """A partitioned window function needs exactly one exchange (on the
+    partition key) — a second one would mean an accidental repartition."""
+    assert PI.exchange_count(_q(spark, "rolling_30d_spend")) == 1
+
+
+def test_split_assignment_is_narrow(spark):
+    """Split assignment itself must not shuffle; the only exchange in the
+    query is the final tiny groupBy(split) aggregation."""
+    assert PI.exchange_count(_q(spark, "train_test_split")) <= 2
+
+
+def test_centroids_partial_aggregation(spark):
+    counts = PI.node_counts(_q(spark, "embedding_centroids"))
+    assert counts["HashAggregate"] >= 2, "centroids must map-side combine"
+
+
+def test_large_orders_preagg_shrinks_build_side(spark):
+    """Q18 shape: the HAVING aggregation runs on the lineitem side and is
+    then broadcast — so the plan must show partial+final aggregation AND
+    a broadcast join consuming it (no shuffle join against raw lineitem)."""
+    counts = PI.node_counts(_q(spark, "large_orders"))
+    assert counts["HashAggregate"] >= 2, counts
+    assert counts["SortMergeJoin"] == 0 and counts["ShuffledHashJoin"] == 0, counts
