@@ -928,6 +928,55 @@ def q_rolling_30d_spend(spark, sf_dir):
     )
 
 
+def q_tfidf_top(spark, sf_dir):
+    """TF-IDF in exact rational form (score_scaled = tf * N * 1e6 / df,
+    integer division) — log-free so the ranking is bit-identical across
+    engines (libm log differs in last bits between implementations).
+
+    Two aggregations over one exploded scan (cached): term frequency per
+    (doc, token) and document frequency per token; df broadcasts back.
+    Top-100 by score with full deterministic tie-break."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).cache()
+    n_docs = d.count()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    # `div` = exact BIGINT division (DuckDB `//`): double division would
+    # round at this magnitude (scores reach ~5e9, double ulp ~1 there).
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.expr(f"(tf * {int(n_docs) * 1_000_000}L) div df").alias("score_scaled"),
+    )
+    return scored.orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc(), F.col("token").asc()
+    ).limit(100)
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Wide->long unpivot (melt) of lineitem metrics, then per-metric
+    stats — the inverse of events_pivot. Spark `unpivot` is a pure map
+    stage (no shuffle until the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(_dsum(F.col("value"), "total", scale=6), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
@@ -1770,6 +1819,29 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "tfidf_top": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+                      GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, token,
+                   (tf * n_docs * 1000000) // df AS score_scaled
+            FROM tf JOIN dfreq USING (token), n
+            ORDER BY score_scaled DESC, doc_id ASC, token ASC LIMIT 100""",
+        "unpivot_metrics": f"""
+            SELECT l_returnflag, metric, {_dsum_sql('value', 'total', 6)},
+                   COUNT(*) AS n
+            FROM (
+              SELECT l_returnflag, 'l_quantity' AS metric,
+                     l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+            GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""",
         "top_terms": f"""
             WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS token
                          FROM documents)
@@ -1990,6 +2062,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
+    "tfidf_top": q_tfidf_top,
+    "unpivot_metrics": q_unpivot_metrics,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
