@@ -928,6 +928,23 @@ def q_rolling_30d_spend(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's K-Means over the embedding column (iterative
+    fixpoint; operators/clustering.py). Deterministic (hash-free init +
+    integer-scaled centroid accumulation) but not SQL-expressible —
+    rows-only correctness gate, like approx_distinct; determinism is
+    pinned by tests/test_clustering.py instead."""
+    from fb_ads_bigquery_etl_spark.operators.clustering import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    assignments, _, _ = kmeans(e, k=8, max_iter=10)
+    return (
+        assignments.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 def q_tfidf_top(spark, sf_dir):
     """TF-IDF in exact rational form (score_scaled = tf * N * 1e6 / df,
     integer division) — log-free so the ranking is bit-identical across
@@ -2064,6 +2081,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_counts": q_bigram_counts,
     "tfidf_top": q_tfidf_top,
     "unpivot_metrics": q_unpivot_metrics,
+    "kmeans_clusters": q_kmeans_clusters,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
