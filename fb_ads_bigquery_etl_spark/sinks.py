@@ -130,3 +130,60 @@ def merge_upsert(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     winners.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(path)
     return spark.read.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, *, partition_col: str = PARTITION_COLUMN
+) -> None:
+    """Surgical partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition untouched.
+
+    This is the scalable backfill primitive the reference lacks — its
+    EP2/EP3 path appends and relies on a later full-table DISTINCT
+    (README.md:383-385) to clean up. With dynamic partition overwrite a
+    re-run of one day rewrites one directory, idempotently, with no
+    full-table scan — at 100 TB the difference between O(day) and
+    O(table) I/O.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    *,
+    partition_col: str = PARTITION_COLUMN,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for one partition; returns files after.
+
+    Streaming/incremental appends accumulate many small files per
+    partition (each micro-batch/task writes its own); scans then pay
+    per-file open cost and lose vectorized-read efficiency. Compaction
+    rewrites the partition into ceil(rows/target) files via coalesce —
+    a narrow (shuffle-free) rewrite. Run it on cold partitions (the
+    reference's yesterday-only write pattern makes every partition cold
+    after a day).
+    """
+    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
+    cur = spark.read.parquet(part_dir)
+    n_rows = cur.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    # write to a sibling temp dir, then atomically swap via rename
+    tmp_dir = part_dir + "._compact_tmp"
+    cur.coalesce(n_files).write.mode("overwrite").parquet(tmp_dir)
+    import shutil
+
+    old_dir = part_dir + "._compact_old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    # drop _SUCCESS etc. from the count of data files
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])

@@ -204,3 +204,52 @@ def test_dedup_keep_first_semantics_and_idempotence(spark):
 def test_with_ingest_order_monotone_within_partition(spark):
     df = with_ingest_order(spark.range(100).repartition(4))
     assert df.select(F.countDistinct("_ingest_order")).head()[0] == 100
+
+
+def test_overwrite_partitions_is_surgical_and_idempotent(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sinks import overwrite_partitions
+
+    table = str(tmp_path / "ow")
+    base = spark.createDataFrame(
+        [("c", "a1", "2026-01-01", "fb", 10), ("c", "a1", "2026-01-02", "fb", 20)],
+        "campaign_name string, ad_name string, date_start string, "
+        "publisher_platform string, impressions long",
+    )
+    base.write.partitionBy("date_start").parquet(table)
+
+    # re-run day 2 with corrected data (+ a duplicate-shaped change)
+    fixed = spark.createDataFrame(
+        [("c", "a1", "2026-01-02", "fb", 99)],
+        "campaign_name string, ad_name string, date_start string, "
+        "publisher_platform string, impressions long",
+    )
+    overwrite_partitions(fixed, table)
+    overwrite_partitions(fixed, table)  # idempotent re-run
+
+    got = {
+        str(r["date_start"]): r["impressions"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {"2026-01-01": 10, "2026-01-02": 99}
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sinks import compact_partition
+
+    table = str(tmp_path / "cp")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.lit("2026-01-01").alias("date_start"),
+    )
+    # simulate many tiny appends
+    for _ in range(5):
+        df.repartition(8).write.mode("append").partitionBy("date_start").parquet(table)
+    part = os.path.join(table, "date_start=2026-01-01")
+    before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert before >= 40
+
+    after = compact_partition(spark, table, "2026-01-01")
+    assert after == 1
+    got = spark.read.parquet(table)
+    assert got.count() == 5000
+    assert got.filter(F.col("date_start") == "2026-01-01").count() == 5000
