@@ -928,6 +928,36 @@ def q_rolling_30d_spend(spark, sf_dir):
     )
 
 
+def q_array_ops(spark, sf_dir):
+    """Array-function surface: per-customer priority set (collect_set →
+    array_sort), set size, and a membership flag — map-side combined
+    into the collect_set partial aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("prios"))
+        .select(
+            "o_custkey",
+            F.array_join("prios", ",").alias("priorities"),
+            F.size("prios").alias("n_distinct_prios"),
+            F.array_contains("prios", "1-URGENT").alias("has_urgent"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_weekday_revenue(spark, sf_dir):
+    """Datetime-function surface: revenue by order weekday name (engine-
+    neutral via date_format 'EEEE' / DuckDB dayname — integer weekday
+    conventions differ between engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "EEEE").alias("weekday"))
+        .agg(F.count("*").alias("n_orders"), _dsum(F.col("o_totalprice"), "revenue"))
+        .orderBy("weekday")
+    )
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's K-Means over the embedding column (iterative
     fixpoint; operators/clustering.py). Deterministic (hash-free init +
@@ -1836,6 +1866,19 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "array_ops": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                     AS priorities,
+                   CAST(len(list(DISTINCT o_orderpriority)) AS INT)
+                     AS n_distinct_prios,
+                   list_contains(list(DISTINCT o_orderpriority), '1-URGENT')
+                     AS has_urgent
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+        "weekday_revenue": f"""
+            SELECT dayname(o_orderdate) AS weekday, COUNT(*) AS n_orders,
+                   {_dsum_sql('o_totalprice', 'revenue')}
+            FROM orders GROUP BY weekday ORDER BY weekday""",
         "tfidf_top": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS token FROM documents),
             tf AS (SELECT doc_id, token, COUNT(*) AS tf
@@ -2082,6 +2125,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top": q_tfidf_top,
     "unpivot_metrics": q_unpivot_metrics,
     "kmeans_clusters": q_kmeans_clusters,
+    "array_ops": q_array_ops,
+    "weekday_revenue": q_weekday_revenue,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
