@@ -12,7 +12,7 @@ QUERY_NAMES = sorted(entry_mod.queries())
 
 # Approximate-by-design operators: results are engine-specific sketches,
 # so the driver records the weaker rows-only check for these.
-ROWS_ONLY = {"approx_distinct"}
+ROWS_ONLY = {"approx_distinct", "kmeans_clusters"}
 
 
 def test_every_query_has_oracle():
