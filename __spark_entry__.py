@@ -928,6 +928,61 @@ def q_rolling_30d_spend(spark, sf_dir):
     )
 
 
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after order
+    date — testdata has no commit/receipt dates). Instead of Q21's
+    EXISTS + NOT-EXISTS quadruple self-join, ONE per-order aggregation
+    computes distinct-supplier and distinct-late-supplier sets; the sole
+    late supplier on a multi-supplier finished order takes the blame.
+    Same result, one shuffle on orderkey instead of three lineitem
+    self-joins — the formulation that survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    flagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+    return (
+        blamed.join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+def q_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: supplier account-balance concentration
+    per nation — no partsupp in testdata): nations holding > 4.5% of
+    global positive balance. Scalar-subquery HAVING = 1-row broadcast
+    against the grouped aggregate."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("s_acctbal"), "nation_bal"))
+    )
+    total = s.agg(
+        (F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double") * F.lit(0.045))
+        .alias("cutoff")
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("nation_bal") > F.col("cutoff"))
+        .select("n_name", "nation_bal")
+        .orderBy(F.col("nation_bal").desc(), F.col("n_name").asc())
+    )
+
+
 def q_array_ops(spark, sf_dir):
     """Array-function surface: per-customer priority set (collect_set →
     array_sort), set size, and a membership flag — map-side combined
@@ -1866,6 +1921,32 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "waiting_suppliers": """
+            WITH flagged AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            per_order AS (
+              SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supps,
+                     COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+                     MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM flagged GROUP BY l_orderkey)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supps > 1 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC LIMIT 25""",
+        "value_concentration": f"""
+            SELECT n_name, nation_bal FROM (
+              SELECT n_name, {_dsum_sql('s_acctbal', 'nation_bal')}
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE s_acctbal > 0 GROUP BY n_name)
+            WHERE nation_bal > (
+              SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 0.045
+              FROM supplier WHERE s_acctbal > 0)
+            ORDER BY nation_bal DESC, n_name ASC""",
         "array_ops": """
             SELECT o_custkey,
                    array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
@@ -2127,6 +2208,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "array_ops": q_array_ops,
     "weekday_revenue": q_weekday_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "value_concentration": q_value_concentration,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
