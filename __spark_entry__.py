@@ -983,6 +983,37 @@ def q_value_concentration(spark, sf_dir):
     )
 
 
+def q_corpus_clean_stats(spark, sf_dir):
+    """Corpus-cleaning audit per source: PII spans that redaction would
+    replace, markup chars stripped, and docs over the Gopher-style
+    repetition threshold. All exact integer aggregates + per-row double
+    ratios (engine-independent); one narrow scan + tiny groupBy."""
+    from fb_ads_bigquery_etl_spark.operators.text import (
+        pii_match_count,
+        repetition_ratio,
+        strip_markup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    feats = d.select(
+        "source",
+        pii_match_count(text).cast("long").alias("pii"),
+        (F.length(text) - F.length(strip_markup(text))).cast("long").alias("removed"),
+        (repetition_ratio(text, k=3) > 0.05).alias("high_rep"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pii").alias("pii_spans"),
+            F.sum("removed").alias("chars_removed"),
+            F.count_if(F.col("high_rep")).alias("high_rep_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_array_ops(spark, sf_dir):
     """Array-function surface: per-customer priority set (collect_set →
     array_sort), set size, and a membership flag — map-side combined
@@ -1921,6 +1952,29 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "corpus_clean_stats": f"""
+            WITH t AS (SELECT source, text, {_TOK} AS tok FROM documents),
+            feats AS (SELECT source,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+              + len(regexp_extract_all(text, '[0-9][0-9()\\-\\s]{{6,}}[0-9]'))
+                AS pii,
+              length(text) - length(trim(regexp_replace(
+                  regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                  '\\s+', ' ', 'g'))) AS removed,
+              CASE WHEN len(tok) >= 3
+                   THEN 1.0 - len(list_distinct(
+                          list_transform(generate_series(1, len(tok)-2),
+                            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])))
+                        / CAST(len(tok) - 2 AS DOUBLE)
+                   ELSE 0.0 END > 0.05 AS high_rep
+              FROM t)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(pii) AS BIGINT) AS pii_spans,
+                   CAST(SUM(removed) AS BIGINT) AS chars_removed,
+                   CAST(COUNT(CASE WHEN high_rep THEN 1 END) AS BIGINT)
+                     AS high_rep_docs
+            FROM feats GROUP BY source ORDER BY source""",
         "waiting_suppliers": """
             WITH flagged AS (
               SELECT l_orderkey, l_suppkey,
@@ -2210,6 +2264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekday_revenue": q_weekday_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "value_concentration": q_value_concentration,
+    "corpus_clean_stats": q_corpus_clean_stats,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,

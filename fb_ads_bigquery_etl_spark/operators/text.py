@@ -192,3 +192,58 @@ def analyze_documents(
     return staged.select(
         *df.columns, *[F.col(f"_ta.{c}").alias(c) for c in fields]
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cleaning operators (LLM training-data curation; north-star
+# extensions — no reference counterpart). All pure JVM regexp/array
+# expressions: no UDFs in the hot path, patterns chosen to behave
+# identically under Java regex and RE2 (DuckDB) for oracle parity.
+# ---------------------------------------------------------------------------
+
+
+def strip_markup(text: Column) -> Column:
+    """Remove HTML/XML tags and collapse the resulting whitespace."""
+    no_tags = F.regexp_replace(text, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and long digit runs (phone/account
+    numbers) with typed placeholders — the irreversible-by-construction
+    redaction pass a training corpus needs before anything else sees it.
+    """
+    emails = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(emails, r"[0-9][0-9()\-\s]{6,}[0-9]", "<NUMBER>")
+
+
+def pii_match_count(text: Column) -> Column:
+    """How many PII spans redact_pii would replace (audit metric)."""
+    return F.regexp_count(
+        text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ) + F.regexp_count(text, F.lit(r"[0-9][0-9()\-\s]{6,}[0-9]"))
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word k-grams that are
+    duplicates (1 - distinct/total); 0.0 for docs shorter than k words.
+
+    High values mean boilerplate/spam (repeated headers, keyword
+    stuffing) — a standard LLM-corpus quality filter.
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+
+    def ratio_of(tok: Column) -> Column:
+        n = F.size(tok) - (k - 1)
+        grams = F.transform(
+            F.slice(tok, 1, F.greatest(n, F.lit(0))),
+            lambda t, i: F.concat_ws(" ", *([t] + [F.get(tok, i + j) for j in range(1, k)])),
+        )
+        return F.when(
+            n >= 1,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return bind(tokens(text), ratio_of)
