@@ -983,6 +983,31 @@ def q_value_concentration(spark, sf_dir):
     )
 
 
+def q_overlap_pairs(spark, sf_dir):
+    """Substring-overlap near-dup pairs: docs sharing >= 2 winnowed
+    rolling-hash fingerprints — catches PARTIAL overlap (a copied
+    paragraph) that whole-document fingerprints miss. The fingerprint
+    projection runs once (cached), then an 8-byte-key inverted-index
+    self-join, same scale shape as ngram_jaccard_pairs."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import shared
+    from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
+
+    d = _t(spark, sf_dir, "documents")
+    inv = shared(
+        d.select(
+            "doc_id", F.explode(fingerprint_rolling(F.col("text"), k=5, w=4)).alias("fp")
+        )
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_corpus_clean_stats(spark, sf_dir):
     """Corpus-cleaning audit per source: PII spans that redaction would
     replace, markup chars stripped, and docs over the Gopher-style
@@ -1231,6 +1256,28 @@ _SIMHASH = (
 )
 
 _NORM_TEXT = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _winnow_fps_sql() -> str:
+    """Shared DuckDB CTE chain: winnowed fingerprint set per doc (w.fps)."""
+    return f"""n AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN length(t) >= 5
+                         THEN list_transform(generate_series(1, length(t)-4),
+                                             i -> substr(t, i, 5))
+                         ELSE CAST([] AS VARCHAR[]) END AS grams
+                  FROM n),
+            h AS (SELECT doc_id,
+                    list_transform(grams,
+                                   g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                    CASE WHEN len(hs) >= 4
+                         THEN list_sort(list_distinct(
+                                list_transform(generate_series(1, len(hs)-3),
+                                               j -> list_min(hs[j:j+3]))))
+                         ELSE CAST([] AS BIGINT[]) END AS fps
+                  FROM h)"""
 
 
 def _minhash_pairs_sql() -> str:
@@ -1914,28 +1961,21 @@ def _oracle() -> dict[str, str]:
             WHERE doc_id % 3 = 2 AND n_chars > 0
             ORDER BY doc_id""",
         "rolling_fingerprints": f"""
-            WITH n AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
-            g AS (SELECT doc_id,
-                    CASE WHEN length(t) >= 5
-                         THEN list_transform(generate_series(1, length(t)-4),
-                                             i -> substr(t, i, 5))
-                         ELSE CAST([] AS VARCHAR[]) END AS grams
-                  FROM n),
-            h AS (SELECT doc_id,
-                    list_transform(grams,
-                                   g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
-                  FROM g),
-            w AS (SELECT doc_id,
-                    CASE WHEN len(hs) >= 4
-                         THEN list_sort(list_distinct(
-                                list_transform(generate_series(1, len(hs)-3),
-                                               j -> list_min(hs[j:j+3]))))
-                         ELSE CAST([] AS BIGINT[]) END AS fps
-                  FROM h)
+            WITH {_winnow_fps_sql()}
             SELECT doc_id, len(fps) AS n_fps,
                    md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ','))
                      AS fp_digest
             FROM w ORDER BY doc_id""",
+        "overlap_pairs": f"""
+            WITH {_winnow_fps_sql()},
+            inv AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared
+            FROM inv a JOIN inv b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY id_a, id_b
+            HAVING COUNT(*) >= 2
+            ORDER BY id_a, id_b""",
         "quality_by_source": f"""
             WITH base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
             scored AS (
@@ -2265,6 +2305,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "waiting_suppliers": q_waiting_suppliers,
     "value_concentration": q_value_concentration,
     "corpus_clean_stats": q_corpus_clean_stats,
+    "overlap_pairs": q_overlap_pairs,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
