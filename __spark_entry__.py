@@ -983,6 +983,23 @@ def q_value_concentration(spark, sf_dir):
     )
 
 
+def q_dq_audit(spark, sf_dir):
+    """Declarative data-quality audit over orders: one scan computes all
+    expectation violations + key-uniqueness stats (operators/quality.py
+    — the generalized form of the reference's operational checks)."""
+    from fb_ads_bigquery_etl_spark.operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    exp = [
+        Q.not_null("o_custkey"),
+        Q.in_range("o_totalprice", 0, 1_000_000),
+        Q.matches("o_orderpriority", "^[1-5]-"),
+    ]
+    audit = Q.audit(o, exp)
+    dups = Q.duplicate_key_count(o, ["o_orderkey"])
+    return audit.join(F.broadcast(dups))
+
+
 def q_overlap_pairs(spark, sf_dir):
     """Substring-overlap near-dup pairs: docs sharing >= 2 winnowed
     rolling-hash fingerprints — catches PARTIAL overlap (a copied
@@ -1992,6 +2009,23 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "dq_audit": """
+            SELECT a.*, d.* FROM
+            (SELECT COUNT(*) AS total_rows,
+                    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+                      AS violations_o_custkey_not_null,
+                    COUNT(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000)
+                               THEN 1 END)
+                      AS violations_o_totalprice_in_range,
+                    COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                               THEN 1 END)
+                      AS violations_o_orderpriority_matches
+             FROM orders) a,
+            (SELECT COUNT(*) AS n_keys,
+                    COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_keys,
+                    CAST(SUM(n - 1) AS BIGINT) AS n_excess_rows
+             FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+                   GROUP BY o_orderkey)) d""",
         "corpus_clean_stats": f"""
             WITH t AS (SELECT source, text, {_TOK} AS tok FROM documents),
             feats AS (SELECT source,
@@ -2306,6 +2340,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_concentration": q_value_concentration,
     "corpus_clean_stats": q_corpus_clean_stats,
     "overlap_pairs": q_overlap_pairs,
+    "dq_audit": q_dq_audit,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
