@@ -8,19 +8,27 @@ extension, BASELINE.json).
 
 Determinism contract (same result on any partitioning / cluster size):
 - init: centroids = the k smallest vec_ids (no RNG);
-- update: centroid sums accumulate as floor(x * 1e9) BIGINTs — integer
+- update: centroid sums accumulate as floor(x * 1e9) int64 — integer
   addition is associative, so the new centroids are bit-identical no
-  matter how the shuffle splits the rows (a double SUM is not);
-- assign: per-row double math against identical centroid values, ties
-  broken by lowest centroid index.
+  matter how the shuffle splits the rows (a float SUM is not);
+- assign: per-row float64 math against identical centroid values, ties
+  broken by lowest centroid index (numpy argmin semantics);
+- converge: fixpoint on the SCALED-INT centroid representation — exact
+  equality, no epsilon.
 
 Scale design, per iteration:
-- centroids are k*dim values — METADATA-sized; they ride to executors as
-  a broadcast literal (the standard distributed-KMeans shape, same as
-  Spark MLlib): the data-path never collects, the k*dim collect is O(kB).
-- assignment is a narrow map stage (no shuffle);
-- the update is one map-side-combined groupBy(cluster) shuffle of
-  k * dim partial sums per task — independent of row count.
+- centroids are k*dim values — METADATA-sized; they ship to executors
+  inside the Arrow-serialized closure (the standard distributed-KMeans
+  shape, same as Spark MLlib): the data-path never collects; the k*dim
+  partial-sum collect is O(kB).
+- ONE mapInPandas pass per iteration computes assignments AND per-batch
+  partial sums with vectorized numpy (||x-c||^2 via matrix ops) —
+  dense-vector arithmetic is the documented Pandas-UDF case where JVM
+  expression trees lose (interpreted higher-order functions were ~50x
+  slower here); each Arrow batch emits only k*dim partial rows, so
+  shuffle/collect volume is independent of row count;
+- convergence needs NO extra job: centroid equality is checked on the
+  driver against the previous iteration's scaled sums.
 """
 
 from __future__ import annotations
@@ -31,8 +39,8 @@ SCALE = 1_000_000_000
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance to a literal centroid, sequential-order
-    accumulation (F.aggregate) — deterministic per row."""
+    """Squared L2 distance to a literal centroid (pure-expression path,
+    used by assign_expr for callers that must avoid Python workers)."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vec.cast("array<double>"), c, lambda a, b: (a - b) * (a - b)),
@@ -41,9 +49,10 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_clusters(vec_col: str, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid index as a least-of CASE chain (one codegen'd
-    expression, k comparisons per row; lowest index wins ties)."""
+def assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid index as a pure JVM expression chain (no Python
+    worker). O(k*dim) interpreted work per row — fine for small k*dim or
+    one-shot assignment; the kmeans loop uses the numpy path instead."""
     vec = F.col(vec_col)
     best = F.lit(0)
     best_d = _sq_dist(vec, centroids[0])
@@ -53,6 +62,68 @@ def assign_clusters(vec_col: str, centroids: list[list[float]]) -> Column:
         best = F.when(closer, F.lit(j)).otherwise(best)
         best_d = F.when(closer, d).otherwise(best_d)
     return best
+
+
+def _assign_batches(id_col: str, vec_col: str, centroids: list[list[float]]):
+    """mapInPandas fn: (id, cluster) rows via vectorized sq-distances."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k x d
+    c_sq = (C * C).sum(axis=1)  # k
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)  # n x d
+            # ||x-c||^2 = x.x + c.c - 2 x.c ; x.x constant per row -> skip
+            d2 = c_sq[None, :] - 2.0 * (X @ C.T)  # n x k
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "cluster": d2.argmin(axis=1)}
+            )
+
+    return fn
+
+
+def _assign_and_partial_sums(vec_col: str, centroids: list[list[float]]):
+    """mapInPandas fn: per-batch (cluster, dim, s, n) scaled-int partial
+    sums — k*dim rows out per Arrow batch, row-count independent."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    c_sq = (C * C).sum(axis=1)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = c_sq[None, :] - 2.0 * (X @ C.T)
+            a = d2.argmin(axis=1)  # n
+            Xs = np.floor(X * SCALE).astype(np.int64)  # scaled ints
+            sums = np.zeros((k, dim), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    sums[j] = Xs[mask].sum(axis=0)
+                    counts[j] = int(mask.sum())
+            idx = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(idx, dim).astype(np.int32),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), len(idx)),
+                    "s": sums[idx].reshape(-1),
+                    "n": np.repeat(counts[idx], dim),
+                }
+            )
+
+    return fn
 
 
 def kmeans(
@@ -65,65 +136,49 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]], int]:
     """Returns (assignments DataFrame(id, cluster), centroids, n_iter).
 
-    Converges when no assignment changes (checked by a scalar count,
-    not a data pull). The assignments DataFrame is lazily recomputable
-    from the final centroids — safe to join downstream.
+    Converges when the scaled-int centroid representation reaches a
+    fixpoint (exact, driver-side — no extra Spark job). The assignments
+    DataFrame is lazily recomputable from the final centroids — safe to
+    join downstream.
     """
-    first = (
-        df.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    )
+    first = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     centroids = [list(map(float, r[vec_col])) for r in first]
     dim = len(centroids[0])
+    # scaled-int fixpoint key for the initial centroids
+    prev_key = None
 
-    prev = None
     n_iter = 0
     for n_iter in range(1, max_iter + 1):
-        assigned = df.select(
-            F.col(id_col).alias("id"),
-            assign_clusters(vec_col, centroids).alias("cluster"),
-            F.col(vec_col).alias("_v"),
-        )
-        # Integer-scaled per-cluster sums: one small shuffle (k rows out).
-        sums = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.transform(
-                    F.col("_v"),
-                    lambda x: F.floor(x.cast("double") * SCALE).cast("long"),
-                )).alias("dim", "xs"),
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(
+                _assign_and_partial_sums(vec_col, centroids),
+                schema="cluster int, dim int, s long, n long",
             )
             .groupBy("cluster", "dim")
-            .agg(F.sum("xs").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
-        by_cluster: dict[int, list[float]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["dim"]] = (
-                r["s"] / SCALE / r["n"]
-            )
-        new_centroids = [
-            by_cluster.get(j, centroids[j]) for j in range(k)  # empty keeps old
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        key = tuple(
+            (j, tuple(sums[j]), counts[j]) for j in sorted(sums)
+        )
+        centroids = [
+            [sums[j][d] / SCALE / counts[j] for d in range(dim)]
+            if j in sums
+            else centroids[j]  # empty cluster keeps its old centroid
+            for j in range(k)
         ]
+        if key == prev_key:
+            break
+        prev_key = key
 
-        cur = assigned.select("id", "cluster")
-        if prev is not None:
-            changed = (
-                cur.alias("c")
-                .join(prev.alias("p"), "id")
-                .filter(F.col("c.cluster") != F.col("p.cluster"))
-                .count()
-            )
-            if changed == 0:
-                centroids = new_centroids
-                break
-        prev = cur.localCheckpoint(eager=True)
-        centroids = new_centroids
-
-    assignments = df.select(
-        F.col(id_col).alias("id"),
-        assign_clusters(vec_col, centroids).alias("cluster"),
+    assignments = df.select(id_col, vec_col).mapInPandas(
+        _assign_batches(id_col, vec_col, centroids),
+        schema="id long, cluster int",
     )
     return assignments, centroids, n_iter
