@@ -39,3 +39,40 @@ def test_dedup_clusters_membership(spark):
         (1, 3, [1, 2, 3]),
         (8, 2, [8, 9]),
     ]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graphs vs a driver-side union-find oracle."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 80))
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        touched = {u for e in edges for u in e}
+        want = {}
+        for node in touched:
+            root = find(node)
+            want[node] = min(m for m in touched if find(m) == root)
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}"
