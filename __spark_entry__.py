@@ -1003,18 +1003,28 @@ def q_dq_audit(spark, sf_dir):
 def q_overlap_pairs(spark, sf_dir):
     """Substring-overlap near-dup pairs: docs sharing >= 2 winnowed
     rolling-hash fingerprints — catches PARTIAL overlap (a copied
-    paragraph) that whole-document fingerprints miss. The fingerprint
-    projection runs once (cached), then an 8-byte-key inverted-index
-    self-join, same scale shape as ngram_jaccard_pairs."""
+    paragraph) that whole-document fingerprints miss.
+
+    Scale levers (pinned into the SEMANTICS so the oracle agrees):
+    16-char shingles (5-char grams are boilerplate on small
+    vocabularies: 77% doc-frequency, 295M candidate pairs at sf0.1) and
+    a doc-freq cap of 100 on fingerprints (a gram shared by 100+ docs is
+    template text, not copy evidence — and each such gram contributes
+    O(df^2) candidates). 16/8+cap => 839k -> ~legit candidates only.
+    Fingerprint projection runs once (cached), then an 8-byte-key
+    inverted-index self-join, same scale shape as ngram_jaccard_pairs."""
     from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import shared
     from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
 
     d = _t(spark, sf_dir, "documents")
     inv = shared(
         d.select(
-            "doc_id", F.explode(fingerprint_rolling(F.col("text"), k=5, w=4)).alias("fp")
+            "doc_id",
+            F.explode(fingerprint_rolling(F.col("text"), k=16, w=8)).alias("fp"),
         )
     )
+    rare = inv.groupBy("fp").agg(F.count("*").alias("_df")).filter(F.col("_df") <= 100)
+    inv = inv.join(F.broadcast(rare.select("fp")), "fp")
     a, b = inv.alias("a"), inv.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1275,13 +1285,13 @@ _SIMHASH = (
 _NORM_TEXT = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 
 
-def _winnow_fps_sql() -> str:
+def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
     """Shared DuckDB CTE chain: winnowed fingerprint set per doc (w.fps)."""
     return f"""n AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
             g AS (SELECT doc_id,
-                    CASE WHEN length(t) >= 5
-                         THEN list_transform(generate_series(1, length(t)-4),
-                                             i -> substr(t, i, 5))
+                    CASE WHEN length(t) >= {k}
+                         THEN list_transform(generate_series(1, length(t)-{k - 1}),
+                                             i -> substr(t, i, {k}))
                          ELSE CAST([] AS VARCHAR[]) END AS grams
                   FROM n),
             h AS (SELECT doc_id,
@@ -1289,10 +1299,10 @@ def _winnow_fps_sql() -> str:
                                    g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
                   FROM g),
             w AS (SELECT doc_id,
-                    CASE WHEN len(hs) >= 4
+                    CASE WHEN len(hs) >= {w}
                          THEN list_sort(list_distinct(
-                                list_transform(generate_series(1, len(hs)-3),
-                                               j -> list_min(hs[j:j+3]))))
+                                list_transform(generate_series(1, len(hs)-{w - 1}),
+                                               j -> list_min(hs[j:j+{w - 1}]))))
                          ELSE CAST([] AS BIGINT[]) END AS fps
                   FROM h)"""
 
@@ -1984,8 +1994,10 @@ def _oracle() -> dict[str, str]:
                      AS fp_digest
             FROM w ORDER BY doc_id""",
         "overlap_pairs": f"""
-            WITH {_winnow_fps_sql()},
-            inv AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+            WITH {_winnow_fps_sql(k=16, w=8)},
+            inv0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            rare AS (SELECT fp FROM inv0 GROUP BY fp HAVING COUNT(*) <= 100),
+            inv AS (SELECT doc_id, fp FROM inv0 JOIN rare USING (fp))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    COUNT(*) AS n_shared
             FROM inv a JOIN inv b
