@@ -49,8 +49,13 @@ def main() -> None:
     # scheduler noise (each run builds and tears down its own caches).
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        # Nudge the JVM to finish async block/broadcast cleanup from the
+        # previous query before timing starts — iterative queries
+        # (localCheckpoint loops) otherwise bleed GC pauses into the
+        # NEXT query's first run and min-of-N stops being steady-state.
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
