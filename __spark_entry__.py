@@ -294,6 +294,40 @@ def q_set_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER join: suppliers vs customers per nation — rows survive
+    from BOTH unmatched sides (null-extended), then conditional agg."""
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supps")
+    )
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs")
+    )
+    return (
+        s.join(c, s["s_nationkey"] == c["c_nationkey"], "full_outer")
+        .select(
+            F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+            F.coalesce("n_supps", F.lit(0)).alias("n_supps"),
+            F.coalesce("n_custs", F.lit(0)).alias("n_custs"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_set_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset difference): order-priority multiset of 1995
+    minus 2000 — per-value multiplicity arithmetic, not just membership."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_orderpriority")
+    b = o.filter(F.year("o_orderdate") == 2000).select("o_orderpriority")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_cube_status_priority(spark, sf_dir):
     """CUBE grouping sets over (status, priority) with count + sum."""
     o = _t(spark, sf_dir, "orders")
@@ -2021,6 +2055,23 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "join_full_outer": """
+            SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
+                   COALESCE(n_supps, 0) AS n_supps,
+                   COALESCE(n_custs, 0) AS n_custs
+            FROM (SELECT s_nationkey, COUNT(*) AS n_supps FROM supplier
+                  GROUP BY s_nationkey) s
+            FULL OUTER JOIN
+                 (SELECT c_nationkey, COUNT(*) AS n_custs FROM customer
+                  GROUP BY c_nationkey) c
+              ON s.s_nationkey = c.c_nationkey
+            ORDER BY nationkey""",
+        "set_except_all": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM (
+              SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+              EXCEPT ALL
+              SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 2000)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "dq_audit": """
             SELECT a.*, d.* FROM
             (SELECT COUNT(*) AS total_rows,
@@ -2353,6 +2404,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_stats": q_corpus_clean_stats,
     "overlap_pairs": q_overlap_pairs,
     "dq_audit": q_dq_audit,
+    "join_full_outer": q_join_full_outer,
+    "set_except_all": q_set_except_all,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
