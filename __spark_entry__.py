@@ -294,6 +294,31 @@ def q_set_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def q_window_funcs(spark, sf_dir):
+    """Ranking-function surface in one windowed pass: dense_rank,
+    cume_dist, and first/last frame values per market segment (fully
+    deterministic ordering: totalprice desc, orderkey asc)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("drank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+    )
+    return ranked.filter(F.col("drank") <= 5).orderBy(
+        "c_mktsegment", "drank", "o_orderkey"
+    )
+
+
 def q_join_full_outer(spark, sf_dir):
     """FULL OUTER join: suppliers vs customers per nation — rows survive
     from BOTH unmatched sides (null-extended), then conditional agg."""
@@ -2055,6 +2080,19 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "window_funcs": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, drank, cdist,
+                   top_order
+            FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     dense_rank() OVER w AS drank,
+                     cume_dist() OVER w AS cdist,
+                     first_value(o_orderkey) OVER w AS top_order
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC))
+            WHERE drank <= 5
+            ORDER BY c_mktsegment, drank, o_orderkey""",
         "join_full_outer": """
             SELECT COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey,
                    COALESCE(n_supps, 0) AS n_supps,
@@ -2406,6 +2444,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_audit": q_dq_audit,
     "join_full_outer": q_join_full_outer,
     "set_except_all": q_set_except_all,
+    "window_funcs": q_window_funcs,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,

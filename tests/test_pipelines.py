@@ -253,3 +253,22 @@ def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(table)
     assert got.count() == 5000
     assert got.filter(F.col("date_start") == "2026-01-01").count() == 5000
+
+
+def test_maintain_table_compacts_and_audits(spark, tmp_path):
+    table = str(tmp_path / "mt")
+    rep = pipelines.run_daily(
+        spark, accounts=["a", "b"], run_date="2026-01-15", table_path=table
+    )
+    assert rep.status == "success"
+    # fragment the partition with little appends
+    df = spark.read.parquet(table)
+    for _ in range(3):
+        df.limit(0).write.mode("append").partitionBy("date_start").parquet(table)
+
+    rep2 = pipelines.maintain_table(spark, table)
+    assert rep2.status == "success"
+    assert "0 duplicate keys" in rep2.message
+    part = os.path.join(table, "date_start=2026-01-15")
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(table).count() == rep2.rows_processed
