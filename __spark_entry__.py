@@ -1042,6 +1042,38 @@ def q_value_concentration(spark, sf_dir):
     )
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination sweep: which 'training' docs share >= 3
+    word 5-grams with any 'benchmark' doc (doc_id % 97 == 0 plays the
+    benchmark here)? The standard eval-leakage check before training.
+
+    Shape: shingle both sides, inverted-index join keyed on the 8-byte
+    gram hash — the BENCHMARK side is tiny (the real-world case: eval
+    sets are KBs, the corpus is TBs), so the join broadcasts it and the
+    sweep is one narrow pass over training shingles, no self-join."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens, word_shingles
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import shared
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shared(
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), 5)).alias("gram"),
+        ).select("doc_id", F.xxhash64("gram").alias("g"))
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= 3)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 def q_dq_audit(spark, sf_dir):
     """Declarative data-quality audit over orders: one scan computes all
     expectation violations + key-uniqueness stats (operators/quality.py
@@ -2110,6 +2142,22 @@ def _oracle() -> dict[str, str]:
               EXCEPT ALL
               SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 2000)
             GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "contamination_check": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(
+                                 generate_series(1, len(t)-4),
+                                 i -> array_to_string(t[i:i+4], ' ')))
+                          ELSE CAST([] AS VARCHAR[]) END) AS gram
+                   FROM toks)
+            SELECT tr.doc_id AS doc_id, b.doc_id AS bench_id,
+                   COUNT(*) AS n_shared_grams
+            FROM sh tr JOIN sh b ON tr.gram = b.gram
+            WHERE b.doc_id % 97 = 0 AND tr.doc_id % 97 <> 0
+            GROUP BY tr.doc_id, b.doc_id
+            HAVING COUNT(*) >= 3
+            ORDER BY doc_id, bench_id""",
         "dq_audit": """
             SELECT a.*, d.* FROM
             (SELECT COUNT(*) AS total_rows,
@@ -2445,6 +2493,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_full_outer": q_join_full_outer,
     "set_except_all": q_set_except_all,
     "window_funcs": q_window_funcs,
+    "contamination_check": q_contamination_check,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
