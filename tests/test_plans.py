@@ -113,3 +113,12 @@ def test_large_orders_preagg_shrinks_build_side(spark):
     counts = PI.node_counts(_q(spark, "large_orders"))
     assert counts["HashAggregate"] >= 2, counts
     assert counts["SortMergeJoin"] == 0 and counts["ShuffledHashJoin"] == 0, counts
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark (tiny) side must broadcast — a shuffle join here
+    would re-shuffle the full training shingle set at corpus scale."""
+    df = _q(spark, "contamination_check")
+    assert PI.broadcast_join_count(df) >= 1
+    counts = PI.node_counts(df)
+    assert counts["SortMergeJoin"] == 0, counts
