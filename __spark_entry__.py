@@ -294,6 +294,22 @@ def q_set_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def q_price_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket: order-price distribution
+    in 20 buckets — single map-side-combined aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def q_window_funcs(spark, sf_dir):
     """Ranking-function surface in one windowed pass: dense_rank,
     cume_dist, and first/last frame values per market segment (fully
@@ -2112,6 +2128,13 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "price_histogram": """
+            SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                        WHEN o_totalprice >= 500000.0 THEN 21
+                        ELSE CAST(FLOOR(o_totalprice / 25000.0) AS INT) + 1
+                   END AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY bucket ORDER BY bucket""",
         "window_funcs": """
             SELECT c_mktsegment, o_orderkey, o_totalprice, drank, cdist,
                    top_order
@@ -2494,6 +2517,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except_all": q_set_except_all,
     "window_funcs": q_window_funcs,
     "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
