@@ -294,6 +294,18 @@ def q_set_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def q_paged_orders(spark, sf_dir):
+    """Keyset-stable pagination: page 3 of orders by (totalprice desc,
+    orderkey) via offset+limit on a fully-deterministic order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(20)
+        .limit(10)
+    )
+
+
 def q_price_histogram(spark, sf_dir):
     """Equi-width histogram via width_bucket: order-price distribution
     in 20 buckets — single map-side-combined aggregation."""
@@ -2128,6 +2140,11 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "paged_orders": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10 OFFSET 20""",
         "price_histogram": """
             SELECT CASE WHEN o_totalprice < 0.0 THEN 0
                         WHEN o_totalprice >= 500000.0 THEN 21
@@ -2518,6 +2535,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funcs": q_window_funcs,
     "contamination_check": q_contamination_check,
     "price_histogram": q_price_histogram,
+    "paged_orders": q_paged_orders,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
