@@ -294,6 +294,28 @@ def q_set_except(spark, sf_dir):
     return c.exceptAll(o.distinct()).distinct()
 
 
+def q_lateral_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery surface (spark.sql): top-2 orders per
+    BUILDING customer. Catalyst rewrites the lateral into a ranked
+    window join — same physical shape as topk_per_group, declared
+    relationally."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
 def q_paged_orders(spark, sf_dir):
     """Keyset-stable pagination: page 3 of orders by (totalprice desc,
     orderkey) via offset+limit on a fully-deterministic order."""
@@ -2140,6 +2162,16 @@ def _oracle() -> dict[str, str]:
                   + least((n_stop / greatest(n_tok, 1)) * 4.0, 1.0) * 0.4
                   + (1.0 - n_punct / greatest(n_chars, 1)) * 0.2 >= 0.5
             GROUP BY source ORDER BY source""",
+        "lateral_top_orders": """
+            SELECT c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer,
+            LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+            ) t
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
         "paged_orders": """
             SELECT o_orderkey, o_orderdate, o_totalprice
             FROM orders
@@ -2536,6 +2568,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "price_histogram": q_price_histogram,
     "paged_orders": q_paged_orders,
+    "lateral_top_orders": q_lateral_top_orders,
     "rolling_30d_spend": q_rolling_30d_spend,
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
