@@ -2498,6 +2498,48 @@ def _oracle() -> dict[str, str]:
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Registry order is deliberate: the driver's correctness harness checks
+    # the first ~50 entries per round, so queries not yet driver-confirmed in
+    # CORRECTNESS_r01.json come first; the 50 already-green-in-r01 entries
+    # follow (they stay regression-guarded by tests/test_oracle_parity.py,
+    # which parametrizes over the FULL registry regardless of order).
+    "stratified_sample": q_stratified_sample,
+    "embedding_centroids": q_embedding_centroids,
+    "top_terms": q_top_terms,
+    "bigram_counts": q_bigram_counts,
+    "tfidf_top": q_tfidf_top,
+    "unpivot_metrics": q_unpivot_metrics,
+    "kmeans_clusters": q_kmeans_clusters,
+    "array_ops": q_array_ops,
+    "weekday_revenue": q_weekday_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "value_concentration": q_value_concentration,
+    "corpus_clean_stats": q_corpus_clean_stats,
+    "overlap_pairs": q_overlap_pairs,
+    "dq_audit": q_dq_audit,
+    "join_full_outer": q_join_full_outer,
+    "set_except_all": q_set_except_all,
+    "window_funcs": q_window_funcs,
+    "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
+    "paged_orders": q_paged_orders,
+    "lateral_top_orders": q_lateral_top_orders,
+    "rolling_30d_spend": q_rolling_30d_spend,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_ivf": q_ann_ivf,
+    "text_stats": q_text_stats,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "quality_by_source": q_quality_by_source,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "profit_by_nation": q_profit_by_nation,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_cnt": q_parts_supplier_cnt,
+    "large_orders": q_large_orders,
+    "idle_customers": q_idle_customers,
+    # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,
     "daily_rollup": q_daily_rollup,
@@ -2548,42 +2590,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "train_test_split": q_train_test_split,
-    "stratified_sample": q_stratified_sample,
-    "embedding_centroids": q_embedding_centroids,
-    "top_terms": q_top_terms,
-    "bigram_counts": q_bigram_counts,
-    "tfidf_top": q_tfidf_top,
-    "unpivot_metrics": q_unpivot_metrics,
-    "kmeans_clusters": q_kmeans_clusters,
-    "array_ops": q_array_ops,
-    "weekday_revenue": q_weekday_revenue,
-    "waiting_suppliers": q_waiting_suppliers,
-    "value_concentration": q_value_concentration,
-    "corpus_clean_stats": q_corpus_clean_stats,
-    "overlap_pairs": q_overlap_pairs,
-    "dq_audit": q_dq_audit,
-    "join_full_outer": q_join_full_outer,
-    "set_except_all": q_set_except_all,
-    "window_funcs": q_window_funcs,
-    "contamination_check": q_contamination_check,
-    "price_histogram": q_price_histogram,
-    "paged_orders": q_paged_orders,
-    "lateral_top_orders": q_lateral_top_orders,
-    "rolling_30d_spend": q_rolling_30d_spend,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_brute_force": q_ann_brute_force,
-    "ann_ivf": q_ann_ivf,
-    "text_stats": q_text_stats,
-    "rolling_fingerprints": q_rolling_fingerprints,
-    "quality_by_source": q_quality_by_source,
-    "volume_shipping": q_volume_shipping,
-    "market_share": q_market_share,
-    "profit_by_nation": q_profit_by_nation,
-    "returned_revenue": q_returned_revenue,
-    "top_supplier": q_top_supplier,
-    "parts_supplier_cnt": q_parts_supplier_cnt,
-    "large_orders": q_large_orders,
-    "idle_customers": q_idle_customers,
 }
 
 
@@ -2597,4 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _oracle()
+    # Keyed in _QUERIES order so both maps iterate identically regardless of
+    # which one the correctness harness walks (see the ordering note there).
+    sql = _oracle()
+    return {k: sql[k] for k in _QUERIES if k in sql}

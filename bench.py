@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (driver-parseable):
+  - full per-query timing map is written to bench_full.json next to this
+    file (the complete {"metric", "value", "unit", "queries", "sf"} object);
+  - stdout's FINAL line is a compact one-line JSON summary (same keys, but
+    "queries" holds only the slowest few — the full map is in the file).
+    Keeping the last line short matters: the driver captures an output
+    tail, and a single ~3 KB line gets truncated mid-line and parses as
+    null (this happened in round 1).
 
 Each query is forced with a count() over the final plan (full execution,
 no driver-side result materialization beyond the count).
@@ -45,15 +52,10 @@ def main() -> None:
     # (its own cache lifecycle, cleared afterwards).
     spark.catalog.clearCache()
 
-    # min of 2 runs per query: steady-state timing robust to GC /
+    # min of 3 runs per query: steady-state timing robust to GC /
     # scheduler noise (each run builds and tears down its own caches).
     timings: dict[str, float] = {}
     for name in sorted(queries):
-        # Nudge the JVM to finish async block/broadcast cleanup from the
-        # previous query before timing starts — iterative queries
-        # (localCheckpoint loops) otherwise bleed GC pauses into the
-        # NEXT query's first run and min-of-N stops being steady-state.
-        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -63,14 +65,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    full = {
         "metric": "headline_query_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_file": "bench_full.json",
+        "sf": full["sf"],
+    }
+    # Final line = the compact summary (must stay well under the driver's
+    # output-tail capture window).
+    print(json.dumps(summary))
     spark.stop()
 
 

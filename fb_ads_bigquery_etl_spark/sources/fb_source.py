@@ -57,6 +57,28 @@ API_FIELDS = [  # reference main.py:274-287
 ]
 
 
+class GraphApiError(IOError):
+    """Graph API failure carrying enough detail for retry classification.
+
+    Reference main.py:326-340 distinguishes auth-class failures (HTTP
+    401/403, FB error codes 190 "invalid token" / 104 "no token") from
+    transient ones; auth failures must fail fast, not burn retries.
+    """
+
+    def __init__(self, message: str, *, status: int | None = None, fb_code: int | None = None):
+        super().__init__(message)
+        self.status = status
+        self.fb_code = fb_code
+
+    @property
+    def is_fatal_auth(self) -> bool:
+        return self.status in (401, 403) or self.fb_code in (190, 104)
+
+
+def _is_fatal(exc: Exception) -> bool:
+    return isinstance(exc, GraphApiError) and exc.is_fatal_auth
+
+
 class CredentialProvider:
     """C1 (main.py:71-255) — token acquisition stays on the driver; the
     short-lived token ships to partition readers as a plain string."""
@@ -71,6 +93,105 @@ class StaticToken(CredentialProvider):
 
     def get_token(self) -> str:
         return self._token
+
+
+class SecretStore:
+    """Pluggable secret backend (reference: GCP Secret Manager,
+    main.py:71-90). Tests use the in-memory fake; a real deployment
+    plugs in its own store here."""
+
+    def get_secret(self, name: str) -> str:
+        raise NotImplementedError
+
+    def set_secret(self, name: str, value: str) -> None:
+        raise NotImplementedError
+
+
+class InMemorySecretStore(SecretStore):
+    def __init__(self, initial: dict[str, str] | None = None):
+        self._data = dict(initial or {})
+        self.writes: list[tuple[str, str]] = []  # write-back audit for tests
+
+    def get_secret(self, name: str) -> str:
+        return self._data[name]
+
+    def set_secret(self, name: str, value: str) -> None:
+        self._data[name] = value
+        self.writes.append((name, value))
+
+
+class TokenService:
+    """Graph OAuth endpoints seam (debug_token + fb_exchange_token)."""
+
+    def introspect_expiry(self, token: str) -> int:
+        """Unix seconds at which `token` expires (main.py:97-127:
+        GET /debug_token -> data.expires_at). 0 means never-expiring."""
+        raise NotImplementedError
+
+    def exchange_token(self, token: str) -> str:
+        """Long-lived-token exchange (main.py:130-155:
+        GET /oauth/access_token?grant_type=fb_exchange_token)."""
+        raise NotImplementedError
+
+
+class FakeTokenService(TokenService):
+    """Deterministic offline stand-in: expiries injected per token."""
+
+    def __init__(self, expiries: dict[str, int]):
+        self.expiries = dict(expiries)
+        self.exchanges = 0
+
+    def introspect_expiry(self, token: str) -> int:
+        try:
+            return self.expiries[token]
+        except KeyError:
+            raise GraphApiError(f"invalid token {token!r}", status=401, fb_code=190)
+
+    def exchange_token(self, token: str) -> str:
+        self.exchanges += 1
+        new = f"{token}.refreshed{self.exchanges}"
+        # Graph long-lived tokens last ~60 days (main.py README contract).
+        self.expiries[new] = self.introspect_expiry(token) + 60 * 86400
+        return new
+
+
+class RefreshingTokenProvider(CredentialProvider):
+    """C1 token get/refresh control plane (reference main.py:158-255).
+
+    Semantics mirrored: read token from the secret store, introspect its
+    expiry via debug_token, and when it expires within `refresh_window_days`
+    (reference: 7 — main.py:205-218) exchange it for a fresh long-lived
+    token and write it back to the store (main.py:226-237). A
+    never-expiring token (expires_at == 0) is used as-is.
+    """
+
+    SECRET_NAME = "fb-ads-token"
+
+    def __init__(
+        self,
+        store: SecretStore,
+        service: TokenService,
+        *,
+        secret_name: str = SECRET_NAME,
+        refresh_window_days: int = 7,
+        now_fn=time.time,
+    ):
+        self._store = store
+        self._service = service
+        self._secret_name = secret_name
+        self._window_s = refresh_window_days * 86400
+        self._now = now_fn
+
+    def get_token(self) -> str:
+        token = self._store.get_secret(self._secret_name)
+        expires_at = self._service.introspect_expiry(token)
+        if expires_at == 0:  # never-expiring system token: use as-is
+            return token
+        if expires_at - self._now() > self._window_s:
+            return token
+        fresh = self._service.exchange_token(token)
+        self._store.set_secret(self._secret_name, fresh)
+        return fresh
 
 
 @dataclass
@@ -122,7 +243,9 @@ class FakeGraphTransport(Transport):
 
     def fetch_page(self, token, account_id, day, fields, cursor) -> FbPage:
         if account_id in self.fail_accounts:
-            raise IOError(f"account {account_id}: simulated API error (code 190)")
+            raise GraphApiError(
+                f"account {account_id}: simulated auth error", status=401, fb_code=190
+            )
         start = int(cursor) if cursor else 0
         rows = [
             self._row(account_id, day, i)
@@ -151,7 +274,16 @@ class HttpGraphTransport(Transport):
         }
         url = cursor or f"{self.GRAPH}/act_{account_id}/insights"
         resp = requests.get(url, params=None if cursor else params, timeout=30)
-        resp.raise_for_status()
+        if resp.status_code >= 400:
+            try:
+                fb_code = resp.json().get("error", {}).get("code")
+            except Exception:
+                fb_code = None
+            raise GraphApiError(
+                f"Graph API HTTP {resp.status_code} for {account_id}/{day}",
+                status=resp.status_code,
+                fb_code=fb_code,
+            )
         payload = resp.json()
         return FbPage(
             payload.get("data", []),
@@ -177,8 +309,10 @@ def _retrying_pages(
             try:
                 page = transport.fetch_page(token, account_id, day, fields, cursor)
                 break
-            except Exception:
-                if attempt == max_retries - 1:
+            except Exception as exc:
+                # Auth-class failures (401/403, FB 190/104) cannot succeed
+                # on retry — surface immediately (main.py:326-340).
+                if _is_fatal(exc) or attempt == max_retries - 1:
                     raise
                 if backoff_s:
                     time.sleep(backoff_s * (2**attempt))

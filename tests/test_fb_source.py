@@ -1,0 +1,126 @@
+"""Unit tests for the C1 token-refresh control plane and S4 retry
+classification (reference main.py:97-155, 226-237, 326-340)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fb_ads_bigquery_etl_spark.sources.fb_source import (
+    FakeTokenService,
+    FbPage,
+    GraphApiError,
+    InMemorySecretStore,
+    RefreshingTokenProvider,
+    Transport,
+    _retrying_pages,
+)
+
+DAY = 86400
+NOW = 1_700_000_000
+
+
+def _provider(expires_at: int, **kw):
+    store = InMemorySecretStore({"fb-ads-token": "tok0"})
+    service = FakeTokenService({"tok0": expires_at})
+    prov = RefreshingTokenProvider(store, service, now_fn=lambda: NOW, **kw)
+    return prov, store, service
+
+
+class TestRefreshingTokenProvider:
+    def test_no_refresh_when_fresh(self):
+        prov, store, service = _provider(NOW + 30 * DAY)
+        assert prov.get_token() == "tok0"
+        assert service.exchanges == 0
+        assert store.writes == []
+
+    def test_refresh_when_within_window(self):
+        prov, store, service = _provider(NOW + 5 * DAY)
+        fresh = prov.get_token()
+        assert fresh != "tok0"
+        assert service.exchanges == 1
+        # write-back (main.py:226-237): the store holds the fresh token
+        assert store.writes == [("fb-ads-token", fresh)]
+        assert store.get_secret("fb-ads-token") == fresh
+
+    def test_refresh_at_exact_boundary(self):
+        # expires in exactly 7 days -> counts as "within window" -> refresh
+        prov, _, service = _provider(NOW + 7 * DAY)
+        prov.get_token()
+        assert service.exchanges == 1
+
+    def test_no_refresh_just_outside_boundary(self):
+        prov, _, service = _provider(NOW + 7 * DAY + 1)
+        assert prov.get_token() == "tok0"
+        assert service.exchanges == 0
+
+    def test_never_expiring_token_used_as_is(self):
+        prov, store, service = _provider(0)
+        assert prov.get_token() == "tok0"
+        assert service.exchanges == 0
+        assert store.writes == []
+
+    def test_refreshed_token_is_fresh_next_run(self):
+        prov, store, service = _provider(NOW + 1 * DAY)
+        fresh = prov.get_token()
+        # next run reads the written-back token, now 61 days out: no refresh
+        assert prov.get_token() == fresh
+        assert service.exchanges == 1
+
+    def test_invalid_token_surfaces_auth_error(self):
+        store = InMemorySecretStore({"fb-ads-token": "revoked"})
+        prov = RefreshingTokenProvider(
+            store, FakeTokenService({}), now_fn=lambda: NOW
+        )
+        with pytest.raises(GraphApiError) as ei:
+            prov.get_token()
+        assert ei.value.is_fatal_auth
+
+
+class _CountingTransport(Transport):
+    def __init__(self, failures: list[Exception]):
+        self.failures = list(failures)
+        self.calls = 0
+
+    def fetch_page(self, token, account_id, day, fields, cursor):
+        self.calls += 1
+        if self.failures:
+            raise self.failures.pop(0)
+        return FbPage([{"ad_name": "a"}], None)
+
+
+class TestRetryClassification:
+    def test_fatal_auth_error_fails_after_one_attempt(self):
+        t = _CountingTransport(
+            [GraphApiError("expired", status=401, fb_code=190)] * 3
+        )
+        with pytest.raises(GraphApiError):
+            list(_retrying_pages(t, "tok", "acct", "2024-01-01", []))
+        assert t.calls == 1
+
+    @pytest.mark.parametrize("status,fb_code", [(403, None), (None, 104)])
+    def test_fatal_classification_variants(self, status, fb_code):
+        t = _CountingTransport(
+            [GraphApiError("auth", status=status, fb_code=fb_code)] * 3
+        )
+        with pytest.raises(GraphApiError):
+            list(_retrying_pages(t, "tok", "acct", "2024-01-01", []))
+        assert t.calls == 1
+
+    def test_transient_error_retried_to_success(self):
+        t = _CountingTransport([IOError("flaky"), IOError("flaky")])
+        rows = list(_retrying_pages(t, "tok", "acct", "2024-01-01", []))
+        assert rows == [{"ad_name": "a"}]
+        assert t.calls == 3
+
+    def test_transient_rate_limit_retried(self):
+        # FB 429 / code 17 (rate limit) is transient, not auth-fatal
+        t = _CountingTransport([GraphApiError("rate", status=429, fb_code=17)])
+        rows = list(_retrying_pages(t, "tok", "acct", "2024-01-01", []))
+        assert rows == [{"ad_name": "a"}]
+        assert t.calls == 2
+
+    def test_transient_exhaustion_raises_after_max_retries(self):
+        t = _CountingTransport([IOError("down")] * 5)
+        with pytest.raises(IOError):
+            list(_retrying_pages(t, "tok", "acct", "2024-01-01", []))
+        assert t.calls == 3

@@ -95,7 +95,7 @@ def test_error_isolation_degrades_failed_account(spark, tmp_path):
     assert with_bad.status == "success"
     assert with_bad.rows_processed == good.rows_processed
 
-    with pytest.raises(Exception, match="simulated API error"):
+    with pytest.raises(Exception, match="simulated auth error"):
         pipelines.run_daily(
             spark,
             accounts=["a", "bad"],
