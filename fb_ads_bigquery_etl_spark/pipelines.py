@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from fb_ads_bigquery_etl_spark.operators.dedup import (
     dedup_keep_first,
@@ -53,6 +53,14 @@ def _read_insights(
     return reader.load()
 
 
+def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach a row-count observation so the report's row count comes from
+    the WRITE action itself instead of a second count() execution — at
+    scale the recompute doubles the job (round-1 review finding)."""
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+
 def run_daily(
     spark: SparkSession,
     *,
@@ -63,18 +71,36 @@ def run_daily(
     dry_run: bool = False,
     **source_opts,
 ) -> RunReport:
-    """EP1 (main.py:454-550): one day, all accounts, dedup, load."""
-    raw = _read_insights(spark, accounts, run_date, run_date, **source_opts)
-    flat = flatten_insights(with_ingest_order(raw))
-    deduped = dedup_keep_first(flat).drop("_ingest_order")
-    if csv_artifact:
-        write_csv_artifact(deduped, csv_artifact)
-    if dry_run:  # C2 (main.py:538-540)
-        n = deduped.count()
-        return RunReport("dry_run", f"skipped load of {n} rows", n)
-    result = append_with_schema_evolution(spark, deduped, table_path)
-    n = deduped.count()
-    return RunReport("success", f"loaded {n} rows", n)
+    """EP1 (main.py:454-550): one day, all accounts, dedup, load.
+
+    The source is fetched ONCE per run (tests pin the fetch count): the
+    raw frame is persisted across the action-type discovery pass and the
+    sink pass (two inherent passes of the dynamic-pivot design — an API
+    re-fetch at scale is the worst re-read there is), the row count rides
+    the sink action as an observed metric instead of a recompute, and a
+    persist covers the CSV-artifact + table double-sink case.
+    """
+    raw = _read_insights(spark, accounts, run_date, run_date, **source_opts).persist()
+    try:
+        flat = flatten_insights(with_ingest_order(raw))
+        deduped, obs = _observed(dedup_keep_first(flat).drop("_ingest_order"))
+        n_actions = int(csv_artifact is not None) + int(not dry_run)
+        if n_actions > 1:
+            deduped = deduped.persist()
+        try:
+            if csv_artifact:
+                write_csv_artifact(deduped, csv_artifact)
+            if dry_run:  # C2 (main.py:538-540)
+                n = int(obs.get["rows"]) if csv_artifact else deduped.count()
+                return RunReport("dry_run", f"skipped load of {n} rows", n)
+            append_with_schema_evolution(spark, deduped, table_path)
+            n = int(obs.get["rows"])
+            return RunReport("success", f"loaded {n} rows", n)
+        finally:
+            if n_actions > 1:
+                deduped.unpersist()
+    finally:
+        raw.unpersist()
 
 
 def backfill(
@@ -87,34 +113,101 @@ def backfill(
     table_path: str | None = None,
     **source_opts,
 ) -> RunReport:
-    """EP2 (backfill.py:177-291): date range, dedup, range guard, CSV."""
-    raw = _read_insights(spark, accounts, start_date, end_date, **source_opts)
-    flat = flatten_insights(with_ingest_order(raw))
-    deduped = filter_date_range(
-        dedup_keep_first(flat).drop("_ingest_order"), start_date, end_date
+    """EP2 (backfill.py:177-291): date range, dedup, range guard, CSV.
+
+    Same single-execution contract as run_daily: observed row count, and
+    a persist across sinks when more than one action consumes the frame
+    (merge_upsert itself needs two passes — partition discovery + write —
+    and persists internally).
+    """
+    raw = _read_insights(spark, accounts, start_date, end_date, **source_opts).persist()
+    try:
+        flat = flatten_insights(with_ingest_order(raw))
+        deduped, obs = _observed(
+            filter_date_range(
+                dedup_keep_first(flat).drop("_ingest_order"), start_date, end_date
+            )
+        )
+        n_actions = int(csv_path is not None) + int(table_path is not None)
+        if n_actions > 1:
+            deduped = deduped.persist()
+        try:
+            if csv_path:
+                write_csv_artifact(deduped, csv_path)
+            if table_path:
+                merge_upsert(spark, deduped, table_path)
+            n = int(obs.get["rows"]) if n_actions else deduped.count()
+            return RunReport("success", f"backfilled {n} rows", n)
+        finally:
+            if n_actions > 1:
+                deduped.unpersist()
+    finally:
+        raw.unpersist()
+
+
+def resolve_latest_file(
+    spark: SparkSession, directory: str, *, pattern: str = "backfill_*.csv"
+) -> str:
+    """L6 (reference load_csv_to_bq.py:127-148): pick the most recent
+    backfill artifact by reverse filename sort — filenames embed the date
+    range, so lexicographic order IS recency order.
+
+    Globbing goes through the Hadoop FileSystem API so the artifact
+    directory can live on any supported store, not just local disk.
+    """
+    from fb_ads_bigquery_etl_spark.sinks import glob_files
+
+    matches = glob_files(spark, directory.rstrip("/") + "/" + pattern)
+    if not matches:
+        raise FileNotFoundError(f"no files matching {pattern!r} in {directory}")
+    return max(matches, key=lambda p: p.rsplit("/", 1)[-1])
+
+
+def parse_table_identifier(
+    identifier: str, *, default_catalog: str = "spark_catalog"
+) -> tuple[str, str, str]:
+    """L7 (reference load_csv_to_bq.py:69-83): accept `db.table` or
+    `catalog.db.table`; a 2-part identifier gets the session's default
+    catalog (the reference infers the GCP project from the client the
+    same way). Returns (catalog, database, table).
+    """
+    parts = identifier.split(".")
+    if not all(parts):
+        raise ValueError(f"empty component in table identifier {identifier!r}")
+    if len(parts) == 2:
+        return (default_catalog, parts[0], parts[1])
+    if len(parts) == 3:
+        return (parts[0], parts[1], parts[2])
+    raise ValueError(
+        f"table identifier must be db.table or catalog.db.table, got {identifier!r}"
     )
-    if csv_path:
-        write_csv_artifact(deduped, csv_path)
-    if table_path:
-        merge_upsert(spark, deduped, table_path)
-    n = deduped.count()
-    return RunReport("success", f"backfilled {n} rows", n)
 
 
 def load_csv(
-    spark: SparkSession, csv_path: str, table_path: str, *, upsert: bool = False
+    spark: SparkSession,
+    csv_path: str | None,
+    table_path: str,
+    *,
+    upsert: bool = False,
+    artifact_dir: str | None = None,
 ) -> RunReport:
     """EP3 (load_csv_to_bq.py:41-111): inferred CSV -> table.
 
-    Reference appends blindly (duplicate-on-reload); `upsert=True` is the
-    MERGE fix on the canonical key.
+    `csv_path=None` resolves the latest backfill artifact in
+    `artifact_dir` (L6, mirroring the reference CLI's default). The
+    reference appends blindly (duplicate-on-reload); `upsert=True` is
+    the MERGE fix on the canonical key.
     """
-    df = read_csv_inferred(spark, csv_path)
+    if csv_path is None:
+        if artifact_dir is None:
+            raise ValueError("csv_path=None requires artifact_dir")
+        csv_path = resolve_latest_file(spark, artifact_dir)
+    df, obs = _observed(read_csv_inferred(spark, csv_path))
     if upsert:
         merge_upsert(spark, df, table_path)
     else:
         df.write.mode("append").partitionBy("date_start").parquet(table_path)
-    n = df.count()
+    n = int(obs.get["rows"])
     return RunReport("success", f"loaded {n} rows from {csv_path}", n)
 
 
@@ -133,18 +226,17 @@ def maintain_table(
     maintenance cost tracks the DIRTY fraction of the table, never its
     total size. The audit is one scan producing one metadata-sized row.
     """
-    import os as _os
-
     from fb_ads_bigquery_etl_spark.operators.quality import duplicate_key_count
     from fb_ads_bigquery_etl_spark.schema import DEDUP_KEY
-    from fb_ads_bigquery_etl_spark.sinks import compact_partition
+    from fb_ads_bigquery_etl_spark.sinks import (
+        compact_partition,
+        list_partition_values,
+    )
 
     key = list(key or DEDUP_KEY)
-    parts = sorted(
-        d.split("=", 1)[1]
-        for d in _os.listdir(table_path)
-        if d.startswith("date_start=")
-    )
+    # Partition discovery through the Hadoop FS abstraction (not local
+    # os.listdir): maintenance must run against object-store tables.
+    parts = list_partition_values(spark, table_path)
     files_after = {
         p: compact_partition(
             spark, table_path, p, target_rows_per_file=compact_target_rows

@@ -21,6 +21,49 @@ from fb_ads_bigquery_etl_spark.schema import (
 )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for `path` via the session's Hadoop conf —
+    the store-agnostic way to list/glob (local, HDFS, s3a, gs all work)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def list_partition_values(
+    spark: SparkSession, table_path: str, *, partition_col: str = PARTITION_COLUMN
+) -> list[str]:
+    """Hive-partition discovery through the Hadoop FileSystem API.
+
+    Replaces local-FS `os.listdir`: at 100 TB the table lives on an
+    object store, and partition discovery must go through the session's
+    filesystem abstraction, not the driver's local disk.
+    """
+    fs, jpath, _ = _hadoop_fs(spark, table_path)
+    prefix = f"{partition_col}="
+    vals = [
+        st.getPath().getName()[len(prefix):]
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    return sorted(vals)
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Store-agnostic existence check via the Hadoop FileSystem API."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def glob_files(spark: SparkSession, pattern: str) -> list[str]:
+    """Store-agnostic glob (Hadoop `globStatus`), full URIs, sorted."""
+    fs, _, jvm = _hadoop_fs(spark, pattern)
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+    if statuses is None:
+        return []
+    return sorted(st.getPath().toString() for st in statuses)
+
+
 def write_partitioned(
     df: DataFrame, path: str, *, mode: str = "append", partition_col: str = PARTITION_COLUMN
 ) -> None:
@@ -107,29 +150,37 @@ def merge_upsert(
     this becomes a one-line `MERGE INTO`; the partition-scoped rewrite
     is the same bounded-IO shape.
     """
-    part_vals = [r[0] for r in updates.select(PARTITION_COLUMN).distinct().collect()]
-    if not part_vals:
-        return spark.read.parquet(path)
-    updates = updates.withColumn("_is_update", F.lit(1))
-    if os.path.exists(path):
-        existing = (
-            spark.read.option("mergeSchema", True)
-            .parquet(path)
-            .filter(F.col(PARTITION_COLUMN).isin(part_vals))
-            .withColumn("_is_update", F.lit(0))
+    # Two actions consume `updates` (partition discovery + the MERGE
+    # write): persist so the upstream pipeline executes once, not twice.
+    updates = updates.persist()
+    try:
+        part_vals = [
+            r[0] for r in updates.select(PARTITION_COLUMN).distinct().collect()
+        ]
+        if not part_vals:
+            return spark.read.parquet(path)
+        tagged = updates.withColumn("_is_update", F.lit(1))
+        if path_exists(spark, path):
+            existing = (
+                spark.read.option("mergeSchema", True)
+                .parquet(path)
+                .filter(F.col(PARTITION_COLUMN).isin(part_vals))
+                .withColumn("_is_update", F.lit(0))
+            )
+            merged = tagged.unionByName(existing, allowMissingColumns=True)
+        else:
+            merged = tagged
+        w = Window.partitionBy(*key).orderBy(F.col("_is_update").desc())
+        winners = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_is_update")
         )
-        merged = updates.unionByName(existing, allowMissingColumns=True)
-    else:
-        merged = updates
-    w = Window.partitionBy(*key).orderBy(F.col("_is_update").desc())
-    winners = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_update")
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    winners.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(path)
-    return spark.read.parquet(path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        winners.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(path)
+        return spark.read.parquet(path)
+    finally:
+        updates.unpersist()
 
 
 def overwrite_partitions(
@@ -172,18 +223,25 @@ def compact_partition(
     reference's yesterday-only write pattern makes every partition cold
     after a day).
     """
-    part_dir = os.path.join(path, f"{partition_col}={partition_value}")
-    cur = spark.read.parquet(part_dir)
-    n_rows = cur.count()
+    cur = spark.read.parquet(path).filter(F.col(partition_col) == partition_value)
+    # Cut lineage so the write below does not read from the path it
+    # overwrites (Spark rejects self-overwrite); localCheckpoint
+    # materializes the one partition being rewritten, nothing more.
+    snap = cur.localCheckpoint(eager=True)
+    n_rows = snap.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    # write to a sibling temp dir, then atomically swap via rename
-    tmp_dir = part_dir + "._compact_tmp"
-    cur.coalesce(n_files).write.mode("overwrite").parquet(tmp_dir)
-    import shutil
-
-    old_dir = part_dir + "._compact_old"
-    os.rename(part_dir, old_dir)
-    os.rename(tmp_dir, part_dir)
-    shutil.rmtree(old_dir)
-    # drop _SUCCESS etc. from the count of data files
-    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    # Dynamic partition overwrite replaces ONLY this partition through
+    # Spark's commit protocol — no manual directory renames, no window
+    # where the partition is missing, and it works on object stores.
+    overwrite_partitions(
+        snap.coalesce(n_files), path, partition_col=partition_col
+    )
+    part_dir = path.rstrip("/") + f"/{partition_col}={partition_value}"
+    fs, jpath, _ = _hadoop_fs(spark, part_dir)
+    return len(
+        [
+            st
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+    )

@@ -217,10 +217,20 @@ class FakeGraphTransport(Transport):
     exercise pagination, dedup, and flattening end-to-end.
     """
 
-    def __init__(self, rows_per_day: int = 25, page_size: int = 10, fail_accounts=()):
+    def __init__(
+        self,
+        rows_per_day: int = 25,
+        page_size: int = 10,
+        fail_accounts=(),
+        fetch_log: str | None = None,
+    ):
         self.rows_per_day = rows_per_day
         self.page_size = page_size
         self.fail_accounts = set(fail_accounts)
+        # Test seam: append one line per page fetch so tests can assert
+        # the pipeline reads the source exactly once per run (O_APPEND
+        # writes from worker processes are line-atomic on Linux).
+        self.fetch_log = fetch_log
 
     def _row(self, account_id: str, day: str, i: int) -> dict:
         h = int(hashlib.md5(f"{account_id}|{day}|{i}".encode()).hexdigest()[:8], 16)
@@ -242,6 +252,9 @@ class FakeGraphTransport(Transport):
         }
 
     def fetch_page(self, token, account_id, day, fields, cursor) -> FbPage:
+        if self.fetch_log:
+            with open(self.fetch_log, "a") as fh:
+                fh.write(f"{account_id}|{day}|{cursor}\n")
         if account_id in self.fail_accounts:
             raise GraphApiError(
                 f"account {account_id}: simulated auth error", status=401, fb_code=190
@@ -348,6 +361,7 @@ class FbInsightsReader(DataSourceReader):
         )
         self.rows_per_day = int(options.get("rows_per_day", "25"))
         self.page_size = int(options.get("page_size", "10"))
+        self.fetch_log = options.get("fetch_log") or None
 
     def partitions(self):
         d0 = date.fromisoformat(self.start)
@@ -362,6 +376,7 @@ class FbInsightsReader(DataSourceReader):
                 rows_per_day=self.rows_per_day,
                 page_size=self.page_size,
                 fail_accounts=self.fail_accounts,
+                fetch_log=self.fetch_log,
             )
         return _TRANSPORTS[self.transport_name]()
 

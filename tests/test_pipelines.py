@@ -272,3 +272,79 @@ def test_maintain_table_compacts_and_audits(spark, tmp_path):
     part = os.path.join(table, "date_start=2026-01-15")
     assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
     assert spark.read.parquet(table).count() == rep2.rows_processed
+
+
+def test_run_daily_reads_source_exactly_once(spark, tmp_path):
+    # 2 accounts x 1 day x 3 pages (25 rows / page_size 10) = 6 fetches
+    # for a single execution; a recompute-for-count would double it.
+    log = str(tmp_path / "fetch.log")
+    rep = pipelines.run_daily(
+        spark,
+        accounts=["a", "b"],
+        run_date="2026-01-15",
+        table_path=str(tmp_path / "t"),
+        fetch_log=log,
+    )
+    assert rep.status == "success"
+    with open(log) as fh:
+        fetches = fh.read().splitlines()
+    assert len(fetches) == 6, fetches
+
+
+def test_backfill_single_execution_with_both_sinks(spark, tmp_path):
+    log = str(tmp_path / "fetch.log")
+    rep = pipelines.backfill(
+        spark,
+        accounts=["a"],
+        start_date="2026-01-10",
+        end_date="2026-01-11",
+        csv_path=str(tmp_path / "bf.csv"),
+        table_path=str(tmp_path / "t"),
+        fetch_log=log,
+    )
+    assert rep.status == "success"
+    assert rep.rows_processed > 0
+    with open(log) as fh:
+        fetches = fh.read().splitlines()
+    # 1 account x 2 days x 3 pages = 6 fetches despite THREE consumers
+    # (csv sink, merge_upsert discovery+write, row count).
+    assert len(fetches) == 6, fetches
+
+
+def test_resolve_latest_file(spark, tmp_path):
+    for name in ["backfill_2026-01-01_to_2026-01-05.csv",
+                 "backfill_2026-02-01_to_2026-02-03.csv",
+                 "backfill_2025-12-01_to_2025-12-31.csv",
+                 "unrelated.csv"]:
+        (tmp_path / name).write_text("x")
+    latest = pipelines.resolve_latest_file(spark, str(tmp_path))
+    assert latest.endswith("backfill_2026-02-01_to_2026-02-03.csv")
+    with pytest.raises(FileNotFoundError):
+        pipelines.resolve_latest_file(spark, str(tmp_path), pattern="nope_*.csv")
+
+
+def test_parse_table_identifier():
+    assert pipelines.parse_table_identifier("ads.ad_data") == (
+        "spark_catalog", "ads", "ad_data")
+    assert pipelines.parse_table_identifier("prod.ads.ad_data") == (
+        "prod", "ads", "ad_data")
+    for bad in ["ad_data", "a.b.c.d", "a..c"]:
+        with pytest.raises(ValueError):
+            pipelines.parse_table_identifier(bad)
+
+
+def test_load_csv_resolves_latest_artifact(spark, tmp_path):
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    pipelines.backfill(
+        spark,
+        accounts=["a"],
+        start_date="2026-01-10",
+        end_date="2026-01-10",
+        csv_path=str(art / "backfill_2026-01-10_to_2026-01-10.csv"),
+    )
+    rep = pipelines.load_csv(
+        spark, None, str(tmp_path / "t"), artifact_dir=str(art))
+    assert rep.status == "success"
+    assert rep.rows_processed > 0
+    assert "backfill_2026-01-10" in rep.message
