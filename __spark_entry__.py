@@ -11,6 +11,7 @@ functions/portable.py).
 
 from __future__ import annotations
 
+import itertools
 import os
 from collections.abc import Callable
 
@@ -576,6 +577,58 @@ def q_tumbling_hourly(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = itertools.count()
+
+
+def q_streaming_hourly(spark, sf_dir):
+    """Streaming-backed tumbling 1h aggregation (streaming/windows.py
+    semantics driven end-to-end): a Structured Streaming query reads the
+    events landing zone with Trigger.AvailableNow, aggregates 1-hour
+    event-time windows, and drains into an in-memory sink; the returned
+    DataFrame is that sink's contents. Same oracle as tumbling_hourly —
+    stream==batch equivalence is exactly the guarantee being gated.
+    """
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # events.parquet is a single file; FileStreamSource wants a landing
+    # DIRECTORY (in production this is the ingest drop zone) — stage a
+    # symlink so the stream discovers the file like a landed batch.
+    landing = tempfile.mkdtemp(prefix="stream_hourly_landing_")
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "total_value", scale=6),
+        )
+        .select(
+            # epoch-aligned 1h windows: window.start == date_trunc('hour')
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"_stream_hourly_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour", "event_type")
+
+
 def q_running_total(spark, sf_dir):
     """Per-customer running revenue (cumulative window, exact decimal)."""
     o = _t(spark, sf_dir, "orders")
@@ -763,7 +816,18 @@ def q_order_gaps(spark, sf_dir):
 
 def q_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist per priority class (rank-based, so
-    engine-independent under ties)."""
+    engine-independent under ties).
+
+    SCALE NOTE: o_orderpriority has 5 distinct values, so exact global
+    ranks mean the whole table shuffles into <=5 window tasks — correct
+    at any size but a deliberate straggler at 100x. The scale path for
+    "where does this row sit in its group's distribution" is
+    approx-rank via fixed quantile boundaries: compute
+    approx_percentile(o_totalprice, array(0.01..0.99)) per group (a
+    partial-aggregated, fully parallel pass), broadcast the <=5x99
+    boundary table, and assign each row its bucket with a narrow join —
+    no single-task windows. Exact ranks stay available for final
+    reporting slices after a selective filter."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").asc())
     return o.select(
@@ -2012,6 +2076,13 @@ def _oracle() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    {_dsum_sql('value', 'total_value', 6)}
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # streaming_hourly drains a Trigger.AvailableNow streaming query
+        # into a memory sink; final state must equal the batch aggregate.
+        "streaming_hourly": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   {_dsum_sql('value', 'total_value', 6)}
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "running_total": """
             SELECT o_custkey, o_orderkey, o_orderdate,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -2539,6 +2610,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_supplier_cnt": q_parts_supplier_cnt,
     "large_orders": q_large_orders,
     "idle_customers": q_idle_customers,
+    "streaming_hourly": q_streaming_hourly,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,

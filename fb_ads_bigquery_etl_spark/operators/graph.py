@@ -25,7 +25,18 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iter with labels still changing —
+    the returned components would be silently SPLIT (wrong), so we fail
+    instead. A chain-shaped near-dup graph with diameter > max_iter
+    triggers this; raise max_iter (rounds ~ diameter)."""
 
 
 def connected_components(
@@ -34,6 +45,7 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
@@ -41,6 +53,11 @@ def connected_components(
     orientation); isolated nodes don't appear (callers union them in if
     needed — for dedup, docs with no near-dup pair are their own
     cluster and never need the shuffle).
+
+    If the loop exhausts ``max_iter`` without converging the result
+    would contain split components; ``strict=True`` (default) raises
+    ConvergenceError, ``strict=False`` logs a warning and returns the
+    partial labeling (callers that tolerate over-segmented clusters).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -86,6 +103,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — components would be "
+            "split; raise max_iter (rounds ~ graph diameter)"
+        )
+        if strict:
+            raise ConvergenceError(msg)
+        logger.warning(msg)
 
     return labels.select("node", F.col("label").alias("component"))
 

@@ -65,30 +65,59 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def train_centroids(
+    df: DataFrame,
+    *,
+    k: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train IVF centroids with the distributed k-means (clustering.kmeans)
+    and return them in the (centroid_id, cvec, cnorm) shape every IVF
+    entry point accepts. Trained centroids track the data distribution,
+    so at a fixed nprobe more of each query's true neighbors fall inside
+    probed buckets than with the deterministic mod-sample."""
+    from fb_ads_bigquery_etl_spark.operators.clustering import kmeans
+
+    _, cents, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = df.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, cvec array<double>"
+    )
+    return cdf.select(
+        "centroid_id", "cvec", l2_norm(F.col("cvec")).alias("cnorm")
+    )
+
+
 def assign_ivf_buckets(
     df: DataFrame,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_mod: int = 50,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF clustering.
-
-    Centroids = rows with id % centroid_mod == 0 (a deterministic sample;
-    a production build would run k-means — the assignment/probe plumbing
-    is identical). Assignment = broadcast nested-loop join vectors ×
+    """IVF clustering: assignment = broadcast nested-loop join vectors ×
     centroids keeping the nearest (max cosine, tie-break smallest
     centroid id). One dot product per (vector, centroid): both sides
     carry precomputed norms.
 
+    Centroid source: pass `centroids` (the (centroid_id, cvec, cnorm)
+    shape `train_centroids` produces) for k-means-trained buckets —
+    better recall at fixed nprobe; default is the deterministic
+    id % centroid_mod sample (reproducible without training, which the
+    oracle-parity gate relies on).
+
     Returns (centroids, assigned); assigned = (id, vec, norm, bucket).
     """
     prep = _prepared(df, id_col, vec_col)
-    centroids = prep.filter((F.col("id") % centroid_mod) == 0).select(
-        F.col("id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroids is None:
+        centroids = prep.filter((F.col("id") % centroid_mod) == 0).select(
+            F.col("id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     scored = prep.crossJoin(F.broadcast(centroids)).select(
         "id",
         "vec",
@@ -116,6 +145,7 @@ def ivf_topk(
     centroid_mod: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probed top-k: search only the nprobe buckets nearest the query.
 
@@ -124,7 +154,11 @@ def ivf_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     centroids, assigned = assign_ivf_buckets(
-        df, vec_col=vec_col, id_col=id_col, centroid_mod=centroid_mod
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        centroid_mod=centroid_mod,
+        centroids=centroids,
     )
     probed = (
         centroids.select(
@@ -154,9 +188,14 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_mod: int = 50,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: vectors parquet-partitioned BY BUCKET,
     centroids as a tiny sibling table.
+
+    Pass `centroids=train_centroids(df, k=...)` to build the index over
+    k-means-trained buckets (the recall path); default is the
+    deterministic mod-sample (the reproducibility path).
 
     This is what makes ANN sublinear at 100 TB: a probe reads only the
     nprobe matching partition directories (Catalyst partition pruning on
@@ -164,7 +203,11 @@ def build_ivf_index(
     listed), instead of re-scoring the whole corpus per query.
     """
     centroids, assigned = assign_ivf_buckets(
-        df, vec_col=vec_col, id_col=id_col, centroid_mod=centroid_mod
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        centroid_mod=centroid_mod,
+        centroids=centroids,
     )
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
     centroids.write.mode("overwrite").parquet(f"{path}_centroids")
@@ -211,13 +254,23 @@ def cosine_pairs(
     block_col: str | None = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with cosine >= threshold.
 
     ``block_col`` is the blocking key (pairs are only considered within a
-    block — e.g. a coarse cluster/label); None = full cross product,
-    which is exact but quadratic (test scales only).
+    block — e.g. a coarse cluster/label, or an IVF bucket from
+    `assign_ivf_buckets`). ``block_col=None`` is an exact-but-quadratic
+    full cross product that cannot survive real corpus sizes, so it
+    raises unless the caller explicitly opts in with
+    ``allow_full_cross=True`` (test scales only).
     """
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "cosine_pairs(block_col=None) is an unbounded quadratic "
+            "cross-join; pass allow_full_cross=True to run it on test-"
+            "scale data, or block on a label/IVF bucket column"
+        )
     prep = _prepared(df, id_col, vec_col, *( [block_col] if block_col else [] ))
     left = prep.select(
         F.col("id").alias("id_a"),

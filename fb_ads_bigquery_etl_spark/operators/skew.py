@@ -35,7 +35,19 @@ def salted_join(
     in memory S times it's usually broadcastable and you don't need
     this; the real use is a dim too big to broadcast joining a fact with
     hot keys). Output columns = fact's + dim's minus the duplicate key.
+
+    Only fact-preserving join types are allowed: replicating the dim
+    side S× means any join that preserves UNMATCHED dim rows (right,
+    full_outer) would emit each such row S times. inner/left/semi/anti
+    never surface unmatched dim rows, so replication is invisible.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/left_semi/left_anti "
+            "are salt-safe — an outer-preserved dim row would duplicate "
+            f"{salt}x. Dedup the dim side or use a plain join for outer types."
+        )
     fact_salted = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
     )

@@ -44,6 +44,13 @@ def asof_join(
     that sorts LAST wins, deterministically. Output = every left column
     plus `prefix + c` for each requested right column (null when no right
     row precedes the left row).
+
+    Row-level semantics: the carried right columns are packed into ONE
+    struct and carried with a single `last(ignorenulls=True)`, so every
+    attached value comes from the SAME right row — a genuinely-NULL
+    field in the most recent right row stays NULL instead of being
+    stitched from an older row (which independent per-column `last`
+    calls would do).
     """
     right_order = right_order or []
     l_marked = left.select(
@@ -74,15 +81,25 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Pack right columns into one struct: non-null for every right row
+    # (even when individual fields are null), null for left rows — so
+    # last(ignorenulls) selects whole right ROWS, never mixes rows.
+    packed = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols]),
+    )
     carried = l_marked.unionByName(r_marked).select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_cols
-        ],
+        F.last(packed, ignorenulls=True).over(w).alias("_asof_row"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_asof_row")[c].alias(f"{prefix}{c}") for c in right_cols],
+        )
+    )
 
 
 def range_count_join(

@@ -10,8 +10,6 @@ date_start is the same scan-cost lever BigQuery partitioning buys.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.schema import (

@@ -76,3 +76,23 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """A chain longer than max_iter rounds must raise, never return
+    silently-split components."""
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(chain, max_iter=2)
+    # non-strict mode returns the partial labeling instead
+    part = connected_components(chain, max_iter=2, strict=False)
+    assert part.count() == 31

@@ -52,3 +52,58 @@ def test_index_probe_is_partition_pruned(spark, index_path):
     assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or (
         "PartitionFilters" in plan and "bucket" in plan
     ), plan[:2000]
+
+
+def test_trained_centroids_improve_probed_recall(spark):
+    """k-means-trained centroids must beat (or match) the deterministic
+    mod-sample on recall@10 at the same nprobe, and clear a floor."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).select("embedding").head()[0])
+    truth = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    mod = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, nprobe=2, centroid_mod=50).collect()
+    }
+    cents = similarity.train_centroids(emb, k=16)
+    trained = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, k=10, nprobe=2, centroids=cents).collect()
+    }
+    recall_mod = len(mod & truth) / 10
+    recall_trained = len(trained & truth) / 10
+    assert recall_trained >= recall_mod
+    assert recall_trained >= 0.8
+
+
+def test_trained_index_roundtrip(spark, tmp_path):
+    """build_ivf_index(centroids=...) persists trained buckets; the probe
+    answers from the persisted index match the in-memory query."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids(emb, k=16)
+    path = str(tmp_path / "trained_index")
+    similarity.build_ivf_index(emb, path, centroids=cents)
+    q = list(emb.filter(F.col("vec_id") == 7).select("embedding").head()[0])
+    want = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in similarity.ivf_topk(emb, q, k=10, nprobe=2, centroids=cents).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["score"], 10))
+        for r in similarity.query_ivf_index(spark, path, q, k=10, nprobe=2).collect()
+    ]
+    assert got == want
+
+
+def test_cosine_pairs_unblocked_requires_optin(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        similarity.cosine_pairs(emb, block_col=None)
+    # the explicit opt-in still works at test scale
+    pairs = similarity.cosine_pairs(
+        emb.limit(50), block_col=None, threshold=-1.0, allow_full_cross=True
+    )
+    assert pairs.count() == 50 * 49 / 2

@@ -48,3 +48,22 @@ def test_salt_spreads_hot_key(spark):
     counts = [r["count"] for r in salts]
     assert len(counts) == 8, "hot key must span all salt buckets"
     assert max(counts) < sum(counts) * 0.25, "no salt bucket should dominate"
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "x")], ["k", "a"])
+    dim = spark.createDataFrame([(1, "d"), (2, "unmatched")], ["k", "b"])
+    for how in ["right", "full", "full_outer", "outer"]:
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(fact, dim, "k", how=how)
+
+
+def test_salted_join_semi_anti_match_plain(spark):
+    fact = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "a"])
+    dim = spark.createDataFrame([(1, "d"), (1, "d2")], ["k", "b"])
+    for how in ["left_semi", "left_anti"]:
+        got = sorted(salted_join(fact, dim, "k", how=how).collect())
+        want = sorted(fact.join(dim, "k", how).collect())
+        assert got == want, how

@@ -112,3 +112,20 @@ def test_range_join_unmatched_left_survives(spark):
         left, right, on=["k"], left_ts="ts", right_ts="ts", window_us=3_600_000_000
     ).collect()
     assert len(rows) == 1 and rows[0]["n_in_range"] == 0
+
+
+def test_asof_null_field_in_latest_right_row_stays_null(spark):
+    """Row-level as-of semantics: if the most recent right row has a NULL
+    in one carried column, the output must NOT stitch that column from
+    an older right row."""
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 1, "old_px", "old_qty"), ("k", 5, "new_px", None)],
+        ["key", "ts", "px", "qty"],
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["px", "qty"],
+    ).head()
+    assert out["asof_px"] == "new_px"
+    assert out["asof_qty"] is None  # NOT "old_qty"
