@@ -577,6 +577,121 @@ def q_tumbling_hourly(spark, sf_dir):
     )
 
 
+def q_priority_count(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: lateness = shipped >60 days after order,
+    since this lineitem has no commit/receipt dates): per-priority count
+    of Q1-1996 orders with at least one late lineitem. Decorrelated
+    EXISTS -> left-semi join with a non-equi residual; the quarter
+    filter prunes the orders scan before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue shipped by suppliers in the customer's OWN
+    nation, per ASIA nation, 1997. Five-table join; nation/region
+    broadcast (tiny dims), the c_nationkey = s_nationkey residual rides
+    the supplier join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q_shipping_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no shipmode column — classify by
+    shipping-DELAY bucket instead): per delay bucket, how many 1997
+    lineitems belong to high- vs low-priority orders. Conditional
+    counts, one hash aggregate; the shipdate range filter is pushed to
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "0-30").when(delay <= 60, "31-60").otherwise("60+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_count"),
+            F.count(F.when(~high, 1)).alias("low_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty — the excess test
+    is RELATIVE, >1.5x the mean shipped quantity, so it is
+    scale-invariant): suppliers who shipped disproportionate volume of
+    'small%' parts in 1997. Nested aggregate + scalar threshold; part is
+    broadcast into the lineitem join, the threshold is a one-row cross
+    join. Quantities accumulate as decimals (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), "qty", scale=2))
+    )
+    thr = shipped.agg(
+        (
+            F.lit(1.5)
+            * F.sum(F.col("qty").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("thr")
+    )
+    return (
+        shipped.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_name", "qty")
+        .orderBy("s_name")
+    )
+
+
 _STREAM_SEQ = itertools.count()
 
 
@@ -2001,6 +2116,55 @@ def _oracle() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "priority_count": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "local_supplier_volume": f"""
+            SELECT n_name,
+                   {_dsum_sql('l_extendedprice * (1.0 - l_discount)', 'revenue', 6)}
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC""",
+        "shipping_delay_priority": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                        THEN '0-30'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+                        THEN '31-60' ELSE '60+' END AS delay_bucket,
+                   COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS high_count,
+                   COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1""",
+        "excess_shippers": """
+            WITH shipped AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey)
+            SELECT s_name, qty
+            FROM shipped JOIN supplier ON l_suppkey = s_suppkey
+            WHERE qty > (SELECT 1.5 * CAST(SUM(CAST(qty AS DECIMAL(18,2)))
+                                           AS DOUBLE) / COUNT(*)
+                         FROM shipped)
+            ORDER BY s_name""",
         "exists_late_lineitem": """
             SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem
@@ -2611,6 +2775,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_orders": q_large_orders,
     "idle_customers": q_idle_customers,
     "streaming_hourly": q_streaming_hourly,
+    "priority_count": q_priority_count,
+    "local_supplier_volume": q_local_supplier_volume,
+    "shipping_delay_priority": q_shipping_delay_priority,
+    "excess_shippers": q_excess_shippers,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,
