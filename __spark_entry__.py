@@ -1504,6 +1504,46 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(e, list(qvec), k=10, nprobe=2, centroid_mod=50)
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join: top-3 cosine neighbors for each of the first 20
+    vectors — the bulk similarity-search workload (query batch
+    broadcasts, one narrow scoring pass over the corpus)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return similarity.knn_join(e, q, k=3).orderBy(
+        "query_id", F.col("score").desc(), "neighbor_id"
+    )
+
+
+def q_quartile_bucket(spark, sf_dir):
+    """Scale-path ranking (the percent_rank alternative described in
+    q_percent_rank's note): per-priority quartile boundaries from ONE
+    aggregate pass (percentile here; approx_percentile at 100 TB),
+    broadcast back, narrow bucket assignment, then a normal hash
+    aggregate — no single-task exact-rank windows anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("q2"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.75)).alias("q3"),
+    )
+    j = o.join(F.broadcast(b), o["o_orderpriority"] == b["pri"])
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        j.groupBy("o_orderpriority", bucket.alias("quartile"))
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice"), "total", scale=2),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 def q_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return analyze_documents(d).select(
@@ -2042,6 +2082,36 @@ def _oracle() -> dict[str, str]:
                      {_cos_sql('a.e', 'b.e')} AS cosine
               FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
             WHERE cosine >= 0.4""",
+        "knn_join": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql('c.e', 'q.e')} AS score
+              FROM v c JOIN v q ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id ASC)
+                       AS rn
+              FROM scored)
+            SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 3
+            ORDER BY query_id, score DESC, neighbor_id""",
+        "quartile_bucket": f"""
+            WITH b AS (
+              SELECT o_orderpriority AS pri,
+                     quantile_cont(o_totalprice, 0.25) AS q1,
+                     quantile_cont(o_totalprice, 0.5)  AS q2,
+                     quantile_cont(o_totalprice, 0.75) AS q3
+              FROM orders GROUP BY 1)
+            SELECT o_orderpriority,
+                   CASE WHEN o_totalprice <= q1 THEN 1
+                        WHEN o_totalprice <= q2 THEN 2
+                        WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS quartile,
+                   COUNT(*) AS n,
+                   {_dsum_sql('o_totalprice', 'total', 2)}
+            FROM orders JOIN b ON o_orderpriority = pri
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "ann_brute_force": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -2779,6 +2849,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "shipping_delay_priority": q_shipping_delay_priority,
     "excess_shippers": q_excess_shippers,
+    "knn_join": q_knn_join,
+    "quartile_bucket": q_quartile_bucket,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,

@@ -23,7 +23,7 @@ pair instead of three.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import dot_product, l2_norm
 
@@ -63,6 +63,55 @@ def brute_force_topk(
         (dot_product(F.col("vec"), q) / (F.col("norm") * l2_norm(q))).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch k-nearest-neighbors: for EVERY query vector, the k nearest
+    corpus vectors by cosine (self-matches on equal ids excluded).
+
+    Shape: the query set broadcasts (batch similarity search — query
+    batches are orders of magnitude smaller than the corpus), scoring is
+    one narrow pass over the corpus, and the per-query top-k is a window
+    over |queries| groups — parallelism scales with the query batch, not
+    a handful of static keys. For corpus-vs-corpus kNN, route through
+    IVF buckets (`assign_ivf_buckets`) as the blocking key instead of
+    broadcasting.
+
+    Returns (query_id, neighbor_id, score), k rows per query, ties
+    broken by neighbor id ascending.
+    """
+    prep_c = _prepared(corpus, id_col, vec_col)
+    prep_q = _prepared(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        prep_c.join(F.broadcast(prep_q), F.col("id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            (
+                dot_product(F.col("vec"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def train_centroids(
