@@ -69,9 +69,15 @@ def run_daily(
     table_path: str,
     csv_artifact: str | None = None,
     dry_run: bool = False,
+    credentials: fb_source.CredentialProvider | None = None,
     **source_opts,
 ) -> RunReport:
     """EP1 (main.py:454-550): one day, all accounts, dedup, load.
+
+    `credentials` resolves the access token ON THE DRIVER before the job
+    plans (reference EP1 step 2, main.py:469 — refresh/write-back happen
+    once here, never inside distributed readers); the short-lived token
+    then ships to partition readers as a plain source option.
 
     The source is fetched ONCE per run (tests pin the fetch count): the
     raw frame is persisted across the action-type discovery pass and the
@@ -80,6 +86,8 @@ def run_daily(
     the sink action as an observed metric instead of a recompute, and a
     persist covers the CSV-artifact + table double-sink case.
     """
+    if credentials is not None:
+        source_opts["token"] = credentials.get_token()
     raw = _read_insights(spark, accounts, run_date, run_date, **source_opts).persist()
     try:
         flat = flatten_insights(with_ingest_order(raw))

@@ -348,3 +348,26 @@ def test_load_csv_resolves_latest_artifact(spark, tmp_path):
     assert rep.status == "success"
     assert rep.rows_processed > 0
     assert "backfill_2026-01-10" in rep.message
+
+
+def test_run_daily_resolves_credentials_on_driver(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sources.fb_source import (
+        FakeTokenService,
+        InMemorySecretStore,
+        RefreshingTokenProvider,
+    )
+
+    now = 1_700_000_000
+    store = InMemorySecretStore({"fb-ads-token": "tok0"})
+    service = FakeTokenService({"tok0": now + 86400})  # 1 day to expiry
+    rep = pipelines.run_daily(
+        spark,
+        accounts=["a"],
+        run_date="2026-01-15",
+        table_path=str(tmp_path / "t"),
+        credentials=RefreshingTokenProvider(store, service, now_fn=lambda: now),
+    )
+    assert rep.status == "success" and rep.rows_processed > 0
+    # the provider refreshed and wrote back before the job planned
+    assert service.exchanges == 1
+    assert store.get_secret("fb-ads-token") != "tok0"

@@ -122,3 +122,26 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert PI.broadcast_join_count(df) >= 1
     counts = PI.node_counts(df)
     assert counts["SortMergeJoin"] == 0, counts
+
+
+def test_new_tpch_shapes_broadcast_and_push(spark):
+    for name, min_bhj in [
+        ("priority_count", 1),
+        ("local_supplier_volume", 3),
+        ("shipping_delay_priority", 1),
+        ("excess_shippers", 2),
+        ("quartile_bucket", 1),
+    ]:
+        df = _q(spark, name)
+        assert PI.broadcast_join_count(df) >= min_bhj, name
+        assert not PI.has_cartesian(df), name
+        assert PI.pushed_filters(df), name
+
+
+def test_knn_join_broadcasts_query_batch(spark):
+    """The kNN join must broadcast the query side (BroadcastNestedLoop
+    over the corpus scan), never shuffle the corpus."""
+    df = _q(spark, "knn_join")
+    plan = PI.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or PI.broadcast_join_count(df) >= 1
+    assert not PI.has_cartesian(df)
