@@ -145,3 +145,49 @@ def test_knn_join_broadcasts_query_batch(spark):
     plan = PI.explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or PI.broadcast_join_count(df) >= 1
     assert not PI.has_cartesian(df)
+
+
+def test_conversion_funnel_is_pure_aggregation(spark):
+    """Funnel = two stacked aggs, no self-joins: adding a stage must not
+    add a scan or a join (the anti-pattern is one join per stage)."""
+    df = _q(spark, "conversion_funnel")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert not PI.has_cartesian(df)
+
+
+def test_cohort_retention_single_wide_shuffle(spark):
+    """collect_set(month) keyed on o_custkey is the only data-sized
+    exchange; the (cohort, k) agg exchanges a calendar-sized result."""
+    df = _q(spark, "cohort_retention")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    # custkey agg + tiny final agg + output sort — nothing else
+    assert PI.exchange_count(df) <= 3, PI.explain_str(df)
+
+
+def test_null_safe_join_stays_broadcast_hash(spark):
+    """eqNullSafe is hashable: it must plan as a broadcast HASH join,
+    never a nested-loop (which would be quadratic at scale)."""
+    df = _q(spark, "null_safe_join")
+    assert PI.broadcast_join_count(df) >= 1
+    plan = PI.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not PI.has_cartesian(df)
+
+
+def test_lang_distribution_prunes_unused_text_fields(spark):
+    """fields=('lang_pred',) must keep the md5 fingerprint and BPE regex
+    out of the plan entirely — pruning happens at plan construction."""
+    plan = PI.explain_str(_q(spark, "lang_distribution"))
+    assert "md5" not in plan
+    assert not PI.has_cartesian(_q(spark, "lang_distribution"))
+
+
+def test_corr_price_qty_single_pass(spark):
+    """All five moments come from ONE scan + ONE agg — no per-moment
+    subqueries, no join of partial results."""
+    df = _q(spark, "corr_price_qty")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert nc["Scan"] == 1, nc
