@@ -2111,6 +2111,84 @@ def q_pivot_source_lang(spark, sf_dir):
     )
 
 
+def q_gap_fill_daily(spark, sf_dir):
+    """Time-series gap filling: a generated calendar spine (sequence +
+    explode — no table scan) left-joins the daily aggregate so
+    zero-order days surface as explicit rows. The spine is
+    calendar-sized and the aggregate is post-shuffle-small, so the join
+    broadcasts; the date filter on orders pushes to the scan. Missing
+    days report n_orders = 0 and total = NULL (no orders to sum)."""
+    lo, hi = "1996-01-01", "1996-03-31"
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+        ).alias("day")
+    )
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.to_date("o_orderdate") >= lo) & (F.to_date("o_orderdate") <= hi)
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice"), "t"))
+    )
+    return (
+        spine.join(F.broadcast(daily), F.col("day") == F.col("d"), "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.col("t").alias("total_price"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs (levenshtein <= 2) over supplier
+    names, BLOCKED by nation — the classic record-linkage shape: the
+    quadratic comparison runs only inside blocks, so cost is
+    sum(block^2), not n^2. At 100 TB the block key comes from a cheap
+    classifier (nation/prefix/LSH bucket); the pair join itself is a
+    keyed self-join, shuffle-partitioned by block."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.s_name"), F.col("b.s_name")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            F.col("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic size-weighted document sampling: keep probability
+    n_chars/max(n_chars), decided by an all-integer hash comparison
+    (operators/sampling.weighted_keep) — reproducible across engines,
+    partitionings, and appends, unlike rand(). The max is a 1-row
+    broadcast; the filter is a narrow map over the scan."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import weighted_keep
+
+    d = _t(spark, sf_dir, "documents")
+    maxc = d.agg(F.max("n_chars").alias("maxc"))
+    return (
+        d.crossJoin(F.broadcast(maxc))
+        .filter(
+            weighted_keep(F.col("doc_id"), F.col("n_chars"), F.col("maxc"))
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming per-user session windows (30-min inactivity gap) via
     session_window + Trigger.AvailableNow into a memory sink; sessions
@@ -3097,6 +3175,38 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
                    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
             FROM documents GROUP BY source ORDER BY source""",
+        # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
+        # back to DATE to match Spark's sequence(date, date).
+        "gap_fill_daily": f"""
+            WITH spine AS (
+              SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+                                                 DATE '1996-03-31',
+                                                 INTERVAL 1 DAY)) AS DATE) AS day),
+            daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+                     {_dsum_sql('o_totalprice', 't')}
+              FROM orders
+              WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                                  AND DATE '1996-03-31'
+              GROUP BY 1)
+            SELECT day, COALESCE(n, 0) AS n_orders, t AS total_price
+            FROM spine LEFT JOIN daily ON day = d
+            ORDER BY day""",
+        "dedup_levenshtein": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 2
+            ORDER BY id_a, id_b""",
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents,
+                 (SELECT MAX(n_chars) AS maxc FROM documents)
+            WHERE ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    * maxc
+                  < n_chars * 4294967296
+            ORDER BY doc_id""",
         # session_window merges events < gap apart; a gap of EXACTLY 30min
         # starts a new session ([a, a+g) does not overlap [a+g, ...)), hence
         # >= in the oracle's new-session predicate.
@@ -3178,9 +3288,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_windows": q_sliding_windows,
     "pivot_source_lang": q_pivot_source_lang,
     # --- entries below are past the driver's ~50-entry check horizon ---
-    # streaming_sessions is new too; it rotates into the checked window
-    # next round (locally gated by test_oracle_parity meanwhile).
+    # These are new too; they rotate into the checked window next round
+    # (locally gated by test_oracle_parity meanwhile).
     "streaming_sessions": q_streaming_sessions,
+    "gap_fill_daily": q_gap_fill_daily,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "weighted_sample": q_weighted_sample,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,

@@ -86,3 +86,18 @@ def stratified_sample_hash(
             F.col(strata_col) == value, F.lit(int(round(frac * BUCKETS)))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def weighted_keep(key: Column, weight: Column, max_weight: Column, salt: str = "ws:") -> Column:
+    """Deterministic Bernoulli keep with probability weight/max_weight.
+
+    All-integer comparison (u * max_weight < weight * 2^32, u =
+    portable.hash32 of the salted key) — no float division, so the
+    decision is bit-identical across engines and never flips on a
+    rounding edge. Same determinism/append-stability contract as
+    `hash_bucket`; `max_weight` is typically a broadcast scalar
+    aggregate. Weights must be non-negative integers (use a scaled cast
+    for fractional weights); rows with weight == max_weight keep with
+    probability ~1 (exactly 1 - 2^-32)."""
+    u = hash32(F.concat(F.lit(salt), key.cast("string")))
+    return u * max_weight < weight * F.lit(2**32)

@@ -191,3 +191,18 @@ def test_corr_price_qty_single_pass(spark):
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
     assert nc["Scan"] == 1, nc
+
+
+def test_round2_small_ops_plan_shapes(spark):
+    # gap_fill: daily agg broadcasts into the generated spine; the date
+    # filter reaches the orders scan
+    df = _q(spark, "gap_fill_daily")
+    assert PI.broadcast_join_count(df) >= 1
+    assert PI.pushed_filters(df)
+    # levenshtein near-dup: blocked self-join, never a cartesian
+    df = _q(spark, "dedup_levenshtein")
+    assert not PI.has_cartesian(df)
+    # weighted sample: scalar max broadcasts; no sort-merge anywhere
+    df = _q(spark, "weighted_sample")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0, nc
