@@ -2111,6 +2111,150 @@ def q_pivot_source_lang(spark, sf_dir):
     )
 
 
+def q_trend_by_nation(spark, sf_dir):
+    """Distributed grouped OLS: per-nation revenue slope over month
+    index, closed-form from five moment sums — the massively-parallel
+    way to fit millions of tiny models (one hash-agg, no per-group
+    driver loops, no ML library). Portability: monthly revenue rounds
+    to whole units and the month index is an exact int, so every moment
+    is an exact integer < 2^53 — the double conversions are exact and
+    the final slope expression is the identical IEEE computation in
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.months_between(
+                F.to_date(F.date_trunc("month", "o_orderdate")),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("int")
+            .alias("m"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mm, yy = F.col("m").cast("double"), F.col("y")
+    mo = monthly.groupBy("n_name").agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(mm).alias("sm"),
+        F.sum(yy).alias("sy"),
+        F.sum(mm * mm).alias("smm"),
+        F.sum(mm * yy).alias("smy"),
+    )
+    k, sm, sy = F.col("k"), F.col("sm"), F.col("sy")
+    smm, smy = F.col("smm"), F.col("smy")
+    return mo.select(
+        "n_name",
+        ((k * smy - sm * sy) / (k * smm - sm * sm)).alias("slope"),
+    ).orderBy("n_name")
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Daily-volume anomaly detection per event type: z-score of each
+    day's total value against that type's own distribution, flag |z|>2.
+    The totals are coarsened to exact integer cents, so all moments are
+    exact integers < 2^53 and z = (n*x - sx)/sqrt(n*sxx - sx^2) is the
+    identical IEEE expression in both engines. The stats window
+    partitions by event_type (tiny domain) over day-grain rows — the
+    wide data already collapsed in the daily agg."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2) * 100)
+        .cast("long")
+        .alias("xc")
+    )
+    w = Window.partitionBy("event_type")
+    st = (
+        daily.withColumn("nn", F.count("*").over(w))
+        .withColumn("sx", F.sum("xc").over(w))
+        .withColumn("sxx", F.sum(F.col("xc") * F.col("xc")).over(w))
+    )
+    z = (F.col("nn") * F.col("xc") - F.col("sx")).cast("double") / F.sqrt(
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return st.select(
+        "day",
+        "event_type",
+        (F.col("xc").cast("double") / 100).alias("total_value"),
+        z.alias("zscore"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    ).orderBy("day", "event_type")
+
+
+def q_lang_gini_by_source(spark, sf_dir):
+    """Corpus diversity audit: per-source Gini impurity of the language
+    mix, 1 - sum(c_i^2)/n^2 — a training-data curation metric (detects
+    single-language or degenerate sources). Exact rational form: counts
+    are exact integers, one double division at the end, identical in
+    both engines (never -p*log(p), whose libm calls differ)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    agg = per.groupBy("source").agg(
+        F.sum("c").alias("nn"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.count("*").alias("n_langs"),
+    )
+    return agg.select(
+        "source",
+        "n_langs",
+        (
+            (F.col("nn") * F.col("nn") - F.col("scc")).cast("double")
+            / (F.col("nn") * F.col("nn")).cast("double")
+        ).alias("gini"),
+    ).orderBy("source")
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py semantics driven
+    end-to-end): purchases matched to same-user views from the
+    preceding hour, both sides Structured Streaming with watermarks —
+    the interval bound is what lets Spark evict join state, the scale
+    contract for unbounded streams. AvailableNow drains the whole file;
+    the appended result must equal the batch interval join (the
+    oracle)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="stream_ij_landing_")
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(landing)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+            .filter(F.col("event_type") == event_type)
+        )
+
+    from fb_ads_bigquery_etl_spark.streaming.joins import (
+        purchases_with_recent_views,
+    )
+
+    joined = purchases_with_recent_views(side("purchase"), side("view"))
+    name = f"_stream_ij_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("p_event_id", "v_event_id")
+
+
 def q_gap_fill_daily(spark, sf_dir):
     """Time-series gap filling: a generated calendar spine (sequence +
     explode — no table scan) left-joins the daily aggregate so
@@ -3175,6 +3319,71 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
                    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
             FROM documents GROUP BY source ORDER BY source""",
+        # Moments are integer-valued doubles < 2^53, so the SUMs below are
+        # exact regardless of accumulation order (see q_trend_by_nation).
+        "trend_by_nation": """
+            WITH monthly AS (
+              SELECT n_name,
+                     CAST(datediff('month', DATE '1995-01-01',
+                          CAST(date_trunc('month', o_orderdate) AS DATE))
+                          AS INT) AS m,
+                     CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                          AS DOUBLE) AS y
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation   ON c_nationkey = n_nationkey
+              GROUP BY 1, 2),
+            mo AS (
+              SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS k,
+                     SUM(CAST(m AS DOUBLE)) AS sm, SUM(y) AS sy,
+                     SUM(CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS smm,
+                     SUM(CAST(m AS DOUBLE) * y) AS smy
+              FROM monthly GROUP BY 1)
+            SELECT n_name, (k * smy - sm * sy) / (k * smm - sm * sm) AS slope
+            FROM mo ORDER BY n_name""",
+        "anomaly_zscore": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, event_type,
+                     CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 2) * 100
+                          AS BIGINT) AS xc
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT day, event_type, xc,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS nn,
+                     CAST(SUM(xc) OVER w AS BIGINT) AS sx,
+                     CAST(SUM(xc * xc) OVER w AS BIGINT) AS sxx
+              FROM daily WINDOW w AS (PARTITION BY event_type))
+            SELECT day, event_type,
+                   CAST(xc AS DOUBLE) / 100 AS total_value,
+                   CAST(nn * xc - sx AS DOUBLE)
+                     / sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) AS zscore,
+                   abs(CAST(nn * xc - sx AS DOUBLE)
+                       / sqrt(CAST(nn * sxx - sx * sx AS DOUBLE))) > 2
+                     AS is_anomaly
+            FROM st ORDER BY day, event_type""",
+        "lang_gini_by_source": """
+            WITH per AS (
+              SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+            agg AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS nn,
+                     CAST(SUM(c * c) AS BIGINT) AS scc,
+                     COUNT(*) AS n_langs
+              FROM per GROUP BY 1)
+            SELECT source, n_langs,
+                   CAST(nn * nn - scc AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+                     AS gini
+            FROM agg ORDER BY source""",
+        # The streaming interval join drains into an append-mode memory
+        # sink; the complete result must equal this batch interval join.
+        "streaming_interval_join": """
+            SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+                   p.ts AS p_ts, p.value AS p_value,
+                   v.event_id AS v_event_id, v.user_id AS v_user_id,
+                   v.ts AS v_ts, v.value AS v_value
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            ORDER BY p_event_id, v_event_id""",
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
         "gap_fill_daily": f"""
@@ -3294,6 +3503,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_daily": q_gap_fill_daily,
     "dedup_levenshtein": q_dedup_levenshtein,
     "weighted_sample": q_weighted_sample,
+    "trend_by_nation": q_trend_by_nation,
+    "anomaly_zscore": q_anomaly_zscore,
+    "lang_gini_by_source": q_lang_gini_by_source,
+    "streaming_interval_join": q_streaming_interval_join,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,

@@ -206,3 +206,17 @@ def test_round2_small_ops_plan_shapes(spark):
     df = _q(spark, "weighted_sample")
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0, nc
+
+
+def test_trend_by_nation_broadcasts_dims(spark):
+    df = _q(spark, "trend_by_nation")
+    assert PI.broadcast_join_count(df) >= 2  # customer + nation
+    assert not PI.has_cartesian(df)
+
+
+def test_moment_queries_are_join_free(spark):
+    for name in ("anomaly_zscore", "lang_gini_by_source"):
+        df = _q(spark, name)
+        nc = PI.node_counts(df)
+        assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, (name, nc)
+        assert nc["Scan"] == 1, (name, nc)
