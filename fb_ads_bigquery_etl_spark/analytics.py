@@ -60,3 +60,45 @@ def freshness_status(
 def row_count(df: DataFrame) -> DataFrame:
     """Q5: SELECT COUNT(*) AS row_count (docs/GCP_SETUP.md:362-365)."""
     return df.agg(F.count("*").alias("row_count"))
+
+
+def incremental_rollup(
+    spark,
+    fact_path: str,
+    rollup_path: str,
+    *,
+    changed_dates: list[str],
+    date_col: str = "date_start",
+    metrics: tuple[str, ...] = ("impressions", "spend"),
+) -> list[str]:
+    """Incrementally maintain a month-grain rollup of a day-partitioned
+    fact table: recompute ONLY the months containing `changed_dates` and
+    surgically replace those partitions of the rollup table (dynamic
+    partition overwrite — sinks.overwrite_partitions).
+
+    The reference rebuilds its rollups with full-table CTAS on every
+    load (docs/DEPLOYMENT.md:453-462); at 100 TB that is an O(table)
+    scan per day. Here the fact read prunes to the affected months'
+    day-partitions (the `date_col` filter is partition pruning, not a
+    data filter) and the write touches only those month directories —
+    I/O tracks the CHANGED fraction of the table. A re-run with the
+    same dates is idempotent. Returns the affected month strings.
+    """
+    from fb_ads_bigquery_etl_spark.sinks import overwrite_partitions
+
+    months = sorted(
+        {d[:7] + "-01" for d in changed_dates}
+    )  # first-of-month tags
+    if not months:
+        return []
+    fact = spark.read.parquet(fact_path)
+    month_col = F.date_format(
+        F.date_trunc("month", F.col(date_col).cast("date")), "yyyy-MM-dd"
+    )
+    affected = fact.filter(month_col.isin(months))
+    agg_cols = [F.count("*").alias("row_count")] + [
+        F.sum(m).alias(f"total_{m}") for m in metrics
+    ]
+    rolled = affected.groupBy(month_col.alias("month")).agg(*agg_cols)
+    overwrite_partitions(rolled, rollup_path, partition_col="month")
+    return months

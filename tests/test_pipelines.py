@@ -371,3 +371,46 @@ def test_run_daily_resolves_credentials_on_driver(spark, tmp_path):
     # the provider refreshed and wrote back before the job planned
     assert service.exchanges == 1
     assert store.get_secret("fb-ads-token") != "tok0"
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark import analytics
+
+    fact_path, rollup_path = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    rows = [
+        ("2026-01-05", 10, 1.0), ("2026-01-20", 20, 2.0),
+        ("2026-02-03", 30, 3.0), ("2026-03-11", 40, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "date_start string, impressions long, spend double")
+    df.write.partitionBy("date_start").parquet(fact_path)
+
+    # initial build: all months
+    analytics.incremental_rollup(
+        spark, fact_path, rollup_path,
+        changed_dates=[r[0] for r in rows],
+    )
+    # a backfill changes one January day -> only 2026-01 recomputed
+    extra = spark.createDataFrame(
+        [("2026-01-05", 5, 0.5)], "date_start string, impressions long, spend double"
+    )
+    extra.write.mode("append").partitionBy("date_start").parquet(fact_path)
+    months = analytics.incremental_rollup(
+        spark, fact_path, rollup_path, changed_dates=["2026-01-05"]
+    )
+    assert months == ["2026-01-01"]
+
+    got = {
+        # the partition column reads back type-inferred as DATE
+        str(r["month"]): (r["row_count"], r["total_impressions"], float(r["total_spend"]))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    assert got == {
+        "2026-01-01": (3, 35, 3.5),
+        "2026-02-01": (1, 30, 3.0),
+        "2026-03-01": (1, 40, 4.0),
+    }
+    # idempotent re-run
+    analytics.incremental_rollup(
+        spark, fact_path, rollup_path, changed_dates=["2026-01-05"]
+    )
+    assert spark.read.parquet(rollup_path).count() == 3
