@@ -247,3 +247,34 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
         ).otherwise(F.lit(0.0))
 
     return bind(tokens(text), ratio_of)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for exact URL-level dedup: lowercase scheme+
+    host, strip the scheme, default ports, trailing slash, fragment, and
+    common tracking params (utm_*, fbclid, gclid), and sort-insensitive
+    handling is NOT attempted (query order is semantic for some sites —
+    near-dup layers catch those). Pure JVM regexps, no UDF.
+
+    The reference has no URL handling; this is the standard first pass
+    of a web-corpus dedup stack (exact canonical-URL match) ahead of
+    content-hash and fuzzy layers (operators/dedup, fuzzy_dedup).
+    """
+    # scheme://host is case-insensitive; lowercase up to the first
+    # path/query/fragment character, keep the rest byte-exact
+    trimmed = F.trim(url)
+    head = F.regexp_extract(trimmed, r"^([^/?#]*//[^/?#]*)", 1)
+    u = F.concat(
+        F.lower(head),
+        F.substring(trimmed, F.length(head) + 1, 1 << 30),
+    )
+    u = F.regexp_replace(u, r"^https?://", "")      # scheme
+    u = F.regexp_replace(u, r"#.*$", "")             # fragment
+    u = F.regexp_replace(u, r":(80|443)(?=/|$)", "")  # default ports
+    # tracking params: first drop '&param=v' repeats, then fix the
+    # leading '?param=v&' so the next real param keeps a valid '?'
+    u = F.regexp_replace(u, r"&(utm_[^=&]*|fbclid|gclid)=[^&]*", "")
+    u = F.regexp_replace(u, r"\?(utm_[^=&]*|fbclid|gclid)=[^&]*&?", "?")
+    u = F.regexp_replace(u, r"\?$", "")              # empty query left over
+    u = F.regexp_replace(u, r"/(\?|$)", "$1")        # path-final slash
+    return u

@@ -243,3 +243,25 @@ def compact_partition(
             if st.getPath().getName().endswith(".parquet")
         ]
     )
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSONL (newline-delimited JSON) sink — the interchange format LLM
+    data pipelines ship corpora in. Spark's json writer IS jsonl (one
+    object per line, one file per partition); gzip keeps the artifact
+    splittable-enough in practice (per-file parallelism: repartition
+    before writing to control file count)."""
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL source. Pass an explicit schema at scale: schema inference
+    is a full extra pass over the data, exactly the scan-twice pattern
+    a 100 TB corpus cannot afford (mirrors the reference's explicit
+    CSV schema choice, load_csv_to_bq.py:95-108)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.json(path)

@@ -25,3 +25,37 @@ def test_duplicate_key_count(spark):
     )
     row = Q.duplicate_key_count(df, ["k"]).collect()[0]
     assert (row["n_keys"], row["n_dup_keys"], row["n_excess_rows"]) == (3, 1, 2)
+
+
+def test_canonicalize_url(spark):
+    from fb_ads_bigquery_etl_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "example.com/Path?q=1"),
+        ("http://example.com:80/", "example.com"),
+        ("https://example.com/a/b?fbclid=abc", "example.com/a/b"),
+        ("https://EXAMPLE.com/Q?gclid=1&utm_campaign=c&keep=2",
+         "example.com/Q?keep=2"),
+        ("example.com/path/", "example.com/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(df.url)).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sinks import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", ["a", "b"]), (2, "world", [])],
+        "doc_id long, text string, tags array<string>",
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df.repartition(1), path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]
+    assert back.schema == df.schema
+    # files are gzipped jsonl
+    import glob
+    assert glob.glob(path + "/*.json.gz")
