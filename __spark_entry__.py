@@ -1103,6 +1103,31 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End of the near-dup pipeline: apply MinHash-LSH clustering and
+    return the SURVIVING corpus — the canonical representative (min
+    doc_id = its component label) of every cluster plus all unclustered
+    docs. One left-anti join of the corpus against the non-representative
+    members; that side is duplicates-only (typically a few % of the
+    corpus), so it broadcasts. The fixpoint clustering is
+    operators/graph.connected_components; the oracle replays it as a
+    recursive CTE."""
+    from fb_ads_bigquery_etl_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_train_test_split(spark, sf_dir):
     """Deterministic hash-based split assignment (train/val/test 90/5/5):
     pure narrow projection — reproducible across engines, partitionings,
@@ -2494,6 +2519,19 @@ def _oracle() -> dict[str, str]:
             SELECT component, COUNT(*) AS n_members,
                    array_to_string(list_sort(list(node)), ',') AS members
             FROM cc GROUP BY component ORDER BY component""",
+        "dedup_apply": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+            dropped AS (SELECT node FROM cc WHERE node <> component)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
+            ORDER BY doc_id""",
         "dedup_simhash": f"""
             WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
             hashed AS (SELECT doc_id,
@@ -3507,6 +3545,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore": q_anomaly_zscore,
     "lang_gini_by_source": q_lang_gini_by_source,
     "streaming_interval_join": q_streaming_interval_join,
+    "dedup_apply": q_dedup_apply,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,
