@@ -2280,6 +2280,101 @@ def q_streaming_interval_join(spark, sf_dir):
     return spark.table(name).orderBy("p_event_id", "v_event_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-then-chunk): per source, docs
+    concatenate in doc_id order and cut every 512 tokens; each doc
+    reports the chunk its first token lands in and whether it straddles
+    a boundary. One window cum-sum per source — the distributed form of
+    the GPT-style packing pass (no driver loop, no per-doc state). At
+    100 TB the partition key is the shard/source, so each packing
+    stream is independent and the window never sees the whole corpus."""
+    d = _t(spark, sf_dir, "documents")
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    budget = 512
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    cum = sized.withColumn("cum_after", F.sum("n_tokens").over(w))
+    return cum.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        ((F.col("cum_after") - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("chunk_id"),
+        (
+            ((F.col("cum_after") - F.col("n_tokens")) / budget).cast("long")
+            != ((F.col("cum_after") - 1) / budget).cast("long")
+        ).alias("spans_chunks"),
+    ).orderBy("source", "doc_id")
+
+
+def q_reservoir_per_group(spark, sf_dir):
+    """Exact-k deterministic sample per group (k=5 docs per source):
+    rank by a content hash inside each group and keep the top k — the
+    shuffle-free analogue of per-group reservoir sampling (membership is
+    a pure function of the key, so re-runs and appends keep prior picks
+    unless a new doc hashes lower). One window over the group key; at
+    100 TB group cardinality bounds the state, not corpus size."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash32(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup of a DOUBLED source: the landing
+    zone stages the events file twice (the classic at-least-once
+    redelivery), and dropDuplicatesWithinWatermark
+    (streaming/windows.streaming_dedup) must emit each event_id exactly
+    once — state bounded by the watermark horizon, not stream history.
+    The oracle is simply the original (undoubled) event set: the dedup
+    has to erase the redelivery completely."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="stream_dedup_landing_")
+    for alias in ("events_a.parquet", "events_b.parquet"):
+        os.symlink(os.path.abspath(path), os.path.join(landing, alias))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    from fb_ads_bigquery_etl_spark.streaming.windows import streaming_dedup
+
+    dd = streaming_dedup(stream, ("event_id",)).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    name = f"_stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")
+
+
 def q_gap_fill_daily(spark, sf_dir):
     """Time-series gap filling: a generated calendar spine (sequence +
     explode — no table scan) left-joins the daily aggregate so
@@ -3410,6 +3505,37 @@ def _oracle() -> dict[str, str]:
                    CAST(nn * nn - scc AS DOUBLE) / CAST(nn * nn AS DOUBLE)
                      AS gini
             FROM agg ORDER BY source""",
+        "pack_sequences": f"""
+            WITH sized AS (
+              SELECT source, doc_id,
+                     CAST(len({_TOK}) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_after
+              FROM sized)
+            SELECT source, doc_id, n_tokens,
+                   (cum_after - n_tokens) // 512 AS chunk_id,
+                   ((cum_after - n_tokens) // 512) <> ((cum_after - 1) // 512)
+                     AS spans_chunks
+            FROM cum ORDER BY source, doc_id""",
+        "reservoir_per_group": """
+            SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                                doc_id ASC) AS rk
+              FROM documents)
+            WHERE rk <= 5 ORDER BY source, rk""",
+        # The streaming dedup consumes the source staged TWICE; its output
+        # must equal the original single copy.
+        "streaming_dedup": """
+            SELECT event_id, user_id, event_type, ts, value
+            FROM events ORDER BY event_id""",
         # The streaming interval join drains into an append-mode memory
         # sink; the complete result must equal this batch interval join.
         "streaming_interval_join": """
@@ -3546,6 +3672,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_gini_by_source": q_lang_gini_by_source,
     "streaming_interval_join": q_streaming_interval_join,
     "dedup_apply": q_dedup_apply,
+    "streaming_dedup": q_streaming_dedup,
+    "reservoir_per_group": q_reservoir_per_group,
+    "pack_sequences": q_pack_sequences,
     # --- confirmed green in CORRECTNESS_r01.json ---
     "pricing_summary": q_pricing_summary,
     "freshness": q_freshness,
