@@ -265,3 +265,105 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     else:
         reader = reader.option("inferSchema", "true")
     return reader.json(path)
+
+
+def scd2_apply(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    *,
+    key: tuple[str, ...],
+    tracked: tuple[str, ...],
+    effective_date: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a snapshot of dimension
+    rows effective at `effective_date`, keeping full history.
+
+    Table layout: partitioned by `state` ('current' / 'closed'); rows
+    carry valid_from / valid_to (NULL while current). Applying a batch:
+
+    - new key            -> insert current row (valid_from = effective)
+    - tracked attr diff  -> close the old row (valid_to = effective,
+                            appended to the 'closed' partition) and
+                            insert the new current version
+    - unchanged          -> untouched (re-applying the same snapshot is
+                            a no-op: idempotent)
+
+    Scale shape: the 'current' partition is rewritten via dynamic
+    partition overwrite (bounded by dimension size, never by history
+    size) and closed versions are APPENDED — the history partition is
+    never rewritten. Attribute comparison is a null-safe md5 over the
+    tracked columns, computed engine-side (no row-at-a-time diffing).
+    Returns the new current snapshot.
+    """
+    data_cols = [c for c in updates.columns]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in tracked]
+        )
+    )
+    incoming = updates.select(
+        *data_cols,
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        fp.alias("_fp"),
+    )
+    if path_exists(spark, path):
+        current = (
+            spark.read.parquet(path)
+            .filter(F.col("state") == "current")
+            .drop("state")
+            .withColumn("_fp", fp)
+        )
+    else:
+        current = incoming.limit(0)
+
+    cur = current.alias("cur")
+    inc = incoming.alias("inc")
+    on = [F.col(f"cur.{k}").eqNullSafe(F.col(f"inc.{k}")) for k in key]
+    joined = cur.join(inc, on, "full_outer").persist()
+    try:
+        changed = joined.filter(
+            F.col("cur._fp").isNotNull()
+            & F.col("inc._fp").isNotNull()
+            & (F.col("cur._fp") != F.col("inc._fp"))
+        )
+        to_close = changed.select("cur.*").withColumn(
+            "valid_to", F.lit(effective_date).cast("date")
+        )
+        new_current = (
+            # incoming version wins where present (new or changed or
+            # unchanged-identical); keys absent from the batch keep
+            # their existing current row (a snapshot may be partial)
+            joined.select(
+                *[
+                    F.coalesce(F.col(f"inc.{c}"), F.col(f"cur.{c}")).alias(c)
+                    for c in data_cols
+                ],
+                # unchanged rows keep their ORIGINAL valid_from
+                F.when(
+                    F.col("inc._fp").isNotNull()
+                    & F.col("cur._fp").isNotNull()
+                    & (F.col("inc._fp") == F.col("cur._fp")),
+                    F.col("cur.valid_from"),
+                )
+                .otherwise(
+                    F.coalesce(F.col("inc.valid_from"), F.col("cur.valid_from"))
+                )
+                .alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+        )
+        to_close.drop("_fp").withColumn("state", F.lit("closed")).write.mode(
+            "append"
+        ).partitionBy("state").parquet(path)
+        overwrite_partitions(
+            new_current.withColumn("state", F.lit("current")),
+            path,
+            partition_col="state",
+        )
+    finally:
+        joined.unpersist()
+    return spark.read.parquet(path).filter(F.col("state") == "current").drop(
+        "state"
+    )

@@ -414,3 +414,46 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         spark, fact_path, rollup_path, changed_dates=["2026-01-05"]
     )
     assert spark.read.parquet(rollup_path).count() == 3
+
+
+def test_scd2_apply_tracks_history(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sinks import scd2_apply
+
+    path = str(tmp_path / "dim_customer")
+    day1 = spark.createDataFrame(
+        [(1, "alice", "GOLD"), (2, "bob", "SILVER")],
+        "cust_id long, name string, tier string",
+    )
+    cur = scd2_apply(
+        spark, day1, path, key=("cust_id",), tracked=("name", "tier"),
+        effective_date="2026-01-01",
+    )
+    assert cur.count() == 2
+
+    # day 2: alice upgraded, bob unchanged, carol new
+    day2 = spark.createDataFrame(
+        [(1, "alice", "PLATINUM"), (2, "bob", "SILVER"), (3, "carol", "GOLD")],
+        "cust_id long, name string, tier string",
+    )
+    cur = scd2_apply(
+        spark, day2, path, key=("cust_id",), tracked=("name", "tier"),
+        effective_date="2026-02-01",
+    )
+    rows = {r["cust_id"]: r for r in cur.collect()}
+    assert rows[1]["tier"] == "PLATINUM" and str(rows[1]["valid_from"]) == "2026-02-01"
+    # unchanged bob keeps his ORIGINAL valid_from
+    assert rows[2]["tier"] == "SILVER" and str(rows[2]["valid_from"]) == "2026-01-01"
+    assert rows[3]["tier"] == "GOLD"
+
+    hist = spark.read.parquet(path)
+    closed = {r["cust_id"]: r for r in hist.filter("state = 'closed'").collect()}
+    assert set(closed) == {1}
+    assert str(closed[1]["valid_to"]) == "2026-02-01" and closed[1]["tier"] == "GOLD"
+
+    # idempotent: re-applying the same snapshot changes nothing
+    cur = scd2_apply(
+        spark, day2, path, key=("cust_id",), tracked=("name", "tier"),
+        effective_date="2026-02-01",
+    )
+    assert cur.count() == 3
+    assert spark.read.parquet(path).filter("state = 'closed'").count() == 1
