@@ -1108,8 +1108,11 @@ def q_dedup_apply(spark, sf_dir):
     return the SURVIVING corpus — the canonical representative (min
     doc_id = its component label) of every cluster plus all unclustered
     docs. One left-anti join of the corpus against the non-representative
-    members; that side is duplicates-only (typically a few % of the
-    corpus), so it broadcasts. The fixpoint clustering is
+    members; that side is duplicates-only and id-width, but it GROWS
+    with the corpus dup rate, so the join strategy is left to AQE (which
+    broadcasts it while it fits and falls back to a keyed shuffle when a
+    high-dup corpus makes it large) — never force-broadcast a side whose
+    size you don't bound. The fixpoint clustering is
     operators/graph.connected_components; the oracle replays it as a
     recursive CTE."""
     from fb_ads_bigquery_etl_spark.operators.graph import connected_components
@@ -1122,7 +1125,7 @@ def q_dedup_apply(spark, sf_dir):
         F.col("node").alias("doc_id")
     )
     return (
-        d.join(F.broadcast(dropped), "doc_id", "left_anti")
+        d.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )

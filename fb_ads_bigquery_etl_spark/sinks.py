@@ -279,20 +279,23 @@ def scd2_apply(
     """Slowly-changing-dimension type 2: apply a snapshot of dimension
     rows effective at `effective_date`, keeping full history.
 
-    Table layout: partitioned by `state` ('current' / 'closed'); rows
-    carry valid_from / valid_to (NULL while current). Applying a batch:
+    Table layout: partitioned by (`state`, `valid_to`) — 'current' rows
+    have valid_to NULL, 'closed' rows land in per-close-date partitions.
+    Applying a batch:
 
     - new key            -> insert current row (valid_from = effective)
-    - tracked attr diff  -> close the old row (valid_to = effective,
-                            appended to the 'closed' partition) and
+    - tracked attr diff  -> close the old row (valid_to = effective) and
                             insert the new current version
-    - unchanged          -> untouched (re-applying the same snapshot is
-                            a no-op: idempotent)
+    - unchanged          -> untouched (original valid_from retained)
 
-    Scale shape: the 'current' partition is rewritten via dynamic
-    partition overwrite (bounded by dimension size, never by history
-    size) and closed versions are APPENDED — the history partition is
-    never rewritten. Attribute comparison is a null-safe md5 over the
+    The whole application is ONE dynamic-partition-overwrite write
+    touching exactly two partitions: (current, NULL) and (closed,
+    effective_date). Prior close-dates are never rewritten, so write
+    I/O is bounded by dimension size — never history size — and
+    re-running the same batch replaces those two partitions with
+    identical contents: idempotent, including after a crashed attempt
+    (no append-twice duplication and no half-applied state a retry
+    can't heal). Attribute comparison is a null-safe md5 over the
     tracked columns, computed engine-side (no row-at-a-time diffing).
     Returns the new current snapshot.
     """
@@ -354,14 +357,19 @@ def scd2_apply(
                 F.lit(None).cast("date").alias("valid_to"),
             )
         )
-        to_close.drop("_fp").withColumn("state", F.lit("closed")).write.mode(
-            "append"
-        ).partitionBy("state").parquet(path)
-        overwrite_partitions(
-            new_current.withColumn("state", F.lit("current")),
-            path,
-            partition_col="state",
+        out = to_close.drop("_fp").withColumn(
+            "state", F.lit("closed")
+        ).unionByName(new_current.withColumn("state", F.lit("current")))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("state", "valid_to").parquet(
+                path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         joined.unpersist()
     return spark.read.parquet(path).filter(F.col("state") == "current").drop(
