@@ -92,10 +92,23 @@ def incremental_rollup(
     if not months:
         return []
     fact = spark.read.parquet(fact_path)
+    # Partition pruning only fires on predicates over the RAW partition
+    # column — a date_trunc/date_format of it scans every partition. So
+    # the month filter is an OR of explicit [first, next-first) ranges
+    # (ISO strings compare correctly), which prunes to the affected
+    # months' day-partitions.
+    def _next_month(m: str) -> str:
+        y, mo = int(m[:4]), int(m[5:7])
+        return f"{y + (mo == 12):04d}-{(mo % 12) + 1:02d}-01"
+
+    pred = None
+    for m in months:
+        rng = (F.col(date_col) >= m) & (F.col(date_col) < _next_month(m))
+        pred = rng if pred is None else (pred | rng)
+    affected = fact.filter(pred)
     month_col = F.date_format(
         F.date_trunc("month", F.col(date_col).cast("date")), "yyyy-MM-dd"
     )
-    affected = fact.filter(month_col.isin(months))
     agg_cols = [F.count("*").alias("row_count")] + [
         F.sum(m).alias(f"total_{m}") for m in metrics
     ]

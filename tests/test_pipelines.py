@@ -415,6 +415,16 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     )
     assert spark.read.parquet(rollup_path).count() == 3
 
+    # the month filter must prune the fact scan to January's partitions
+    # (raw-column ranges, not an expression over the partition column)
+    fact = spark.read.parquet(fact_path)
+    pred = (F.col("date_start") >= "2026-01-01") & (
+        F.col("date_start") < "2026-02-01"
+    )
+    plan = fact.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "2026-01-01" in plan
+
 
 def test_scd2_apply_tracks_history(spark, tmp_path):
     from fb_ads_bigquery_etl_spark.sinks import scd2_apply
