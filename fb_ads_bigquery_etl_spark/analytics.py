@@ -113,5 +113,22 @@ def incremental_rollup(
         F.sum(m).alias(f"total_{m}") for m in metrics
     ]
     rolled = affected.groupBy(month_col.alias("month")).agg(*agg_cols)
-    overwrite_partitions(rolled, rollup_path, partition_col="month")
+    # Dynamic partition overwrite only rewrites months PRESENT in
+    # `rolled`. A changed month whose fact rows are now all gone (a
+    # retraction/delete backfill) produces no output row, so its stale
+    # rollup partition must be deleted explicitly or the rollup would
+    # disagree with the fact table forever. `rolled` is ≤ len(months)
+    # rows; persist so the write and the presence probe share one scan.
+    rolled = rolled.persist()
+    try:
+        present = {r["month"] for r in rolled.select("month").collect()}
+        overwrite_partitions(rolled, rollup_path, partition_col="month")
+    finally:
+        rolled.unpersist()
+    from fb_ads_bigquery_etl_spark.sinks import _hadoop_fs
+
+    for m in sorted(set(months) - present):
+        fs, jpath, _ = _hadoop_fs(spark, rollup_path.rstrip("/") + f"/month={m}")
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     return months

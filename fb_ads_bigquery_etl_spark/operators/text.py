@@ -268,9 +268,14 @@ def canonicalize_url(url: Column) -> Column:
         F.lower(head),
         F.substring(trimmed, F.length(head) + 1, 1 << 30),
     )
+    # Default ports — scheme-matched and anchored at the authority,
+    # BEFORE the scheme is stripped: http://h:443 must stay distinct
+    # from https://h (different origins), and a path-internal ":80"
+    # (e.g. host/a:80/b) is data, not a port.
+    u = F.regexp_replace(u, r"^http://([^/:?#]+):80(?=[/?#]|$)", "http://$1")
+    u = F.regexp_replace(u, r"^https://([^/:?#]+):443(?=[/?#]|$)", "https://$1")
     u = F.regexp_replace(u, r"^https?://", "")      # scheme
     u = F.regexp_replace(u, r"#.*$", "")             # fragment
-    u = F.regexp_replace(u, r":(80|443)(?=/|$)", "")  # default ports
     # tracking params: first drop '&param=v' repeats, then fix the
     # leading '?param=v&' so the next real param keeps a valid '?'
     u = F.regexp_replace(u, r"&(utm_[^=&]*|fbclid|gclid)=[^&]*", "")

@@ -189,7 +189,18 @@ class RefreshingTokenProvider(CredentialProvider):
             return token
         if expires_at - self._now() > self._window_s:
             return token
-        fresh = self._service.exchange_token(token)
+        try:
+            fresh = self._service.exchange_token(token)
+        except Exception as exc:
+            # Reference main.py get_valid_token: a transient exchange
+            # failure inside the refresh window falls back to the
+            # still-valid current token (the refresh retries next run)
+            # rather than failing the whole daily load. Only raise when
+            # the token is actually expired or the failure is auth-fatal
+            # (a dead token can't be "fallen back" to).
+            if _is_fatal(exc) or expires_at <= self._now():
+                raise
+            return token
         self._store.set_secret(self._secret_name, fresh)
         return fresh
 

@@ -75,6 +75,51 @@ class TestRefreshingTokenProvider:
             prov.get_token()
         assert ei.value.is_fatal_auth
 
+    # Transient exchange failures inside the refresh window fall back to
+    # the still-valid current token (reference main.py get_valid_token)
+    # instead of failing the whole daily run.
+
+    def test_transient_refresh_failure_falls_back_to_valid_token(self):
+        store = InMemorySecretStore({"fb-ads-token": "tok0"})
+        service = _FailingExchangeService(
+            {"tok0": NOW + 5 * DAY}, IOError("graph outage")
+        )
+        prov = RefreshingTokenProvider(store, service, now_fn=lambda: NOW)
+        assert prov.get_token() == "tok0"  # 5 days of validity left
+        assert service.exchanges == 1  # refresh WAS attempted
+        assert store.writes == []  # nothing written back
+
+    def test_transient_refresh_failure_with_expired_token_raises(self):
+        service = _FailingExchangeService({"tok0": NOW - 1}, IOError("outage"))
+        prov = RefreshingTokenProvider(
+            InMemorySecretStore({"fb-ads-token": "tok0"}), service,
+            now_fn=lambda: NOW,
+        )
+        with pytest.raises(IOError):
+            prov.get_token()
+
+    def test_fatal_refresh_failure_raises_even_if_token_valid(self):
+        service = _FailingExchangeService(
+            {"tok0": NOW + 5 * DAY},
+            GraphApiError("revoked", status=401, fb_code=190),
+        )
+        prov = RefreshingTokenProvider(
+            InMemorySecretStore({"fb-ads-token": "tok0"}), service,
+            now_fn=lambda: NOW,
+        )
+        with pytest.raises(GraphApiError):
+            prov.get_token()
+
+
+class _FailingExchangeService(FakeTokenService):
+    def __init__(self, expiries, exc):
+        super().__init__(expiries)
+        self._exc = exc
+
+    def exchange_token(self, token):
+        self.exchanges += 1
+        raise self._exc
+
 
 class _CountingTransport(Transport):
     def __init__(self, failures: list[Exception]):

@@ -426,6 +426,37 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     assert "2026-01-01" in plan
 
 
+def test_incremental_rollup_retraction_deletes_stale_month(spark, tmp_path):
+    """A changed month whose fact rows are ALL gone (retraction/delete
+    backfill) must lose its rollup partition — dynamic partition
+    overwrite alone would keep the stale aggregate forever."""
+    import shutil
+
+    from fb_ads_bigquery_etl_spark import analytics
+
+    fact_path, rollup_path = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    df = spark.createDataFrame(
+        [("2026-01-05", 10, 1.0), ("2026-02-03", 30, 3.0)],
+        "date_start string, impressions long, spend double",
+    )
+    df.write.partitionBy("date_start").parquet(fact_path)
+    analytics.incremental_rollup(
+        spark, fact_path, rollup_path,
+        changed_dates=["2026-01-05", "2026-02-03"],
+    )
+    assert spark.read.parquet(rollup_path).count() == 2
+
+    # retraction: February's only fact partition is deleted
+    shutil.rmtree(tmp_path / "fact" / "date_start=2026-02-03")
+    months = analytics.incremental_rollup(
+        spark, fact_path, rollup_path, changed_dates=["2026-02-03"]
+    )
+    assert months == ["2026-02-01"]
+    left = spark.read.parquet(rollup_path).collect()
+    assert [str(r["month"]) for r in left] == ["2026-01-01"]
+    assert (left[0]["row_count"], left[0]["total_impressions"]) == (1, 10)
+
+
 def test_scd2_apply_tracks_history(spark, tmp_path):
     from fb_ads_bigquery_etl_spark.sinks import scd2_apply
 

@@ -38,6 +38,13 @@ def test_canonicalize_url(spark):
         ("https://EXAMPLE.com/Q?gclid=1&utm_campaign=c&keep=2",
          "example.com/Q?keep=2"),
         ("example.com/path/", "example.com/path"),
+        # non-default scheme/port combos are distinct origins: keep them
+        ("http://example.com:443/x", "example.com:443/x"),
+        ("https://example.com:80/x", "example.com:80/x"),
+        # path-internal ":80" is data, not a port
+        ("https://example.com/a:80/b", "example.com/a:80/b"),
+        # default port followed by a query (no path)
+        ("http://example.com:80?q=1", "example.com?q=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url(df.url)).collect()]
