@@ -25,6 +25,7 @@ from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
     simhash_pairs,
 )
 from fb_ads_bigquery_etl_spark.operators.text import analyze_documents, LANG_MARKERS
+from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,12 +35,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is nanosecond parquet (unsupported natively by Spark);
-    read it as raw nanos and truncate to microseconds — exactly what
-    DuckDB's µs-precision TIMESTAMP does on the same file."""
+    """events.ts is nanosecond parquet; normalize to a µs TIMESTAMP —
+    exactly what DuckDB's µs-precision TIMESTAMP does on the same file.
+    (schema.event_ts_to_timestamp handles both the ≤4.0 nanos-as-long
+    read and the 4.1+ native TIMESTAMP_NTZ read.)"""
+    from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return event_ts_to_timestamp(df)
 
 
 def _dsum(col: Column, alias: str, scale: int = 2) -> Column:
@@ -713,10 +717,8 @@ def q_streaming_hourly(spark, sf_dir):
     # symlink so the stream discovers the file like a landed batch.
     landing = tempfile.mkdtemp(prefix="stream_hourly_landing_")
     os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(landing)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = event_ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(landing)
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -2259,12 +2261,9 @@ def q_streaming_interval_join(spark, sf_dir):
     os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
 
     def side(event_type: str) -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .parquet(landing)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-            .filter(F.col("event_type") == event_type)
-        )
+        return event_ts_to_timestamp(
+            spark.readStream.schema(schema).parquet(landing)
+        ).filter(F.col("event_type") == event_type)
 
     from fb_ads_bigquery_etl_spark.streaming.joins import (
         purchases_with_recent_views,
@@ -2356,10 +2355,8 @@ def q_streaming_dedup(spark, sf_dir):
     landing = tempfile.mkdtemp(prefix="stream_dedup_landing_")
     for alias in ("events_a.parquet", "events_b.parquet"):
         os.symlink(os.path.abspath(path), os.path.join(landing, alias))
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(landing)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = event_ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(landing)
     )
     from fb_ads_bigquery_etl_spark.streaming.windows import streaming_dedup
 
@@ -2470,10 +2467,8 @@ def q_streaming_sessions(spark, sf_dir):
     schema = spark.read.parquet(path).schema
     landing = tempfile.mkdtemp(prefix="stream_sessions_landing_")
     os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(landing)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = event_ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(landing)
     )
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")

@@ -8,7 +8,24 @@ schema-evolution typing rule (main.py:427-434).
 
 from __future__ import annotations
 
-from pyspark.sql import types as T
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def event_ts_to_timestamp(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a nanosecond-parquet timestamp column to a µs TIMESTAMP.
+
+    events.parquet stores ns-precision INT64 timestamps, which Spark
+    reads differently across versions: ≤4.0 surfaces raw nanos as LONG
+    (with spark.sql.legacy.parquet.nanosAsLong), 4.1+ reads them
+    natively as TIMESTAMP_NTZ truncated to µs. Both normalize here to a
+    session-tz TIMESTAMP truncated to µs — identical to DuckDB's read
+    of the same file (session tz is pinned UTC, so ntz→ltz is an
+    identity reinterpretation). Works on batch and streaming frames
+    (pure schema inspection + one projection).
+    """
+    if isinstance(df.schema[col].dataType, T.LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df.withColumn(col, F.col(col).cast("timestamp"))
 
 # --------------------------------------------------------------------------
 # Composite logical key (reference main.py:506; backfill.py:245):

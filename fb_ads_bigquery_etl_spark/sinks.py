@@ -261,9 +261,9 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     CSV schema choice, load_csv_to_bq.py:95-108)."""
     reader = spark.read
     if schema is not None:
+        # Without a schema the JSON reader always infers (one extra pass);
+        # there is no option to toggle it ("inferSchema" is CSV-only).
         reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", "true")
     return reader.json(path)
 
 

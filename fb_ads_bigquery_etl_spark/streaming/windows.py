@@ -19,19 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 # events.parquet carries ns-precision INT64 timestamps; streaming file
-# sources need an explicit schema, so `ts` arrives as raw nanos (with
-# spark.sql.legacy.parquet.nanosAsLong) and is truncated to µs here —
-# identical to the batch-side `_events` reader.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# sources need an explicit schema. How `ts` surfaces depends on the
+# Spark version (≤4.0: raw nanos LONG under nanosAsLong; 4.1+: native
+# TIMESTAMP_NTZ truncated to µs), so the schema is taken from a batch
+# read of the same path and schema.event_ts_to_timestamp normalizes
+# either shape — identical to the batch-side `_events` reader.
 
 
 def read_events_stream(
@@ -43,12 +35,14 @@ def read_events_stream(
     files, the stream discovers them incrementally with exactly-once
     tracking; `max_files_per_trigger` throttles each micro-batch.
     """
+    from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return event_ts_to_timestamp(raw)
 
 
 def tumbling_counts(

@@ -91,10 +91,11 @@ def test_stream_stream_interval_join_matches_batch(spark, landing_dir):
         for r in _drain(joined, "t_ssj", mode="append").collect()
     }
 
+    from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
+    batch = event_ts_to_timestamp(
         spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
     bp, bv = split(batch)
     want = {
