@@ -2318,24 +2318,21 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_reservoir_per_group(spark, sf_dir):
-    """Exact-k deterministic sample per group (k=5 docs per source):
-    rank by a content hash inside each group and keep the top k — the
-    shuffle-free analogue of per-group reservoir sampling (membership is
-    a pure function of the key, so re-runs and appends keep prior picks
-    unless a new doc hashes lower). One window over the group key; at
-    100 TB group cardinality bounds the state, not corpus size."""
-    from fb_ads_bigquery_etl_spark.functions.portable import hash32
+    """Exact-k deterministic sample per group (k=5 docs per source) via
+    sampling.topk_per_group_hashrank: two-phase hash-aggregate top-k —
+    per (group, sub-bucket) k-smallest, then a per-group merge of
+    <= subshards*k survivors. No window over `source` (20 distinct
+    values), so the corpus never funnels into 20 tasks; parallelism is
+    groups x subshards at any scale. Membership is a pure hash function
+    of doc_id, identical to the ranking-window formulation — same
+    oracle."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_hashrank,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        hash32(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))).asc(),
-        F.col("doc_id").asc(),
-    )
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
-        .orderBy("source", "rk")
+    return topk_per_group_hashrank(d, "source", "doc_id", 5).orderBy(
+        "source", "rk"
     )
 
 

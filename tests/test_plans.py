@@ -220,3 +220,14 @@ def test_moment_queries_are_join_free(spark):
         nc = PI.node_counts(df)
         assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, (name, nc)
         assert nc["Scan"] == 1, (name, nc)
+
+
+def test_reservoir_per_group_has_no_window(spark):
+    """The per-group reservoir must be the two-phase hash-aggregate
+    top-k: a row_number() window over `source` (20 distinct values)
+    would funnel the whole corpus into 20 tasks at any cluster size."""
+    df = _q(spark, "reservoir_per_group")
+    plan = PI.explain_str(df)
+    assert "Window" not in plan, plan
+    nc = PI.node_counts(df)
+    assert nc["ObjectHashAggregate"] >= 2, nc  # partial + merge phases
