@@ -2286,35 +2286,23 @@ def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (concat-then-chunk): per source, docs
     concatenate in doc_id order and cut every 512 tokens; each doc
     reports the chunk its first token lands in and whether it straddles
-    a boundary. One window cum-sum per source — the distributed form of
-    the GPT-style packing pass (no driver loop, no per-doc state). At
-    100 TB the partition key is the shard/source, so each packing
-    stream is independent and the window never sees the whole corpus."""
+    a boundary. Runs operators/packing.pack_chunks_sharded — the scale
+    formulation: contiguous doc_id sub-shards cum-sum independently
+    (window keyed (source, sub); max partition bounded by shard_width,
+    NOT by the 20-value source cardinality), sub-shard totals prefix-sum
+    in a metadata-sized frame, and a broadcast join stitches exact
+    global offsets. Bit-identical to the single-window form (prefix
+    sums associate; tests/test_sampling pins the equivalence)."""
     d = _t(spark, sf_dir, "documents")
     from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.packing import pack_chunks_sharded
 
-    budget = 512
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sized = d.select(
         "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
-    cum = sized.withColumn("cum_after", F.sum("n_tokens").over(w))
-    return cum.select(
-        "source",
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        ((F.col("cum_after") - F.col("n_tokens")) / budget)
-        .cast("long")
-        .alias("chunk_id"),
-        (
-            ((F.col("cum_after") - F.col("n_tokens")) / budget).cast("long")
-            != ((F.col("cum_after") - 1) / budget).cast("long")
-        ).alias("spans_chunks"),
-    ).orderBy("source", "doc_id")
+    return pack_chunks_sharded(sized, shard_width=64).orderBy(
+        "source", "doc_id"
+    )
 
 
 def q_reservoir_per_group(spark, sf_dir):

@@ -1,0 +1,129 @@
+"""Training-sequence packing (concat-then-chunk) over a sharded corpus.
+
+The GPT-style packing pass: within each shard (group), documents
+concatenate in a stable order and are cut every `budget` tokens; each
+document reports the chunk its first token lands in and whether it
+straddles a chunk boundary. The core primitive is a per-group running
+token total — a prefix sum.
+
+Two formulations with identical output:
+
+- `pack_chunks`: ONE cumulative-sum window per group. Correct, minimal,
+  but the window partition is the whole group: with few groups (the
+  `documents` table has 20 sources) the entire corpus funnels into
+  n_groups tasks — a guaranteed straggler at 100 TB.
+- `pack_chunks_sharded`: the scale path. The group's order column is cut
+  into contiguous sub-shards (floor(order / width)); each sub-shard
+  cum-sums independently (window keyed (group, sub) — parallelism is
+  groups x sub-shards), sub-shard token totals aggregate into one TINY
+  frame (one row per sub-shard), a prefix sum over THAT yields each
+  sub-shard's global offset, and a broadcast join stitches offset +
+  local cumsum into the exact global prefix sum. The only window that
+  ever sees corpus-sized input is keyed by (group, sub); the
+  group-keyed offset window runs over #sub-shards rows (metadata).
+
+No reference counterpart (north-star extension, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _chunk_columns(
+    cum_after: Column, n_tokens: Column, budget: int
+) -> list[Column]:
+    start = cum_after - n_tokens  # global offset of the doc's first token
+    return [
+        n_tokens.cast("long").alias("n_tokens"),
+        (start / budget).cast("long").alias("chunk_id"),
+        (
+            (start / budget).cast("long")
+            != ((cum_after - 1) / budget).cast("long")
+        ).alias("spans_chunks"),
+    ]
+
+
+def pack_chunks(
+    sized: DataFrame,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+) -> DataFrame:
+    """Reference formulation: one cum-sum window per group.
+
+    Use only when groups are plentiful relative to the cluster (real
+    shard keys, thousands of shards); for few-group corpora use
+    `pack_chunks_sharded`.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("_cum_after", F.sum(tokens_col).over(w))
+    return cum.select(
+        group_col,
+        order_col,
+        *_chunk_columns(F.col("_cum_after"), F.col(tokens_col), budget),
+    )
+
+
+def pack_chunks_sharded(
+    sized: DataFrame,
+    *,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 512,
+    shard_width: int = 4096,
+) -> DataFrame:
+    """Scale formulation: sub-shard cum-sums + offset stitching.
+
+    `shard_width` bounds the max window partition at the number of rows
+    whose `order_col` falls in one [i*width, (i+1)*width) range —
+    independent of group count and corpus size. The offset computation
+    touches one row per (group, sub-shard): with 100 TB and width
+    chosen so sub-shards hold ~1e6 docs, that frame is ~1e5 rows —
+    driver-trivial, broadcast-trivial.
+
+    Output is bit-identical to `pack_chunks` (prefix sums associate:
+    global cumsum = sub-shard offset + local cumsum, all exact BIGINT
+    arithmetic).
+    """
+    sub = F.floor(F.col(order_col) / shard_width)  # order-preserving cut
+    local = sized.withColumn("_sub", sub).withColumn(
+        "_lcum",
+        F.sum(tokens_col).over(
+            Window.partitionBy(group_col, "_sub")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = (
+        sized.withColumn("_sub", sub)
+        .groupBy(group_col, "_sub")
+        .agg(F.sum(tokens_col).alias("_tot"))
+    )
+    # Prefix-sum of PRIOR sub-shard totals: a group-keyed window, but
+    # over the totals frame (one row per sub-shard) — metadata-sized.
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.partitionBy(group_col)
+                .orderBy("_sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select(group_col, "_sub", "_off")
+    stitched = local.join(F.broadcast(offsets), [group_col, "_sub"])
+    cum_after = F.col("_off") + F.col("_lcum")
+    return stitched.select(
+        group_col,
+        order_col,
+        *_chunk_columns(cum_after, F.col(tokens_col), budget),
+    )

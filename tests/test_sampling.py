@@ -61,3 +61,64 @@ def test_stratified_rates_and_subset(spark):
     assert sorted(r["id"] for r in out.collect()) == sorted(
         r["id"] for r in again.collect()
     )
+
+
+def test_pack_chunks_sharded_equals_window_form(spark):
+    """The sub-shard packing path must be bit-identical to the single
+    per-group window cum-sum, at several shard widths (width 1 = every
+    doc its own sub-shard; huge width = one sub-shard, degenerating to
+    the plain form)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.packing import (
+        pack_chunks,
+        pack_chunks_sharded,
+    )
+    from tests.conftest import SF_DIR
+    import os
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sized = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    want = sorted(map(tuple, pack_chunks(sized).collect()))
+    for width in (1, 7, 64, 10**9):
+        got = sorted(
+            map(tuple, pack_chunks_sharded(sized, shard_width=width).collect())
+        )
+        assert got == want, f"width={width}"
+
+
+def test_topk_per_group_hashrank_equals_window_form(spark):
+    """Two-phase hash-agg top-k == row_number() window formulation."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_hashrank,
+    )
+    from pyspark.sql import Window
+    from tests.conftest import SF_DIR
+    import os
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    w = Window.partitionBy("source").orderBy(
+        hash32(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    want = sorted(
+        map(
+            tuple,
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("source", "doc_id", F.col("rk").cast("int"))
+            .collect(),
+        )
+    )
+    for subshards in (1, 3, 64):
+        got = sorted(
+            map(
+                tuple,
+                topk_per_group_hashrank(
+                    d, "source", "doc_id", 5, subshards=subshards
+                ).collect(),
+            )
+        )
+        assert got == want, f"subshards={subshards}"
