@@ -1447,20 +1447,20 @@ def q_weekday_revenue(spark, sf_dir):
 
 
 def q_kmeans_clusters(spark, sf_dir):
-    """Distributed Lloyd's K-Means over the embedding column (iterative
-    fixpoint; operators/clustering.py). Deterministic (hash-free init +
-    integer-scaled centroid accumulation) but not SQL-expressible —
-    rows-only correctness gate, like approx_distinct; determinism is
-    pinned by tests/test_clustering.py instead."""
-    from fb_ads_bigquery_etl_spark.operators.clustering import kmeans
+    """Distributed Lloyd's K-Means over the embedding column — the
+    INTEGER-EXACT quantized variant (clustering.kmeans_quantized):
+    vectors quantize as floor(x*1e6) BIGINT, assignment is exact int
+    argmin (ties to lowest cluster), centroid update is exact floor
+    division, iterations pinned at 3. Every quantity is an integer, so
+    a DuckDB oracle replays the identical iterations (unrolled CTEs,
+    see _kmeans_oracle_sql) and the per-cluster sizes + integer inertia
+    hash-match — a full-value gate for an iterative ML operator. The
+    float-centroid variant remains in clustering.kmeans for IVF
+    training (determinism pinned by tests/test_clustering.py)."""
+    from fb_ads_bigquery_etl_spark.operators.clustering import kmeans_quantized
 
     e = _t(spark, sf_dir, "embeddings")
-    assignments, _, _ = kmeans(e, k=8, max_iter=10)
-    return (
-        assignments.groupBy("cluster")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster")
-    )
+    return kmeans_quantized(e, k=8, iters=3).orderBy("cluster")
 
 
 def q_tfidf_top(spark, sf_dir):
@@ -2474,6 +2474,66 @@ def q_streaming_sessions(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "sess_start")
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """DuckDB replay of clustering.kmeans_quantized: identical quantize
+    (floor(double(e)*1e6) BIGINT), exact int argmin with ties to the
+    lowest cluster, exact floor-division centroid update (emulated over
+    DuckDB's truncating `//`), `iters` unrolled as CTE pairs — every
+    quantity integer, so the final (cluster, n_members, inertia_scaled)
+    is bit-identical to the Spark run."""
+
+    def dist(xi: str, c: str) -> str:
+        return (
+            f"(SELECT SUM(({xi}[i]-{c}[i])*({xi}[i]-{c}[i]))"
+            f" FROM range(1,{dim + 1}) t(i))"
+        )
+
+    parts = [
+        f"""x AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE)*{scale}) AS BIGINT)) AS xi
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 xi AS c
+          FROM (SELECT vec_id, xi FROM x ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""a{i} AS (
+          SELECT x.xi, best.cluster
+          FROM x, LATERAL (
+            SELECT c.cluster, {dist("x.xi", "c.c")} AS dist
+            FROM {prev} c ORDER BY 2 ASC, 1 ASC LIMIT 1) best)""")
+        parts.append(f"""s{i} AS (
+          SELECT cluster, i AS d, CAST(SUM(xi[i]) AS BIGINT) AS s, COUNT(*) AS n
+          FROM a{i} CROSS JOIN range(1,{dim + 1}) t(i) GROUP BY 1, 2)""")
+        # exact floor division (DuckDB // truncates toward zero)
+        parts.append(f"""n{i} AS (
+          SELECT cluster, list(cd ORDER BY d) AS c FROM (
+            SELECT cluster, d,
+                   CASE WHEN s >= 0 THEN s // n
+                        ELSE -((-s + n - 1) // n) END AS cd
+            FROM s{i}) GROUP BY 1)""")
+        parts.append(f"""c{i} AS (
+          SELECT p.cluster, COALESCE(q.c, p.c) AS c
+          FROM {prev} p LEFT JOIN n{i} q USING (cluster))""")
+    parts.append(f"""af AS (
+          SELECT best.cluster, best.dist
+          FROM x, LATERAL (
+            SELECT c.cluster, {dist("x.xi", "c.c")} AS dist
+            FROM c{iters} c ORDER BY 2 ASC, 1 ASC LIMIT 1) best)""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT cluster, COUNT(*) AS n_members,
+               CAST(SUM(dist) AS BIGINT) AS inertia_scaled
+        FROM af GROUP BY cluster ORDER BY cluster"""
 
 
 def _oracle() -> dict[str, str]:
@@ -3533,6 +3593,7 @@ def _oracle() -> dict[str, str]:
             ORDER BY p_event_id, v_event_id""",
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "gap_fill_daily": f"""
             WITH spine AS (
               SELECT CAST(unnest(generate_series(DATE '1996-01-01',
@@ -3724,7 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry entries intentionally shipped without a DuckDB oracle (the driver
 # records a weaker rows-only check for these). Anything else missing an
 # oracle is a bug and fails loudly below.
-_NO_ORACLE_BY_DESIGN = {"approx_distinct", "kmeans_clusters"}
+_NO_ORACLE_BY_DESIGN = {"approx_distinct"}
 
 
 def oracle_sql() -> dict[str, str]:

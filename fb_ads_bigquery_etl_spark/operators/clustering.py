@@ -126,6 +126,159 @@ def _assign_and_partial_sums(vec_col: str, centroids: list[list[float]]):
     return fn
 
 
+QSCALE = 1_000_000
+
+
+def _quantized_assign_partials(vec_col: str, centroids: list[list[int]]):
+    """mapInPandas fn for the quantized loop: per-batch (cluster, dim,
+    s, n) int64 partial sums, all arithmetic exact integer."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)  # k x d
+    k, dim = C.shape
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xs = np.floor(X * QSCALE).astype(np.int64)
+            d2 = np.empty((len(Xs), k), dtype=np.int64)
+            for j in range(k):
+                diff = Xs - C[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+            a = d2.argmin(axis=1)  # ties -> lowest index
+            sums = np.zeros((k, dim), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    sums[j] = Xs[mask].sum(axis=0)
+                    counts[j] = int(mask.sum())
+            idx = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(idx, dim).astype(np.int32),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), len(idx)),
+                    "s": sums[idx].reshape(-1),
+                    "n": np.repeat(counts[idx], dim),
+                }
+            )
+
+    return fn
+
+
+def _quantized_cluster_stats(vec_col: str, centroids: list[list[int]]):
+    """mapInPandas fn: per-batch (cluster, n, inertia) partials against
+    the FINAL centroids — exact int64 squared distances."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+    k, _ = C.shape
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xs = np.floor(X * QSCALE).astype(np.int64)
+            d2 = np.empty((len(Xs), k), dtype=np.int64)
+            for j in range(k):
+                diff = Xs - C[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+            a = d2.argmin(axis=1)
+            best = d2[np.arange(len(Xs)), a]
+            idx = np.unique(a)
+            yield pd.DataFrame(
+                {
+                    "cluster": idx.astype(np.int32),
+                    "n": [int((a == j).sum()) for j in idx],
+                    "inertia": [int(best[a == j].sum()) for j in idx],
+                }
+            )
+
+    return fn
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Integer-exact quantized Lloyd's: cross-engine reproducible to the
+    last bit, so a SQL oracle can replay it (the float variant below is
+    deterministic within Spark but its argmin depends on float summation
+    order, which no second engine reproduces).
+
+    Every quantity is an integer: vectors quantize once as
+    floor(double(x) * 1e6) (exact for |x| < 2^53 / 1e6); assignment is
+    exact int64 argmin of squared distances with ties to the lowest
+    cluster index; the centroid update is elementwise exact FLOOR
+    division of the int sums by the member count (a deliberately
+    quantized variant of the mean — the fixpoint argument is unchanged).
+    `iters` is pinned with no early exit: once a fixpoint is reached,
+    further iterations are identity, so a fixed count equals
+    converge-then-stop whenever convergence happens earlier.
+
+    Scale shape is identical to `kmeans`: one Arrow-batched mapInPandas
+    pass per iteration emitting k*dim int partial-sum rows per batch
+    (row-count independent), k*dim driver traffic, and a final pass
+    emitting k-row (cluster, n_members, inertia_scaled) partials.
+
+    Returns DataFrame(cluster, n_members, inertia_scaled) — the gateable
+    derived result (sizes + integer inertia).
+    """
+    first = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [
+        [int(__import__("math").floor(float(v) * QSCALE)) for v in r[vec_col]]
+        for r in first
+    ]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(
+                _quantized_assign_partials(vec_col, centroids),
+                schema="cluster int, dim int, s long, n long",
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        centroids = [
+            [sums[j][d] // counts[j] for d in range(dim)]  # exact floor div
+            if j in sums
+            else centroids[j]  # empty cluster keeps its old centroid
+            for j in range(k)
+        ]
+    return (
+        df.select(vec_col)
+        .mapInPandas(
+            _quantized_cluster_stats(vec_col, centroids),
+            schema="cluster int, n long, inertia long",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.sum("inertia").alias("inertia_scaled"),
+        )
+    )
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
