@@ -133,21 +133,79 @@ def write_bucketed(
     writer.saveAsTable(table_name, format="parquet")
 
 
-def merge_upsert(
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark package AND its SQL extension are live
+    in this session (both are required for MERGE INTO; the pip package
+    alone is not enough if the session was built without the Delta
+    catalog/extension configs)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def merge_upsert_delta(
     spark: SparkSession,
     updates: DataFrame,
     path: str,
     key: tuple[str, ...] = DEDUP_KEY,
 ) -> DataFrame:
+    """True row-level MERGE via Delta Lake: matched keys update, new
+    keys insert — transactional, no partition rewrite, concurrent-reader
+    safe. Requires `delta_available`; `merge_upsert` dispatches here
+    automatically when it is.
+
+    The ON clause includes the partition column (part of DEDUP_KEY), so
+    Delta's file-pruning bounds the rewrite to affected partitions —
+    the same bounded-IO contract as the parquet fallback, minus the
+    read-modify-write of whole partitions.
+    """
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        updates.write.format("delta").partitionBy(PARTITION_COLUMN).save(path)
+        return spark.read.format("delta").load(path)
+    tgt = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key)
+    (
+        tgt.alias("t")
+        .merge(updates.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return spark.read.format("delta").load(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: tuple[str, ...] = DEDUP_KEY,
+    engine: str = "auto",
+) -> DataFrame:
     """Idempotent key-based MERGE (fixes EP3's duplicate-on-reload gap,
     SURVEY.md §3).
 
-    Parquet has no row-level MERGE, so this is a partition-overwrite
-    MERGE: only partitions present in `updates` are rewritten
-    (updates win over existing rows on the key). With Delta available
-    this becomes a one-line `MERGE INTO`; the partition-scoped rewrite
-    is the same bounded-IO shape.
+    engine='auto' probes for Delta (`delta_available`) and issues a real
+    row-level MERGE INTO when present; otherwise (plain parquet — this
+    container) it falls back to a partition-overwrite MERGE: only
+    partitions present in `updates` are rewritten (updates win over
+    existing rows on the key). engine='delta' forces the Delta path and
+    raises if the session can't do it; engine='parquet' forces the
+    fallback.
     """
+    if engine not in ("auto", "delta", "parquet"):
+        raise ValueError(f"unknown merge engine: {engine!r}")
+    if engine == "delta" and not delta_available(spark):
+        raise RuntimeError(
+            "merge_upsert(engine='delta') requires the delta-spark package "
+            "and spark.sql.extensions=...DeltaSparkSessionExtension"
+        )
+    if engine == "delta" or (engine == "auto" and delta_available(spark)):
+        return merge_upsert_delta(spark, updates, path, key)
     # Two actions consume `updates` (partition discovery + the MERGE
     # write): persist so the upstream pipeline executes once, not twice.
     updates = updates.persist()

@@ -498,3 +498,29 @@ def test_scd2_apply_tracks_history(spark, tmp_path):
     )
     assert cur.count() == 3
     assert spark.read.parquet(path).filter("state = 'closed'").count() == 1
+
+
+def test_merge_upsert_engine_dispatch(spark, tmp_path):
+    """This container has no delta-spark: the probe must say so, 'auto'
+    must take the parquet fallback (idempotent, updates-win), and
+    engine='delta' must fail loudly rather than silently degrade."""
+    from fb_ads_bigquery_etl_spark import sinks
+
+    assert sinks.delta_available(spark) is False
+
+    df = spark.createDataFrame(
+        [("c1", "a1", "2026-01-10", "facebook", 1.0)],
+        "campaign_name string, ad_name string, date_start string, "
+        "publisher_platform string, spend double",
+    )
+    path = str(tmp_path / "merge_tbl")
+    sinks.merge_upsert(spark, df, path)  # auto -> parquet fallback
+    updated = df.withColumn("spend", F.lit(2.0))
+    out = sinks.merge_upsert(spark, updated, path)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["spend"] == 2.0  # updates win
+
+    with pytest.raises(RuntimeError, match="delta"):
+        sinks.merge_upsert(spark, df, path, engine="delta")
+    with pytest.raises(ValueError):
+        sinks.merge_upsert(spark, df, path, engine="iceberg")
