@@ -2324,6 +2324,139 @@ def q_reservoir_per_group(spark, sf_dir):
     )
 
 
+def q_streaming_user_totals(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState;
+    streaming/state.py running_user_totals): per-user running
+    (event count, value total) maintained in the state store across
+    micro-batches — the semantics Spark's built-in window/session
+    operators can't express. Value accumulates as floor(value*1e6)
+    int64 micros (associative, engine-exact), so after an AvailableNow
+    drain the per-user FINAL emission (max n_events — emissions
+    strictly increase per key) hash-matches a one-line batch aggregate,
+    gating stream==batch equivalence for arbitrary user state."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="stream_totals_landing_")
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    stream = event_ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(landing)
+    )
+    from fb_ads_bigquery_etl_spark.streaming.state import running_user_totals
+
+    tot = running_user_totals(stream)
+    name = f"_stream_totals_{next(_STREAM_SEQ)}"
+    q = (
+        tot.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value_micros"), F.col("n_events")
+            ).alias("_r")
+        )
+        .select("user_id", "_r.*")
+        .orderBy("user_id")
+    )
+
+
+def q_cdc_changelog_apply(spark, sf_dir):
+    """CDC changelog application (operators/cdc.changelog_latest):
+    last-writer-wins collapse of an insert/update/delete changelog to
+    current state — ONE max_by hash aggregate keyed by the logical key
+    (partial agg keeps one candidate per key per map task; no
+    row_number window), then tombstones drop. The changelog derives
+    deterministically from orders (key=custkey, version=orderkey,
+    op from orderkey residues) so both engines build identical input."""
+    from fb_ads_bigquery_etl_spark.operators.cdc import changelog_latest
+
+    o = _t(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 17 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return changelog_latest(changelog, ("cust_id",), "version").orderBy(
+        "cust_id"
+    )
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigated fact⋈dim join (operators/skew.salted_join):
+    lineitem joins orders on an 8-way salted key — the fact side's hot
+    keys spread over 8 reducers (deterministic xxhash64 salt, so
+    retries/speculation reproduce), the dim side replicates 8x. Result
+    is identical to the plain inner join (the oracle), which is exactly
+    the point: same answer, no hot-partition straggler."""
+    from fb_ads_bigquery_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", salt=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                6,
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_dedup_url_canonical(spark, sf_dir):
+    """Exact URL-level dedup via text.canonicalize_url — the standard
+    first pass of a web-corpus dedup stack, ahead of content-hash and
+    fuzzy layers. URLs are synthesized deterministically from doc_id
+    (the corpus has no url column) with case/port/scheme/tracking-param/
+    trailing-slash/fragment variation, so distinct raw URLs canonicalize
+    together; keep the min doc_id per canonical form. All JVM regexps,
+    one narrow projection + one hash aggregate. The oracle replays the
+    same canonicalization in RE2 form (DuckDB has no lookahead — the
+    port strip uses an optional capture instead; provably equivalent)."""
+    from fb_ads_bigquery_etl_spark.operators.text import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    n7 = F.expr("doc_id div 7").cast("string")
+    q3 = (F.col("doc_id") % 3).cast("string")
+    m5 = F.col("doc_id") % 5
+    url = (
+        F.when(m5 == 0, F.concat(F.lit("HTTP://Example.com:80/a/"), n7, F.lit("/?utm_source=x&q="), q3))
+        .when(m5 == 1, F.concat(F.lit("https://example.com/a/"), n7, F.lit("?q="), q3))
+        .when(m5 == 2, F.concat(F.lit("https://Example.COM:443/a/"), n7, F.lit("?q="), q3, F.lit("&fbclid=zz#frag")))
+        .when(m5 == 3, F.concat(F.lit("http://example.com/a/"), n7, F.lit("/?q="), q3))
+        .otherwise(F.concat(F.lit("https://example.com/b/"), n7, F.lit("#sec")))
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_dups"),
+        )
+        .orderBy("canon_url")
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exactly-once dedup of a DOUBLED source: the landing
     zone stages the events file twice (the classic at-least-once
@@ -3594,6 +3727,75 @@ def _oracle() -> dict[str, str]:
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
         "kmeans_clusters": _kmeans_oracle_sql(),
+        # Final stateful emission == one-line batch aggregate: the whole
+        # point of the integer-micros state accumulator.
+        "streaming_user_totals": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS total_value_micros
+            FROM events GROUP BY user_id ORDER BY user_id""",
+        "cdc_changelog_apply": """
+            WITH ch AS (
+              SELECT o_custkey AS cust_id, o_orderkey AS version,
+                     CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                          WHEN o_orderkey % 3 = 0 THEN 'U'
+                          ELSE 'I' END AS op,
+                     o_totalprice AS amount
+              FROM orders),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cust_id ORDER BY version DESC) AS rn
+              FROM ch)
+            SELECT cust_id, version, op, amount
+            FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
+        # RE2 form of text.canonicalize_url (no lookahead: the port strip
+        # keeps the tail in an optional capture — same output).
+        "dedup_url_canonical": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'HTTP://Example.com:80/a/' || (doc_id // 7) || '/?utm_source=x&q=' || (doc_id % 3)
+                  WHEN 1 THEN 'https://example.com/a/' || (doc_id // 7) || '?q=' || (doc_id % 3)
+                  WHEN 2 THEN 'https://Example.COM:443/a/' || (doc_id // 7) || '?q=' || (doc_id % 3) || '&fbclid=zz#frag'
+                  WHEN 3 THEN 'http://example.com/a/' || (doc_id // 7) || '/?q=' || (doc_id % 3)
+                  ELSE 'https://example.com/b/' || (doc_id // 7) || '#sec'
+                END AS url
+              FROM documents),
+            lowered AS (
+              SELECT doc_id,
+                     lower(regexp_extract(trim(url), '^([^/?#]*//[^/?#]*)', 1))
+                       || substr(trim(url),
+                                 length(regexp_extract(trim(url), '^([^/?#]*//[^/?#]*)', 1)) + 1)
+                       AS u
+              FROM urls),
+            deported AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(u, '^http://([^/:?#]+):80([/?#].*)?$', 'http://\1\2'),
+                       '^https://([^/:?#]+):443([/?#].*)?$', 'https://\1\2') AS u
+              FROM lowered),
+            stripped AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(u, '^https?://', ''), '#.*$', '') AS u
+              FROM deported),
+            noparams AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(u, '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
+                       '\?(utm_[^=&]*|fbclid|gclid)=[^&]*&?', '?') AS u
+              FROM stripped),
+            canon AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(u, '\?$', ''), '/(\?|$)', '\1') AS cu
+              FROM noparams)
+            SELECT cu AS canon_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+            FROM canon GROUP BY 1 ORDER BY 1""",
+        # The salted join must equal the plain inner join — that IS the gate.
+        "skew_salted_join": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_items,
+                   {_dsum_sql("l_extendedprice * (1.0 - l_discount)", "revenue", 6)}
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1""",
         "gap_fill_daily": f"""
             WITH spine AS (
               SELECT CAST(unnest(generate_series(DATE '1996-01-01',
@@ -3668,6 +3870,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reservoir_per_group": q_reservoir_per_group,
     "pack_sequences": q_pack_sequences,
     # --- new in round 3 (never driver-checked) ---
+    "streaming_user_totals": q_streaming_user_totals,
+    "cdc_changelog_apply": q_cdc_changelog_apply,
+    "skew_salted_join": q_skew_salted_join,
+    "dedup_url_canonical": q_dedup_url_canonical,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

@@ -19,14 +19,14 @@ _OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_value_micros", T.LongType()),
     ]
 )
 
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_micros", T.LongType()),
     ]
 )
 
@@ -35,21 +35,34 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (count, total value) across micro-batches.
 
     Emits the updated running totals for every user seen in each batch;
-    state is one (long, double) pair per user — O(distinct keys), not
-    O(rows). The equivalent batch query is a plain groupBy aggregate,
-    which the tests use as the oracle after draining all batches.
+    state is one (long, long) pair per user — O(distinct keys), not
+    O(rows). Value accumulates as floor(value * 1e6) int64 micros:
+    integer addition is associative and engine-exact, so the drained
+    result hash-matches a batch SQL aggregate regardless of batch
+    boundaries or arrival order (a float running sum would drift in the
+    last bits per batch split). The equivalent batch query is a plain
+    groupBy aggregate, used as the oracle after draining all batches.
     """
+    import numpy as np
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total += int(
+                np.floor(pdf["value"].to_numpy(dtype=np.float64) * 1_000_000)
+                .astype(np.int64)
+                .sum()
+            )
         state.update((n, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_micros": [total],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

@@ -156,18 +156,26 @@ def test_stateful_running_totals(spark, landing_dir):
     # row with the largest n_events per user.
     final = (
         drained.groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value_micros"), F.col("n_events")
+            ).alias("r")
+        )
+        .select("user_id", "r.*")
         .collect()
     )
-    got = {r["user_id"]: r["n_events"] for r in final}
+    got = {r["user_id"]: (r["n_events"], r["total_value_micros"]) for r in final}
     want = {
-        r["user_id"]: r["n"]
+        r["user_id"]: (r["n"], r["t"])
         for r in spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000)).alias("t"),
+        )
         .collect()
     }
-    assert got == want
+    assert got == want  # exact across batch splits: integer-micros state
 
 
 def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
