@@ -2423,6 +2423,75 @@ def q_skew_salted_join(spark, sf_dir):
     )
 
 
+def q_attribution_linear(spark, sf_dir):
+    """Multi-touch marketing attribution — the ads-domain query the
+    reference's BigQuery consumers would write next: each purchase's
+    value splits linearly across that user's views in the preceding
+    hour. Value quantizes to integer micros and each touch gets
+    value_micros DIV n_touches (exact integer division, identical in
+    DuckDB), so the per-view attributed totals hash-match. Shape: one
+    user-keyed equi-join with a range predicate (interval join), a
+    touch-count window keyed by purchase id (high-cardinality — groups
+    are per-purchase and tiny, no low-cardinality funnel), one final
+    hash aggregate per view."""
+    e = _events(spark, sf_dir)
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1_000_000).alias("value_micros"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = p.join(v, "user_id").filter(
+        (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    shared = j.withColumn(
+        "n_touches", F.count("*").over(Window.partitionBy("p_id"))
+    ).withColumn("share", F.expr("value_micros div n_touches"))
+    return (
+        shared.groupBy("v_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("share").alias("attributed_micros"),
+        )
+        .orderBy("v_id")
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Posting-list construction — the retrieval-side sibling of
+    tfidf_top: distinct (doc, token) postings aggregate per token into
+    document frequency and the first 20 doc_ids (array_sort + slice, so
+    the stored prefix is deterministic). One exploded scan, two hash
+    aggregates; the posting-array slice bounds per-token state exactly
+    like the reservoir top-k."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    return (
+        post.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy("token")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -3748,6 +3817,34 @@ def _oracle() -> dict[str, str]:
               FROM ch)
             SELECT cust_id, version, op, amount
             FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
+        # Integer-micros value split: DIV per touch, so engines agree bit-for-bit.
+        "attribution_linear": """
+            WITH p AS (
+              SELECT event_id AS p_id, user_id, ts AS p_ts,
+                     CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+              FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL),
+            v AS (
+              SELECT event_id AS v_id, user_id, ts AS v_ts
+              FROM events WHERE event_type = 'view'),
+            j AS (
+              SELECT p.p_id, v.v_id, p.value_micros,
+                     COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+              FROM p JOIN v ON p.user_id = v.user_id
+               AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts < p.p_ts)
+            SELECT v_id, COUNT(*) AS n_purchases,
+                   CAST(SUM(value_micros // n_touches) AS BIGINT)
+                     AS attributed_micros
+            FROM j GROUP BY v_id ORDER BY v_id""",
+        "inverted_index": f"""
+            WITH post AS (
+              SELECT DISTINCT doc_id, unnest({_TOK}) AS token
+              FROM documents)
+            SELECT token, COUNT(*) AS df,
+                   array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+                     AS postings
+            FROM post GROUP BY token HAVING COUNT(*) >= 5
+            ORDER BY token""",
         # RE2 form of text.canonicalize_url (no lookahead: the port strip
         # keeps the tail in an optional capture — same output).
         "dedup_url_canonical": r"""
@@ -3874,6 +3971,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changelog_apply": q_cdc_changelog_apply,
     "skew_salted_join": q_skew_salted_join,
     "dedup_url_canonical": q_dedup_url_canonical,
+    "attribution_linear": q_attribution_linear,
+    "inverted_index": q_inverted_index,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
