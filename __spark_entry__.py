@@ -2492,6 +2492,84 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (graph.pagerank_quantized) over the
+    symmetrized customer↔supplier co-purchase graph (distinct pairs
+    from orders⋈lineitem; customers even node ids, suppliers odd).
+    Third iterative operator under a full value-hash gate (after
+    connected components and quantized k-means): 3 pinned iterations,
+    all-integer rank arithmetic, so the DuckDB oracle replays them as
+    unrolled CTEs. Top-50 by rank with deterministic tie-break."""
+    from fb_ads_bigquery_etl_spark.operators.graph import pagerank_quantized
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank_quantized(edges, iters=3)
+    return pr.orderBy(F.col("rank_scaled").desc(), F.col("node")).limit(50)
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot reconciliation (anti-entropy diff): key-level
+    added/removed/changed classification between a table and its next
+    snapshot — the audit a warehouse runs after every sync. Snapshot B
+    derives deterministically from orders (drop keys %97==0, reprice
+    %101==0 by +1 exact decimal, insert offset keys for %89==0) so both
+    engines diff identical inputs. One full outer join on the key, all
+    comparisons null-safe; 'same' rows drop out so output is
+    change-sized, not table-sized."""
+    a = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b_kept = a.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0,
+            F.col("price") + F.lit(1).cast("decimal(18,2)"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    b_new = a.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"), "price"
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.select(
+        F.col("o_orderkey").alias("key"), F.col("price").alias("old_price")
+    ).join(
+        b.select(
+            F.col("o_orderkey").alias("key"), F.col("price").alias("new_price")
+        ),
+        "key",
+        "full_outer",
+    )
+    return (
+        j.select(
+            "key",
+            F.when(F.col("new_price").isNull(), F.lit("removed"))
+            .when(F.col("old_price").isNull(), F.lit("added"))
+            .when(~F.col("old_price").eqNullSafe(F.col("new_price")), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("status"),
+            F.col("old_price").cast("double").alias("old_price"),
+            F.col("new_price").cast("double").alias("new_price"),
+        )
+        .filter(F.col("status") != "same")
+        .orderBy("key")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -2736,6 +2814,41 @@ def _kmeans_oracle_sql(
         SELECT cluster, COUNT(*) AS n_members,
                CAST(SUM(dist) AS BIGINT) AS inertia_scaled
         FROM af GROUP BY cluster ORDER BY cluster"""
+
+
+def _pagerank_oracle_sql(
+    iters: int = 3, scale: int = 1_000_000_000, damping_pct: int = 85
+) -> str:
+    """DuckDB replay of graph.pagerank_quantized over the symmetrized
+    customer↔supplier graph: identical integer arithmetic (truncating
+    // == Spark div on non-negatives), iterations unrolled as CTEs."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"""pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        e AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""i{i} AS (
+          SELECT e.dst AS node, SUM(r.r // g.d) AS s
+          FROM e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg g ON g.src = e.src
+          GROUP BY 1)""")
+        parts.append(f"""r{i} AS (
+          SELECT n.node,
+                 CAST({base} + ({damping_pct} * COALESCE(c.s, 0)) // 100
+                      AS BIGINT) AS r
+          FROM nodes n LEFT JOIN i{i} c USING (node))""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node, r AS rank_scaled FROM r{iters}
+        ORDER BY r DESC, node LIMIT 50"""
 
 
 def _oracle() -> dict[str, str]:
@@ -3817,6 +3930,31 @@ def _oracle() -> dict[str, str]:
               FROM ch)
             SELECT cust_id, version, op, amount
             FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
+        "pagerank": _pagerank_oracle_sql(),
+        "table_diff": """
+            WITH a AS (
+              SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM orders),
+            b AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 101 = 0
+                          THEN price + CAST(1 AS DECIMAL(18,2))
+                          ELSE price END AS price
+              FROM a WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, price
+              FROM a WHERE o_orderkey % 89 = 0),
+            j AS (
+              SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS key,
+                     a.price AS old_price, b.price AS new_price,
+                     CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                          WHEN a.o_orderkey IS NULL THEN 'added'
+                          WHEN a.price IS DISTINCT FROM b.price THEN 'changed'
+                          ELSE 'same' END AS status
+              FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+            SELECT key, status, CAST(old_price AS DOUBLE) AS old_price,
+                   CAST(new_price AS DOUBLE) AS new_price
+            FROM j WHERE status <> 'same' ORDER BY key""",
         # Integer-micros value split: DIV per touch, so engines agree bit-for-bit.
         "attribution_linear": """
             WITH p AS (
@@ -3973,6 +4111,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_url_canonical": q_dedup_url_canonical,
     "attribution_linear": q_attribution_linear,
     "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
+    "table_diff": q_table_diff,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

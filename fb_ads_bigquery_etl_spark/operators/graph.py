@@ -136,3 +136,64 @@ def dedup_clusters(
         )
         .orderBy("component")
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank with a pinned iteration count — the
+    cross-engine-reproducible sibling of float PageRank, same design as
+    clustering.kmeans_quantized: every quantity is a non-negative
+    integer, every division is truncating integer division (Spark `div`
+    == DuckDB `//` on non-negatives), so a SQL oracle replays the
+    identical iterations.
+
+    Per iteration: each node sends rank div outdegree along every
+    out-edge; r'(v) = (100-d)%*scale + d% of the inbound sum, both via
+    integer div 100. Dangling mass (nodes with no out-edges) is dropped
+    — the standard simplification; with symmetrized edges (the caller's
+    choice) there are no dangling nodes.
+
+    Scale shape per iteration: ranks⋈edges on src (rank table is
+    node-sized; Catalyst/AQE picks broadcast while it fits, keyed
+    shuffle beyond), one groupBy(dst) partial-aggregated sum, one
+    node-sized left join for the teleport floor. Lineage stays linear in
+    `iters` (each iteration consumes the previous ranks once); for
+    large `iters` add localCheckpoint like connected_components.
+
+    Returns (node, rank_scaled).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ed = e.join(deg, "src").persist()  # edge list annotated with outdeg
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        inbound = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            inbound.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
