@@ -2570,6 +2570,94 @@ def q_table_diff(spark, sf_dir):
     )
 
 
+def q_profile_columns(spark, sf_dir):
+    """Data profiling — per-column min/max/null-count/exact-NDV for the
+    orders table in long form, the `DESCRIBE`-on-steroids every
+    warehouse audit starts with (dq_audit's schema-level sibling). ONE
+    scan, one aggregate computing all stats for all columns at once
+    (no per-column subqueries); values stringified so heterogeneous
+    column types share one output schema."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        # doubles stringify via exact decimal so both engines format
+        # identically; ints/strings stringify canonically everywhere
+        src = (
+            F.col(c).cast("decimal(18,2)") if c == "o_totalprice" else F.col(c)
+        )
+        sc = src.cast("string")
+        aggs += [
+            F.min(sc).alias(f"{c}__min"),
+            F.max(sc).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("ndv"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )
+
+
+def q_topk_per_group_agg(spark, sf_dir):
+    """Ordered top-k per group WITHOUT a group-keyed window: top-3
+    orders by (totalprice desc, orderkey asc) per orderpriority via the
+    same two-phase hash-aggregate shape as the reservoir (per sub-bucket
+    array_sort+slice, then a per-group merge of <= subshards*k structs).
+    The ranking window formulation funnels everything into 5 tasks (5
+    priorities); this keeps parallelism at groups x subshards. Price
+    sorts as an integer-cents NEGATIVE key so ascending struct sort
+    yields descending price with ascending-key tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    # decimal route: double*100 would truncate in Spark but round in
+    # DuckDB; decimal(18,2)*100 is exact in both
+    neg_cents = -(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    sub = F.pmod(F.hash(F.col("o_orderkey")), F.lit(32))
+    cand = (
+        o.select(
+            "o_orderpriority",
+            F.struct(
+                neg_cents.alias("negp"), F.col("o_orderkey").alias("key")
+            ).alias("e"),
+            sub.alias("_sub"),
+        )
+        .groupBy("o_orderpriority", "_sub")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, 3).alias("cand"))
+    )
+    merged = cand.groupBy("o_orderpriority").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, 3).alias(
+            "top"
+        )
+    )
+    return (
+        merged.select(
+            "o_orderpriority", F.posexplode("top").alias("pos", "e")
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("e.key").alias("o_orderkey"),
+            (-F.col("e.negp")).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -3931,6 +4019,38 @@ def _oracle() -> dict[str, str]:
             SELECT cust_id, version, op, amount
             FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
         "pagerank": _pagerank_oracle_sql(),
+        "profile_columns": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name,
+                   MIN(CAST({expr} AS VARCHAR)) AS min_val,
+                   MAX(CAST({expr} AS VARCHAR)) AS max_val,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv
+            FROM orders"""
+            for c, expr in [
+                ("o_orderkey", "o_orderkey"),
+                ("o_custkey", "o_custkey"),
+                ("o_orderstatus", "o_orderstatus"),
+                ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+                ("o_orderpriority", "o_orderpriority"),
+            ]
+        )
+        + " ORDER BY col_name",
+        "topk_per_group_agg": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS total_cents,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) DESC,
+                                o_orderkey ASC) AS rk
+              FROM orders)
+            SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
+                   total_cents
+            FROM ranked WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
         "table_diff": """
             WITH a AS (
               SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
@@ -4113,6 +4233,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
     "table_diff": q_table_diff,
+    "profile_columns": q_profile_columns,
+    "topk_per_group_agg": q_topk_per_group_agg,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

@@ -231,3 +231,30 @@ def test_reservoir_per_group_has_no_window(spark):
     assert "Window" not in plan, plan
     nc = PI.node_counts(df)
     assert nc["ObjectHashAggregate"] >= 2, nc  # partial + merge phases
+
+
+def test_round3_new_ops_plan_shapes(spark):
+    # CDC apply: one hash aggregate (max_by), partial+final, no window
+    df = _q(spark, "cdc_changelog_apply")
+    plan = PI.explain_str(df)
+    assert "Window" not in plan
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0, nc
+    # salted join: the join must key on (l_orderkey, _salt) — a salted
+    # exchange, not a broadcast of the replicated dim
+    df = _q(spark, "skew_salted_join")
+    assert "_salt" in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+    # URL dedup: pure expressions + one aggregate — no join, no window
+    df = _q(spark, "dedup_url_canonical")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert "Window" not in PI.explain_str(df)
+    # attribution: the touch-count window keys on the high-cardinality
+    # purchase id, never on a low-cardinality column
+    plan = PI.explain_str(_q(spark, "attribution_linear"))
+    assert "partitionBy=[p_id" in plan.replace(" ", "") or "[p_id#" in plan
+    # table diff: change-sized output still must not cartesian
+    assert not PI.has_cartesian(_q(spark, "table_diff"))
+    # pagerank: linear lineage — 3 iterations, no cartesian
+    assert not PI.has_cartesian(_q(spark, "pagerank"))
