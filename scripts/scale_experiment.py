@@ -44,6 +44,11 @@ QUERIES = [
     ("kmeans_clusters", "iterative fixpoint (Lloyd's)"),
     ("cohort_retention", "collect_set retention triangle (single wide shuffle)"),
     ("dedup_apply", "LSH clusters + anti-join survivors (full dedup path)"),
+    ("pagerank", "iterative integer PageRank (3 rounds of join+agg)"),
+    ("cdc_changelog_apply", "CDC max_by collapse (one hash agg)"),
+    ("topk_per_group_agg", "two-phase hash-agg ordered top-k"),
+    ("reservoir_per_group", "two-phase hash-agg reservoir (window-free)"),
+    ("pack_sequences", "sub-shard packing cum-sum + offset stitch"),
 ]
 
 
@@ -144,8 +149,18 @@ def main() -> None:
         "1000-executor cluster.",
         "",
     ]
+    # Preserve hand-written analysis sections (e.g. the bench drift
+    # audit): everything from the first second-level heading onward in
+    # the existing file is carried over verbatim.
+    preserved: list[str] = []
+    if os.path.exists(out_md):
+        old = open(out_md).read().splitlines()
+        for i, ln in enumerate(old):
+            if ln.startswith("## "):
+                preserved = [""] + old[i:]
+                break
     with open(out_md, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines + preserved))
     print(f"wrote {out_md}")
 
 
