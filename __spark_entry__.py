@@ -2658,6 +2658,40 @@ def q_topk_per_group_agg(spark, sf_dir):
     )
 
 
+def q_global_rank(spark, sf_dir):
+    """Distributed exact global ranking (operators/rank.
+    global_row_number): every lineitem ranked by (price-cents,
+    orderkey, linenumber) with NO single-task global window — order-
+    preserving range buckets (cents div 10^6) rank locally, per-bucket
+    counts prefix-sum in a metadata-sized frame, offsets broadcast
+    back. This is the scale-path answer to the percent_rank weakness:
+    exact ranks, max window partition bounded by bucket row count.
+    Output = the deterministic rank sample (rank % 997 == 1), bounded
+    at any table size; the oracle is the plain global ROW_NUMBER."""
+    from fb_ads_bigquery_etl_spark.operators.rank import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    # $1k buckets over the ~$1k-105k price range -> ~100 buckets; width
+    # is a free knob (ranks are width-invariant), sized to cluster
+    # parallelism at the real scale
+    ranked = global_row_number(
+        li,
+        F.expr("cents div 100000"),
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+    )
+    return (
+        ranked.filter((F.col("rank") % 997) == 1)
+        .select("rank", "l_orderkey", "l_linenumber", "cents")
+        .orderBy("rank")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -4037,6 +4071,18 @@ def _oracle() -> dict[str, str]:
             ]
         )
         + " ORDER BY col_name",
+        "global_rank": """
+            WITH ranked AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT),
+                                l_orderkey, l_linenumber) AS rank
+              FROM lineitem)
+            SELECT rank, l_orderkey, l_linenumber, cents
+            FROM ranked WHERE rank % 997 = 1 ORDER BY rank""",
         "topk_per_group_agg": """
             WITH ranked AS (
               SELECT o_orderpriority, o_orderkey,
@@ -4235,6 +4281,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": q_table_diff,
     "profile_columns": q_profile_columns,
     "topk_per_group_agg": q_topk_per_group_agg,
+    "global_rank": q_global_rank,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

@@ -258,3 +258,14 @@ def test_round3_new_ops_plan_shapes(spark):
     assert not PI.has_cartesian(_q(spark, "table_diff"))
     # pagerank: linear lineage — 3 iterations, no cartesian
     assert not PI.has_cartesian(_q(spark, "pagerank"))
+
+
+def test_global_rank_window_keyed_by_bucket(spark):
+    """The only corpus-sized window must be keyed by the range bucket;
+    the global (unkeyed) prefix-sum window runs over per-bucket counts
+    — an aggregate output, never the raw table."""
+    df = _q(spark, "global_rank")
+    plan = PI.explain_str(df)
+    assert "_bkt" in plan
+    nc = PI.node_counts(df)
+    assert nc["HashAggregate"] >= 2  # partial+final bucket counts

@@ -122,3 +122,43 @@ def test_topk_per_group_hashrank_equals_window_form(spark):
             )
         )
         assert got == want, f"subshards={subshards}"
+
+
+def test_global_row_number_equals_single_window(spark):
+    """Range-bucketed global ranking must be bit-identical to the
+    single-task window form at several bucket widths (width beyond the
+    key range degenerates to one bucket == the plain window)."""
+    from fb_ads_bigquery_etl_spark.operators.rank import global_row_number
+    from pyspark.sql import Window
+    from tests.conftest import SF_DIR
+    import os
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    order = [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")]
+    want = sorted(
+        map(
+            tuple,
+            li.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+            .select("rank", "l_orderkey", "l_linenumber")
+            .collect(),
+        )
+    )
+    for width in (1000, 1_000_000, 10**15):
+        got = sorted(
+            map(
+                tuple,
+                global_row_number(li, F.expr(f"cents div {width}"), order)
+                .select("rank", "l_orderkey", "l_linenumber")
+                .collect(),
+            )
+        )
+        assert got == want, f"width={width}"
