@@ -2692,6 +2692,94 @@ def q_global_rank(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters — the classic streaming-friendly
+    frequency sketch, built deterministically (md5-derived bucket
+    hashes, D=4 rows x W=256 buckets of exact integer counts) so the
+    DuckDB oracle replays the SKETCH itself, not just the answers. The
+    sketch build is one hash aggregate over (row, bucket) — 4*W cells
+    regardless of corpus size (the whole point at 100 TB); estimates
+    (min over rows) are checked against true counts for the top-20
+    tokens. CMS guarantees est >= true; the gate pins exact cell
+    values."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32, tokens
+
+    D, W = 4, 256
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    hashed = cnt.withColumn(
+        "h", F.explode(F.array(*[F.lit(i) for i in range(D)]))
+    ).withColumn(
+        "b",
+        hash32(
+            F.concat(F.lit("cm"), F.col("h"), F.lit(":"), F.col("token"))
+        )
+        % W,
+    )
+    sketch = hashed.groupBy("h", "b").agg(F.sum("c").alias("bc"))
+    probe = cnt.orderBy(F.col("c").desc(), F.col("token")).limit(20)
+    probed = probe.withColumn(
+        "h", F.explode(F.array(*[F.lit(i) for i in range(D)]))
+    ).withColumn(
+        "b",
+        hash32(
+            F.concat(F.lit("cm"), F.col("h"), F.lit(":"), F.col("token"))
+        )
+        % W,
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["h", "b"])
+        .groupBy("token", "c")
+        .agg(F.min("bc").alias("cms_est"))
+        .select(
+            "token",
+            F.col("c").alias("true_count"),
+            F.col("cms_est"),
+        )
+        .orderBy(F.col("true_count").desc(), F.col("token"))
+    )
+
+
+def q_array_hof_suite(spark, sf_dir):
+    """Higher-order array function surface (aggregate / zip_with /
+    exists / forall / filter over generated sequences) — all-integer
+    derivations so the DuckDB oracle (correlated range subqueries over
+    1-based list indexing) matches bit-for-bit. One narrow projection,
+    one small aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    a = F.sequence(F.lit(1), (F.col("o_orderkey") % 7 + 2).cast("int"))
+    derived = o.select(
+        "o_orderpriority",
+        F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "seq_sum"
+        ),
+        F.aggregate(
+            F.zip_with(a, F.reverse(a), lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("palindrome_dot"),
+        F.exists(a, lambda x: x % 2 == 0).cast("int").alias("has_even"),
+        F.forall(a, lambda x: x > 0).cast("int").alias("all_pos"),
+        F.size(F.filter(a, lambda x: x % 3 == 0)).alias("n_div3"),
+    )
+    return (
+        derived.groupBy("o_orderpriority")
+        .agg(
+            F.sum("seq_sum").alias("sum_seq"),
+            F.sum("palindrome_dot").alias("sum_dot"),
+            F.sum("has_even").alias("n_has_even"),
+            F.sum("all_pos").alias("n_all_pos"),
+            F.sum("n_div3").cast("long").alias("sum_div3"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -4071,6 +4159,51 @@ def _oracle() -> dict[str, str]:
             ]
         )
         + " ORDER BY col_name",
+        # The oracle replays the SKETCH (4x256 integer cells), not just
+        # the estimates: md5 bucket hashes are engine-portable.
+        "heavy_hitters_cms": f"""
+            WITH cnt AS (
+              SELECT token, COUNT(*) AS c FROM (
+                SELECT unnest({_TOK}) AS token FROM documents)
+              GROUP BY 1),
+            hs AS (SELECT h FROM range(0, 4) t(h)),
+            sk AS (
+              SELECT hs.h,
+                     ('0x' || substr(md5('cm' || hs.h || ':' || token), 1, 8))::BIGINT
+                       % 256 AS b,
+                     CAST(SUM(c) AS BIGINT) AS bc
+              FROM cnt CROSS JOIN hs GROUP BY 1, 2),
+            probe AS (
+              SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 20)
+            SELECT p.token, p.c AS true_count, MIN(sk.bc) AS cms_est
+            FROM probe p CROSS JOIN hs
+            JOIN sk ON sk.h = hs.h
+                   AND sk.b = ('0x' || substr(md5('cm' || hs.h || ':' || p.token), 1, 8))::BIGINT % 256
+            GROUP BY 1, 2 ORDER BY true_count DESC, p.token""",
+        "array_hof_suite": """
+            WITH arr AS (
+              SELECT o_orderpriority,
+                     generate_series(1, CAST(o_orderkey % 7 + 2 AS INT)) AS a
+              FROM orders),
+            derived AS (
+              SELECT o_orderpriority,
+                     CAST(list_sum(a) AS BIGINT) AS seq_sum,
+                     CAST(list_sum(list_transform(a,
+                       (x, i) -> x * a[len(a) - i + 1])) AS BIGINT)
+                       AS palindrome_dot,
+                     CASE WHEN len(list_filter(a, x -> x % 2 = 0)) > 0
+                          THEN 1 ELSE 0 END AS has_even,
+                     CASE WHEN len(list_filter(a, x -> x <= 0)) = 0
+                          THEN 1 ELSE 0 END AS all_pos,
+                     len(list_filter(a, x -> x % 3 = 0)) AS n_div3
+              FROM arr)
+            SELECT o_orderpriority,
+                   CAST(SUM(seq_sum) AS BIGINT) AS sum_seq,
+                   CAST(SUM(palindrome_dot) AS BIGINT) AS sum_dot,
+                   CAST(SUM(has_even) AS BIGINT) AS n_has_even,
+                   CAST(SUM(all_pos) AS BIGINT) AS n_all_pos,
+                   CAST(SUM(n_div3) AS BIGINT) AS sum_div3
+            FROM derived GROUP BY 1 ORDER BY 1""",
         "global_rank": """
             WITH ranked AS (
               SELECT l_orderkey, l_linenumber,
@@ -4282,6 +4415,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": q_profile_columns,
     "topk_per_group_agg": q_topk_per_group_agg,
     "global_rank": q_global_rank,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "array_hof_suite": q_array_hof_suite,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
