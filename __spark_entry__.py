@@ -943,8 +943,11 @@ def q_percent_rank(spark, sf_dir):
     approx_percentile(o_totalprice, array(0.01..0.99)) per group (a
     partial-aggregated, fully parallel pass), broadcast the <=5x99
     boundary table, and assign each row its bucket with a narrow join —
-    no single-task windows. Exact ranks stay available for final
-    reporting slices after a selective filter."""
+    no single-task windows (registered: quartile_bucket). When EXACT
+    global ranks are required, the registered scale path is
+    `global_rank` (operators/rank.global_row_number): order-preserving
+    range buckets + metadata-sized offset stitching — exact ranks, max
+    window partition bounded by bucket width, not table size."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").asc())
     return o.select(
