@@ -2783,6 +2783,40 @@ def q_array_hof_suite(spark, sf_dir):
     )
 
 
+def q_datetime_suite(spark, sf_dir):
+    """Datetime function surface (extract fields, ISO weekday, day-of-
+    year, month-end, date arithmetic) — all-integer derivations
+    aggregated per (year, quarter). Dialect notes: Spark weekday() is
+    0=Monday, DuckDB isodow is 1=Monday (offset by one); everything
+    else maps 1:1."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    derived = o.select(
+        F.year("d").alias("y"),
+        F.quarter("d").alias("q"),
+        (F.expr("weekday(d)") + 1).alias("isodow"),
+        F.dayofyear("d").alias("doy"),
+        F.dayofmonth(F.last_day("d")).alias("eom_day"),
+        F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.month(F.add_months("d", 3)).alias("month_p3"),
+    )
+    return (
+        derived.groupBy("y", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("isodow").alias("sum_isodow"),
+            F.sum("doy").alias("sum_doy"),
+            F.sum("eom_day").alias("sum_eom"),
+            F.sum("days_since").alias("sum_days_since"),
+            F.sum("month_p3").alias("sum_month_p3"),
+        )
+        .orderBy("y", "q")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -4183,6 +4217,21 @@ def _oracle() -> dict[str, str]:
             JOIN sk ON sk.h = hs.h
                    AND sk.b = ('0x' || substr(md5('cm' || hs.h || ':' || p.token), 1, 8))::BIGINT % 256
             GROUP BY 1, 2 ORDER BY true_count DESC, p.token""",
+        "datetime_suite": """
+            WITH derived AS (
+              SELECT year(d) AS y, quarter(d) AS q,
+                     isodow(d) AS isodow, dayofyear(d) AS doy,
+                     day(last_day(d)) AS eom_day,
+                     datediff('day', DATE '1995-01-01', d) AS days_since,
+                     month(d + INTERVAL 3 MONTH) AS month_p3
+              FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders))
+            SELECT y, q, COUNT(*) AS n,
+                   CAST(SUM(isodow) AS BIGINT) AS sum_isodow,
+                   CAST(SUM(doy) AS BIGINT) AS sum_doy,
+                   CAST(SUM(eom_day) AS BIGINT) AS sum_eom,
+                   CAST(SUM(days_since) AS BIGINT) AS sum_days_since,
+                   CAST(SUM(month_p3) AS BIGINT) AS sum_month_p3
+            FROM derived GROUP BY 1, 2 ORDER BY 1, 2""",
         "array_hof_suite": """
             WITH arr AS (
               SELECT o_orderpriority,
@@ -4420,6 +4469,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_rank": q_global_rank,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "array_hof_suite": q_array_hof_suite,
+    "datetime_suite": q_datetime_suite,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

@@ -325,6 +325,32 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_col: str | None = None,
+) -> None:
+    """ORC sink — the second columnar interchange format warehouses
+    expect next to parquet (Hive/Trino ecosystems). Same layout
+    contract as write_partitioned: optional directory partitioning,
+    zlib-compressed stripes, predicate-pushdown-capable files."""
+    writer = df.write.mode(mode).option("compression", "zlib")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source; like read_jsonl, pass an explicit schema at scale to
+    skip the footer-sampling inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def scd2_apply(
     spark: SparkSession,
     updates: DataFrame,

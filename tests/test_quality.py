@@ -1,5 +1,7 @@
 """Data-quality audit operator tests (operators/quality.py)."""
 
+from pyspark.sql import functions as F
+
 from fb_ads_bigquery_etl_spark.operators import quality as Q
 
 
@@ -66,3 +68,22 @@ def test_jsonl_roundtrip(spark, tmp_path):
     # files are gzipped jsonl
     import glob
     assert glob.glob(path + "/*.json.gz")
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from fb_ads_bigquery_etl_spark.sinks import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01", 10.5), (2, "2026-01-02", 20.25), (3, "2026-01-02", 1.0)],
+        "id long, day string, v double",
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_col="day")
+    back = read_orc(spark, path)
+    assert back.count() == 3
+    assert sorted(back.columns) == ["day", "id", "v"]
+    # directory partitioning + partition pruning reaches the scan
+    import glob
+    assert glob.glob(path + "/day=2026-01-02/*.orc")
+    pruned = back.filter(F.col("day") == "2026-01-02")
+    assert pruned.count() == 2
