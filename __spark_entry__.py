@@ -2817,6 +2817,85 @@ def q_datetime_suite(spark, sf_dir):
     )
 
 
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every declared
+    FK edge in the schema (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation,
+    supplier→nation, nation→region). Each check is one left-anti join
+    — dimension sides broadcast, fact-side checks stay narrow — and
+    the union of per-edge counts is audit-sized. The testdata is
+    consistent, so every count gates at zero: what's being verified is
+    the CHECK itself (a broken FK would hash-mismatch)."""
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:  # shared with the oracle
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(F.broadcast(p), "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        row = orphans.select(
+            F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+            "n_orphans",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+def q_reachability(spark, sf_dir):
+    """Bounded-depth BFS over the customer↔supplier co-purchase graph
+    (same symmetrized edges as pagerank): per-level count of NEW nodes
+    reachable from the 10 lowest customer nodes within 3 hops — the
+    frontier-expansion primitive under lineage/blast-radius queries.
+    Each level is one join + distinct + anti-join against the visited
+    set (all keyed shuffles, frontier-sized); depth is pinned so the
+    DuckDB oracle replays it as unrolled CTEs."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).persist()
+    seeds = (
+        pairs.select(F.col("c").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(10)
+    )
+    visited = seeds.withColumn("level", F.lit(0))
+    frontier = seeds
+    rows = [visited]
+    for lvl in (1, 2, 3):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = nxt
+        tagged = nxt.withColumn("level", F.lit(lvl))
+        rows.append(tagged)
+        visited = visited.select("node", "level").unionByName(tagged)
+    allv = rows[0]
+    for r in rows[1:]:
+        allv = allv.unionByName(r)
+    return (
+        allv.groupBy("level")
+        .agg(F.count("*").alias("n_new_nodes"))
+        .orderBy("level")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -3061,6 +3140,29 @@ def _kmeans_oracle_sql(
         SELECT cluster, COUNT(*) AS n_members,
                CAST(SUM(dist) AS BIGINT) AS inertia_scaled
         FROM af GROUP BY cluster ORDER BY cluster"""
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle_sql() -> str:
+    parts = [
+        f"""SELECT '{c}.{ck}->{p}.{pk}' AS fk_edge,
+            CAST((SELECT COUNT(*) FROM {c} ch
+                  WHERE NOT EXISTS (SELECT 1 FROM {p} pa
+                                    WHERE pa.{pk} = ch.{ck})) AS BIGINT)
+              AS n_orphans"""
+        for c, ck, p, pk in _FK_EDGES
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
 
 
 def _pagerank_oracle_sql(
@@ -4217,6 +4319,30 @@ def _oracle() -> dict[str, str]:
             JOIN sk ON sk.h = hs.h
                    AND sk.b = ('0x' || substr(md5('cm' || hs.h || ':' || p.token), 1, 8))::BIGINT % 256
             GROUP BY 1, 2 ORDER BY true_count DESC, p.token""",
+        "fk_integrity": _fk_oracle_sql(),
+        "reachability": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            e AS (SELECT c AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+            seeds AS (
+              SELECT DISTINCT c AS node FROM pairs ORDER BY node LIMIT 10),
+            v0 AS (SELECT node, 0 AS level FROM seeds),
+            f1 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN v0 ON e.src = v0.node
+                   WHERE e.dst NOT IN (SELECT node FROM v0)),
+            v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+            f2 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN f1 ON e.src = f1.node
+                   WHERE e.dst NOT IN (SELECT node FROM v1)),
+            v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+            f3 AS (SELECT DISTINCT e.dst AS node FROM e
+                   JOIN f2 ON e.src = f2.node
+                   WHERE e.dst NOT IN (SELECT node FROM v2)),
+            v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+            SELECT level, COUNT(*) AS n_new_nodes
+            FROM v3 GROUP BY 1 ORDER BY 1""",
         "datetime_suite": """
             WITH derived AS (
               SELECT year(d) AS y, quarter(d) AS q,
@@ -4470,6 +4596,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "array_hof_suite": q_array_hof_suite,
     "datetime_suite": q_datetime_suite,
+    "fk_integrity": q_fk_integrity,
+    "reachability": q_reachability,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
