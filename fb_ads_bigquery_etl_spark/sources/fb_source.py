@@ -32,7 +32,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from fb_ads_bigquery_etl_spark.schema import RAW_INSIGHTS_SCHEMA
@@ -425,6 +430,89 @@ def _to_row_value(val, field_name: str, account_id: str):
     return str(val) if not isinstance(val, str) else val
 
 
+class FbInsightsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the insights source: continuous API polling
+    as a Structured Streaming SOURCE (`spark.readStream.format(
+    "fb_insights")`), replacing the reference's cron-driven daily batch
+    (deploy.sh scheduler) with an incremental, checkpointed ingest.
+
+    Offset = the next day to ingest (ISO string). Each micro-batch
+    pulls ONE day across all accounts through the same paginated,
+    retrying, error-isolated fetch as the batch reader; the offset
+    stops advancing at `end_date` (if set), so Trigger.AvailableNow
+    drains the configured range and stops. The fake transport is
+    deterministic per (account, day), which makes `readBetweenOffsets`
+    an exact replay — the property Spark needs to re-deliver a batch
+    after a crash WITHOUT duplicating rows (exactly-once ingest; the
+    real HTTP transport gets this from the API's own immutable
+    historical days).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = FbInsightsReader(schema, options)
+        # days ingested per micro-batch: default drains to end_date in
+        # one batch (Trigger.AvailableNow calls read() once per run);
+        # set 1 for day-at-a-time polling under a processing-time
+        # trigger (the steady-state production shape).
+        self._days_per_batch = int(options.get("max_days_per_batch", "3650"))
+
+    def initialOffset(self) -> dict:
+        return {"day": self._batch.start}
+
+    def _day_rows(self, day: str):
+        for account in self._batch.accounts:
+            try:
+                fields = [
+                    f.name
+                    for f in self._batch.schema.fields
+                    if f.name != "account_id"
+                ]
+                for rec in _retrying_pages(
+                    self._batch._transport(),
+                    self._batch.token,
+                    account,
+                    day,
+                    fields,
+                ):
+                    yield tuple(
+                        _to_row_value(rec.get(f.name), f.name, account)
+                        for f in self._batch.schema.fields
+                    )
+            except Exception:
+                if not self._batch.error_isolation:
+                    raise
+
+    def read(self, start: dict):
+        day = start["day"]
+        if self._batch.end and day > self._batch.end:
+            return [], start  # caught up: no rows, offset holds
+        d = date.fromisoformat(day)
+        stop = min(
+            d + timedelta(days=self._days_per_batch - 1),
+            date.fromisoformat(self._batch.end) if self._batch.end else d,
+        )
+        rows: list[tuple] = []
+        while d <= stop:
+            rows.extend(self._day_rows(d.isoformat()))
+            d += timedelta(days=1)
+        # materialized list, not a generator: Spark pickles the
+        # prefetched batch to ship/cache it (batch-sized — bounded by
+        # max_days_per_batch)
+        return rows, {"day": d.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        d = date.fromisoformat(start["day"])
+        stop = date.fromisoformat(end["day"])
+        rows: list[tuple] = []
+        while d < stop:
+            rows.extend(self._day_rows(d.isoformat()))
+            d += timedelta(days=1)
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the transport is stateless
+
+
 class FbInsightsDataSource(DataSource):
     """`spark.read.format("fb_insights")` after `register(spark)`."""
 
@@ -437,6 +525,9 @@ class FbInsightsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FbInsightsReader:
         return FbInsightsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> FbInsightsStreamReader:
+        return FbInsightsStreamReader(schema, self.options)
 
 
 def register(spark) -> None:
