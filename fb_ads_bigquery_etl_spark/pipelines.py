@@ -111,6 +111,66 @@ def run_daily(
         raw.unpersist()
 
 
+def run_streaming(
+    spark: SparkSession,
+    *,
+    accounts: list[str],
+    start_date: str,
+    end_date: str | None,
+    table_path: str,
+    checkpoint_path: str,
+    credentials: fb_source.CredentialProvider | None = None,
+    **source_opts,
+) -> RunReport:
+    """EP1 at streaming latency: the fb_insights STREAMING source
+    (day-offset checkpointing) drains into the day-partitioned table
+    through foreachBatch — per batch: flatten (action types discovered
+    per batch; the schema-evolving MERGE absorbs new columns), exact
+    keep-first dedup, then the idempotent key-MERGE sink.
+
+    Exactly-once composition: checkpointed source offsets decide WHAT
+    re-runs after a crash, and the key-based MERGE makes re-running it
+    harmless — re-delivered days upsert onto themselves. Re-invoking
+    with the same checkpoint after extending `end_date` ingests only
+    the new days (incremental catch-up, no backfill re-read).
+
+    Uses Trigger.AvailableNow: drains everything available, then
+    returns a RunReport (the cron-free replacement for the reference's
+    scheduler-driven daily batch; leave a processing-time trigger to
+    callers that want an always-on poller).
+    """
+    if credentials is not None:
+        source_opts["token"] = credentials.get_token()
+    fb_source.register(spark)
+    reader = (
+        spark.readStream.format("fb_insights")
+        .option("accounts", ",".join(accounts))
+        .option("start_date", start_date)
+    )
+    if end_date:
+        reader = reader.option("end_date", end_date)
+    for k, v in source_opts.items():
+        reader = reader.option(k, str(v))
+    raw = reader.load()
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flat = flatten_insights(with_ingest_order(batch_df))
+        deduped = dedup_keep_first(flat).drop("_ingest_order")
+        merge_upsert(batch_df.sparkSession, deduped, table_path)
+
+    q = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(table_path).count()
+    return RunReport("success", f"table at {n} rows after streaming drain", n)
+
+
 def backfill(
     spark: SparkSession,
     *,

@@ -485,7 +485,7 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         day = start["day"]
         if self._batch.end and day > self._batch.end:
-            return [], start  # caught up: no rows, offset holds
+            return iter(()), start  # caught up: no rows, offset holds
         d = date.fromisoformat(day)
         stop = min(
             d + timedelta(days=self._days_per_batch - 1),
@@ -495,10 +495,11 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
         while d <= stop:
             rows.extend(self._day_rows(d.isoformat()))
             d += timedelta(days=1)
-        # materialized list, not a generator: Spark pickles the
-        # prefetched batch to ship/cache it (batch-sized — bounded by
-        # max_days_per_batch)
-        return rows, {"day": d.isoformat()}
+        # iter(list), not a generator and not a bare list: pyspark's
+        # prefetch wrapper needs an iterator it can BOTH copy.copy (for
+        # cache replay) and pickle (to ship) — a list_iterator is the
+        # one shape that satisfies all three call sites
+        return iter(rows), {"day": d.isoformat()}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         d = date.fromisoformat(start["day"])
@@ -507,7 +508,7 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
         while d < stop:
             rows.extend(self._day_rows(d.isoformat()))
             d += timedelta(days=1)
-        return rows
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the transport is stateless

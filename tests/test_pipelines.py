@@ -524,3 +524,51 @@ def test_merge_upsert_engine_dispatch(spark, tmp_path):
         sinks.merge_upsert(spark, df, path, engine="delta")
     with pytest.raises(ValueError):
         sinks.merge_upsert(spark, df, path, engine="iceberg")
+
+
+def test_run_streaming_drains_and_is_exactly_once(spark, tmp_path):
+    """Streaming ingest == batch backfill content; re-running with the
+    same checkpoint re-delivers nothing; extending end_date with the
+    same checkpoint ingests only the new days."""
+    table = str(tmp_path / "stream_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    rep = pipelines.run_streaming(
+        spark,
+        accounts=["acct_a", "acct_b"],
+        start_date="2026-01-10",
+        end_date="2026-01-11",
+        table_path=table,
+        checkpoint_path=ckpt,
+    )
+    assert rep.status == "success" and rep.rows_processed > 0
+    got = spark.read.parquet(table)
+    n0 = got.count()
+    assert got.select(*DEDUP_KEY).distinct().count() == n0  # keyed, deduped
+    days = {str(r[0]) for r in got.select("date_start").distinct().collect()}
+    assert days == {"2026-01-10", "2026-01-11"}
+
+    # same checkpoint, same range: nothing re-delivered
+    pipelines.run_streaming(
+        spark,
+        accounts=["acct_a", "acct_b"],
+        start_date="2026-01-10",
+        end_date="2026-01-11",
+        table_path=table,
+        checkpoint_path=ckpt,
+    )
+    assert spark.read.parquet(table).count() == n0
+
+    # extended range, same checkpoint: only the new day arrives
+    pipelines.run_streaming(
+        spark,
+        accounts=["acct_a", "acct_b"],
+        start_date="2026-01-10",
+        end_date="2026-01-12",
+        table_path=table,
+        checkpoint_path=ckpt,
+    )
+    after = spark.read.parquet(table)
+    days2 = {str(r[0]) for r in after.select("date_start").distinct().collect()}
+    assert days2 == {"2026-01-10", "2026-01-11", "2026-01-12"}
+    assert after.count() > n0
+    assert after.select(*DEDUP_KEY).distinct().count() == after.count()
