@@ -78,3 +78,96 @@ def test_salted_equals_unsalted(rows):
         for r in salted_dedup_keep_first(df, salt_buckets=4).collect()
     }
     assert plain == salted
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],  # unique keys: ranks must be total
+    ),
+    st.sampled_from([1, 3, 64]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_topk_per_group_matches_pandas_oracle(rows, subshards):
+    """Two-phase hash-agg top-k == per-group k-smallest by (hash, key)
+    computed driver-side, for arbitrary group/key distributions and
+    sub-shard counts."""
+    import hashlib
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_hashrank,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, ["g", "k"]).repartition(3)
+    got = {
+        (r["g"], r["k"], r["rk"])
+        for r in topk_per_group_hashrank(
+            df, "g", "k", 3, subshards=subshards
+        ).collect()
+    }
+
+    def h(key):
+        return int(hashlib.md5(f"rsv:{key}".encode()).hexdigest()[:8], 16)
+
+    want = set()
+    for g in {r[0] for r in rows}:
+        members = sorted((h(k), k) for gg, k in rows if gg == g)[:3]
+        want |= {(g, k, i + 1) for i, (_, k) in enumerate(members)}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=5_000),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],  # doc ids unique
+    ),
+    st.sampled_from([1, 16, 10**9]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_pack_chunks_sharded_matches_pandas_oracle(rows, width):
+    """Sub-shard packing == driver-side sequential packing for random
+    (group, id, token-count) corpora at several shard widths."""
+    from fb_ads_bigquery_etl_spark.operators.packing import pack_chunks_sharded
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"]).repartition(3)
+    got = {
+        (r["source"], r["doc_id"], r["n_tokens"], r["chunk_id"], r["spans_chunks"])
+        for r in pack_chunks_sharded(df, shard_width=width, budget=64).collect()
+    }
+    def tdiv(a: int, b: int) -> int:
+        # Spark's double-division+cast and DuckDB's // both truncate
+        # toward zero; Python // floors — matters for (end-1) == -1
+        # when a zero-token doc opens a group
+        return -((-a) // b) if a < 0 else a // b
+
+    want = set()
+    for g in {r[0] for r in rows}:
+        cum = 0
+        for _, did, n in sorted((r for r in rows if r[0] == g), key=lambda r: r[1]):
+            start, end = cum, cum + n
+            want.add(
+                (g, did, n, tdiv(start, 64), tdiv(start, 64) != tdiv(end - 1, 64))
+            )
+            cum = end
+    assert got == want
