@@ -2495,16 +2495,11 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
-def q_pagerank(spark, sf_dir):
-    """Integer-exact PageRank (graph.pagerank_quantized) over the
-    symmetrized customer↔supplier co-purchase graph (distinct pairs
-    from orders⋈lineitem; customers even node ids, suppliers odd).
-    Third iterative operator under a full value-hash gate (after
-    connected components and quantized k-means): 3 pinned iterations,
-    all-integer rank arithmetic, so the DuckDB oracle replays them as
-    unrolled CTEs. Top-50 by rank with deterministic tie-break."""
-    from fb_ads_bigquery_etl_spark.operators.graph import pagerank_quantized
-
+def _copurchase_edges(spark, sf_dir):
+    """Symmetrized customer↔supplier co-purchase graph shared by the
+    graph queries (pagerank, reachability): distinct pairs from
+    orders⋈lineitem; customers even node ids, suppliers odd; every
+    edge in both directions. Returns (pairs(c, s), edges(src, dst))."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -2518,6 +2513,19 @@ def q_pagerank(spark, sf_dir):
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pairs, edges
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (graph.pagerank_quantized) over the
+    symmetrized customer↔supplier co-purchase graph (_copurchase_edges).
+    Third iterative operator under a full value-hash gate (after
+    connected components and quantized k-means): 3 pinned iterations,
+    all-integer rank arithmetic, so the DuckDB oracle replays them as
+    unrolled CTEs. Top-50 by rank with deterministic tie-break."""
+    from fb_ads_bigquery_etl_spark.operators.graph import pagerank_quantized
+
+    _, edges = _copurchase_edges(spark, sf_dir)
     pr = pagerank_quantized(edges, iters=3)
     return pr.orderBy(F.col("rank_scaled").desc(), F.col("node")).limit(50)
 
@@ -2624,41 +2632,30 @@ def q_topk_per_group_agg(spark, sf_dir):
     priorities); this keeps parallelism at groups x subshards. Price
     sorts as an integer-cents NEGATIVE key so ascending struct sort
     yields descending price with ascending-key tie-break."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_structs,
+    )
+
     o = _t(spark, sf_dir, "orders")
     # decimal route: double*100 would truncate in Spark but round in
     # DuckDB; decimal(18,2)*100 is exact in both
     neg_cents = -(
         F.col("o_totalprice").cast("decimal(18,2)") * 100
     ).cast("long")
-    sub = F.pmod(F.hash(F.col("o_orderkey")), F.lit(32))
-    cand = (
-        o.select(
-            "o_orderpriority",
-            F.struct(
-                neg_cents.alias("negp"), F.col("o_orderkey").alias("key")
-            ).alias("e"),
-            sub.alias("_sub"),
-        )
-        .groupBy("o_orderpriority", "_sub")
-        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, 3).alias("cand"))
+    top = topk_per_group_structs(
+        o,
+        "o_orderpriority",
+        F.struct(neg_cents.alias("negp"), F.col("o_orderkey").alias("key")),
+        F.hash(F.col("o_orderkey")),
+        3,
+        subshards=32,
     )
-    merged = cand.groupBy("o_orderpriority").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, 3).alias(
-            "top"
-        )
-    )
-    return (
-        merged.select(
-            "o_orderpriority", F.posexplode("top").alias("pos", "e")
-        )
-        .select(
-            "o_orderpriority",
-            (F.col("pos") + 1).cast("int").alias("rk"),
-            F.col("e.key").alias("o_orderkey"),
-            (-F.col("e.negp")).alias("total_cents"),
-        )
-        .orderBy("o_orderpriority", "rk")
-    )
+    return top.select(
+        "o_orderpriority",
+        "rk",
+        F.col("entry.key").alias("o_orderkey"),
+        (-F.col("entry.negp")).alias("total_cents"),
+    ).orderBy("o_orderpriority", "rk")
 
 
 def q_global_rank(spark, sf_dir):
@@ -2849,21 +2846,8 @@ def q_reachability(spark, sf_dir):
     Each level is one join + distinct + anti-join against the visited
     set (all keyed shuffles, frontier-sized); depth is pinned so the
     DuckDB oracle replays it as unrolled CTEs."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).persist()
+    pairs, edges = _copurchase_edges(spark, sf_dir)
+    edges = edges.persist()
     seeds = (
         pairs.select(F.col("c").alias("node"))
         .distinct()

@@ -30,18 +30,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _chunk_columns(
-    cum_after: Column, n_tokens: Column, budget: int
-) -> list[Column]:
-    start = cum_after - n_tokens  # global offset of the doc's first token
-    return [
-        n_tokens.cast("long").alias("n_tokens"),
-        (start / budget).cast("long").alias("chunk_id"),
-        (
-            (start / budget).cast("long")
-            != ((cum_after - 1) / budget).cast("long")
-        ).alias("spans_chunks"),
-    ]
+def _with_chunk_columns(
+    df: DataFrame,
+    cum_col: str,
+    tokens_col: str,
+    budget: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Chunk id/straddle from a cumulative token total — via integer
+    `div`, never float division: (x / budget).cast('long') rounds once
+    cumulative tokens pass 2^53, which a 100 TB corpus reaches.
+    `div` truncates toward zero (matching DuckDB `//`); the only
+    negative operand is cum-1 == -1 for a zero-token doc opening a
+    group, where truncation is the pinned cross-engine behavior."""
+    return (
+        df.withColumn("_start", F.col(cum_col) - F.col(tokens_col))
+        .withColumn("_endm1", F.col(cum_col) - F.lit(1))
+        .select(
+            *out_cols,
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.expr(f"_start div {budget}").alias("chunk_id"),
+            (
+                F.expr(f"_start div {budget}")
+                != F.expr(f"_endm1 div {budget}")
+            ).alias("spans_chunks"),
+        )
+    )
 
 
 def pack_chunks(
@@ -64,10 +78,8 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = sized.withColumn("_cum_after", F.sum(tokens_col).over(w))
-    return cum.select(
-        group_col,
-        order_col,
-        *_chunk_columns(F.col("_cum_after"), F.col(tokens_col), budget),
+    return _with_chunk_columns(
+        cum, "_cum_after", tokens_col, budget, [group_col, order_col]
     )
 
 
@@ -120,10 +132,9 @@ def pack_chunks_sharded(
             F.lit(0).cast("long"),
         ),
     ).select(group_col, "_sub", "_off")
-    stitched = local.join(F.broadcast(offsets), [group_col, "_sub"])
-    cum_after = F.col("_off") + F.col("_lcum")
-    return stitched.select(
-        group_col,
-        order_col,
-        *_chunk_columns(cum_after, F.col(tokens_col), budget),
+    stitched = local.join(F.broadcast(offsets), [group_col, "_sub"]).withColumn(
+        "_gcum", F.col("_off") + F.col("_lcum")
+    )
+    return _with_chunk_columns(
+        stitched, "_gcum", tokens_col, budget, [group_col, order_col]
     )

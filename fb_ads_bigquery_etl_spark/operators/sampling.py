@@ -88,6 +88,61 @@ def stratified_sample_hash(
     return df.filter(b < thresh)
 
 
+def topk_per_group_structs(
+    df: DataFrame,
+    group_col: str,
+    entry: Column,
+    sub: Column,
+    k: int,
+    *,
+    subshards: int = 64,
+) -> DataFrame:
+    """Two-phase hash-aggregate top-k per group, NO window over the
+    group column — the generic core under the reservoir sample and any
+    ordered per-group top-k:
+
+    1. partial: rows land in `subshards` sub-buckets per group (`sub`:
+       any deterministic int column); each (group, sub) bucket keeps
+       its k smallest `entry` structs via array_sort + slice —
+       parallelism is groups x subshards, so a 20-group corpus still
+       fans out across the whole cluster;
+    2. merge: per group, flatten the <= subshards*k survivors and take
+       the global k smallest.
+
+    `entry` must be a struct whose field order IS the ranking
+    (array_sort on structs compares fields left-to-right) with a
+    unique tie-break field last. A row_number() window over the group
+    key computes the same rows with the ENTIRE corpus funneling into
+    n_groups tasks — a guaranteed straggler once groups are few and
+    data is 100 TB. Here the only per-group state that ever meets a
+    single task is subshards*k structs (metadata-sized); size
+    `subshards` to the cluster's parallelism.
+
+    Returns (group_col, entry, rk) with rk in 1..k, identical rows to
+    the window formulation (top-k per group is the union of per-
+    sub-bucket top-ks).
+    """
+    cand = (
+        df.select(
+            F.col(group_col),
+            entry.alias("entry"),
+            F.pmod(sub, F.lit(subshards)).alias("_sub"),
+        )
+        .groupBy(group_col, "_sub")
+        .agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("cand"))
+    )
+    merged = cand.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("top")
+    )
+    return merged.select(
+        F.col(group_col), F.posexplode("top").alias("_pos", "entry")
+    ).select(
+        group_col,
+        "entry",
+        (F.col("_pos") + 1).cast("int").alias("rk"),
+    )
+
+
 def topk_per_group_hashrank(
     df: DataFrame,
     group_col: str,
@@ -100,47 +155,26 @@ def topk_per_group_hashrank(
     """Exact-k deterministic sample per group — the per-group reservoir:
     rank rows inside each group by a content hash of the key and keep
     the k smallest (membership is a pure function of the key, so re-runs
-    and appends keep prior picks unless a new row hashes lower).
-
-    Two-phase hash-aggregate top-k, NO window over the group column:
-
-    1. partial: rows hash into `subshards` sub-buckets per group; each
-       (group, sub) bucket keeps its k smallest (rank, key) structs via
-       array_sort + slice — parallelism is groups x subshards, so a
-       20-group corpus still fans out across the whole cluster;
-    2. merge: per group, flatten the <= subshards*k survivors and take
-       the global k smallest.
-
-    A row_number() window over the group key computes the same thing
-    with the ENTIRE corpus funneling into n_groups tasks — a guaranteed
-    straggler once groups are few and data is 100 TB. Here the only
-    per-group state that ever meets a single task is subshards*k structs
-    (metadata-sized); size `subshards` to the cluster's parallelism.
+    and appends keep prior picks unless a new row hashes lower). Thin
+    wrapper over `topk_per_group_structs` with a (hash, key) ranking
+    struct; see it for the two-phase scale rationale.
 
     Returns (group_col, key_col, rk) with rk in 1..k — identical rows
-    to the window formulation (top-k per group is the union of per-
-    sub-bucket top-ks), so the same oracle gates both.
+    to the window formulation, so the same oracle gates both.
     """
     rkey = hash32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    sub = F.pmod(F.hash(F.col(key_col)), F.lit(subshards))
-    cand = (
-        df.select(
-            F.col(group_col),
-            F.struct(rkey.alias("rkey"), F.col(key_col)).alias("entry"),
-            sub.alias("_sub"),
-        )
-        .groupBy(group_col, "_sub")
-        .agg(F.slice(F.array_sort(F.collect_list("entry")), 1, k).alias("cand"))
-    )
-    merged = cand.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("top")
-    )
-    return merged.select(
-        F.col(group_col), F.posexplode("top").alias("_pos", "_e")
-    ).select(
+    top = topk_per_group_structs(
+        df,
         group_col,
-        F.col(f"_e.{key_col}").alias(key_col),
-        (F.col("_pos") + 1).cast("int").alias("rk"),
+        F.struct(rkey.alias("rkey"), F.col(key_col)),
+        F.hash(F.col(key_col)),
+        k,
+        subshards=subshards,
+    )
+    return top.select(
+        group_col,
+        F.col(f"entry.{key_col}").alias(key_col),
+        "rk",
     )
 
 

@@ -23,6 +23,7 @@ from fb_ads_bigquery_etl_spark.sinks import (
     append_with_schema_evolution,
     merge_upsert,
     read_csv_inferred,
+    read_table,
     write_csv_artifact,
 )
 from fb_ads_bigquery_etl_spark.sources import fb_source
@@ -167,7 +168,9 @@ def run_streaming(
         .start()
     )
     q.awaitTermination()
-    n = spark.read.parquet(table_path).count()
+    # engine-aware read: under Delta a raw parquet read would count
+    # superseded files the _delta_log has tombstoned
+    n = read_table(spark, table_path).count()
     return RunReport("success", f"table at {n} rows after streaming drain", n)
 
 

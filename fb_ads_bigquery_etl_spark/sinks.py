@@ -179,6 +179,19 @@ def merge_upsert_delta(
     return spark.read.format("delta").load(path)
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Engine-aware table read: Delta when the path is a Delta table in
+    a Delta-capable session (a plain parquet read there would scan
+    superseded data files the _delta_log has tombstoned), parquet
+    otherwise."""
+    if delta_available(spark):
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,

@@ -449,7 +449,19 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, schema: StructType, options: dict):
-        self._batch = FbInsightsReader(schema, options)
+        # Streaming is allowed to be OPEN-ENDED (no end_date): the batch
+        # reader requires an end, so satisfy its validation with a
+        # placeholder and then clear it — read() treats end=None as
+        # "never caught up" and polls one batch of days per trigger.
+        opts = dict(options)
+        open_ended = not (
+            opts.get("end_date") or opts.get("date")
+        ) and bool(opts.get("start_date"))
+        if open_ended:
+            opts["end_date"] = opts["start_date"]
+        self._batch = FbInsightsReader(schema, opts)
+        if open_ended:
+            self._batch.end = None
         # days ingested per micro-batch: default drains to end_date in
         # one batch (Trigger.AvailableNow calls read() once per run);
         # set 1 for day-at-a-time polling under a processing-time

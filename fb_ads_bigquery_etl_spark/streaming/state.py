@@ -50,11 +50,11 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
+            n += len(pdf)  # COUNT(*): NULL-valued rows still count
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]  # SUM skips NULLs; floor(NaN)->int64 is UB
             total += int(
-                np.floor(pdf["value"].to_numpy(dtype=np.float64) * 1_000_000)
-                .astype(np.int64)
-                .sum()
+                np.floor(v * 1_000_000).astype(np.int64).sum()
             )
         state.update((n, total))
         yield pd.DataFrame(

@@ -220,3 +220,30 @@ def test_streaming_source_drains_range_equal_to_batch(spark):
     q2.awaitTermination()
     one_day = spark.table("t_fbs_daily")
     assert one_day.select("date_start").distinct().count() == 1
+
+
+def test_streaming_source_open_ended_polls_one_day(spark):
+    """No end_date = an always-on poller: each trigger ingests exactly
+    one day and the offset keeps advancing (the batch reader's
+    start/end validation must not reject the open-ended stream)."""
+    from fb_ads_bigquery_etl_spark.sources.fb_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("fb_insights")
+        .options(accounts="acct_a", start_date="2026-01-10", transport="fake")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_fbs_open")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_fbs_open")
+    assert got.count() > 0
+    assert {str(r[0]) for r in got.select("date_start").distinct().collect()} == {
+        "2026-01-10"
+    }
