@@ -247,3 +247,39 @@ def test_streaming_source_open_ended_polls_one_day(spark):
     assert {str(r[0]) for r in got.select("date_start").distinct().collect()} == {
         "2026-01-10"
     }
+
+
+def test_row_insert_sink_writes_and_rejects(spark, tmp_path):
+    """The custom Python DataSink mirrors the reference's streaming
+    insert: good rows land atomically with an audit record; a per-row
+    error fails the job (main.py:441-447 raise semantics)."""
+    import glob
+    import json as _json
+
+    from fb_ads_bigquery_etl_spark.sources.insert_sink import register_sink
+
+    register_sink(spark)
+    ok = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    dest = str(tmp_path / "inserted")
+    ok.repartition(2).write.format("row_insert").option("path", dest).mode(
+        "append"
+    ).save()
+    rows = []
+    for shard in glob.glob(dest + "/part_*.jsonl"):
+        rows += [_json.loads(line) for line in open(shard)]
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+    audit = _json.load(open(dest + "/_AUDIT.json"))
+    assert audit["rows"] == 3
+    assert not glob.glob(dest + "/_tmp_*")  # nothing unpublished
+
+    bad = spark.createDataFrame([(1, "a"), (2, None)], "id long, name string")
+    with pytest.raises(Exception, match="insert rejected"):
+        (
+            bad.write.format("row_insert")
+            .option("path", str(tmp_path / "rejected"))
+            .option("reject_null_in", "name")
+            .mode("append")
+            .save()
+        )
