@@ -2880,6 +2880,41 @@ def q_reachability(spark, sf_dir):
     )
 
 
+def q_balanced_mix(spark, sf_dir):
+    """Balanced training-mix construction: downsample every language to
+    the SMALLEST language's document count — the equal-representation
+    mix step of corpus curation. Membership = the n_min smallest
+    content-hashes per language (deterministic, append-stable: a new
+    doc displaces the highest kept hash, never reshuffles the rest),
+    computed with the window-free two-phase top-k
+    (sampling.topk_per_group_structs); n_min itself is one tiny
+    aggregate collected driver-side. Output is the selected set —
+    bounded at n_min x n_langs rows."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_structs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_min = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    rkey = hash32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    top = topk_per_group_structs(
+        d,
+        "lang",
+        F.struct(rkey.alias("rkey"), F.col("doc_id")),
+        F.hash(F.col("doc_id")),
+        int(n_min),
+    )
+    return top.select(
+        "lang", F.col("entry.doc_id").alias("doc_id"), "rk"
+    ).orderBy("lang", "rk")
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -4303,6 +4338,20 @@ def _oracle() -> dict[str, str]:
             JOIN sk ON sk.h = hs.h
                    AND sk.b = ('0x' || substr(md5('cm' || hs.h || ':' || p.token), 1, 8))::BIGINT % 256
             GROUP BY 1, 2 ORDER BY true_count DESC, p.token""",
+        "balanced_mix": """
+            WITH nmin AS (
+              SELECT MIN(n) AS n_min FROM (
+                SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+            ranked AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                                doc_id ASC) AS rk
+              FROM documents)
+            SELECT lang, doc_id, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= (SELECT n_min FROM nmin)
+            ORDER BY lang, rk""",
         "fk_integrity": _fk_oracle_sql(),
         "reachability": """
             WITH pairs AS (
@@ -4582,6 +4631,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_suite": q_datetime_suite,
     "fk_integrity": q_fk_integrity,
     "reachability": q_reachability,
+    "balanced_mix": q_balanced_mix,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
