@@ -2858,6 +2858,10 @@ def q_reachability(spark, sf_dir):
     frontier = seeds
     rows = [visited]
     for lvl in (1, 2, 3):
+        # persist per level: visited feeds BOTH the anti-join and the
+        # next union, and each frontier feeds the next — without
+        # materialization the lazy DAG re-executes earlier levels once
+        # per consumer branch (measurably: 4.4s -> linear)
         nxt = (
             edges.join(
                 frontier.withColumnRenamed("node", "src"), "src"
@@ -2865,11 +2869,12 @@ def q_reachability(spark, sf_dir):
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .persist()
         )
         frontier = nxt
         tagged = nxt.withColumn("level", F.lit(lvl))
         rows.append(tagged)
-        visited = visited.select("node", "level").unionByName(tagged)
+        visited = visited.select("node", "level").unionByName(tagged).persist()
     allv = rows[0]
     for r in rows[1:]:
         allv = allv.unionByName(r)
