@@ -269,3 +269,23 @@ def test_global_rank_window_keyed_by_bucket(spark):
     assert "_bkt" in plan
     nc = PI.node_counts(df)
     assert nc["HashAggregate"] >= 2  # partial+final bucket counts
+
+
+def test_round3_second_batch_plan_shapes(spark):
+    # balanced mix: window-free two-phase top-k (like the reservoir)
+    df = _q(spark, "balanced_mix")
+    assert "Window" not in PI.explain_str(df)
+    nc = PI.node_counts(df)
+    assert nc["ObjectHashAggregate"] >= 2, nc
+    # topk_per_group_agg rides the same shared core
+    df = _q(spark, "topk_per_group_agg")
+    assert "Window" not in PI.explain_str(df)
+    # CMS: the token-count base is cached and consumed by both the
+    # sketch build and the probe — documents scans exactly once
+    nc = PI.node_counts(_q(spark, "heavy_hitters_cms"), execute=True)
+    assert nc["InMemoryTableScan"] >= 2, nc
+    assert nc["Scan"] == 1, nc
+    # inverted index: one exploded scan, partial+final aggregation
+    nc = PI.node_counts(_q(spark, "inverted_index"))
+    assert nc["Scan"] == 1, nc
+    assert nc["HashAggregate"] + nc["ObjectHashAggregate"] >= 2, nc
