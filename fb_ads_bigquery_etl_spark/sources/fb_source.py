@@ -371,7 +371,11 @@ class FbInsightsReader(DataSourceReader):
             raise ValueError("fb_insights requires accounts, start_date/end_date (or date)")
         self.token = options.get("token", "TEST_TOKEN")
         self.transport_name = options.get("transport", "fake")
-        self.error_isolation = options.get("error_isolation", "true") == "true"
+        # lower(): callers passing a Python bool through option() arrive
+        # as "True"/"False" — must not silently disable isolation
+        self.error_isolation = (
+            str(options.get("error_isolation", "true")).lower() == "true"
+        )
         self.fail_accounts = tuple(
             a for a in options.get("fail_accounts", "").split(",") if a
         )
@@ -396,14 +400,17 @@ class FbInsightsReader(DataSourceReader):
             )
         return _TRANSPORTS[self.transport_name]()
 
-    def read(self, partition: _FbPartition):
+    def rows_for(self, account_id: str, day: str):
+        """One (account, day)'s rows: the shared fetch/convert/isolate
+        loop consumed by both the batch partitions and the streaming
+        reader — one implementation, so stream==batch can't diverge."""
         fields = [f.name for f in self.schema.fields if f.name != "account_id"]
         try:
             for rec in _retrying_pages(
-                self._transport(), self.token, partition.account_id, partition.day, fields
+                self._transport(), self.token, account_id, day, fields
             ):
                 yield tuple(
-                    _to_row_value(rec.get(f.name), f.name, partition.account_id)
+                    _to_row_value(rec.get(f.name), f.name, account_id)
                     for f in self.schema.fields
                 )
         except Exception:
@@ -411,6 +418,9 @@ class FbInsightsReader(DataSourceReader):
             # partition instead of failing the whole job (main.py:482-498).
             if not self.error_isolation:
                 raise
+
+    def read(self, partition: _FbPartition):
+        yield from self.rows_for(partition.account_id, partition.day)
 
 
 def _to_row_value(val, field_name: str, account_id: str):
@@ -462,46 +472,49 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
         self._batch = FbInsightsReader(schema, opts)
         if open_ended:
             self._batch.end = None
-        # days ingested per micro-batch: default drains to end_date in
-        # one batch (Trigger.AvailableNow calls read() once per run);
+        # Open-ended polling must never consume a day whose data is not
+        # complete yet: advancing the offset past it would mark it
+        # ingested-while-empty FOREVER (checkpointed offsets are the
+        # source of truth). The boundary is the last COMPLETE day —
+        # yesterday in the reference's "daily preset" sense — refreshed
+        # per read() so a long-running poller keeps up; `clamp_to`
+        # pins it for deterministic tests.
+        self._clamp_to = opts.get("clamp_to")
+        # days ingested per micro-batch: default drains to the boundary
+        # in one batch (Trigger.AvailableNow calls read() once per run);
         # set 1 for day-at-a-time polling under a processing-time
         # trigger (the steady-state production shape).
         self._days_per_batch = int(options.get("max_days_per_batch", "3650"))
+
+    def _bound(self) -> str | None:
+        """Last ingestable day: end_date when set, else the clamp (or
+        wall-clock yesterday for the live poller)."""
+        if self._batch.end:
+            return self._batch.end
+        if self._clamp_to:
+            return self._clamp_to
+        from datetime import datetime, timezone
+
+        return (
+            datetime.now(timezone.utc).date() - timedelta(days=1)
+        ).isoformat()
 
     def initialOffset(self) -> dict:
         return {"day": self._batch.start}
 
     def _day_rows(self, day: str):
         for account in self._batch.accounts:
-            try:
-                fields = [
-                    f.name
-                    for f in self._batch.schema.fields
-                    if f.name != "account_id"
-                ]
-                for rec in _retrying_pages(
-                    self._batch._transport(),
-                    self._batch.token,
-                    account,
-                    day,
-                    fields,
-                ):
-                    yield tuple(
-                        _to_row_value(rec.get(f.name), f.name, account)
-                        for f in self._batch.schema.fields
-                    )
-            except Exception:
-                if not self._batch.error_isolation:
-                    raise
+            yield from self._batch.rows_for(account, day)
 
     def read(self, start: dict):
         day = start["day"]
-        if self._batch.end and day > self._batch.end:
+        bound = self._bound()
+        if day > bound:
             return iter(()), start  # caught up: no rows, offset holds
         d = date.fromisoformat(day)
         stop = min(
             d + timedelta(days=self._days_per_batch - 1),
-            date.fromisoformat(self._batch.end) if self._batch.end else d,
+            date.fromisoformat(bound),
         )
         rows: list[tuple] = []
         while d <= stop:

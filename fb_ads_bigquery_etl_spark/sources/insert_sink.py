@@ -53,26 +53,43 @@ class RowInsertWriter(DataSourceWriter):
 
     def write(self, iterator) -> RowInsertCommit:
         os.makedirs(self.path, exist_ok=True)
-        shard = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        name = uuid.uuid4().hex
+        shard = os.path.join(self.path, f"_tmp_{name}.jsonl")
         n = 0
-        with open(shard, "w") as f:
-            for row in iterator:
-                d = row.asDict(recursive=True)
-                bad = [c for c in self.reject_null_cols if d.get(c) is None]
-                if bad:
-                    raise ValueError(
-                        f"insert rejected row with NULL {bad}: the service "
-                        "reported per-row errors (reference main.py:444-447)"
-                    )
-                f.write(json.dumps(d, default=str, sort_keys=True) + "\n")
-                n += 1
+        try:
+            with open(shard, "w") as f:
+                for row in iterator:
+                    d = row.asDict(recursive=True)
+                    bad = [
+                        c for c in self.reject_null_cols if d.get(c) is None
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"insert rejected row with NULL {bad}: the "
+                            "service reported per-row errors (reference "
+                            "main.py:444-447)"
+                        )
+                    f.write(json.dumps(d, default=str, sort_keys=True) + "\n")
+                    n += 1
+        except BaseException:
+            # a failed task returns no commit message, so abort() can
+            # never see this shard — remove the partial file here
+            try:
+                os.remove(shard)
+            except OSError:
+                pass
+            raise
         return RowInsertCommit(shard, n)
 
     def commit(self, messages) -> None:
         total = 0
         for m in messages:
-            final = m.shard.replace("_tmp_", "part_")
-            os.rename(m.shard, final)  # publish atomically per shard
+            # rename on the BASENAME only — the directory path itself
+            # may legitimately contain "_tmp_"
+            d, base = os.path.split(m.shard)
+            os.rename(
+                m.shard, os.path.join(d, "part_" + base[len("_tmp_"):])
+            )  # publish atomically per shard
             total += m.n_rows
         with open(os.path.join(self.path, "_AUDIT.json"), "w") as f:
             json.dump({"rows": total, "shards": len(list(messages))}, f)
@@ -94,6 +111,14 @@ class RowInsertDataSource(DataSource):
         return "row_insert"
 
     def writer(self, schema, overwrite: bool) -> RowInsertWriter:
+        if overwrite:
+            # streaming inserts are append-only in the reference too
+            # (insert_rows_json); silently treating overwrite as append
+            # would leave old shards beside new ones with a lying audit
+            raise ValueError(
+                "row_insert is append-only (streaming-insert semantics); "
+                "use mode('append')"
+            )
         return RowInsertWriter(self.options)
 
 

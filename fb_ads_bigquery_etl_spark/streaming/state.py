@@ -26,6 +26,7 @@ _OUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
+        T.StructField("n_vals", T.LongType()),
         T.StructField("total_micros", T.LongType()),
     ]
 )
@@ -48,20 +49,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0)
+        n, n_vals, total = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)  # COUNT(*): NULL-valued rows still count
             v = pdf["value"].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]  # SUM skips NULLs; floor(NaN)->int64 is UB
+            n_vals += len(v)
             total += int(
                 np.floor(v * 1_000_000).astype(np.int64).sum()
             )
-        state.update((n, total))
+        state.update((n, n_vals, total))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value_micros": [total],
+                # SQL SUM over zero non-NULL inputs is NULL, not 0 —
+                # emit the same so the batch oracle can't diverge
+                "total_value_micros": [total if n_vals else None],
             }
         )
 

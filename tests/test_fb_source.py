@@ -231,7 +231,15 @@ def test_streaming_source_open_ended_polls_one_day(spark):
     register(spark)
     stream = (
         spark.readStream.format("fb_insights")
-        .options(accounts="acct_a", start_date="2026-01-10", transport="fake")
+        .options(
+            accounts="acct_a",
+            start_date="2026-01-10",
+            transport="fake",
+            # pin the poller's last-complete-day boundary (defaults to
+            # wall-clock yesterday): the offset must clamp here, never
+            # advance through not-yet-complete days
+            clamp_to="2026-01-10",
+        )
         .load()
     )
     q = (
