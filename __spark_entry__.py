@@ -2862,7 +2862,8 @@ def q_reachability(spark, sf_dir):
         # persist per level: visited feeds BOTH the anti-join and the
         # next union, and each frontier feeds the next — without
         # materialization the lazy DAG re-executes earlier levels once
-        # per consumer branch (measurably: 4.4s -> 1.4s at sf0.1)
+        # per consumer branch (~4.4s -> ~3.5s at sf0.1; the remaining
+        # cost is the one-time edges build + 3 genuinely serial levels)
         nxt = (
             edges.join(
                 frontier.withColumnRenamed("node", "src"), "src"
