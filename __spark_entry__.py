@@ -2931,6 +2931,74 @@ def q_balanced_mix(spark, sf_dir):
     ).orderBy("lang", "rk")
 
 
+def q_truncation_stats(spark, sf_dir):
+    """Context-length truncation planning: per source, how many docs
+    exceed each candidate context window (64/128/256 tokens for this
+    corpus' scale) and how many tokens each window would discard — the
+    budgeting pass before choosing a training sequence length. One
+    token-count projection, one aggregate; all integers."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    ]
+    for w in (64, 128, 256):
+        over = F.col("n_tok") > w
+        aggs += [
+            F.sum(over.cast("long")).alias(f"n_over_{w}"),
+            F.sum(
+                F.when(over, F.col("n_tok") - w).otherwise(F.lit(0))
+            ).alias(f"tokens_lost_{w}"),
+        ]
+    return sized.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def q_full_schema_join(spark, sf_dir):
+    """Widest join shape in the inventory: all seven relational tables
+    in one query (region→nation→customer→orders→lineitem→supplier +
+    part) — revenue by customer region and part brand for one year.
+    Catalyst orders the joins; every dimension side broadcasts (plan
+    test pins >=4 broadcast joins, zero sort-merge), so the only
+    data-sized pass is the lineitem scan with its pushed date filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+    )
+    return (
+        j.groupBy(
+            F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                6,
+            ),
+        )
+        .orderBy("region", "brand")
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """Exact URL-level dedup via text.canonicalize_url — the standard
     first pass of a web-corpus dedup stack, ahead of content-hash and
@@ -4354,6 +4422,33 @@ def _oracle() -> dict[str, str]:
             JOIN sk ON sk.h = hs.h
                    AND sk.b = ('0x' || substr(md5('cm' || hs.h || ':' || p.token), 1, 8))::BIGINT % 256
             GROUP BY 1, 2 ORDER BY true_count DESC, p.token""",
+        "truncation_stats": f"""
+            WITH sized AS (
+              SELECT source, CAST(len({_TOK}) AS BIGINT) AS n_tok
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_64,
+                   CAST(SUM(CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END) AS BIGINT) AS tokens_lost_64,
+                   CAST(SUM(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_128,
+                   CAST(SUM(CASE WHEN n_tok > 128 THEN n_tok - 128 ELSE 0 END) AS BIGINT) AS tokens_lost_128,
+                   CAST(SUM(CASE WHEN n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_256,
+                   CAST(SUM(CASE WHEN n_tok > 256 THEN n_tok - 256 ELSE 0 END) AS BIGINT) AS tokens_lost_256
+            FROM sized GROUP BY source ORDER BY source""",
+        "full_schema_join": f"""
+            SELECT r_name AS region, p_brand AS brand,
+                   COUNT(*) AS n_items,
+                   {_dsum_sql("l_extendedprice * (1.0 - l_discount)", "revenue", 6)}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "balanced_mix": """
             WITH nmin AS (
               SELECT MIN(n) AS n_min FROM (
@@ -4648,6 +4743,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_integrity": q_fk_integrity,
     "reachability": q_reachability,
     "balanced_mix": q_balanced_mix,
+    "truncation_stats": q_truncation_stats,
+    "full_schema_join": q_full_schema_join,
     # --- confirmed green in CORRECTNESS_r02.json ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,

@@ -289,3 +289,15 @@ def test_round3_second_batch_plan_shapes(spark):
     nc = PI.node_counts(_q(spark, "inverted_index"))
     assert nc["Scan"] == 1, nc
     assert nc["HashAggregate"] + nc["ObjectHashAggregate"] >= 2, nc
+
+
+def test_full_schema_join_broadcasts_all_dims(spark):
+    """Seven-table join: every dimension side must broadcast (the only
+    data-sized pass is the filtered lineitem scan) and the date filter
+    must reach the scan."""
+    df = _q(spark, "full_schema_join")
+    assert PI.broadcast_join_count(df) >= 4
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)
+    assert any("l_shipdate" in p for p in PI.pushed_filters(df))
