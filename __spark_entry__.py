@@ -2598,10 +2598,12 @@ def q_profile_columns(spark, sf_dir):
         src = (
             F.col(c).cast("decimal(18,2)") if c == "o_totalprice" else F.col(c)
         )
-        sc = src.cast("string")
+        # min/max on the NATIVE (or decimal-cast) column, stringify the
+        # aggregate — string-first aggregation gave lexicographic
+        # extremes on numeric columns ('99...' beating '600000')
         aggs += [
-            F.min(sc).alias(f"{c}__min"),
-            F.max(sc).alias(f"{c}__max"),
+            F.min(src).cast("string").alias(f"{c}__min"),
+            F.max(src).cast("string").alias(f"{c}__max"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
         ]
@@ -4386,8 +4388,8 @@ def _oracle() -> dict[str, str]:
         "profile_columns": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS col_name,
-                   MIN(CAST({expr} AS VARCHAR)) AS min_val,
-                   MAX(CAST({expr} AS VARCHAR)) AS max_val,
+                   CAST(MIN({expr}) AS VARCHAR) AS min_val,
+                   CAST(MAX({expr}) AS VARCHAR) AS max_val,
                    CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_nulls,
                    CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv

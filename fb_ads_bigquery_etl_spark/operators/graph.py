@@ -196,4 +196,12 @@ def pagerank_quantized(
                 + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
             ).cast("long").alias("r"),
         )
-    return ranks.select("node", F.col("r").alias("rank_scaled"))
+    out = ranks.select("node", F.col("r").alias("rank_scaled"))
+    # Materialize before releasing the caches the loop depends on:
+    # localCheckpoint truncates lineage so `out` no longer references
+    # nodes/ed, and the unpersists stop executor storage leaking into
+    # long-lived sessions (bench runs 131 queries back to back).
+    out = out.localCheckpoint(eager=True)
+    nodes.unpersist()
+    ed.unpersist()
+    return out

@@ -169,13 +169,27 @@ def merge_upsert_delta(
         return spark.read.format("delta").load(path)
     tgt = DeltaTable.forPath(spark, path)
     cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key)
-    (
-        tgt.alias("t")
-        .merge(updates.alias("s"), cond)
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    # whenMatchedUpdateAll/whenNotMatchedInsertAll only evolve the target
+    # schema when Delta's autoMerge conf is on; without it an `updates`
+    # frame carrying new columns raises instead of evolving — which would
+    # break the schema-evolving contract the parquet fallback (and
+    # run_streaming's docstring) promise. Scope it to this merge.
+    AUTOMERGE = "spark.databricks.delta.schema.autoMerge.enabled"
+    prev = spark.conf.get(AUTOMERGE, None)
+    spark.conf.set(AUTOMERGE, "true")
+    try:
+        (
+            tgt.alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(AUTOMERGE)
+        else:
+            spark.conf.set(AUTOMERGE, prev)
     return spark.read.format("delta").load(path)
 
 

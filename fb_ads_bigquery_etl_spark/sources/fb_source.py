@@ -472,6 +472,18 @@ class FbInsightsStreamReader(SimpleDataSourceStreamReader):
         self._batch = FbInsightsReader(schema, opts)
         if open_ended:
             self._batch.end = None
+        # Streaming must NOT inherit batch's error-isolation default: a
+        # swallowed fetch failure yields zero rows while the checkpointed
+        # offset still advances, permanently marking that (account, day)
+        # ingested-while-empty — silent, unrecoverable loss. Batch is
+        # re-runnable so degrading is fine there; here a failure must
+        # raise so the micro-batch fails and the trigger retries WITHOUT
+        # committing the offset. Isolation stays available, but only via
+        # the explicit streaming opt-in.
+        self._batch.error_isolation = (
+            str(options.get("streaming_error_isolation", "false")).lower()
+            == "true"
+        )
         # Open-ended polling must never consume a day whose data is not
         # complete yet: advancing the offset past it would mark it
         # ingested-while-empty FOREVER (checkpointed offsets are the

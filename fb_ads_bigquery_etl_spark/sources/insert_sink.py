@@ -82,7 +82,11 @@ class RowInsertWriter(DataSourceWriter):
         return RowInsertCommit(shard, n)
 
     def commit(self, messages) -> None:
+        # materialize once: if Spark ever hands a one-shot iterator, the
+        # second traversal below would see it exhausted (audit shards=0)
+        messages = list(messages)
         total = 0
+        published = set()
         for m in messages:
             # rename on the BASENAME only — the directory path itself
             # may legitimately contain "_tmp_"
@@ -90,9 +94,21 @@ class RowInsertWriter(DataSourceWriter):
             os.rename(
                 m.shard, os.path.join(d, "part_" + base[len("_tmp_"):])
             )  # publish atomically per shard
+            published.add(m.shard)
             total += m.n_rows
+        # a killed/speculative losing attempt never returns, so write()'s
+        # except-handler can't clean its partial shard; any _tmp_ file not
+        # in a commit message is by construction uncommitted — sweep it
+        for name in os.listdir(self.path):
+            if name.startswith("_tmp_") and (
+                os.path.join(self.path, name) not in published
+            ):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "_AUDIT.json"), "w") as f:
-            json.dump({"rows": total, "shards": len(list(messages))}, f)
+            json.dump({"rows": total, "shards": len(messages)}, f)
 
     def abort(self, messages) -> None:
         for m in messages:

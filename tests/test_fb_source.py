@@ -222,6 +222,51 @@ def test_streaming_source_drains_range_equal_to_batch(spark):
     assert one_day.select("date_start").distinct().count() == 1
 
 
+def test_streaming_source_fails_fast_on_fetch_error(spark):
+    """Streaming must NOT inherit batch error-isolation: a swallowed
+    failure would advance the checkpointed offset past an empty
+    (account, day) forever. The micro-batch has to FAIL so the trigger
+    can retry without committing the offset."""
+    from fb_ads_bigquery_etl_spark.sources.fb_source import register
+
+    register(spark)
+    opts = dict(
+        accounts="acct_a,bad",
+        start_date="2026-01-10",
+        end_date="2026-01-10",
+        transport="fake",
+        fail_accounts="bad",
+    )
+    stream = spark.readStream.format("fb_insights").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_fbs_failfast")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # the explicit opt-in restores batch-style degradation
+    iso = (
+        spark.readStream.format("fb_insights")
+        .options(streaming_error_isolation="true", **opts)
+        .load()
+    )
+    q2 = (
+        iso.writeStream.format("memory")
+        .queryName("t_fbs_iso")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.table("t_fbs_iso")
+    assert {r[0] for r in got.select("account_id").distinct().collect()} == {
+        "acct_a"
+    }
+
+
 def test_streaming_source_open_ended_polls_one_day(spark):
     """No end_date = an always-on poller: each trigger ingests exactly
     one day and the offset keeps advancing (the batch reader's
