@@ -933,28 +933,80 @@ def q_order_gaps(spark, sf_dir):
 
 def q_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist per priority class (rank-based, so
-    engine-independent under ties).
+    engine-independent under ties) — WITHOUT the group-keyed window.
 
-    SCALE NOTE: o_orderpriority has 5 distinct values, so exact global
-    ranks mean the whole table shuffles into <=5 window tasks — correct
-    at any size but a deliberate straggler at 100x. The scale path for
-    "where does this row sit in its group's distribution" is
-    approx-rank via fixed quantile boundaries: compute
-    approx_percentile(o_totalprice, array(0.01..0.99)) per group (a
-    partial-aggregated, fully parallel pass), broadcast the <=5x99
-    boundary table, and assign each row its bucket with a narrow join —
-    no single-task windows (registered: quartile_bucket). When EXACT
-    global ranks are required, the registered scale path is
-    `global_rank` (operators/rank.global_row_number): order-preserving
-    range buckets + metadata-sized offset stitching — exact ranks, max
-    window partition bounded by bucket width, not table size."""
+    The naive `percent_rank() OVER (PARTITION BY o_orderpriority ORDER
+    BY o_totalprice)` funnels the whole table into <=5 window tasks (5
+    priorities) — the canonical straggler. Both functions only depend
+    on per-(group, value) counts, so decompose like
+    operators/rank.global_row_number:
+
+    1. aggregate counts per (group, cents) — parallel hash agg;
+    2. range-bucket the distinct values (cents div 10^6 — order
+       preserving), prefix-sum WITHIN each bucket: window partitions
+       bounded by bucket width, never table size;
+    3. prefix-sum per-(group, bucket) totals (one row per bucket —
+       metadata at any scale) and broadcast the offsets + group sizes;
+    4. rank(v) = offset + rows<v + 1 (RANK semantics: ties share),
+       le(v) = offset + rows<=v; percent_rank = (rank-1)/(n-1),
+       cume_dist = le/n; join stats back to rows on (group, cents) — a
+       keyed shuffle join, fully parallel.
+
+    Equal values always land in the same bucket (bucket is a function
+    of the value), so tie groups never straddle a bucket boundary."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").asc())
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    vals = (
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_bkt", F.expr("cents div 1000000"))
+    )
+    wb = (
+        Window.partitionBy("o_orderpriority", "_bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = vals.withColumn(
+        "lt_b", F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("long"))
+    )
+    bkt_tot = vals.groupBy("o_orderpriority", "_bkt").agg(
+        F.sum("cnt").alias("_bn")
+    )
+    wo = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bkt_tot.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(wo), F.lit(0).cast("long"))
+    ).select("o_orderpriority", "_bkt", "_off")
+    totals = bkt_tot.groupBy("o_orderpriority").agg(F.sum("_bn").alias("_n"))
+    stats = (
+        vals.join(F.broadcast(offs), ["o_orderpriority", "_bkt"])
+        .join(F.broadcast(totals), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "cents",
+            (F.col("_off") + F.col("lt_b") + 1).alias("_rk"),
+            (F.col("_off") + F.col("lt_b") + F.col("cnt")).alias("_le"),
+            "_n",
+        )
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+        .join(stats, ["o_orderpriority", "cents"])
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                F.when(
+                    F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1)
+                ).otherwise(0.0),
+                6,
+            ).alias("pr"),
+            F.round(F.col("_le") / F.col("_n"), 6).alias("cd"),
+        )
     )
 
 

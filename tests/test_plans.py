@@ -291,6 +291,38 @@ def test_round3_second_batch_plan_shapes(spark):
     assert nc["HashAggregate"] + nc["ObjectHashAggregate"] >= 2, nc
 
 
+def test_percent_rank_has_no_group_only_window(spark):
+    """q_percent_rank must never plan a window partitioned only by
+    o_orderpriority (5 distinct values -> <=5 tasks for the whole
+    table). Its windows run over the distinct-value aggregate keyed by
+    (group, range-bucket) or over per-bucket counts — both bounded."""
+    import re
+
+    df = _q(spark, "percent_rank")
+    plan = PI.explain_str(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the percent_rank plan"
+    for spec in specs:
+        parts = [p.strip() for p in spec.split(",")]
+        part_keys, order_keys = set(), set()
+        for p in parts:
+            if "#" not in p:
+                continue
+            name = p.split("#")[0]
+            if " ASC" in p or " DESC" in p:
+                order_keys.add(name)
+            elif not order_keys:
+                part_keys.add(name)
+        # group-only partition is fine ONLY for the metadata-sized
+        # prefix window over per-bucket counts (ordered by _bkt);
+        # ordered by the value column it would be the table straggler
+        if part_keys == {"o_orderpriority"}:
+            assert order_keys == {"_bkt"}, spec
+    # the straggler shape is gone but the decomposition is still
+    # broadcast-stitched: offsets and group sizes arrive by broadcast
+    assert PI.broadcast_join_count(df) >= 2
+
+
 def test_full_schema_join_broadcasts_all_dims(spark):
     """Seven-table join: every dimension side must broadcast (the only
     data-sized pass is the filtered lineitem scan) and the date filter
