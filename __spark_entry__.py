@@ -2448,6 +2448,166 @@ def q_cdc_changelog_apply(spark, sf_dir):
     )
 
 
+def q_merge_upsert_state(spark, sf_dir):
+    """Warehouse MERGE under the oracle gate (sinks.merge_upsert — the
+    engine's answer to the reference's duplicate-on-reload gap,
+    load_csv_to_bq.py:86-100): build a base table from orders (every
+    key except multiples of 4), merge an updates batch (every even
+    key: multiples of 4 are brand-new INSERTs, the rest UPDATE in
+    place with +1000.00), return the final table state. Runs the real
+    sink end-to-end on a session-temp path (partition-overwrite
+    engine — this container has no Delta); the result materializes via
+    localCheckpoint so the temp table is removed before returning.
+    The oracle replays MERGE as base FULL OUTER JOIN updates with
+    updates winning."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.sinks import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rows = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("date_start"),
+        cents.alias("amount_cents"),
+    )
+    base = rows.filter(F.col("k") % 4 != 0)
+    upd = rows.filter(F.col("k") % 2 == 0).withColumn(
+        "amount_cents", F.col("amount_cents") + F.lit(100000).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_merge_upsert_")
+    try:
+        path = os.path.join(tmp, "t")
+        merge_upsert(spark, base, path, key=("k",))
+        final = merge_upsert(spark, upd, path, key=("k",))
+        out = final.select("k", "date_start", "amount_cents").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("k")
+
+
+def q_scd2_state(spark, sf_dir):
+    """SCD type-2 dimension history under the oracle gate
+    (sinks.scd2_apply): two customer snapshots — Jan 1st covers keys
+    not divisible by 3; Feb 1st covers ALL keys with balances bumped
+    +7.77 for multiples of 5 — leave new keys (current from Feb),
+    changed keys (closed Jan row + current Feb row), and unchanged
+    keys (current row keeping its ORIGINAL Jan valid_from). Returns
+    the full history table (current + closed); the oracle replays the
+    version arithmetic in closed-form SQL."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.sinks import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+    )
+    snap1 = dim.filter(F.col("k") % 3 != 0)
+    snap2 = dim.withColumn(
+        "bal_cents",
+        F.col("bal_cents")
+        + F.when(F.col("k") % 5 == 0, F.lit(777)).otherwise(F.lit(0)),
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_scd2_")
+    try:
+        path = os.path.join(tmp, "dim")
+        scd2_apply(
+            spark, snap1, path,
+            key=("k",), tracked=("segment", "bal_cents"),
+            effective_date="2026-01-01",
+        )
+        scd2_apply(
+            spark, snap2, path,
+            key=("k",), tracked=("segment", "bal_cents"),
+            effective_date="2026-02-01",
+        )
+        out = (
+            spark.read.parquet(path)
+            .select(
+                "k",
+                "segment",
+                "bal_cents",
+                "state",
+                F.col("valid_from").cast("string").alias("valid_from"),
+                F.col("valid_to").cast("string").alias("valid_to"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("k", "state")
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental rollup maintenance under the oracle gate
+    (analytics.incremental_rollup + sinks.overwrite_partitions): write
+    1995-Q1 orders day-partitioned, build the month-grain rollup, then
+    apply a late-arriving correction (Feb-14 prices double, one-day
+    partition overwrite) and recompute ONLY February — the reference
+    rebuilds rollups with full-table CTAS per load
+    (docs/DEPLOYMENT.md:453-462); this recomputes the changed month's
+    partitions only. Returns the final rollup; the oracle replays the
+    corrected aggregation in one pass."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.analytics import incremental_rollup
+    from fb_ads_bigquery_etl_spark.sinks import overwrite_partitions
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    fact = o.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_start"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("price_cents"),
+    ).filter(F.col("date_start").between("1995-01-01", "1995-03-31"))
+    tmp = tempfile.mkdtemp(prefix="_q_incr_rollup_")
+    try:
+        fact_path = os.path.join(tmp, "fact")
+        roll_path = os.path.join(tmp, "rollup")
+        fact.write.partitionBy("date_start").parquet(fact_path)
+        incremental_rollup(
+            spark, fact_path, roll_path,
+            changed_dates=["1995-01-15", "1995-02-15", "1995-03-15"],
+            date_col="date_start", metrics=("price_cents",),
+        )
+        # late correction: localCheckpoint cuts lineage so the one-day
+        # republish doesn't read the path it overwrites (same pattern
+        # as sinks.compact_partition)
+        fixed = (
+            spark.read.parquet(fact_path)
+            .filter(F.col("date_start") == "1995-02-14")
+            .withColumn("price_cents", F.col("price_cents") * 2)
+            .localCheckpoint(eager=True)
+        )
+        overwrite_partitions(fixed, fact_path, partition_col="date_start")
+        incremental_rollup(
+            spark, fact_path, roll_path,
+            changed_dates=["1995-02-14"],
+            date_col="date_start", metrics=("price_cents",),
+        )
+        out = (
+            spark.read.parquet(roll_path)
+            .select(
+                F.col("month").cast("string").alias("month"),
+                "row_count",
+                "total_price_cents",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("month")
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-mitigated fact⋈dim join (operators/skew.salted_join):
     lineitem joins orders on an 8-way salted key — the fact side's hot
@@ -4436,6 +4596,62 @@ def _oracle() -> dict[str, str]:
               FROM ch)
             SELECT cust_id, version, op, amount
             FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
+        # MERGE replay: base FULL OUTER JOIN updates, updates win
+        "merge_upsert_state": """
+            WITH r AS (
+              SELECT o_orderkey AS k,
+                     strftime(o_orderdate, '%Y-%m') AS date_start,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS amount_cents
+              FROM orders),
+            b AS (SELECT * FROM r WHERE k % 4 <> 0),
+            u AS (SELECT k, date_start, amount_cents + 100000 AS amount_cents
+                  FROM r WHERE k % 2 = 0)
+            SELECT COALESCE(u.k, b.k) AS k,
+                   COALESCE(u.date_start, b.date_start) AS date_start,
+                   COALESCE(u.amount_cents, b.amount_cents) AS amount_cents
+            FROM b FULL OUTER JOIN u ON b.k = u.k
+            ORDER BY k""",
+        # SCD2 replay in closed form: multiples of 5 changed (closed Jan
+        # row + current Feb row), multiples of 3 are new in Feb,
+        # everything else keeps its original Jan valid_from
+        "scd2_state": """
+            WITH dim AS (
+              SELECT c_custkey AS k, c_mktsegment AS segment,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS bal_cents
+              FROM customer)
+            SELECT k, segment,
+                   bal_cents + CASE WHEN k % 5 = 0 THEN 777 ELSE 0 END
+                     AS bal_cents,
+                   'current' AS state,
+                   CASE WHEN k % 3 = 0 OR k % 5 = 0
+                        THEN '2026-02-01' ELSE '2026-01-01' END AS valid_from,
+                   CAST(NULL AS VARCHAR) AS valid_to
+            FROM dim
+            UNION ALL
+            SELECT k, segment, bal_cents, 'closed',
+                   '2026-01-01', '2026-02-01'
+            FROM dim WHERE k % 3 <> 0 AND k % 5 = 0
+            ORDER BY k, state""",
+        # corrected-aggregate replay: Feb-14 prices doubled, one pass
+        "incremental_rollup": """
+            WITH f AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS price_cents
+              FROM orders
+              WHERE strftime(o_orderdate, '%Y-%m-%d')
+                    BETWEEN '1995-01-01' AND '1995-03-31'),
+            m AS (SELECT d,
+                         CASE WHEN d = '1995-02-14' THEN price_cents * 2
+                              ELSE price_cents END AS price_cents
+                  FROM f)
+            SELECT substr(d, 1, 7) || '-01' AS month,
+                   CAST(COUNT(*) AS BIGINT) AS row_count,
+                   CAST(SUM(price_cents) AS BIGINT) AS total_price_cents
+            FROM m GROUP BY substr(d, 1, 7) || '-01'
+            ORDER BY month""",
         "pagerank": _pagerank_oracle_sql(),
         "profile_columns": " UNION ALL ".join(
             f"""
@@ -4766,6 +4982,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # entries follow (they stay regression-guarded by
     # tests/test_oracle_parity.py, which parametrizes the FULL registry
     # regardless of order). Rotation strategy is documented in SURVEY.md §2.1.
+    # --- new in round 4 (never driver-checked) ---
+    "merge_upsert_state": q_merge_upsert_state,
+    "scd2_state": q_scd2_state,
+    "incremental_rollup": q_incremental_rollup,
     # --- never driver-checked (12 as of r2; front-loaded for r3) ---
     "streaming_sessions": q_streaming_sessions,
     "gap_fill_daily": q_gap_fill_daily,
