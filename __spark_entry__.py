@@ -699,6 +699,28 @@ def q_excess_shippers(spark, sf_dir):
 _STREAM_SEQ = itertools.count()
 
 
+def _drain_memory_stream(spark, agg, name, output_mode, landing):
+    """AvailableNow-drain a streaming aggregation into a memory sink and
+    return its MATERIALIZED contents (localCheckpoint), then remove the
+    temp landing dir and drop the sink's temp view — a long bench
+    session runs 131 queries back to back and must not accumulate
+    per-invocation landing dirs or sink tables."""
+    import shutil
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
 def q_streaming_hourly(spark, sf_dir):
     """Streaming-backed tumbling 1h aggregation (streaming/windows.py
     semantics driven end-to-end): a Structured Streaming query reads the
@@ -735,15 +757,8 @@ def q_streaming_hourly(spark, sf_dir):
         )
     )
     name = f"_stream_hourly_{next(_STREAM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("hour", "event_type")
+    out = _drain_memory_stream(spark, agg, name, "complete", landing)
+    return out.orderBy("hour", "event_type")
 
 
 def q_running_total(spark, sf_dir):
@@ -2326,15 +2341,8 @@ def q_streaming_interval_join(spark, sf_dir):
 
     joined = purchases_with_recent_views(side("purchase"), side("view"))
     name = f"_stream_ij_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("p_event_id", "v_event_id")
+    out = _drain_memory_stream(spark, joined, name, "append", landing)
+    return out.orderBy("p_event_id", "v_event_id")
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2402,16 +2410,9 @@ def q_streaming_user_totals(spark, sf_dir):
 
     tot = running_user_totals(stream)
     name = f"_stream_totals_{next(_STREAM_SEQ)}"
-    q = (
-        tot.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = _drain_memory_stream(spark, tot, name, "update", landing)
     return (
-        spark.table(name)
+        out
         .groupBy("user_id")
         .agg(
             F.max_by(
@@ -3272,15 +3273,8 @@ def q_streaming_dedup(spark, sf_dir):
         "event_id", "user_id", "event_type", "ts", "value"
     )
     name = f"_stream_dedup_{next(_STREAM_SEQ)}"
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("event_id")
+    out = _drain_memory_stream(spark, dd, name, "append", landing)
+    return out.orderBy("event_id")
 
 
 def q_gap_fill_daily(spark, sf_dir):
@@ -3388,15 +3382,8 @@ def q_streaming_sessions(spark, sf_dir):
         )
     )
     name = f"_stream_sessions_{next(_STREAM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).orderBy("user_id", "sess_start")
+    out = _drain_memory_stream(spark, agg, name, "complete", landing)
+    return out.orderBy("user_id", "sess_start")
 
 
 def _kmeans_oracle_sql(
@@ -4986,7 +4973,63 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,
-    # --- never driver-checked (12 as of r2; front-loaded for r3) ---
+    # --- regression re-confirmation rotation (round 4): these 50 were
+    # last driver-checked in r01, and their underlying operators have
+    # been refactored across rounds 2-3 (shared top-k core, portable
+    # hash functions, percent_rank rewrite) with only the local parity
+    # suite as the guard since; fresh driver rows prove no regression
+    # slipped past it. The r02/r03-confirmed blocks follow. ---
+    "pricing_summary": q_pricing_summary,
+    "freshness": q_freshness,
+    "daily_rollup": q_daily_rollup,
+    "freshness_status": q_freshness_status,
+    "count_scan": q_count,
+    "distinct_projection": q_distinct,
+    "dedup_keepfirst": q_dedup_keepfirst,
+    "events_pivot": q_events_pivot,
+    "topk_per_group": q_topk_per_group,
+    "revenue_by_nation": q_revenue_by_nation,
+    "rollup_region_nation": q_rollup_region_nation,
+    "sessionize": q_sessionize,
+    "join_outer_agg": q_join_outer_agg,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "cube_status_priority": q_cube_status_priority,
+    "exists_late_lineitem": q_exists_late_lineitem,
+    "avg_qty_threshold": q_avg_qty_threshold,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "percentiles": q_percentiles,
+    "ntile_quartiles": q_ntile_quartiles,
+    "conditional_agg": q_conditional_agg,
+    "json_extract": q_json_extract,
+    "tumbling_hourly": q_tumbling_hourly,
+    "running_total": q_running_total,
+    "approx_distinct": q_approx_distinct,
+    "shipping_priority": q_shipping_priority,
+    "revenue_forecast": q_revenue_forecast,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "disjunctive_filter": q_disjunctive_filter,
+    "max_per_group_join_back": q_max_per_group_join_back,
+    "count_distribution": q_count_distribution,
+    "union_all_labeled": q_union_all_labeled,
+    "order_gaps": q_order_gaps,
+    "percent_rank": q_percent_rank,
+    "collect_segments": q_collect_segments,
+    "string_funcs": q_string_funcs,
+    "quarterly_revenue": q_quarterly_revenue,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash": q_dedup_simhash,
+    "train_test_split": q_train_test_split,
+    # --- confirmed green in CORRECTNESS_r03.json ---
     "streaming_sessions": q_streaming_sessions,
     "gap_fill_daily": q_gap_fill_daily,
     "dedup_levenshtein": q_dedup_levenshtein,
@@ -4999,7 +5042,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "reservoir_per_group": q_reservoir_per_group,
     "pack_sequences": q_pack_sequences,
-    # --- new in round 3 (never driver-checked) ---
     "streaming_user_totals": q_streaming_user_totals,
     "cdc_changelog_apply": q_cdc_changelog_apply,
     "skew_salted_join": q_skew_salted_join,
@@ -5070,57 +5112,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_price_qty": q_corr_price_qty,
     "sliding_windows": q_sliding_windows,
     "pivot_source_lang": q_pivot_source_lang,
-    # --- confirmed green in CORRECTNESS_r01.json ---
-    "pricing_summary": q_pricing_summary,
-    "freshness": q_freshness,
-    "daily_rollup": q_daily_rollup,
-    "freshness_status": q_freshness_status,
-    "count_scan": q_count,
-    "distinct_projection": q_distinct,
-    "dedup_keepfirst": q_dedup_keepfirst,
-    "events_pivot": q_events_pivot,
-    "topk_per_group": q_topk_per_group,
-    "revenue_by_nation": q_revenue_by_nation,
-    "rollup_region_nation": q_rollup_region_nation,
-    "sessionize": q_sessionize,
-    "join_outer_agg": q_join_outer_agg,
-    "join_semi": q_join_semi,
-    "join_anti": q_join_anti,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "cube_status_priority": q_cube_status_priority,
-    "exists_late_lineitem": q_exists_late_lineitem,
-    "avg_qty_threshold": q_avg_qty_threshold,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "percentiles": q_percentiles,
-    "ntile_quartiles": q_ntile_quartiles,
-    "conditional_agg": q_conditional_agg,
-    "json_extract": q_json_extract,
-    "tumbling_hourly": q_tumbling_hourly,
-    "running_total": q_running_total,
-    "approx_distinct": q_approx_distinct,
-    "shipping_priority": q_shipping_priority,
-    "revenue_forecast": q_revenue_forecast,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "disjunctive_filter": q_disjunctive_filter,
-    "max_per_group_join_back": q_max_per_group_join_back,
-    "count_distribution": q_count_distribution,
-    "union_all_labeled": q_union_all_labeled,
-    "order_gaps": q_order_gaps,
-    "percent_rank": q_percent_rank,
-    "collect_segments": q_collect_segments,
-    "string_funcs": q_string_funcs,
-    "quarterly_revenue": q_quarterly_revenue,
-    "grouping_sets_sql": q_grouping_sets_sql,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
-    "train_test_split": q_train_test_split,
 }
 
 

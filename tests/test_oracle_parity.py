@@ -11,8 +11,15 @@ from tests.conftest import SF_DIR, assert_frames_match
 QUERY_NAMES = sorted(entry_mod.queries())
 
 # Approximate-by-design operators: results are engine-specific sketches,
-# so the driver records the weaker rows-only check for these.
-ROWS_ONLY = {"approx_distinct", "kmeans_clusters"}
+# so the driver records the weaker rows-only check for these. Must stay
+# equal to __spark_entry__._NO_ORACLE_BY_DESIGN — anything else missing
+# an oracle is a bug (kmeans_clusters left this set when its quantized
+# variant gained a full unrolled-CTE oracle in round 3).
+ROWS_ONLY = {"approx_distinct"}
+
+
+def test_rows_only_set_matches_registry_declaration():
+    assert ROWS_ONLY == entry_mod._NO_ORACLE_BY_DESIGN
 
 
 def test_every_query_has_oracle():
