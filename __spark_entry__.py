@@ -1430,25 +1430,59 @@ def q_overlap_pairs(spark, sf_dir):
     vocabularies: 77% doc-frequency, 295M candidate pairs at sf0.1) and
     a doc-freq cap of 100 on fingerprints (a gram shared by 100+ docs is
     template text, not copy evidence — and each such gram contributes
-    O(df^2) candidates). 16/8+cap => 839k -> ~legit candidates only.
-    Fingerprint projection runs once (cached), then an 8-byte-key
-    inverted-index self-join, same scale shape as ngram_jaccard_pairs."""
-    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import shared
+    O(df^2) candidates).
+
+    Plan shape (round 4 rewrite, ~2x over the self-join form): ONE
+    exploded scan -> groupBy(fp) collect_list(doc_id) — the doc-freq
+    cap is a size filter on that same aggregate, no separate df pass,
+    no broadcast, no cache — then pairs expand NARROWLY inside each
+    postings list (sorted ids; (i, j>i) nested transform, <= C(100,2)
+    per fp) and one final pair-keyed count. Two shuffles total vs the
+    self-join's three, and the corpus-sized fingerprint projection is
+    computed exactly once without persist."""
     from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
 
     d = _t(spark, sf_dir, "documents")
-    inv = shared(
-        d.select(
+    # The corpus arrives as few large parquet files (locally: ONE input
+    # split), but the winnowing projection is the expensive stage
+    # (~1k md5 gram hashes per doc) — hash-spread the thin
+    # (doc_id, text) projection first so the CPU-bound stage runs at
+    # full parallelism instead of one-task-per-file. At cluster scale
+    # the same repartition evens out skewed file sizes.
+    # explicit partition count: AQE would coalesce a bare
+    # repartition(col) of the ~60 MB text shuffle back to one partition
+    # (advisory target 64 MB), hiding every core again — the cost here
+    # is CPU per row, not bytes
+    inv = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
             "doc_id",
-            F.explode(fingerprint_rolling(F.col("text"), k=16, w=8)).alias("fp"),
+            F.explode(fingerprint_rolling(F.col("text"), k=16, w=8)).alias(
+                "fp"
+            ),
         )
     )
-    rare = inv.groupBy("fp").agg(F.count("*").alias("_df")).filter(F.col("_df") <= 100)
-    inv = inv.join(F.broadcast(rare.select("fp")), "fp")
-    a, b = inv.alias("a"), inv.alias("b")
+    posting = (
+        inv.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 100))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    x.alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
         .orderBy("id_a", "id_b")

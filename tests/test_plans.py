@@ -291,6 +291,19 @@ def test_round3_second_batch_plan_shapes(spark):
     assert nc["HashAggregate"] + nc["ObjectHashAggregate"] >= 2, nc
 
 
+def test_overlap_pairs_is_join_free_single_scan(spark):
+    """Round-4 shape: postings-list pair expansion replaced the
+    inverted-index self-join — one documents scan, NO join (pairs
+    expand narrowly inside each fp group), and a repartition spreads
+    the CPU-bound winnowing stage across cores."""
+    df = _q(spark, "overlap_pairs")
+    plan = PI.explain_str(df)
+    nc = PI.node_counts(df)
+    assert nc["Scan"] == 1, nc
+    assert "Join" not in plan, plan
+    assert nc["HashAggregate"] + nc["ObjectHashAggregate"] >= 2, nc
+
+
 def test_percent_rank_has_no_group_only_window(spark):
     """q_percent_rank must never plan a window partitioned only by
     o_orderpriority (5 distinct values -> <=5 tasks for the whole
