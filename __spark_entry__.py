@@ -3538,6 +3538,188 @@ def _pagerank_oracle_sql(
         ORDER BY r DESC, node LIMIT 50"""
 
 
+# ---------------------------------------------------------------------------
+# Round-4 LLM-pipeline additions: PII redaction, Gopher-style repetition,
+# sliding-window chunking, per-dimension feature scaling, vocab coverage.
+# ---------------------------------------------------------------------------
+
+# Must stay textually identical to operators/text.py redact_pii /
+# pii_match_count so the oracle replays the exact same regexes (Java and
+# RE2 agree on this subset: char classes, bounded+greedy quantifiers,
+# leftmost non-overlapping matching).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUMBER_RE = r"[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII detect/redact audit per source (operators/text.py redact_pii).
+
+    The sandbox corpus contains no PII, so a deterministic injection
+    derived from doc_id (same CASE in the oracle) plants emails in 1/5
+    of docs and a phone string in 1/7 before the scan — the operator is
+    exercised on real matches, not vacuous zeros. All outputs are
+    integer counts/length deltas: exact on any engine. Single
+    projection + hash agg; no reference counterpart (BASELINE.json)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import bind
+    from fb_ads_bigquery_etl_spark.operators.text import (
+        pii_match_count,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" call (555) 010-4242 now")),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = d.select(
+        "source",
+        bind(
+            injected,
+            lambda t: F.struct(
+                F.length(t).alias("len_raw"),
+                F.length(redact_pii(t)).alias("len_red"),
+                pii_match_count(t).alias("n_spans"),
+            ),
+        ).alias("_p"),
+    )
+    return (
+        staged.select("source", "_p.*")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_spans") > 0).cast("long")).alias("n_docs_with_pii"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum(F.col("len_raw") - F.col("len_red"))
+            .cast("long")
+            .alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition audit per source: duplicate word-3-gram
+    counts (operators/text.py repetition_ratio's signal, reported as
+    exact integers so the aggregate is engine-independent — the only
+    doubles are single divisions of exact BIGINTs). Narrow projection +
+    hash agg; a doc is `repetitive` past 25% duplicate 3-grams."""
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    k = 3
+
+    def grams_of(tok):
+        n = F.size(tok) - (k - 1)
+        grams = F.transform(
+            F.slice(tok, 1, F.greatest(n, F.lit(0))),
+            lambda t, i: F.concat_ws(
+                " ", *([t] + [F.get(tok, i + j) for j in range(1, k)])
+            ),
+        )
+        return F.struct(
+            F.greatest(n, F.lit(0)).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        )
+
+    per_doc = d.select(
+        "source", bind(tokens(F.col("text")), grams_of).alias("_g")
+    ).select("source", "_g.*")
+    flagged = (F.col("n_grams") > 0) & (
+        F.lit(1.0) - F.col("n_distinct") / F.col("n_grams").cast("double") > 0.25
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_distinct").alias("distinct_grams"),
+            F.sum(flagged.cast("long")).alias("n_repetitive"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.lit(1.0)
+            - F.col("distinct_grams") / F.col("total_grams").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py chunk_token_windows):
+    32-token windows, stride 24 — the RAG/embedding splitter. Shuffle-free
+    except the presentation sort; chunk_hash (md5 of the window) is the
+    chunk-level dedup key."""
+    from fb_ads_bigquery_etl_spark.operators.packing import chunk_token_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_token_windows(d, size=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_embedding_normalize(spark, sf_dir):
+    """Per-dimension z-score feature scaling reported as each vector's
+    normalized L2 norm (operators/similarity.py zscore_norms): dim stats
+    via posexplode + map-side-combined hash agg, stats broadcast back as
+    arrays, per-row math a narrow in-order fold."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import zscore_norms
+
+    e = _t(spark, sf_dir, "embeddings")
+    return zscore_norms(e, "vec_id", "embedding", "label").orderBy("vec_id")
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-style vocabulary coverage: top-50 terms by document
+    frequency (tie-break term ASC — fully deterministic), then per-source
+    in-vocab token share / OOV rate. The vocab is aggregate-then-limit
+    (map-side combine, top-k sized output) and broadcasts into the
+    coverage join — corpus-sized data is never shuffled twice."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+        .select("term")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab).withColumn("_in", F.lit(1)), "term", "left"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0)).cast("long")).alias(
+                "n_in_vocab"
+            ),
+        )
+        .withColumn(
+            "oov_rate",
+            F.lit(1.0) - F.col("n_in_vocab") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -4993,6 +5175,118 @@ def _oracle() -> dict[str, str]:
               FROM g)
             SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+        "pii_redaction": f"""
+            WITH inj AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0
+                            THEN text || ' contact user'
+                                 || CAST(doc_id AS VARCHAR)
+                                 || '@example.com today'
+                          WHEN doc_id % 7 = 0
+                            THEN text || ' call (555) 010-4242 now'
+                          ELSE text END AS t
+              FROM documents),
+            scored AS (
+              SELECT source,
+                     length(t) AS len_raw,
+                     length(regexp_replace(regexp_replace(t,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_NUMBER_RE}', '<NUMBER>', 'g')) AS len_red,
+                     len(regexp_extract_all(t, '{_EMAIL_RE}'))
+                       + len(regexp_extract_all(t, '{_NUMBER_RE}')) AS n_spans
+              FROM inj)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+                   CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+                   CAST(SUM(len_raw - len_red) AS BIGINT) AS chars_redacted
+            FROM scored GROUP BY source ORDER BY source""",
+        "repetition_stats": f"""
+            WITH tok AS (SELECT source, {_TOK} AS t FROM documents),
+            g AS (
+              SELECT source,
+                     CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+                     CAST(len(list_distinct(list_transform(
+                            generate_series(1, greatest(len(t) - 2, 0)),
+                            i -> array_to_string(t[i:i+2], ' ')))) AS BIGINT)
+                       AS n_distinct
+              FROM tok)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(n_grams) AS total_grams,
+                   SUM(n_distinct) AS distinct_grams,
+                   SUM(CASE WHEN n_grams > 0
+                             AND 1.0 - n_distinct / CAST(n_grams AS DOUBLE) > 0.25
+                            THEN 1 ELSE 0 END) AS n_repetitive,
+                   1.0 - SUM(n_distinct) / CAST(SUM(n_grams) AS DOUBLE)
+                     AS dup_fraction
+            FROM g GROUP BY source ORDER BY source""",
+        "doc_chunks": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            sized AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) > 0
+                          THEN (greatest(len(t) - 32, 0) + 23) // 24 + 1
+                          ELSE 0 END AS n_chunks
+              FROM tok),
+            c AS (
+              SELECT doc_id, i AS chunk_idx, t
+              FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+              WHERE n_chunks > 0)
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+                   CAST(len(t[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT)
+                     AS chunk_len,
+                   md5(array_to_string(t[chunk_idx*24 + 1 : chunk_idx*24 + 32],
+                       ' ')) AS chunk_hash
+            FROM c ORDER BY doc_id, chunk_idx""",
+        "embedding_normalize": """
+            WITH v AS (SELECT vec_id, label,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE))
+                                AS e
+                       FROM embeddings),
+            pe AS (SELECT u.dim, e[u.dim + 1] AS x
+                   FROM v, UNNEST(generate_series(0, len(e) - 1)) AS u(dim)),
+            stats AS (
+              SELECT dim,
+                     SUM(CAST(floor(x * 1e12) AS DECIMAL(28,0))) AS s,
+                     SUM(CAST(floor(x * x * 1e12) AS DECIMAL(28,0))) AS sq,
+                     COUNT(*) AS n
+              FROM pe GROUP BY dim),
+            arr AS (
+              SELECT list(CAST(s AS DOUBLE) / n / 1e12 ORDER BY dim) AS means,
+                     list(sqrt(greatest(CAST(sq AS DOUBLE) / n / 1e12
+                            - (CAST(s AS DOUBLE) / n / 1e12)
+                              * (CAST(s AS DOUBLE) / n / 1e12), 0.0))
+                          ORDER BY dim) AS stds
+              FROM stats)
+            SELECT vec_id, label,
+                   sqrt(list_reduce(
+                     list_transform(generate_series(1, len(e)),
+                       i -> CASE WHEN stds[i] > 0.0
+                                 THEN ((e[i] - means[i]) / stds[i])
+                                      * ((e[i] - means[i]) / stds[i])
+                                 ELSE 0.0 END),
+                     (a, b) -> a + b)) AS znorm
+            FROM v, arr ORDER BY vec_id""",
+        "vocab_coverage": f"""
+            WITH toks AS (
+              SELECT doc_id, source, u.term
+              FROM (SELECT doc_id, source, {_TOK} AS t FROM documents),
+                   UNNEST(t) AS u(term)),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+              ORDER BY df DESC, term ASC LIMIT 50)
+            SELECT source,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+                   1.0 - SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                                  THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+                     AS oov_rate
+            FROM toks GROUP BY source ORDER BY source""",
     }
 
 
@@ -5004,6 +5298,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_oracle_parity.py, which parametrizes the FULL registry
     # regardless of order). Rotation strategy is documented in SURVEY.md §2.1.
     # --- new in round 4 (never driver-checked) ---
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "doc_chunks": q_doc_chunks,
+    "embedding_normalize": q_embedding_normalize,
+    "vocab_coverage": q_vocab_coverage,
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,

@@ -138,3 +138,69 @@ def pack_chunks_sharded(
     return _with_chunk_columns(
         stitched, "_gcum", tokens_col, budget, [group_col, order_col]
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining splitter.
+
+    Each document becomes ceil(max(n-size, 0)/stride) + 1 chunks of at
+    most `size` tokens, consecutive chunks overlapping by `size-stride`
+    tokens (the standard sliding-window splitter ahead of embedding or
+    context-window packing). Pure expression work: tokenize once
+    (let-bound), build the chunk-index sequence, explode, slice — no
+    shuffle at all; the plan stays a narrow projection whatever the
+    corpus size, and downstream grouping shuffles only (id, chunk) rows.
+
+    Emits one row per chunk: *id_cols, chunk_idx (0-based), chunk_start
+    (0-based token offset), chunk_len, chunk_hash (md5 of the
+    space-joined window — the dedup/lineage key for chunk-level exact
+    dedup). Empty docs yield zero rows, matching the oracle's UNNEST
+    semantics. All integer arithmetic; DuckDB replays it bit-for-bit.
+
+    No reference counterpart (north-star extension, BASELINE.json).
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+
+    def chunks_of(tok: Column) -> Column:
+        n = F.size(tok)
+        n_chunks = F.when(
+            n > 0,
+            (F.greatest(n - size, F.lit(0)) + (stride - 1)) / F.lit(stride)
+        ).otherwise(F.lit(0))
+        # integer ceil-div via floor on exact ints (values are tiny)
+        n_chunks = F.floor(n_chunks).cast("int") + F.when(n > 0, 1).otherwise(0)
+        # Guard: sequence(0, -1) is a DESCENDING sequence in Spark, so an
+        # empty doc must map to an explicit empty array, not sequence().
+        idx = F.when(
+            n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                (i * stride).cast("long").alias("chunk_start"),
+                F.slice(tok, i * stride + 1, size).alias("_w"),
+            ),
+        )
+
+    exploded = df.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(bind(tokens(F.col(text_col)), chunks_of)).alias("_c"),
+    )
+    return exploded.select(
+        *id_cols,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_start").alias("chunk_start"),
+        F.size("_c._w").cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.col("_c._w"))).alias("chunk_hash"),
+    )

@@ -378,3 +378,88 @@ def label_centroids(
             F.count("*").alias("n"),
         )
     )
+
+
+def zscore_norms(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *extra: str,
+) -> DataFrame:
+    """Per-dimension z-score normalization, reported as the L2 norm of
+    each normalized vector — the feature-scaling pass ahead of distance-
+    based work (k-means, ANN) where raw dimensions have unequal spread.
+
+    Two-phase, both scale-safe:
+      1. posexplode -> groupBy(dim): per-dimension SUM/SUMSQ/COUNT with
+         map-side partial aggregation, so shuffle volume is |dims| *
+         #tasks partials regardless of row count. Sums accumulate as
+         DECIMAL(28,12) — exact and associative, hence bit-identical
+         across partitionings and engines (a double SUM is neither).
+      2. The |dims|-row stats frame collapses to ONE row of (means[],
+         stds[]) arrays (array_sort over collect_list — deterministic
+         order by dim) and broadcasts back; per-row normalization is a
+         narrow expression, no second shuffle over the data.
+
+    Sums accumulate as floor(x * 1e12) integers widened to DECIMAL(28,0)
+    — floor of a double is bit-identical everywhere, whereas a raw
+    double->DECIMAL cast rounds HALF_UP in Spark and half-even in DuckDB
+    (a real tie surfaced at the 12th digit in testing). mean/std then
+    derive in a fixed double-op sequence (mean = s/n/1e12; var =
+    sq/n/1e12 - mean*mean, clamped at 0), and the norm is a sequential
+    in-order fold — DuckDB replays every step bit-for-bit. Dimensions
+    with std == 0 contribute 0 to the norm.
+
+    No reference counterpart (north-star extension, BASELINE.json).
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind
+
+    e = _prepared(df, id_col, vec_col, *extra).select("id", "vec", *extra)
+    pe = e.select(F.posexplode("vec").alias("dim", "x"))
+    stats = pe.groupBy("dim").agg(
+        F.sum(F.floor(F.col("x") * F.lit(1e12)).cast("decimal(28,0)")).alias("s"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * F.lit(1e12)).cast("decimal(28,0)")
+        ).alias("sq"),
+        F.count("*").alias("n"),
+    )
+
+    def mean_of(r):
+        return r["s"].cast("double") / r["n"] / F.lit(1e12)
+
+    packed = (
+        stats.agg(F.array_sort(F.collect_list(F.struct("dim", "s", "sq", "n"))).alias("a"))
+        .select(
+            F.transform("a", mean_of).alias("_means"),
+            F.transform(
+                "a",
+                lambda r: F.sqrt(
+                    F.greatest(
+                        r["sq"].cast("double") / r["n"] / F.lit(1e12)
+                        - mean_of(r) * mean_of(r),
+                        F.lit(0.0),
+                    )
+                ),
+            ).alias("_stds"),
+        )
+    )
+    normed = e.join(F.broadcast(packed))
+    z2 = F.transform(
+        F.sequence(F.lit(0), F.size("vec") - 1),
+        lambda i: bind(
+            F.struct(
+                F.get("vec", i).alias("x"),
+                F.get("_means", i).alias("m"),
+                F.get("_stds", i).alias("sd"),
+            ),
+            lambda b: F.when(
+                b["sd"] > 0.0,
+                ((b["x"] - b["m"]) / b["sd"]) * ((b["x"] - b["m"]) / b["sd"]),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    return normed.select(
+        F.col("id").alias(id_col),
+        *extra,
+        F.sqrt(F.aggregate(z2, F.lit(0.0), lambda acc, v: acc + v)).alias("znorm"),
+    )

@@ -346,3 +346,30 @@ def test_full_schema_join_broadcasts_all_dims(spark):
     assert nc["SortMergeJoin"] == 0, nc
     assert not PI.has_cartesian(df)
     assert any("l_shipdate" in p for p in PI.pushed_filters(df))
+
+
+def test_round4_new_ops_plan_shapes(spark):
+    # chunking: tokenize -> sequence -> explode -> project, NO shuffle at
+    # all (the registered query adds only the presentation sort)
+    from fb_ads_bigquery_etl_spark.operators.packing import chunk_token_windows
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    chunks = chunk_token_windows(d, size=32, stride=24)
+    assert PI.exchange_count(chunks) == 0, PI.explain_str(chunks)
+    # pii + repetition audits: narrow projection + one partial/final agg,
+    # join-free and window-free
+    for name in ("pii_redaction", "repetition_stats"):
+        df = _q(spark, name)
+        nc = PI.node_counts(df)
+        assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, (name, nc)
+        assert "Window" not in PI.explain_str(df), name
+        assert nc["HashAggregate"] >= 2, (name, nc)  # partial + final
+    # feature scaling: the dim-stats frame must come back as a BROADCAST,
+    # never a corpus-sized shuffle join
+    df = _q(spark, "embedding_normalize")
+    assert PI.broadcast_join_count(df) >= 1
+    assert not PI.has_cartesian(df) or PI.node_counts(df)["BroadcastNestedLoopJoin"] >= 1
+    # vocab coverage: the top-50 vocab broadcasts into the tagging join
+    df = _q(spark, "vocab_coverage")
+    assert PI.broadcast_join_count(df) >= 1
+    assert not PI.has_cartesian(df)

@@ -171,3 +171,80 @@ def test_pack_chunks_sharded_matches_pandas_oracle(rows, width):
             )
             cum = end
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet=" abcde", min_size=0, max_size=120), min_size=1, max_size=12
+    ),
+    st.tuples(st.integers(2, 8), st.integers(1, 8)).filter(lambda t: t[1] <= t[0]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_chunk_token_windows_matches_python_oracle(texts, size_stride):
+    """Sliding-window chunking == a sequential Python splitter for random
+    whitespace corpora (incl. empty/whitespace-only docs) across
+    size/stride combos — coverage, overlap, bounds, and hashes."""
+    import hashlib
+
+    from fb_ads_bigquery_etl_spark.operators.packing import chunk_token_windows
+
+    size, stride = size_stride
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_hash"])
+        for r in chunk_token_windows(df, size=size, stride=stride).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        tok = [w for w in t.lower().split() if w]
+        if not tok:
+            continue
+        n_chunks = (max(len(tok) - size, 0) + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            w = tok[c * stride : c * stride + size]
+            want.add(
+                (
+                    i,
+                    c,
+                    c * stride,
+                    len(w),
+                    hashlib.md5(" ".join(w).encode()).hexdigest(),
+                )
+            )
+    assert got == want
+
+
+def test_chunk_token_windows_rejects_bad_args():
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.packing import chunk_token_windows
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for size, stride in ((0, 1), (4, 0), (4, 5)):
+        with pytest.raises(ValueError):
+            chunk_token_windows(df, size=size, stride=stride)
+
+
+def test_zscore_norms_standardization_property():
+    """Sum over vectors of each dim's squared z-score == n (the defining
+    property of z-scoring), so sum of znorm^2 == n_dims * n_vectors —
+    up to the 1e-12 quantization of the stats accumulators. A constant
+    dimension (std == 0) must contribute exactly zero."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import zscore_norms
+
+    spark = _get_spark()
+    rows = [(i, [float(i), 7.0, float(i % 3) * 2.5]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = zscore_norms(df, "vec_id", "embedding").collect()
+    assert len(out) == 40
+    total = sum(r["znorm"] ** 2 for r in out)
+    # dims 0 and 2 vary (each contributes n=40), dim 1 is constant -> 0
+    assert abs(total - 80.0) < 1e-6, total
