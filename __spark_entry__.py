@@ -3720,6 +3720,126 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Substring CONTAINMENT pairs: doc A contained in doc B when >= 50%
+    of the smaller doc's winnowed fingerprints also appear in the other —
+    the asymmetric cousin of `overlap_pairs` that catches quote-and-
+    extend plagiarism (a doc fully embedded in a longer one) which a
+    symmetric Jaccard threshold dilutes away.
+
+    Same scale shape as overlap_pairs (postings-list pairs, doc-freq cap
+    100, one exploded scan), plus two id-keyed joins against the
+    doc-count-sized fingerprint-size frame — strategy left to AQE.
+    Denominator is the smaller doc's FULL fingerprint count; the
+    numerator counts only df-capped fingerprints (template text is not
+    containment evidence). No reference counterpart (BASELINE.json)."""
+    from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
+
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", fingerprint_rolling(F.col("text"), k=16, w=8).alias("fps")
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    sizes = fps.select("doc_id", F.size("fps").cast("long").alias("n_fps"))
+    inv = fps.select("doc_id", F.explode("fps").alias("fp"))
+    posting = (
+        inv.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 100))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    shared = (
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n_fps", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_fps", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared") / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select("id_a", "id_b", "n_shared", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix: which sources copy from which.
+    MinHash-LSH near-dup pairs labeled with each side's source
+    (unordered pair via least/greatest), counted per source pair —
+    the provenance audit that decides which feeds to drop or
+    down-weight. max(jaccard) is the per-cell severity signal (MAX of
+    doubles is order-independent, unlike AVG). The label joins key on
+    doc_id — doc-count-sized sides, strategy left to AQE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    src = d.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"), F.max("jaccard").alias("max_jaccard"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_chunk_dedup_rate(spark, sf_dir):
+    """Chunk-level exact dedup rate per source: sliding-window chunks
+    (packing.chunk_token_windows) deduped on their md5 window hash —
+    the pretraining-relevant duplication measure (token-window level,
+    not whole-document). count vs countDistinct in ONE hash aggregate
+    pass; all-integer outputs plus one exact division."""
+    from fb_ads_bigquery_etl_spark.operators.packing import chunk_token_windows
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_token_windows(
+        d, size=32, stride=24, id_cols=("doc_id", "source")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_chunks").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -5287,6 +5407,56 @@ def _oracle() -> dict[str, str]:
                                   THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
                      AS oov_rate
             FROM toks GROUP BY source ORDER BY source""",
+        "containment_pairs": f"""
+            WITH {_winnow_fps_sql(k=16, w=8)},
+            sizes AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps FROM w),
+            inv0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            rare AS (SELECT fp FROM inv0 GROUP BY fp
+                     HAVING COUNT(*) BETWEEN 2 AND 100),
+            inv AS (SELECT doc_id, fp FROM inv0 JOIN rare USING (fp)),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+              FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_shared,
+                   n_shared / CAST(least(sa.n_fps, sb.n_fps) AS DOUBLE)
+                     AS containment
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_shared / CAST(least(sa.n_fps, sb.n_fps) AS DOUBLE) >= 0.5
+            ORDER BY id_a, id_b""",
+        "cross_source_dups": f"""
+            WITH {_minhash_pairs_sql()},
+            lab AS (
+              SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b,
+                     jaccard
+              FROM verified v
+              JOIN documents da ON da.doc_id = v.id_a
+              JOIN documents db ON db.doc_id = v.id_b)
+            SELECT source_a, source_b, COUNT(*) AS n_pairs,
+                   MAX(jaccard) AS max_jaccard
+            FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+        "chunk_dedup_rate": f"""
+            WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+            sized AS (
+              SELECT doc_id, source, t,
+                     CASE WHEN len(t) > 0
+                          THEN (greatest(len(t) - 32, 0) + 23) // 24 + 1
+                          ELSE 0 END AS n_chunks
+              FROM tok),
+            c AS (
+              SELECT source,
+                     md5(array_to_string(t[i*24 + 1 : i*24 + 32], ' '))
+                       AS chunk_hash
+              FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+              WHERE n_chunks > 0)
+            SELECT source, COUNT(*) AS n_chunks,
+                   COUNT(DISTINCT chunk_hash) AS n_distinct,
+                   1.0 - COUNT(DISTINCT chunk_hash) / CAST(COUNT(*) AS DOUBLE)
+                     AS dup_rate
+            FROM c GROUP BY source ORDER BY source""",
     }
 
 
@@ -5303,6 +5473,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "embedding_normalize": q_embedding_normalize,
     "vocab_coverage": q_vocab_coverage,
+    "containment_pairs": q_containment_pairs,
+    "cross_source_dups": q_cross_source_dups,
+    "chunk_dedup_rate": q_chunk_dedup_rate,
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,

@@ -373,3 +373,21 @@ def test_round4_new_ops_plan_shapes(spark):
     df = _q(spark, "vocab_coverage")
     assert PI.broadcast_join_count(df) >= 1
     assert not PI.has_cartesian(df)
+
+
+def test_round4_second_batch_plan_shapes(spark):
+    # containment: postings-list pairs (no self-join of the corpus-sized
+    # fingerprint frame) — the only joins are the id-keyed size lookups
+    df = _q(spark, "containment_pairs")
+    assert not PI.has_cartesian(df)
+    nc = PI.node_counts(df, execute=True)
+    assert nc["Scan parquet "] <= 2, nc  # text scan + size-lookup scan reuse
+    # cross-source matrix: LSH pair generation must stay banded (no
+    # cartesian), label joins keyed on doc_id
+    df = _q(spark, "cross_source_dups")
+    assert not PI.has_cartesian(df)
+    # chunk dedup: explode + ONE partial/final aggregate pair, join-free
+    df = _q(spark, "chunk_dedup_rate")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert "Window" not in PI.explain_str(df)
