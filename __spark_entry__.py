@@ -3727,54 +3727,68 @@ def q_containment_pairs(spark, sf_dir):
     extend plagiarism (a doc fully embedded in a longer one) which a
     symmetric Jaccard threshold dilutes away.
 
-    Same scale shape as overlap_pairs (postings-list pairs, doc-freq cap
-    100, one exploded scan), plus two id-keyed joins against the
-    doc-count-sized fingerprint-size frame — strategy left to AQE.
-    Denominator is the smaller doc's FULL fingerprint count; the
-    numerator counts only df-capped fingerprints (template text is not
-    containment evidence). No reference counterpart (BASELINE.json)."""
+    Same scale shape as overlap_pairs — ONE exploded winnowing scan,
+    postings-list pairs, doc-freq cap 100, two shuffles total. Each
+    doc's total fingerprint count rides ALONG the postings entries as a
+    (id, n_fps) struct, so the containment denominator needs no join
+    back to a size table (an earlier join-based form recomputed the
+    winnowing projection per consumer and cost 5x). Denominator is the
+    smaller doc's FULL fingerprint count; the numerator counts only
+    df-capped fingerprints (template text is not containment
+    evidence). No reference counterpart (BASELINE.json)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import bind
     from fb_ads_bigquery_etl_spark.operators.text import fingerprint_rolling
 
     d = _t(spark, sf_dir, "documents")
-    fps = d.select(
-        "doc_id", fingerprint_rolling(F.col("text"), k=16, w=8).alias("fps")
-    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-    sizes = fps.select("doc_id", F.size("fps").cast("long").alias("n_fps"))
-    inv = fps.select("doc_id", F.explode("fps").alias("fp"))
+    inv = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            bind(
+                fingerprint_rolling(F.col("text"), k=16, w=8),
+                lambda fps: F.struct(
+                    F.struct(
+                        F.col("doc_id").alias("id"),
+                        F.size(fps).cast("long").alias("n"),
+                    ).alias("m"),
+                    fps.alias("fps"),
+                ),
+            ).alias("_x")
+        )
+        .select(F.col("_x.m").alias("m"), F.explode("_x.fps").alias("fp"))
+    )
     posting = (
         inv.groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 100))
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= 100))
     )
-    ids = F.col("ids")
+    ms = F.col("ms")
     pairs = F.flatten(
         F.transform(
-            ids,
+            ms,
             lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n"].alias("n_a"),
+                    y["n"].alias("n_b"),
+                ),
             ),
         )
     )
     shared = (
         posting.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_shared"))
     )
     return (
-        shared.join(
-            sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-                "n_fps", "n_a"
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "n_fps", "n_b"
-            ),
-            "id_b",
-        )
-        .withColumn(
+        shared.withColumn(
             "containment",
             F.col("n_shared") / F.least("n_a", "n_b").cast("double"),
         )
@@ -3837,6 +3851,101 @@ def q_chunk_dedup_rate(spark, sf_dir):
             F.lit(1.0) - F.col("n_distinct") / F.col("n_chunks").cast("double"),
         )
         .orderBy("source")
+    )
+
+
+def _lsh_planes_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB literal hyperplane matrix — identical to
+    similarity.hyperplane_coeffs (±1 entries from md5, no RNG)."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import hyperplane_coeffs
+
+    rows = hyperplane_coeffs(num_planes, dim)
+    cols = ", ".join(
+        "[" + ", ".join(f"{c:.1f}" for c in row) + f"]::DOUBLE[] AS c{j}"
+        for j, row in enumerate(rows)
+    )
+    return f"planes AS (SELECT {cols})"
+
+
+def _lsh_bucket_sql(num_planes: int = 8, dim: int = 64) -> str:
+    """Bucket expression over `e` (DOUBLE[]) and the planes CTE: bit j
+    set iff the plane-j projection > 0 — replays similarity.lsh_bucket's
+    in-order ±x folds exactly."""
+    terms = []
+    for j in range(num_planes):
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> e[i] * c{j}[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Third ANN tier (operators/similarity.lsh_topk): random-hyperplane
+    LSH buckets + Hamming-1 multi-probe, exact cosine inside the
+    candidate set. Unlike IVF this needs NO training pass — the bucket
+    is a narrow per-row expression (a partition key for a persisted
+    index at scale); the 1-row query side broadcasts into the probe."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, 0, k=10, num_planes=8, dim=64, max_hamming=1)
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the two approximate tiers
+    (IVF nprobe=2, LSH Hamming-1 multi-probe) against the exact
+    brute-force top-10 for the query vector — the eval harness an ANN
+    deployment needs before trusting an index. All three top-k frames
+    are 10 rows; the recall join is trivially broadcast."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    bf = brute_force_topk(e, qvec, k=10).select("vec_id")
+    parts = []
+    for method, cand in (
+        ("ivf", ivf_topk(e, qvec, k=10, nprobe=2, centroid_mod=50)),
+        ("lsh", lsh_topk(e, 0, k=10, num_planes=8, dim=64, max_hamming=1)),
+    ):
+        hits = bf.join(cand.select("vec_id"), "vec_id").agg(
+            F.count("*").alias("n_hits")
+        )
+        parts.append(
+            hits.select(
+                F.lit(method).alias("method"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("method")
+
+
+def q_dup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size histogram: MinHash-LSH pairs -> connected
+    components -> sizes -> (n_members, n_clusters) — the dedup-audit
+    summary that tells you whether duplication is pairwise noise or
+    giant template families (which need different handling). Two tiny
+    aggregates after the component fixpoint."""
+    from fb_ads_bigquery_etl_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("n_members")
     )
 
 
@@ -5457,6 +5566,70 @@ def _oracle() -> dict[str, str]:
                    1.0 - COUNT(DISTINCT chunk_hash) / CAST(COUNT(*) AS DOUBLE)
                      AS dup_rate
             FROM c GROUP BY source ORDER BY source""",
+        "ann_lsh": f"""
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE))
+                                AS e
+                       FROM embeddings),
+            {_lsh_planes_sql()},
+            b AS (SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket
+                  FROM v, planes),
+            q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+            SELECT vec_id, {_cos_sql('e', 'qe')} AS score
+            FROM b, q
+            WHERE bit_count(xor(bucket, qb)) <= 1
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "ann_recall": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+            bf AS (SELECT vec_id FROM v, q
+                   ORDER BY {_cos_sql('e', 'qe')} DESC, vec_id ASC LIMIT 10),
+            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+                      WHERE vec_id % 50 = 0),
+            assign AS (
+              SELECT vec_id, e, centroid_id AS bucket FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            probed AS (
+              SELECT centroid_id FROM cents, q
+              ORDER BY {_cos_sql('ce', 'qe')} DESC, centroid_id ASC LIMIT 2),
+            ivf AS (SELECT vec_id
+                    FROM assign JOIN probed ON bucket = centroid_id, q
+                    ORDER BY {_cos_sql('e', 'qe')} DESC, vec_id ASC LIMIT 10),
+            ve AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+            {_lsh_planes_sql()},
+            b AS (SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket
+                  FROM ve, planes),
+            lq AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+            lsh AS (SELECT vec_id FROM b, lq
+                    WHERE bit_count(xor(bucket, qb)) <= 1
+                    ORDER BY {_cos_sql('e', 'qe')} DESC, vec_id ASC LIMIT 10)
+            SELECT 'ivf' AS method, COUNT(*) AS n_hits,
+                   COUNT(*) / 10.0 AS recall_at_10
+            FROM bf JOIN ivf USING (vec_id)
+            UNION ALL
+            SELECT 'lsh', COUNT(*), COUNT(*) / 10.0
+            FROM bf JOIN lsh USING (vec_id)
+            ORDER BY method""",
+        "dup_cluster_stats": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+            sizes AS (SELECT component, COUNT(*) AS n_members
+                      FROM cc GROUP BY component)
+            SELECT n_members, COUNT(*) AS n_clusters
+            FROM sizes GROUP BY n_members ORDER BY n_members""",
     }
 
 
@@ -5476,6 +5649,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "cross_source_dups": q_cross_source_dups,
     "chunk_dedup_rate": q_chunk_dedup_rate,
+    "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
+    "dup_cluster_stats": q_dup_cluster_stats,
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,

@@ -463,3 +463,93 @@ def zscore_norms(
         *extra,
         F.sqrt(F.aggregate(z2, F.lit(0.0), lambda acc, v: acc + v)).alias("znorm"),
     )
+
+
+def hyperplane_coeffs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix for cosine LSH.
+
+    Coefficients derive from md5 of "hp{plane}:{dim}" — reproducible on
+    any engine/driver with no RNG state, so an independent oracle can
+    embed the identical matrix as literals. ±1 entries keep the
+    projection exact: each term is ±x (no rounding), so the hyperplane
+    side decision is bit-identical everywhere.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"hp{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, coeffs: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash over the vector): bit j
+    set iff the plane-j projection is > 0. Narrow expression — one
+    in-order fold per plane; at scale the bucket is the partition key
+    of a persisted index (mirroring build_ivf_index)."""
+    bits = []
+    for j, row in enumerate(coeffs):
+        lit = F.array(*[F.lit(c) for c in row])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0.0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    max_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-LSH probed top-k: score only vectors whose bucket is
+    within `max_hamming` bits of the query's bucket (multi-probe LSH),
+    then exact cosine inside the candidate set.
+
+    The third ANN tier next to brute_force_topk (exact baseline) and
+    ivf_topk (trained partitions): LSH needs NO training pass — the
+    bucket is a pure per-row expression, so ingest-time indexing is a
+    narrow projection and a partitioned write. The probe condition
+    (bit_count(bucket XOR q_bucket) <= h) prunes to ~sum_{i<=h} C(b,i)
+    / 2^b of the corpus; the 1-row query side broadcasts.
+    """
+    coeffs = hyperplane_coeffs(num_planes, dim)
+    prep = _prepared(df, id_col, vec_col)
+    cand = prep.withColumn("bucket", lsh_bucket(F.col("vec"), coeffs))
+    q = (
+        cand.filter(F.col("id") == query_id)
+        .select(
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    probed = cand.join(
+        F.broadcast(q),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+        <= F.lit(max_hamming),
+    )
+    scored = probed.select(
+        F.col("id").alias(id_col),
+        (
+            dot_product(F.col("vec"), F.col("qvec"))
+            / (F.col("norm") * F.col("qnorm"))
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

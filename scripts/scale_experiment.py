@@ -49,6 +49,10 @@ QUERIES = [
     ("topk_per_group_agg", "two-phase hash-agg ordered top-k"),
     ("reservoir_per_group", "two-phase hash-agg reservoir (window-free)"),
     ("pack_sequences", "sub-shard packing cum-sum + offset stitch"),
+    ("doc_chunks", "sliding-window chunking (shuffle-free explode)"),
+    ("containment_pairs", "postings-list containment pairs + size joins"),
+    ("embedding_normalize", "per-dim stats + broadcast z-score fold"),
+    ("vocab_coverage", "df top-k vocab broadcast into coverage join"),
 ]
 
 

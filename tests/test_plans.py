@@ -391,3 +391,20 @@ def test_round4_second_batch_plan_shapes(spark):
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
     assert "Window" not in PI.explain_str(df)
+
+
+def test_round4_ann_plan_shapes(spark):
+    # LSH probe: the 1-row query side must BROADCAST into the non-equi
+    # probe join (a nested-loop against one row is a filter, not a
+    # cartesian blowup); bucket assignment is a narrow expression
+    df = _q(spark, "ann_lsh")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastNestedLoopJoin"] >= 1, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    # recall eval: every recall join is over two 10-row top-k frames —
+    # nothing may sort-merge
+    df = _q(spark, "ann_recall")
+    assert PI.node_counts(df)["SortMergeJoin"] == 0
+    # cluster-size histogram: two tiny hash aggregates after the
+    # fixpoint; no cartesian anywhere in the pair generation
+    assert not PI.has_cartesian(_q(spark, "dup_cluster_stats"))
