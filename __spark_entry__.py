@@ -3854,6 +3854,105 @@ def q_chunk_dedup_rate(spark, sf_dir):
     )
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """End-to-end corpus-curation funnel per source — the pipeline
+    summary a training-data owner reads first: n_total -> n_quality
+    (quality >= 0.5) -> n_clean (also <= 25% duplicate 3-grams) ->
+    n_kept (also survives MinHash-LSH near-dedup). Quality/repetition
+    are one narrow scan; the dedup stage reuses the pair->component
+    fixpoint; the dropped-id side is duplicates-only and joins under
+    AQE's choice. Progressive conjunctions make stage losses read
+    directly off the row."""
+    from fb_ads_bigquery_etl_spark.operators.graph import connected_components
+    from fb_ads_bigquery_etl_spark.operators.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    scored = analyze_documents(d, fields=("quality",)).select(
+        "doc_id",
+        "source",
+        "quality",
+        repetition_ratio(F.col("text"), k=3).alias("rep"),
+    )
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    dropped = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(True).alias("_dup")
+    )
+    flagged = scored.join(dropped, "doc_id", "left")
+    q_ok = F.col("quality") >= 0.5
+    r_ok = F.col("rep") <= 0.25
+    u_ok = F.col("_dup").isNull()
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(q_ok.cast("long")).alias("n_quality"),
+            F.sum((q_ok & r_ok).cast("long")).alias("n_clean"),
+            F.sum((q_ok & r_ok & u_ok).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# Fact join-key columns the skew audit sweeps (the inputs a salted-join
+# decision needs — see operators/skew.salted_join).
+_SKEW_COLS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def q_skew_audit(spark, sf_dir):
+    """Join-key skew audit: per fact join key, row count, key count, the
+    hottest key's row count and share — the measurement that decides
+    between a plain shuffle join, AQE skew handling, and explicit
+    salting (operators/skew.py). One hash aggregate per key column
+    (map-side combined), each collapsing to a single audit row."""
+    parts = []
+    for table, col in _SKEW_COLS:
+        t = _t(spark, sf_dir, table)
+        per_key = t.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("c"))
+        parts.append(
+            per_key.agg(
+                F.lit(f"{table}.{col}").alias("key_col"),
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+            ).withColumn(
+                "max_share",
+                F.col("max_key_rows") / F.col("n_rows").cast("double"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_col")
+
+
+def q_transition_counts(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov counts): lead()
+    over each user's time-ordered stream, then one hash aggregate over
+    the (from, to) pairs. The window partitions on user_id — fact-table
+    cardinality, so parallelism scales with users, never a static
+    enum."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        nxt.groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
 def _lsh_planes_sql(num_planes: int = 8, dim: int = 64) -> str:
     """DuckDB literal hyperplane matrix — identical to
     similarity.hyperplane_coeffs (±1 entries from md5, no RNG)."""
@@ -5630,6 +5729,59 @@ def _oracle() -> dict[str, str]:
                       FROM cc GROUP BY component)
             SELECT n_members, COUNT(*) AS n_clusters
             FROM sizes GROUP BY n_members ORDER BY n_members""",
+        "corpus_funnel": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+            dropped AS (SELECT node FROM cc WHERE node <> component),
+            base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
+            scored AS (
+              SELECT doc_id, source,
+                     (CAST(least(len(t), 256) AS DOUBLE) / 256.0) * 0.4
+                       + least((len(list_filter(t, x -> list_contains(
+                           [{', '.join(repr(m) for m in LANG_MARKERS['en'])}], x)))
+                                / greatest(len(t), 1)) * 4.0, 1.0) * 0.4
+                       + (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                                / greatest(length(text), 1)) * 0.2 AS quality,
+                     CASE WHEN len(t) - 2 >= 1
+                          THEN 1.0 - len(list_distinct(list_transform(
+                                 generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))))
+                               / CAST(len(t) - 2 AS DOUBLE)
+                          ELSE 0.0 END AS rep,
+                     doc_id IN (SELECT node FROM dropped) AS is_dup
+              FROM base)
+            SELECT source,
+                   COUNT(*) AS n_total,
+                   SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
+                   SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25
+                            THEN 1 ELSE 0 END) AS n_clean,
+                   SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25 AND NOT is_dup
+                            THEN 1 ELSE 0 END) AS n_kept
+            FROM scored GROUP BY source ORDER BY source""",
+        "skew_audit": "\nUNION ALL\n".join(
+            f"""SELECT '{t}.{c}' AS key_col, SUM(cnt) AS n_rows,
+                       COUNT(*) AS n_keys, MAX(cnt) AS max_key_rows,
+                       MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS max_share
+                FROM (SELECT {c}, COUNT(*) AS cnt FROM {t} GROUP BY {c})"""
+            for t, c in _SKEW_COLS
+        )
+        + "\nORDER BY key_col",
+        "transition_counts": """
+            WITH nxt AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC)
+                       AS next_type
+              FROM events)
+            SELECT event_type, next_type, COUNT(*) AS n
+            FROM nxt WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
     }
 
 
@@ -5652,6 +5804,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_recall": q_ann_recall,
     "dup_cluster_stats": q_dup_cluster_stats,
+    "corpus_funnel": q_corpus_funnel,
+    "skew_audit": q_skew_audit,
+    "transition_counts": q_transition_counts,
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,

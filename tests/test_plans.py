@@ -408,3 +408,17 @@ def test_round4_ann_plan_shapes(spark):
     # cluster-size histogram: two tiny hash aggregates after the
     # fixpoint; no cartesian anywhere in the pair generation
     assert not PI.has_cartesian(_q(spark, "dup_cluster_stats"))
+
+
+def test_round4_audit_plan_shapes(spark):
+    # funnel: quality/repetition in one narrow scan; LSH pair generation
+    # stays banded (no cartesian); the transition window keys on the
+    # high-cardinality user_id, never a static enum
+    assert not PI.has_cartesian(_q(spark, "corpus_funnel"))
+    plan = PI.explain_str(_q(spark, "transition_counts"))
+    assert "partitionBy=[user_id" in plan.replace(" ", "") or "[user_id#" in plan
+    # skew audit: five map-side-combined aggregates, join-free
+    df = _q(spark, "skew_audit")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert nc["HashAggregate"] >= 10, nc  # partial+final per key column
