@@ -107,3 +107,36 @@ def test_cosine_pairs_unblocked_requires_optin(spark):
         emb.limit(50), block_col=None, threshold=-1.0, allow_full_cross=True
     )
     assert pairs.count() == 50 * 49 / 2
+
+
+def test_hyperplane_coeffs_deterministic_and_signed():
+    from fb_ads_bigquery_etl_spark.operators.similarity import hyperplane_coeffs
+
+    a = hyperplane_coeffs(8, 64)
+    b = hyperplane_coeffs(8, 64)
+    assert a == b  # no RNG state anywhere
+    assert all(c in (1.0, -1.0) for row in a for c in row)
+    # planes must differ from each other (md5 keyed by plane index)
+    assert len({tuple(r) for r in a}) == 8
+
+
+def test_lsh_topk_contains_query_and_matches_bruteforce_head(spark):
+    """The query vector is its own bucket's nearest neighbor (cosine 1),
+    and every LSH hit must also appear in the exact scoring order —
+    scores are the same portable cosine on both paths."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = lsh_topk(e, 0, k=10, num_planes=8, dim=64, max_hamming=1).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["score"] - 1.0) < 1e-12
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").head()[0]]
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in brute_force_topk(e, qvec, k=500).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["score"]
