@@ -50,7 +50,7 @@ QUERIES = [
     ("reservoir_per_group", "two-phase hash-agg reservoir (window-free)"),
     ("pack_sequences", "sub-shard packing cum-sum + offset stitch"),
     ("doc_chunks", "sliding-window chunking (shuffle-free explode)"),
-    ("containment_pairs", "postings-list containment pairs + size joins"),
+    ("containment_pairs", "postings-list containment pairs (sizes ride postings)"),
     ("embedding_normalize", "per-dim stats + broadcast z-score fold"),
     ("vocab_coverage", "df top-k vocab broadcast into coverage join"),
 ]
@@ -82,6 +82,7 @@ NEARDUP_QUERIES = [
     ("dedup_minhash_lsh", "LSH near-dup pairs"),
     ("overlap_pairs", "winnowed fingerprint overlap"),
     ("dedup_apply", "full dedup path (pairs -> CC -> anti-join)"),
+    ("containment_pairs", "postings-list containment pairs"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
