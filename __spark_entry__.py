@@ -3953,6 +3953,118 @@ def q_transition_counts(spark, sf_dir):
     )
 
 
+# BM25 query terms + standard parameters; the idf uses the RATIONAL form
+# (N - df + 0.5)/(df + 0.5) WITHOUT the log: libm log is only 1-ulp
+# accurate and differs across engines, while the rational form is a pure
+# ratio of exact integers — deterministic everywhere, same ranking
+# monotonicity for single-term contributions.
+_BM25_TERMS = ("query", "window", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted (marker-argmax
+    text.language_id) vs the corpus's ground-truth label — the
+    classifier-quality audit behind every per-language pipeline
+    decision (balanced_mix, lang_gini). One narrow scoring pass + one
+    tiny hash aggregate."""
+    from fb_ads_bigquery_etl_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang"), language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 document scoring (rational-idf variant — see _BM25_TERMS
+    note) for a fixed conjunctive term set: per-doc term frequencies in
+    one narrow tokenize pass, corpus stats (N, avgdl, per-term df)
+    collapse to ONE broadcast row, scoring is a narrow expression, and
+    the reduction is top-k (TakeOrdered) — the retrieval shape that
+    pairs with inverted_index/tfidf_top."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _tf(term, i):
+        return (
+            F.size(F.filter(F.col("_tok"), lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"tf_{i}")
+        )
+
+    per_doc = d.select("doc_id", tokens(F.col("text")).alias("_tok")).select(
+        "doc_id",
+        F.size("_tok").cast("long").alias("dl"),
+        *[_tf(t, i) for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("total_len") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        term = idf * (
+            tf
+            * F.lit(_BM25_K1 + 1.0)
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        j.select("doc_id", score.alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+        f"(CAST(tf_{i} AS DOUBLE) * {_BM25_K1 + 1.0} / "
+        f"(CAST(tf_{i} AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} "
+        f"* dl / (total_len / CAST(n_docs AS DOUBLE)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH per_doc AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_exprs}
+          FROM (SELECT doc_id, {_TOK} AS t FROM documents)),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len, {df_exprs}
+          FROM per_doc)
+        SELECT doc_id, {terms} AS bm25
+        FROM per_doc, stats
+        WHERE {terms} > 0.0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
+
 def _lsh_planes_sql(num_planes: int = 8, dim: int = 64) -> str:
     """DuckDB literal hyperplane matrix — identical to
     similarity.hyperplane_coeffs (±1 entries from md5, no RNG)."""
@@ -5782,6 +5894,17 @@ def _oracle() -> dict[str, str]:
             SELECT event_type, next_type, COUNT(*) AS n
             FROM nxt WHERE next_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "lang_confusion": f"""
+            WITH base AS (SELECT lang, {_TOK} AS t FROM documents),
+            scored AS (SELECT lang, {lang_scores}, {greatest} AS g
+                       FROM (SELECT lang, t FROM base)),
+            pred AS (
+              SELECT lang,
+                     CASE WHEN g = 0 THEN 'und' {lang_cases} END AS lang_pred
+              FROM scored)
+            SELECT lang, lang_pred, COUNT(*) AS n
+            FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+        "bm25_topk": _bm25_oracle_sql(),
     }
 
 
@@ -5807,6 +5930,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_funnel": q_corpus_funnel,
     "skew_audit": q_skew_audit,
     "transition_counts": q_transition_counts,
+    "lang_confusion": q_lang_confusion,
+    "bm25_topk": q_bm25_topk,
     "merge_upsert_state": q_merge_upsert_state,
     "scd2_state": q_scd2_state,
     "incremental_rollup": q_incremental_rollup,

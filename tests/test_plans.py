@@ -422,3 +422,17 @@ def test_round4_audit_plan_shapes(spark):
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
     assert nc["HashAggregate"] >= 10, nc  # partial+final per key column
+
+
+def test_round4_retrieval_plan_shapes(spark):
+    # bm25: corpus stats collapse to ONE broadcast row; scoring is narrow;
+    # the reduction is top-k, never a full sort shuffle
+    df = _q(spark, "bm25_topk")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastNestedLoopJoin"] >= 1, nc  # 1-row stats side
+    assert nc["SortMergeJoin"] == 0, nc
+    assert "TakeOrderedAndProject" in PI.explain_str(df)
+    # confusion matrix: narrow scoring + one tiny aggregate, join-free
+    df = _q(spark, "lang_confusion")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
