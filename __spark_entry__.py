@@ -4160,6 +4160,266 @@ def q_dup_cluster_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 batch 6: market-basket mining, grouped mode, truncated EWMA,
+# oriented triangle counting, embedding-outlier quality filtering.
+# ---------------------------------------------------------------------------
+
+def _order_part_items(spark, sf_dir):
+    """Distinct (order, part) incidence list shared by the basket
+    queries — the bipartite membership table every co-occurrence mine
+    starts from."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+
+_PAIR_MIN_SUPPORT = 2
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Frequent-itemset mining, pair tier (A-priori): parts co-ordered
+    in >= 2 distinct orders. The scale design is the A-priori prune —
+    items below min-support can't appear in a frequent pair, so the
+    incidence list is semi-joined against the frequent-item set BEFORE
+    the quadratic per-order self-join (the oracle runs un-pruned,
+    proving the prune lossless). Per-order pair fanout is C(basket,2)
+    with basket <= ~15 here; a production corpus with mega-baskets
+    would cap basket size first (same cap on both sides). All shuffles
+    are keyed (order id, then pair); no window, no cartesian."""
+    items = _order_part_items(spark, sf_dir)
+    freq = (
+        items.groupBy("p")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
+        .select("p")
+    )
+    pruned = items.join(freq, "p", "left_semi")
+    a = pruned.select("o", F.col("p").alias("pa"))
+    b = pruned.select("o", F.col("p").alias("pb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
+        .orderBy(F.col("support").desc(), "pa", "pb")
+    )
+
+
+def q_mode_brand(spark, sf_dir):
+    """Grouped MODE without a window: most frequent part brand per order
+    priority via two hash aggregates — count per (group, value), then
+    max over the (count, value) STRUCT (lexicographic, so the tie-break
+    is deterministic: highest count, then highest brand string). The
+    brand dimension broadcasts into the fact scan. The share divides
+    two exact longs in double — identical IEEE math in both engines.
+    This is the scale shape for mode/arg-max: never ROW_NUMBER-over-
+    group when a struct-max suffices."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("o_orderpriority", "p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    best = counts.groupBy("o_orderpriority").agg(
+        F.max(F.struct("n", "p_brand")).alias("m"),
+        F.sum("n").alias("n_total"),
+    )
+    return best.select(
+        "o_orderpriority",
+        F.col("m.p_brand").alias("mode_brand"),
+        F.col("m.n").alias("n_mode"),
+        (F.col("m.n") / F.col("n_total").cast("double")).alias("share"),
+    ).orderBy("o_orderpriority")
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 10
+# Truncated-EWMA weights alpha*(1-alpha)^i, frozen to 12 decimal digits so
+# BOTH engines multiply by the identical exact DECIMAL literal — 9 digits
+# keeps the (18,2)x(11,9) product inside both engines' exact range (pow() in
+# double is libm-dependent and not guaranteed bit-identical across engines).
+_EWMA_WEIGHTS = [
+    f"{_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i:.9f}" for i in range(_EWMA_LAGS + 1)
+]
+
+
+def q_ewma_daily(spark, sf_dir):
+    """Truncated EWMA of daily order revenue (alpha=0.3, 10-day
+    lookback) as a SCATTER, not a window: each source day explodes into
+    its 11 forward (target_day, rev * w_lag) contributions, then one
+    hash aggregate on target_day — no ordered window over the whole
+    series, so parallelism is day-count-sized and the plan survives a
+    100x-longer history unchanged. Weighted terms accumulate in exact
+    DECIMAL (weights are frozen decimal literals, see _EWMA_WEIGHTS);
+    only the final report casts to double. Target days are reported
+    only where an observed day exists (inner join back to the daily
+    series)."""
+    import decimal
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("lag"),
+                F.lit(decimal.Decimal(w)).alias("w"),
+            )
+            for i, w in enumerate(_EWMA_WEIGHTS)
+        ]
+    )
+    contrib = daily.select(
+        "day", "rev_dec", F.explode(lags).alias("lw")
+    ).select(
+        F.date_add(F.col("day"), F.col("lw.lag")).alias("day"),
+        # narrow the summed revenue back to (18,2) first: the SUM type is
+        # (28,2), and (28,2)x(14,12) overflows the 38-digit cap, which
+        # makes Spark TRUNCATE scale (engine-specific). (18,2)x(14,12)
+        # stays exact in both engines.
+        (F.col("rev_dec").cast("decimal(18,2)") * F.col("lw.w")).alias("c"),
+    )
+    ewma = contrib.groupBy("day").agg(F.sum("c").alias("e"))
+    return (
+        daily.join(ewma, "day")
+        .select(
+            "day",
+            F.col("rev_dec").cast("double").alias("rev"),
+            # explicit round(x, 6) before the double cast: a decimal with
+            # <2^53 scaled units converts with ONE correctly-rounded step
+            # in both engines (wide-scale decimals differ by 1 ulp), and
+            # round() is HALF_UP in both — a decimal DOWNCAST would
+            # truncate in DuckDB but round in Spark.
+            F.round(F.col("e"), 6).cast("double").alias("ewma"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the frequent-pair part graph via
+    degree-orientation — the classic bound that makes triangle
+    enumeration feasible at scale: orient every edge from the
+    (degree, id)-smaller endpoint, so each node's out-degree is
+    O(sqrt(m)) and the wedge self-join is quadratic only in THAT.
+    No global rank/window anywhere: orientation compares (degree, id)
+    STRUCTS carried through keyed joins. Wedges are emitted already in
+    orientation order ((dv, v) tuple comparison), so closing them is a
+    plain two-column equality join against the oriented edge list.
+    Output is the one-row graph audit (edges, wedges, triangles)."""
+    items = _order_part_items(spark, sf_dir)
+    a = items.select("o", F.col("p").alias("pa"))
+    b = items.select("o", F.col("p").alias("pb"))
+    # persist each reused frame: e feeds degrees + orientation + the edge
+    # count, ori feeds both wedge sides + closure — without
+    # materialization the lazy DAG rebuilds the per-order self-join once
+    # per consumer (the 1-row result then checkpoints and releases all).
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _PAIR_MIN_SUPPORT)
+        .select("pa", "pb")
+        .persist()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ea = e.join(
+        deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa"
+    ).join(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")), "pb")
+    a_first = F.struct("da", "pa") < F.struct("db", "pb")
+    ori = ea.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    x, y = ori.alias("x"), ori.alias("y")
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(F.col("x.v").alias("wa"), F.col("y.v").alias("wb"))
+        .persist()
+    )
+    closed = wedges.join(
+        ori.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
+        ["wa", "wb"],
+    )
+    out = (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+        .localCheckpoint(eager=True)
+    )
+    for df in (e, ori, wedges):
+        df.unpersist()
+    return out
+
+
+_OUTLIER_COS_THRESHOLD = 0.0
+_EMB_SCALE = 1_000_000
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-outlier quality filter: cosine of each vector against its
+    label centroid, flagging vectors below threshold — the 'does this
+    doc belong to its cluster' screen a curation pipeline runs before
+    training. Engine-independence: coordinates quantize to exact longs
+    (floor(x*1e6)), centroid SUMS (scaling cancels in cosine, so /n is
+    never computed) and all three moments (dot, |v|^2, |c|^2)
+    accumulate as exact integers; only the final cos expression runs in
+    double — the identical IEEE computation in both engines. Plan: one
+    posexplode, a (label, dim)-keyed broadcast join (labels x dims
+    rows), one hash agg per vector — no window, no cross join."""
+    e = _t(spark, sf_dir, "embeddings")
+    xs = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _EMB_SCALE).cast("long").alias("xs"),
+    )
+    cen = xs.groupBy("label", "dim").agg(F.sum("xs").alias("s"))
+    cnorm = cen.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nc"))
+    moments = (
+        xs.join(F.broadcast(cen), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xs") * F.col("s")).alias("dot"),
+            F.sum(F.col("xs") * F.col("xs")).alias("nv"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("nc").cast("double"))
+    )
+    return (
+        moments.join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("cos_centroid"),
+            F.when(cos < _OUTLIER_COS_THRESHOLD, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -5905,6 +6165,103 @@ def _oracle() -> dict[str, str]:
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
         "bm25_topk": _bm25_oracle_sql(),
+        "frequent_pairs": f"""
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+            SELECT a.p AS pa, b.p AS pb, COUNT(*) AS support
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= {_PAIR_MIN_SUPPORT}
+            ORDER BY support DESC, pa, pb""",
+        "mode_brand": """
+            WITH c AS (
+              SELECT o_orderpriority, p_brand, COUNT(*) AS n
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     SUM(n) OVER (PARTITION BY o_orderpriority) AS n_total,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY n DESC, p_brand DESC) AS rn
+              FROM c)
+            SELECT o_orderpriority, p_brand AS mode_brand, n AS n_mode,
+                   n / CAST(n_total AS DOUBLE) AS share
+            FROM r WHERE rn = 1 ORDER BY o_orderpriority""",
+        "ewma_daily": f"""
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+              FROM orders GROUP BY 1),
+            w(lag, wt) AS (VALUES {", ".join(
+                f"({i}, {w}::DECIMAL(11,9))"
+                for i, w in enumerate(_EWMA_WEIGHTS))}),
+            contrib AS (
+              SELECT CAST(d.day + to_days(CAST(w.lag AS INTEGER)) AS DATE)
+                       AS day,
+                     CAST(d.rev_dec AS DECIMAL(18,2)) * w.wt AS c
+              FROM daily d CROSS JOIN w),
+            ew AS (SELECT day, SUM(c) AS e FROM contrib GROUP BY day)
+            SELECT d.day, CAST(d.rev_dec AS DOUBLE) AS rev,
+                   CAST(round(ew.e, 6) AS DOUBLE) AS ewma
+            FROM daily d JOIN ew USING (day) ORDER BY day""",
+        "triangle_count": f"""
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            e AS (
+              SELECT a.p AS pa, b.p AS pb
+              FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING COUNT(*) >= {_PAIR_MIN_SUPPORT}),
+            deg AS (
+              SELECT node, COUNT(*) AS d
+              FROM (SELECT pa AS node FROM e
+                    UNION ALL SELECT pb AS node FROM e)
+              GROUP BY node),
+            ori AS (
+              SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+                          THEN e.pa ELSE e.pb END AS u,
+                     CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+                          THEN e.pb ELSE e.pa END AS v,
+                     CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+                          THEN db.d ELSE da.d END AS dv
+              FROM e JOIN deg da ON e.pa = da.node
+                     JOIN deg db ON e.pb = db.node),
+            wedges AS (
+              SELECT o1.v AS wa, o2.v AS wb
+              FROM ori o1 JOIN ori o2
+                ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)),
+            closed AS (
+              SELECT 1 FROM wedges w
+              JOIN ori o ON w.wa = o.u AND w.wb = o.v)
+            SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT COUNT(*) FROM wedges) AS n_wedges,
+                   (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "embedding_outliers": f"""
+            WITH xs AS (
+              SELECT vec_id, label, d.dim - 1 AS dim,
+                     CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * {_EMB_SCALE})
+                          AS BIGINT) AS xs
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, 64)) AS dim) d),
+            cen AS (
+              SELECT label, dim, SUM(xs) AS s FROM xs GROUP BY 1, 2),
+            cnorm AS (SELECT label, SUM(s * s) AS nc FROM cen GROUP BY 1),
+            moments AS (
+              SELECT x.vec_id, x.label,
+                     SUM(x.xs * c.s) AS dot, SUM(x.xs * x.xs) AS nv
+              FROM xs x JOIN cen c ON x.label = c.label AND x.dim = c.dim
+              GROUP BY 1, 2)
+            SELECT m.vec_id, m.label,
+                   CAST(m.dot AS DOUBLE)
+                     / (sqrt(CAST(m.nv AS DOUBLE)) * sqrt(CAST(n.nc AS DOUBLE)))
+                     AS cos_centroid,
+                   CASE WHEN CAST(m.dot AS DOUBLE)
+                             / (sqrt(CAST(m.nv AS DOUBLE))
+                                * sqrt(CAST(n.nc AS DOUBLE)))
+                             < {_OUTLIER_COS_THRESHOLD} THEN 1 ELSE 0 END
+                     AS is_outlier
+            FROM moments m JOIN cnorm n ON m.label = n.label
+            ORDER BY m.vec_id""",
     }
 
 
@@ -5916,6 +6273,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_oracle_parity.py, which parametrizes the FULL registry
     # regardless of order). Rotation strategy is documented in SURVEY.md §2.1.
     # --- new in round 4 (never driver-checked) ---
+    "frequent_pairs": q_frequent_pairs,
+    "mode_brand": q_mode_brand,
+    "ewma_daily": q_ewma_daily,
+    "triangle_count": q_triangle_count,
+    "embedding_outliers": q_embedding_outliers,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

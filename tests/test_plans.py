@@ -436,3 +436,44 @@ def test_round4_retrieval_plan_shapes(spark):
     df = _q(spark, "lang_confusion")
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+
+
+def test_round4_batch6_plan_shapes(spark):
+    # frequent pairs: the A-priori prune must run as a SEMI join (never a
+    # distinct+inner rewrite), and the quadratic expansion is keyed on
+    # order id — no window, no cartesian anywhere
+    df = _q(spark, "frequent_pairs")
+    plan = PI.explain_str(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "Window" not in plan
+    assert not PI.has_cartesian(df)
+    # grouped mode: struct-max over two hash aggregates — the part dim
+    # broadcasts; NO row_number window (the scale contract for arg-max)
+    df = _q(spark, "mode_brand")
+    assert PI.broadcast_join_count(df) >= 1
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+    # EWMA: scatter-not-window — one Generate (the 11-lag explode), one
+    # keyed aggregate, and NO ordered window over the series
+    df = _q(spark, "ewma_daily")
+    nc = PI.node_counts(df)
+    assert nc["Generate"] >= 1, nc
+    assert "Window" not in PI.explain_str(df)
+    # outlier screen: centroid sums and label norms come back as
+    # BROADCASTS (labels x dims rows), never a corpus-sized shuffle join
+    df = _q(spark, "embedding_outliers")
+    assert PI.broadcast_join_count(df) >= 2
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+
+
+def test_triangle_count_is_materialized_one_row(spark):
+    # the returned frame is the eagerly-checkpointed 1-row audit — the
+    # persisted edge/orientation/wedge frames are unpersisted inside the
+    # query, so the plan the caller sees is a bare checkpoint scan (no
+    # recompute of the quadratic pipeline per downstream consumer)
+    df = _q(spark, "triangle_count")
+    assert df.columns == ["n_edges", "n_wedges", "n_triangles"]
+    assert "Scan ExistingRDD" in PI.explain_str(df)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n_triangles"] >= 0
