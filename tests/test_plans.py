@@ -439,12 +439,14 @@ def test_round4_retrieval_plan_shapes(spark):
 
 
 def test_round4_batch6_plan_shapes(spark):
-    # frequent pairs: the A-priori prune must run as a SEMI join (never a
-    # distinct+inner rewrite), and the quadratic expansion is keyed on
-    # order id — no window, no cartesian anywhere
+    # frequent pairs: the fused basket expansion is JOIN-FREE — one
+    # collect_set aggregate, one narrow Generate (the C(k,2) array
+    # expansion), one support aggregate; no window, no cartesian
     df = _q(spark, "frequent_pairs")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert nc["Generate"] >= 1, nc
     plan = PI.explain_str(df)
-    assert "LeftSemi" in plan, plan[:2000]
     assert "Window" not in plan
     assert not PI.has_cartesian(df)
     # grouped mode: struct-max over two hash aggregates — the part dim
