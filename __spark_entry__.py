@@ -4392,7 +4392,14 @@ def q_embedding_outliers(spark, sf_dir):
         "dim",
         F.floor(F.col("x").cast("double") * _EMB_SCALE).cast("long").alias("xs"),
     )
-    cen = xs.groupBy("label", "dim").agg(F.sum("xs").alias("s"))
+    # materialize the labels x dims centroid frame once — it feeds both
+    # the norm aggregate and the per-vector moment join, and each lazy
+    # consumer would re-run the corpus explode otherwise
+    cen = (
+        xs.groupBy("label", "dim")
+        .agg(F.sum("xs").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     cnorm = cen.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nc"))
     moments = (
         xs.join(F.broadcast(cen), ["label", "dim"])
@@ -4417,6 +4424,205 @@ def q_embedding_outliers(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 7: stream-static enrichment, distinctive terms, centroid
+# separation, degree distribution, multiset intersection.
+# ---------------------------------------------------------------------------
+
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-STATIC join — the enrichment shape Structured Streaming
+    runs without any state store (the static side is a plain broadcast
+    into every micro-batch): streaming events joined to the customer
+    dimension on user_id, aggregated per market segment. Value
+    accumulates as floor(value*1e6) int64 micros (associative,
+    engine-exact); AvailableNow drains the landing zone and the oracle
+    is the equivalent BATCH join+agg — stream==batch equivalence is
+    exactly the guarantee gated."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="stream_enrich_landing_")
+    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    stream = event_ts_to_timestamp(
+        spark.readStream.schema(schema).parquet(landing)
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias(
+            "value_micros"
+        ),
+    )
+    name = f"_stream_enrich_{next(_STREAM_SEQ)}"
+    out = _drain_memory_stream(spark, agg, name, "complete", landing)
+    return out.orderBy("c_mktsegment")
+
+
+_DISTINCT_TERMS_K = 5
+_DISTINCT_TERMS_MIN_COUNT = 5
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive vocabulary (keyword extraction): rank
+    terms by the add-one-smoothed relative-frequency ratio of
+    source-vs-rest — the log-odds keyword score with the log dropped
+    (libm log is 1-ulp engine-dependent; the ratio of exact integer
+    products is the identical IEEE division in both engines):
+    score = ((ct_s+1)*(T_rest+V)) / ((T_s+V)*(ct_rest+1)). Counts come
+    from one tokenize+explode pass; per-source totals and the vocab
+    size broadcast as tiny frames; the global per-term counts join
+    term-keyed. Top-k per source goes through the window-free two-phase
+    top-k core (sampling.topk_per_group_structs) — never a
+    ROW_NUMBER window partitioned by the ~source-count."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32, tokens
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_structs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    term_rows = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") >= 3)
+    ct_s = term_rows.groupBy("source", "term").agg(F.count("*").alias("ct_s"))
+    ct_g = ct_s.groupBy("term").agg(F.sum("ct_s").alias("ct_g"))
+    tot_s = ct_s.groupBy("source").agg(F.sum("ct_s").alias("t_s"))
+    globals_ = ct_g.agg(
+        F.sum("ct_g").alias("t_g"), F.count("*").alias("vocab")
+    )
+    j = (
+        ct_s.join(ct_g, "term")
+        .filter(F.col("ct_g") >= _DISTINCT_TERMS_MIN_COUNT)
+        .join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(globals_))
+    )
+    score = (
+        (F.col("ct_s") + 1) * (F.col("t_g") - F.col("t_s") + F.col("vocab"))
+    ).cast("double") / (
+        (F.col("t_s") + F.col("vocab"))
+        * (F.col("ct_g") - F.col("ct_s") + 1)
+    ).cast(
+        "double"
+    )
+    scored = j.select(
+        "source", "term", score.alias("score")
+    )
+    top = topk_per_group_structs(
+        scored,
+        "source",
+        F.struct((-F.col("score")).alias("neg"), F.col("term").alias("term")),
+        hash32(F.col("term")),
+        _DISTINCT_TERMS_K,
+    )
+    return top.select(
+        "source",
+        F.col("entry.term").alias("term"),
+        (-F.col("entry.neg")).alias("score"),
+        "rk",
+    ).orderBy("source", "rk")
+
+
+def q_centroid_distances(spark, sf_dir):
+    """Label-centroid separation matrix: cosine between every pair of
+    label centroids — the cluster-separation audit behind 'are these
+    classes even distinguishable in embedding space'. Centroid SUMS
+    (scaling cancels in cosine) accumulate as exact quantized longs;
+    the pairwise products join on the 64-row dim key (labels x dims
+    frames are metadata-sized — broadcast); output is C(labels,2)
+    rows. The final cos is the identical IEEE expression from exact
+    integers in both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    cen = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("x").cast("double") * _EMB_SCALE)
+            .cast("long")
+            .alias("xs"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("xs").alias("s"))
+        # materialize the labels x dims frame once: three consumers
+        # (norms + both pair sides) would otherwise re-run the corpus
+        # explode per branch
+        .localCheckpoint(eager=True)
+    )
+    norms = cen.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("nn"))
+    a = cen.select(
+        F.col("label").alias("la"), "dim", F.col("s").alias("sa")
+    )
+    b = cen.select(
+        F.col("label").alias("lb"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            "la",
+            "lb",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cos_centroids"),
+        )
+        .orderBy("la", "lb")
+    )
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Degree distribution of the customer↔supplier co-purchase graph:
+    per-node degree (one keyed count over the pair list per side), then
+    the histogram aggregate — the graph-shape audit that decides
+    whether pagerank/BFS need skew handling (a power-law hub means
+    salting the frontier join). Two keyed aggregates + a union; no
+    window, no join."""
+    pairs, _ = _copurchase_edges(spark, sf_dir)
+    deg_c = pairs.groupBy(F.col("c").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    deg_s = pairs.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return (
+        deg_c.unionByName(deg_s)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics — duplicates survive up to the
+    MIN of the two sides' multiplicities): (order day, status) rows
+    present under BOTH the most- and least-urgent priorities. Spark
+    plans intersectAll as a count-compare aggregate + generate — no
+    sort, no window; completes the set-operator family next to
+    set_intersect/set_except/set_except_all."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderstatus"
+    )
+    return a.intersectAll(b).orderBy("day", "o_orderstatus")
 
 
 def _oracle() -> dict[str, str]:
@@ -6235,6 +6441,75 @@ def _oracle() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                    (SELECT COUNT(*) FROM wedges) AS n_wedges,
                    (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "streaming_enrich": """
+            SELECT c_mktsegment, COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1 ORDER BY 1""",
+        "distinctive_terms": f"""
+            WITH tr AS (
+              SELECT source, term FROM (
+                SELECT source, unnest({_TOK}) AS term FROM documents)
+              WHERE length(term) >= 3),
+            cs AS (SELECT source, term, COUNT(*) AS ct_s FROM tr GROUP BY 1, 2),
+            cg AS (SELECT term, SUM(ct_s) AS ct_g FROM cs GROUP BY 1),
+            tots AS (SELECT source, SUM(ct_s) AS t_s FROM cs GROUP BY 1),
+            g AS (SELECT SUM(ct_g) AS t_g, COUNT(*) AS vocab FROM cg),
+            sc AS (
+              SELECT cs.source, cs.term,
+                     CAST((cs.ct_s + 1) * (g.t_g - tots.t_s + g.vocab)
+                          AS DOUBLE)
+                     / CAST((tots.t_s + g.vocab) * (cg.ct_g - cs.ct_s + 1)
+                            AS DOUBLE) AS score
+              FROM cs JOIN cg USING (term) JOIN tots USING (source)
+                   CROSS JOIN g
+              WHERE cg.ct_g >= {_DISTINCT_TERMS_MIN_COUNT}),
+            r AS (
+              SELECT source, term, score,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY score DESC, term ASC) AS rk
+              FROM sc)
+            SELECT source, term, score, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= {_DISTINCT_TERMS_K} ORDER BY source, rk""",
+        "centroid_distances": f"""
+            WITH xs AS (
+              SELECT label, d.dim - 1 AS dim,
+                     CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * {_EMB_SCALE})
+                          AS BIGINT) AS xs
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, 64)) AS dim) d),
+            cen AS (SELECT label, dim, SUM(xs) AS s FROM xs GROUP BY 1, 2),
+            norms AS (SELECT label, SUM(s * s) AS nn FROM cen GROUP BY 1),
+            dots AS (
+              SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+              FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2)
+            SELECT la, lb,
+                   CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                     AS cos_centroids
+            FROM dots JOIN norms na ON dots.la = na.label
+                      JOIN norms nb ON dots.lb = nb.label
+            ORDER BY la, lb""",
+        "degree_histogram": """
+            WITH pairs AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            deg AS (
+              SELECT node, COUNT(*) AS degree
+              FROM (SELECT c AS node FROM pairs
+                    UNION ALL SELECT s AS node FROM pairs)
+              GROUP BY node)
+            SELECT degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY 1 ORDER BY 1""",
+        "intersect_all": """
+            SELECT * FROM (
+              SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              INTERSECT ALL
+              SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus
+              FROM orders WHERE o_orderpriority = '5-LOW')
+            ORDER BY day, o_orderstatus""",
         "embedding_outliers": f"""
             WITH xs AS (
               SELECT vec_id, label, d.dim - 1 AS dim,
@@ -6277,6 +6552,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_daily": q_ewma_daily,
     "triangle_count": q_triangle_count,
     "embedding_outliers": q_embedding_outliers,
+    "streaming_enrich": q_streaming_enrich,
+    "distinctive_terms": q_distinctive_terms,
+    "centroid_distances": q_centroid_distances,
+    "degree_histogram": q_degree_histogram,
+    "intersect_all": q_intersect_all,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

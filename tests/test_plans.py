@@ -479,3 +479,41 @@ def test_triangle_count_is_materialized_one_row(spark):
     assert "Scan ExistingRDD" in PI.explain_str(df)
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["n_triangles"] >= 0
+
+
+def test_round4_batch7_plan_shapes(spark):
+    # distinctive terms: scoring joins broadcast (totals + 1-row global
+    # stats) and the top-k is the window-free two-phase core
+    df = _q(spark, "distinctive_terms")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 2, nc
+    assert nc["BroadcastNestedLoopJoin"] >= 1, nc  # 1-row globals side
+    assert "Window" not in PI.explain_str(df)
+    # centroid separation: the corpus explode runs ONCE (cen is
+    # checkpointed); downstream is metadata-sized joins — window-free
+    df = _q(spark, "centroid_distances")
+    nc = PI.node_counts(df)
+    assert nc["Generate"] == 0, nc  # no re-explode after the checkpoint
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+    # degree histogram: keyed aggregates + union, join only to build the
+    # pair list; no window
+    df = _q(spark, "degree_histogram")
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+    # intersect-all: Spark's count-compare rewrite — aggregate +
+    # generate, never a sort-based set op or window
+    df = _q(spark, "intersect_all")
+    nc = PI.node_counts(df)
+    assert nc["Generate"] >= 1 and nc["HashAggregate"] >= 2, nc
+    assert "Window" not in PI.explain_str(df)
+
+
+def test_streaming_enrich_matches_segments(spark):
+    # the drained stream-static join emits one row per observed segment
+    # (exact values are gated by the DuckDB oracle parity test)
+    df = _q(spark, "streaming_enrich")
+    rows = df.collect()
+    segs = [r["c_mktsegment"] for r in rows]
+    assert 1 <= len(segs) <= 5 and len(segs) == len(set(segs)), rows
+    assert df.columns == ["c_mktsegment", "n_events", "value_micros"]
