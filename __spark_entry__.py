@@ -4625,6 +4625,170 @@ def q_intersect_all(spark, sf_dir):
     return a.intersectAll(b).orderBy("day", "o_orderstatus")
 
 
+# ---------------------------------------------------------------------------
+# Round-4 batch 8: rolling exact distinct, ratio-to-total, conversion
+# latency, aggregate-then-top-k.
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_DAYS = 7
+
+
+def q_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day EXACT distinct users per day — the classically
+    hard rolling metric (COUNT(DISTINCT) OVER a range frame isn't
+    supported by either engine, and approximation changes semantics).
+    Scatter shape: each (event-day, user) pair contributes itself to
+    its 7 forward report days, then ONE distinct-aggregate per
+    (report_day, user) collapses duplicates and a count per day
+    finishes — two keyed shuffles, parallelism day x user sized, no
+    window anywhere. Report days restricted to observed event days
+    (inner join against the day list)."""
+    e = _events(spark, sf_dir)
+    day_user = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    offs = F.array(*[F.lit(i) for i in range(_ROLLING_DISTINCT_DAYS)])
+    scattered = day_user.select(
+        F.explode(offs).alias("off"), "day", "user_id"
+    ).select(
+        F.date_add(F.col("day"), F.col("off")).alias("day"), "user_id"
+    )
+    return (
+        scattered.join(days, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n_users_7d"))
+        .orderBy("day")
+    )
+
+
+def q_share_of_nation(spark, sf_dir):
+    """Ratio-to-total report (share of each supplier within its
+    nation's revenue) WITHOUT a window: one fact aggregate per
+    supplier, one roll-up per nation, then the nation totals join back
+    BROADCAST (nation-count-sized). Revenue accumulates as exact
+    DECIMAL cents on both levels; the share divides the two exact
+    decimals in double — identical IEEE math in both engines. The
+    ratio-to-report window (SUM OVER (PARTITION BY nation)) would
+    funnel each nation's suppliers into one task; this shape keeps the
+    heavy aggregate fully parallel."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev.cast("decimal(18,6)")).alias("rev_dec"))
+    )
+    per_nation = per_supp.groupBy("n_name").agg(
+        F.sum("rev_dec").alias("nation_dec")
+    )
+    return (
+        per_supp.join(F.broadcast(per_nation), "n_name")
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.col("rev_dec").cast("double").alias("supp_revenue"),
+            (
+                F.col("rev_dec").cast("double")
+                / F.col("nation_dec").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Conversion latency: per user, first 'view' and the first
+    'purchase' AFTER it; average latency per market segment. Event
+    times reduce to exact integer MICROS (min/max and sums are
+    associative in int64), user-level firsts are two keyed min-
+    aggregates (never an ordered window over the stream), and the final
+    avg divides two exact longs in double. The customer dim broadcasts."""
+    e = _events(spark, sf_dir)
+    micros = (F.unix_micros("ts")).alias("us")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", micros)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", micros
+    )
+    conv = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("purchase_us"),
+            F.min("view_us").alias("view_us"),
+        )
+        .select(
+            "user_id", (F.col("purchase_us") - F.col("view_us")).alias("d_us")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        conv.join(F.broadcast(cust), conv["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_converted"),
+            (
+                F.sum("d_us").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_latency_us"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_top_parts_per_nation(spark, sf_dir):
+    """Aggregate-then-top-k: revenue per (nation, part) first (fully
+    parallel fact aggregate, exact integer cents), then top-3 parts per
+    nation through the window-free two-phase top-k core — ranking
+    GROUPS by their aggregate, the report shape behind every
+    'top sellers per region' dashboard. Negative-cents struct keys give
+    descending revenue with ascending part tie-break."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_structs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            (F.sum(cents) * 100).cast("long").alias("rev_cents")
+        )
+    )
+    top = topk_per_group_structs(
+        per_part,
+        "n_name",
+        F.struct(
+            (-F.col("rev_cents")).alias("neg"),
+            F.col("l_partkey").alias("pk"),
+        ),
+        F.col("l_partkey"),
+        3,
+    )
+    return top.select(
+        "n_name",
+        F.col("entry.pk").alias("l_partkey"),
+        (-F.col("entry.neg")).cast("double").alias("revenue_cents"),
+        "rk",
+    ).orderBy("n_name", "rk")
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -6441,6 +6605,74 @@ def _oracle() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                    (SELECT COUNT(*) FROM wedges) AS n_wedges,
                    (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "rolling_distinct_users": f"""
+            WITH du AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            days AS (SELECT DISTINCT day FROM du),
+            scattered AS (
+              SELECT DISTINCT
+                     CAST(du.day + to_days(CAST(o.off AS INTEGER)) AS DATE)
+                       AS day, du.user_id
+              FROM du CROSS JOIN (
+                SELECT unnest(generate_series(0, {_ROLLING_DISTINCT_DAYS - 1}))
+                       AS off) o)
+            SELECT s.day, COUNT(*) AS n_users_7d
+            FROM scattered s JOIN days USING (day)
+            GROUP BY s.day ORDER BY s.day""",
+        "share_of_nation": """
+            WITH per_supp AS (
+              SELECT n_name, s_suppkey,
+                     SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,6))) AS rev_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1, 2),
+            per_nation AS (
+              SELECT n_name, SUM(rev_dec) AS nation_dec
+              FROM per_supp GROUP BY 1)
+            SELECT p.n_name, p.s_suppkey,
+                   CAST(p.rev_dec AS DOUBLE) AS supp_revenue,
+                   CAST(p.rev_dec AS DOUBLE) / CAST(t.nation_dec AS DOUBLE)
+                     AS share
+            FROM per_supp p JOIN per_nation t ON p.n_name = t.n_name
+            ORDER BY p.n_name, p.s_suppkey""",
+        "time_to_convert": """
+            WITH fv AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS view_us
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            conv AS (
+              SELECT e.user_id,
+                     MIN(epoch_us(e.ts)) - MIN(fv.view_us) AS d_us
+              FROM events e JOIN fv ON e.user_id = fv.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > fv.view_us
+              GROUP BY e.user_id)
+            SELECT c_mktsegment, COUNT(*) AS n_converted,
+                   CAST(SUM(d_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS avg_latency_us
+            FROM conv JOIN customer ON user_id = c_custkey
+            GROUP BY 1 ORDER BY 1""",
+        "top_parts_per_nation": """
+            WITH per_part AS (
+              SELECT n_name, l_partkey,
+                     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS rev_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1, 2),
+            r AS (
+              SELECT n_name, l_partkey, rev_cents,
+                     ROW_NUMBER() OVER (PARTITION BY n_name
+                                        ORDER BY rev_cents DESC,
+                                                 l_partkey ASC) AS rk
+              FROM per_part)
+            SELECT n_name, l_partkey,
+                   CAST(rev_cents AS DOUBLE) AS revenue_cents,
+                   CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 3 ORDER BY n_name, rk""",
         "streaming_enrich": """
             SELECT c_mktsegment, COUNT(*) AS n_events,
                    SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
@@ -6557,6 +6789,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroid_distances": q_centroid_distances,
     "degree_histogram": q_degree_histogram,
     "intersect_all": q_intersect_all,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "share_of_nation": q_share_of_nation,
+    "time_to_convert": q_time_to_convert,
+    "top_parts_per_nation": q_top_parts_per_nation,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

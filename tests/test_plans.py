@@ -517,3 +517,32 @@ def test_streaming_enrich_matches_segments(spark):
     segs = [r["c_mktsegment"] for r in rows]
     assert 1 <= len(segs) <= 5 and len(segs) == len(set(segs)), rows
     assert df.columns == ["c_mktsegment", "n_events", "value_micros"]
+
+
+def test_round4_batch8_plan_shapes(spark):
+    # rolling exact distinct: scatter (one Generate) + keyed distinct —
+    # NEVER a range-frame window over the day series
+    df = _q(spark, "rolling_distinct_users")
+    nc = PI.node_counts(df)
+    assert nc["Generate"] >= 1, nc
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
+    # ratio-to-total: nation totals come back BROADCAST; no
+    # SUM-OVER-PARTITION window funneling suppliers per nation
+    df = _q(spark, "share_of_nation")
+    assert PI.broadcast_join_count(df) >= 3  # supplier + nation + totals
+    assert "Window" not in PI.explain_str(df)
+    # conversion latency: two keyed min-aggregates, dim broadcast, no
+    # ordered window over the event stream
+    df = _q(spark, "time_to_convert")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 2, nc
+    assert "Window" not in PI.explain_str(df)
+    # aggregate-then-top-k: the fact agg is fully parallel and the
+    # ranking goes through the two-phase struct core (ObjectHashAggregate
+    # pairs), not a ROW_NUMBER window partitioned by ~25 nations
+    df = _q(spark, "top_parts_per_nation")
+    nc = PI.node_counts(df)
+    assert nc["ObjectHashAggregate"] >= 2, nc
+    assert "Window" not in PI.explain_str(df)
+    assert not PI.has_cartesian(df)
