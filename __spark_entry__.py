@@ -4169,35 +4169,14 @@ _PAIR_MIN_SUPPORT = 2
 
 
 def _part_pair_supports(spark, sf_dir):
-    """Per-order co-occurrence pair supports in TWO shuffles total:
-    collect_set fuses the (order, part) dedup into the basket build
-    (one keyed shuffle), the C(basket,2) expansion is a NARROW
-    sorted-array transform (inner slice starts past the outer index,
-    so each unordered pair emits exactly once, already pa < pb), and
-    the support count is the second keyed shuffle. This replaces the
-    naive incidence self-join (distinct + semi-prune + join = ~6
-    shuffles, measured 2.3s -> 0.9s at sf0.1). Skew note: one
-    mega-basket row expands to C(k,2) pairs in a single task — baskets
-    here are <= ~15; a production run caps basket size first (same cap
-    on both sides of the gate)."""
+    """Per-order part co-occurrence supports via the two-shuffle fused
+    basket expansion (operators/basket.pair_supports; replaces the
+    naive incidence self-join's ~6 shuffles, measured 2.3s -> 0.9s at
+    sf0.1). Baskets here are <= ~15 items, so no max_basket cap."""
+    from fb_ads_bigquery_etl_spark.operators.basket import pair_supports
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-                    ),
-                )
-            )
-        ).alias("pr")
-    )
-    return pairs.groupBy("pr.pa", "pr.pb").agg(F.count("*").alias("support"))
+    return pair_supports(li, "l_orderkey", "l_partkey")
 
 
 def q_frequent_pairs(spark, sf_dir):
@@ -4309,63 +4288,17 @@ def q_ewma_daily(spark, sf_dir):
 
 def q_triangle_count(spark, sf_dir):
     """Triangle counting on the frequent-pair part graph via
-    degree-orientation — the classic bound that makes triangle
-    enumeration feasible at scale: orient every edge from the
-    (degree, id)-smaller endpoint, so each node's out-degree is
-    O(sqrt(m)) and the wedge self-join is quadratic only in THAT.
-    No global rank/window anywhere: orientation compares (degree, id)
-    STRUCTS carried through keyed joins. Wedges are emitted already in
-    orientation order ((dv, v) tuple comparison), so closing them is a
-    plain two-column equality join against the oriented edge list.
-    Output is the one-row graph audit (edges, wedges, triangles)."""
-    # persist each reused frame: e feeds degrees + orientation + the edge
-    # count, ori feeds both wedge sides + closure — without
-    # materialization the lazy DAG rebuilds the basket expansion once
-    # per consumer (the 1-row result then checkpoints and releases all).
-    e = (
-        _part_pair_supports(spark, sf_dir)
-        .filter(F.col("support") >= _PAIR_MIN_SUPPORT)
-        .select("pa", "pb")
-        .persist()
+    degree-orientation (operators/graph.triangle_stats): out-degree
+    bounded O(sqrt(m)), wedges emitted in orientation order so closure
+    is a plain equality join; persisted intermediates released after
+    the 1-row audit materializes. Edges = part pairs with support >=
+    _PAIR_MIN_SUPPORT from the fused basket expansion."""
+    from fb_ads_bigquery_etl_spark.operators.graph import triangle_stats
+
+    e = _part_pair_supports(spark, sf_dir).filter(
+        F.col("support") >= _PAIR_MIN_SUPPORT
     )
-    deg = (
-        e.select(F.col("pa").alias("node"))
-        .unionByName(e.select(F.col("pb").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    ea = e.join(
-        deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa"
-    ).join(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")), "pb")
-    a_first = F.struct("da", "pa") < F.struct("db", "pb")
-    ori = ea.select(
-        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
-        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist()
-    x, y = ori.alias("x"), ori.alias("y")
-    wedges = (
-        x.join(y, F.col("x.u") == F.col("y.u"))
-        .filter(
-            F.struct(F.col("x.dv"), F.col("x.v"))
-            < F.struct(F.col("y.dv"), F.col("y.v"))
-        )
-        .select(F.col("x.v").alias("wa"), F.col("y.v").alias("wb"))
-        .persist()
-    )
-    closed = wedges.join(
-        ori.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
-        ["wa", "wb"],
-    )
-    out = (
-        e.agg(F.count("*").alias("n_edges"))
-        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
-        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
-        .localCheckpoint(eager=True)
-    )
-    for df in (e, ori, wedges):
-        df.unpersist()
-    return out
+    return triangle_stats(e)
 
 
 _OUTLIER_COS_THRESHOLD = 0.0
@@ -4644,21 +4577,14 @@ def q_rolling_distinct_users(spark, sf_dir):
     window anywhere. Report days restricted to observed event days
     (inner join against the day list)."""
     e = _events(spark, sf_dir)
-    day_user = e.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
-    days = day_user.select("day").distinct()
-    offs = F.array(*[F.lit(i) for i in range(_ROLLING_DISTINCT_DAYS)])
-    scattered = day_user.select(
-        F.explode(offs).alias("off"), "day", "user_id"
-    ).select(
-        F.date_add(F.col("day"), F.col("off")).alias("day"), "user_id"
-    )
     return (
-        scattered.join(days, "day", "left_semi")
-        .distinct()
-        .groupBy("day")
-        .agg(F.count("*").alias("n_users_7d"))
+        temporal.rolling_distinct(
+            e.select(F.to_date("ts").alias("day"), "user_id"),
+            "day",
+            "user_id",
+            days=_ROLLING_DISTINCT_DAYS,
+        )
+        .withColumnRenamed("n_distinct", "n_users_7d")
         .orderBy("day")
     )
 

@@ -205,3 +205,63 @@ def pagerank_quantized(
     nodes.unpersist()
     ed.unpersist()
     return out
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting: 1-row (n_edges, n_wedges,
+    n_triangles) audit for an undirected edge list `edges(pa, pb)`
+    (distinct, pa < pb).
+
+    The classic bound that makes triangle enumeration feasible at
+    scale: orient every edge from the (degree, id)-smaller endpoint, so
+    each node's out-degree is O(sqrt(m)) and the wedge self-join is
+    quadratic only in THAT. No global rank/window anywhere —
+    orientation compares (degree, id) structs carried through keyed
+    joins, and wedges are emitted already in orientation order
+    ((dv, v) tuple comparison), so closing them is a plain two-column
+    equality join against the oriented edge list.
+
+    Each reused frame persists (edges feeds degrees + orientation +
+    the edge count; the orientation feeds both wedge sides + closure);
+    the 1-row result checkpoints eagerly and every cache is released
+    before returning.
+    """
+    e = edges.select("pa", "pb").persist()
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ea = e.join(
+        deg.select(F.col("node").alias("pa"), F.col("d").alias("da")), "pa"
+    ).join(deg.select(F.col("node").alias("pb"), F.col("d").alias("db")), "pb")
+    a_first = F.struct("da", "pa") < F.struct("db", "pb")
+    ori = ea.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    x, y = ori.alias("x"), ori.alias("y")
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(F.col("x.v").alias("wa"), F.col("y.v").alias("wb"))
+        .persist()
+    )
+    closed = wedges.join(
+        ori.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
+        ["wa", "wb"],
+    )
+    out = (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+        .localCheckpoint(eager=True)
+    )
+    for df in (e, ori, wedges):
+        df.unpersist()
+    return out

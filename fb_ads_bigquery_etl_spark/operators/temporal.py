@@ -161,3 +161,39 @@ def range_count_join(
     )
     aggs = agg or [F.count(F.col("_r__ts")).alias("n_in_range")]
     return joined.groupBy(*[F.col(c) for c in left.columns]).agg(*aggs)
+
+
+def rolling_distinct(
+    df: DataFrame,
+    day_col: str,
+    id_col: str,
+    *,
+    days: int = 7,
+    observed_days_only: bool = True,
+) -> DataFrame:
+    """Rolling N-day EXACT distinct ids per day — the classically hard
+    rolling metric (COUNT(DISTINCT) OVER a range frame is unsupported,
+    and sketches change semantics).
+
+    Scatter shape: each (day, id) pair contributes itself to its N
+    forward report days, then ONE distinct-aggregate per
+    (report_day, id) collapses duplicates and a count per day finishes.
+    Two keyed shuffles, parallelism day x id sized, no window anywhere.
+    With `observed_days_only`, report days are semi-joined against the
+    observed day list (otherwise every scattered day reports).
+    Returns (day, n_distinct).
+    """
+    day_id = df.select(F.col(day_col).alias("day"), F.col(id_col).alias("id")).distinct()
+    offs = F.array(*[F.lit(i) for i in range(days)])
+    scattered = day_id.select(
+        F.explode(offs).alias("off"), "day", "id"
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("day"), "id")
+    if observed_days_only:
+        scattered = scattered.join(
+            day_id.select("day").distinct(), "day", "left_semi"
+        )
+    return (
+        scattered.distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n_distinct"))
+    )

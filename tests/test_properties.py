@@ -248,3 +248,125 @@ def test_zscore_norms_standardization_property():
     total = sum(r["znorm"] ** 2 for r in out)
     # dims 0 and 2 vary (each contributes n=40), dim 1 is constant -> 0
     assert abs(total - 80.0) < 1e-6, total
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # basket/group id
+            st.integers(min_value=0, max_value=12),  # item id
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_pair_supports_matches_bruteforce(rows):
+    """Fused basket expansion == itertools.combinations over deduped
+    baskets, for arbitrary duplicate-heavy incidence lists."""
+    import itertools
+    from collections import Counter
+
+    from fb_ads_bigquery_etl_spark.operators.basket import pair_supports
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, ["g", "item"]).repartition(3)
+    got = {
+        (r["pa"], r["pb"]): r["support"]
+        for r in pair_supports(df, "g", "item").collect()
+    }
+    baskets = {}
+    for g, item in rows:
+        baskets.setdefault(g, set()).add(item)
+    want = Counter()
+    for items in baskets.values():
+        for pa, pb in itertools.combinations(sorted(items), 2):
+            want[(pa, pb)] += 1
+    assert got == dict(want)
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_triangle_stats_matches_bruteforce(raw_edges):
+    """Degree-oriented closure == brute-force triangle enumeration on
+    random small graphs (self-loops dropped, edges canonicalized)."""
+    import itertools
+
+    from fb_ads_bigquery_etl_spark.operators.graph import triangle_stats
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    spark = _get_spark()
+    df = spark.createDataFrame(sorted(edges), ["pa", "pb"]).repartition(2)
+    row = triangle_stats(df).collect()[0]
+    nodes = {n for e in edges for n in e}
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=0, max_value=6),   # id
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([1, 3, 7]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_rolling_distinct_matches_bruteforce(rows, win):
+    """Scatter + keyed distinct == per-day brute-force lookback over
+    the observed day set."""
+    import datetime
+
+    from fb_ads_bigquery_etl_spark.operators.temporal import rolling_distinct
+
+    base = datetime.date(2026, 1, 1)
+    data = [(base + datetime.timedelta(days=d), i) for d, i in rows]
+    spark = _get_spark()
+    df = spark.createDataFrame(data, ["day", "id"]).repartition(3)
+    got = {
+        r["day"]: r["n_distinct"]
+        for r in rolling_distinct(df, "day", "id", days=win).collect()
+    }
+    days = sorted({d for d, _ in data})
+    want = {
+        day: len(
+            {
+                i
+                for d, i in data
+                if 0 <= (day - d).days < win
+            }
+        )
+        for day in days
+    }
+    assert got == want
