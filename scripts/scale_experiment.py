@@ -53,6 +53,12 @@ QUERIES = [
     ("containment_pairs", "postings-list containment pairs (sizes ride postings)"),
     ("embedding_normalize", "per-dim stats + broadcast z-score fold"),
     ("vocab_coverage", "df top-k vocab broadcast into coverage join"),
+    ("frequent_pairs", "fused basket expansion pair mining (2 shuffles)"),
+    ("triangle_count", "degree-oriented triangle closure"),
+    ("ewma_daily", "truncated-EWMA forward scatter (window-free)"),
+    ("share_of_nation", "ratio-to-total via broadcast totals (window-free)"),
+    ("distinctive_terms", "smoothed freq-ratio keywords + two-phase top-k"),
+    ("embedding_outliers", "quantized centroid moments + label broadcasts"),
 ]
 
 
