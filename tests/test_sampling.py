@@ -162,3 +162,36 @@ def test_global_row_number_equals_single_window(spark):
             )
         )
         assert got == want, f"width={width}"
+
+
+def test_pair_supports_max_basket_drops_outlier_groups(spark):
+    from fb_ads_bigquery_etl_spark.operators.basket import pair_supports
+
+    rows = [("big", i) for i in range(6)] + [("small", 1), ("small", 2)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    got = {
+        (r["pa"], r["pb"]): r["support"]
+        for r in pair_supports(df, "g", "item", max_basket=3).collect()
+    }
+    assert got == {(1, 2): 1}  # the 6-item basket is dropped entirely
+
+
+def test_rolling_distinct_all_days_reports_trailing_window(spark):
+    import datetime
+
+    from fb_ads_bigquery_etl_spark.operators.temporal import rolling_distinct
+
+    d0 = datetime.date(2026, 3, 1)
+    df = spark.createDataFrame([(d0, 1), (d0, 2)], ["day", "id"])
+    got = {
+        r["day"]: r["n_distinct"]
+        for r in rolling_distinct(
+            df, "day", "id", days=3, observed_days_only=False
+        ).collect()
+    }
+    # with the semi-join off, the scatter reports every forward day
+    assert got == {
+        d0: 2,
+        d0 + datetime.timedelta(days=1): 2,
+        d0 + datetime.timedelta(days=2): 2,
+    }
