@@ -699,6 +699,38 @@ def q_excess_shippers(spark, sf_dir):
 _STREAM_SEQ = itertools.count()
 
 
+def _stage_events_landing(spark, sf_dir, prefix, *, copies=1):
+    """Stage events.parquet into a fresh temp landing DIRECTORY (the
+    FileStreamSource contract — in production this is the ingest drop
+    zone) and return (open_stream, landing). One definition for all six
+    streaming queries: sets the nanos legacy conf BEFORE the schema
+    read (so a fresh <=4.0 session works regardless of which query runs
+    first), symlinks the file `copies` times (redelivery simulation for
+    the dedup gate), and open_stream() opens a NEW schema-pinned,
+    ts-normalized file stream per call (the interval join opens two
+    sides over one landing)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix=prefix)
+    aliases = (
+        ["events.parquet"]
+        if copies == 1
+        else [f"events_{chr(97 + i)}.parquet" for i in range(copies)]
+    )
+    for alias in aliases:
+        os.symlink(os.path.abspath(path), os.path.join(landing, alias))
+
+    def open_stream():
+        return event_ts_to_timestamp(
+            spark.readStream.schema(schema).parquet(landing)
+        )
+
+    return open_stream, landing
+
+
 def _drain_memory_stream(spark, agg, name, output_mode, landing):
     """AvailableNow-drain a streaming aggregation into a memory sink and
     return its MATERIALIZED contents (localCheckpoint), then remove the
@@ -729,19 +761,10 @@ def q_streaming_hourly(spark, sf_dir):
     DataFrame is that sink's contents. Same oracle as tumbling_hourly —
     stream==batch equivalence is exactly the guarantee being gated.
     """
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # events.parquet is a single file; FileStreamSource wants a landing
-    # DIRECTORY (in production this is the ingest drop zone) — stage a
-    # symlink so the stream discovers the file like a landed batch.
-    landing = tempfile.mkdtemp(prefix="stream_hourly_landing_")
-    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = event_ts_to_timestamp(
-        spark.readStream.schema(schema).parquet(landing)
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_hourly_landing_"
     )
+    stream = open_stream()
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -2356,18 +2379,12 @@ def q_streaming_interval_join(spark, sf_dir):
     contract for unbounded streams. AvailableNow drains the whole file;
     the appended result must equal the batch interval join (the
     oracle)."""
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="stream_ij_landing_")
-    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_ij_landing_"
+    )
 
     def side(event_type: str) -> DataFrame:
-        return event_ts_to_timestamp(
-            spark.readStream.schema(schema).parquet(landing)
-        ).filter(F.col("event_type") == event_type)
+        return open_stream().filter(F.col("event_type") == event_type)
 
     from fb_ads_bigquery_etl_spark.streaming.joins import (
         purchases_with_recent_views,
@@ -2431,15 +2448,10 @@ def q_streaming_user_totals(spark, sf_dir):
     drain the per-user FINAL emission (max n_events — emissions
     strictly increase per key) hash-matches a one-line batch aggregate,
     gating stream==batch equivalence for arbitrary user state."""
-    import tempfile
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="stream_totals_landing_")
-    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = event_ts_to_timestamp(
-        spark.readStream.schema(schema).parquet(landing)
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_totals_landing_"
     )
+    stream = open_stream()
     from fb_ads_bigquery_etl_spark.streaming.state import running_user_totals
 
     tot = running_user_totals(stream)
@@ -3290,17 +3302,10 @@ def q_streaming_dedup(spark, sf_dir):
     once — state bounded by the watermark horizon, not stream history.
     The oracle is simply the original (undoubled) event set: the dedup
     has to erase the redelivery completely."""
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="stream_dedup_landing_")
-    for alias in ("events_a.parquet", "events_b.parquet"):
-        os.symlink(os.path.abspath(path), os.path.join(landing, alias))
-    stream = event_ts_to_timestamp(
-        spark.readStream.schema(schema).parquet(landing)
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_dedup_landing_", copies=2
     )
+    stream = open_stream()
     from fb_ads_bigquery_etl_spark.streaming.windows import streaming_dedup
 
     dd = streaming_dedup(stream, ("event_id",)).select(
@@ -3396,16 +3401,10 @@ def q_streaming_sessions(spark, sf_dir):
     window is [first_ts, last_ts + gap). Gated against a batch
     lag()-based session reconstruction — stream==batch equivalence for
     MERGING session state, the hardest streaming-state shape."""
-    import tempfile
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="stream_sessions_landing_")
-    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = event_ts_to_timestamp(
-        spark.readStream.schema(schema).parquet(landing)
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_sessions_landing_"
     )
+    stream = open_stream()
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -4224,10 +4223,11 @@ def q_mode_brand(spark, sf_dir):
 
 _EWMA_ALPHA = 0.3
 _EWMA_LAGS = 10
-# Truncated-EWMA weights alpha*(1-alpha)^i, frozen to 12 decimal digits so
-# BOTH engines multiply by the identical exact DECIMAL literal — 9 digits
-# keeps the (18,2)x(11,9) product inside both engines' exact range (pow() in
-# double is libm-dependent and not guaranteed bit-identical across engines).
+# Truncated-EWMA weights alpha*(1-alpha)^i, frozen to 9 decimal digits so
+# BOTH engines multiply by the identical exact DECIMAL(11,9) literal — 9
+# digits keeps the (18,2)x(11,9) product inside both engines' exact decimal
+# range (12 digits overflowed DuckDB's multiply width; pow() in double is
+# libm-dependent and not guaranteed bit-identical across engines).
 _EWMA_WEIGHTS = [
     f"{_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i:.9f}" for i in range(_EWMA_LAGS + 1)
 ]
@@ -4315,7 +4315,11 @@ def q_embedding_outliers(spark, sf_dir):
     accumulate as exact integers; only the final cos expression runs in
     double — the identical IEEE computation in both engines. Plan: one
     posexplode, a (label, dim)-keyed broadcast join (labels x dims
-    rows), one hash agg per vector — no window, no cross join."""
+    rows), one hash agg per vector — no window, no cross join.
+    Integer bound: |s| <= n_label_vectors * max|x| * _EMB_SCALE must
+    stay under ~3e9 so s*s < 2^63 (holds to ~10k vectors/label at
+    |x|<=0.32); beyond that, reduce _EMB_SCALE — under Spark 4's
+    default ANSI mode an overflow raises rather than wrapping."""
     e = _t(spark, sf_dir, "embeddings")
     xs = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
@@ -4373,15 +4377,10 @@ def q_streaming_enrich(spark, sf_dir):
     engine-exact); AvailableNow drains the landing zone and the oracle
     is the equivalent BATCH join+agg — stream==batch equivalence is
     exactly the guarantee gated."""
-    import tempfile
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="stream_enrich_landing_")
-    os.symlink(os.path.abspath(path), os.path.join(landing, "events.parquet"))
-    stream = event_ts_to_timestamp(
-        spark.readStream.schema(schema).parquet(landing)
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_enrich_landing_"
     )
+    stream = open_stream()
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream.join(
         F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
@@ -4405,9 +4404,10 @@ def q_distinctive_terms(spark, sf_dir):
     """Per-source distinctive vocabulary (keyword extraction): rank
     terms by the add-one-smoothed relative-frequency ratio of
     source-vs-rest — the log-odds keyword score with the log dropped
-    (libm log is 1-ulp engine-dependent; the ratio of exact integer
-    products is the identical IEEE division in both engines):
-    score = ((ct_s+1)*(T_rest+V)) / ((T_s+V)*(ct_rest+1)). Counts come
+    (libm log is 1-ulp engine-dependent; exact-integer operands make
+    the divisions identical IEEE ops in both engines):
+    score = ((ct_s+1)/(T_s+V)) * ((T_rest+V)/(ct_rest+1)),
+    division-first so no integer product can overflow int64. Counts come
     from one tokenize+explode pass; per-source totals and the vocab
     size broadcast as tiny frames; the global per-term counts join
     term-keyed. Top-k per source goes through the window-free two-phase
@@ -4434,13 +4434,18 @@ def q_distinctive_terms(spark, sf_dir):
         .join(F.broadcast(tot_s), "source")
         .join(F.broadcast(globals_))
     )
+    # division-first form: each factor's numerator/denominator is an
+    # exact int < 2^53 converted to double, so the two divisions and the
+    # product are the identical IEEE ops in both engines — and unlike
+    # the cross-multiplied form ((ct_s+1)*(t_rest+vocab)), no integer
+    # product can overflow int64 on a large corpus (t_g ~ 1e13 tokens x
+    # ct_s ~ 1e8 would exceed 2^63 cross-multiplied).
     score = (
-        (F.col("ct_s") + 1) * (F.col("t_g") - F.col("t_s") + F.col("vocab"))
-    ).cast("double") / (
-        (F.col("t_s") + F.col("vocab"))
-        * (F.col("ct_g") - F.col("ct_s") + 1)
-    ).cast(
-        "double"
+        (F.col("ct_s") + 1).cast("double")
+        / (F.col("t_s") + F.col("vocab")).cast("double")
+    ) * (
+        (F.col("t_g") - F.col("t_s") + F.col("vocab")).cast("double")
+        / (F.col("ct_g") - F.col("ct_s") + 1).cast("double")
     )
     scored = j.select(
         "source", "term", score.alias("score")
@@ -4468,7 +4473,10 @@ def q_centroid_distances(spark, sf_dir):
     the pairwise products join on the 64-row dim key (labels x dims
     frames are metadata-sized — broadcast); output is C(labels,2)
     rows. The final cos is the identical IEEE expression from exact
-    integers in both engines."""
+    integers in both engines. Same integer bound as
+    q_embedding_outliers: centroid sums must stay under ~3e9 per
+    coordinate so their squares fit int64 (reduce _EMB_SCALE past ~10k
+    vectors/label; ANSI mode raises on overflow rather than wrapping)."""
     e = _t(spark, sf_dir, "embeddings")
     cen = (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
@@ -6615,10 +6623,10 @@ def _oracle() -> dict[str, str]:
             g AS (SELECT SUM(ct_g) AS t_g, COUNT(*) AS vocab FROM cg),
             sc AS (
               SELECT cs.source, cs.term,
-                     CAST((cs.ct_s + 1) * (g.t_g - tots.t_s + g.vocab)
-                          AS DOUBLE)
-                     / CAST((tots.t_s + g.vocab) * (cg.ct_g - cs.ct_s + 1)
-                            AS DOUBLE) AS score
+                     (CAST(cs.ct_s + 1 AS DOUBLE)
+                      / CAST(tots.t_s + g.vocab AS DOUBLE))
+                     * (CAST(g.t_g - tots.t_s + g.vocab AS DOUBLE)
+                        / CAST(cg.ct_g - cs.ct_s + 1 AS DOUBLE)) AS score
               FROM cs JOIN cg USING (term) JOIN tots USING (source)
                    CROSS JOIN g
               WHERE cg.ct_g >= {_DISTINCT_TERMS_MIN_COUNT}),

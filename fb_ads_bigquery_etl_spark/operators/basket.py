@@ -31,9 +31,17 @@ def pair_supports(
     max_basket: int | None = None,
 ) -> DataFrame:
     """(pa, pb, support): co-occurrence count of each unordered item
-    pair across groups, counting each (group, pair) once."""
-    baskets = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.sort_array(F.collect_set(item_col)).alias("ps")
+    pair across groups, counting each (group, pair) once.
+
+    NULL group keys are dropped (matching join semantics — a
+    join-based formulation would never match null=null), rather than
+    pooled into one mega-basket of unrelated items.
+    """
+    g = group_col if isinstance(group_col, Column) else F.col(group_col)
+    baskets = (
+        df.where(g.isNotNull())
+        .groupBy(g.alias("_g"))
+        .agg(F.sort_array(F.collect_set(item_col)).alias("ps"))
     )
     if max_basket is not None:
         baskets = baskets.filter(F.size("ps") <= max_basket)
