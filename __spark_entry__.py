@@ -4723,6 +4723,128 @@ def q_top_parts_per_nation(spark, sf_dir):
     ).orderBy("n_name", "rk")
 
 
+# ---------------------------------------------------------------------------
+# Round-4 batch 9: 2D binning, PMI term pairs, exact grouped median.
+# ---------------------------------------------------------------------------
+
+def q_histogram_2d(spark, sf_dir):
+    """2D histogram (quantity-bucket x discount-percent cell counts +
+    revenue mass) — the binned-heatmap aggregation behind distribution
+    drift checks and viz backends: two narrow integer bucket
+    expressions, ONE hash aggregate, output bounded by the bucket grid
+    regardless of fact size. floor(discount*100) stays portable (the
+    double multiply and floor are identical IEEE ops)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_bucket"),
+            F.floor(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+            F.col("l_extendedprice"),
+        )
+        .groupBy("qty_bucket", "disc_pct")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_extendedprice"), "revenue"),
+        )
+        .orderBy("qty_bucket", "disc_pct")
+    )
+
+
+_PMI_VOCAB = 200
+_PMI_MIN_CO = 5
+_PMI_TOP = 50
+
+
+def q_term_pmi_pairs(spark, sf_dir):
+    """Term association mining: top document-co-occurrence pairs by
+    LIFT (PMI with the engine-dependent log dropped):
+    lift = (co/df_a) * (N/df_b) — division-first exact-int operands, the
+    identical IEEE ops in both engines. The scale contract is the vocab
+    cap: pairs are mined only over the top-_PMI_VOCAB df terms
+    (deterministic df-desc/term tie-break), so the per-doc expansion is
+    bounded C(vocab_hits, 2) and the candidate space is vocab^2/2 —
+    never corpus-quadratic. Reuses the fused basket expansion
+    (operators/basket.pair_supports) with doc_id as the basket key."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.basket import pair_supports
+
+    d = _t(spark, sf_dir, "documents")
+    inc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    df_counts = inc.groupBy("term").agg(F.count("*").alias("df"))
+    # materialize the 200-row vocab once: it feeds THREE consumers (the
+    # prune plus both df lookup sides), each of which would otherwise
+    # re-run the full tokenize+df pass
+    vocab = (
+        df_counts.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_PMI_VOCAB)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    pruned = inc.join(F.broadcast(vocab.select("term")), "term")
+    co = pair_supports(pruned, "doc_id", "term").filter(
+        F.col("support") >= _PMI_MIN_CO
+    )
+    dfa = vocab.select(F.col("term").alias("pa"), F.col("df").alias("df_a"))
+    dfb = vocab.select(F.col("term").alias("pb"), F.col("df").alias("df_b"))
+    lift = (
+        F.col("support").cast("double") / F.col("df_a").cast("double")
+    ) * (F.col("n_docs").cast("double") / F.col("df_b").cast("double"))
+    return (
+        co.join(F.broadcast(dfa), "pa")
+        .join(F.broadcast(dfb), "pb")
+        .join(F.broadcast(n_docs))
+        .select(
+            "pa", "pb", F.col("support").alias("co_docs"), lift.alias("lift")
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_PMI_TOP)
+    )
+
+
+def q_median_exact_by_group(spark, sf_dir):
+    """EXACT grouped median (lower median: smallest value whose
+    cumulative count reaches ceil(n/2)) — computed on the VALUE
+    HISTOGRAM, which is where the scale trick lives: the fact table
+    collapses to (group, value) counts first (fully parallel hash agg,
+    output bounded by group x distinct-value), and the cumulative
+    window runs over that metadata-sized frame only — never over fact
+    rows. Engine-exact by construction (integer counts, integer
+    values). Approximate quantiles change semantics; this is the exact
+    path for bounded-cardinality value domains."""
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cum") >= F.expr("(total + 1) div 2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("median_qty"),
+            F.min("total").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -6539,6 +6661,57 @@ def _oracle() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                    (SELECT COUNT(*) FROM wedges) AS n_wedges,
                    (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "histogram_2d": f"""
+            SELECT CAST(floor(l_quantity / 10) AS INT) AS qty_bucket,
+                   CAST(floor(l_discount * 100) AS INT) AS disc_pct,
+                   COUNT(*) AS n,
+                   {_dsum_sql('l_extendedprice', 'revenue')}
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "term_pmi_pairs": f"""
+            WITH inc AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              WHERE length(term) >= 3),
+            dfc AS (SELECT term, COUNT(*) AS df FROM inc GROUP BY 1),
+            vocab AS (
+              SELECT term, df FROM dfc
+              ORDER BY df DESC, term ASC LIMIT {_PMI_VOCAB}),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            pruned AS (
+              SELECT i.doc_id, i.term FROM inc i
+              JOIN vocab v ON i.term = v.term),
+            co AS (
+              SELECT a.term AS pa, b.term AS pb, COUNT(*) AS co_docs
+              FROM pruned a JOIN pruned b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_CO})
+            SELECT co.pa, co.pb, co.co_docs,
+                   (CAST(co.co_docs AS DOUBLE) / CAST(va.df AS DOUBLE))
+                   * (CAST(nd.n_docs AS DOUBLE) / CAST(vb.df AS DOUBLE))
+                     AS lift
+            FROM co
+            JOIN vocab va ON co.pa = va.term
+            JOIN vocab vb ON co.pb = vb.term
+            CROSS JOIN nd
+            ORDER BY lift DESC, pa, pb LIMIT {_PMI_TOP}""",
+        "median_exact_by_group": """
+            WITH hist AS (
+              SELECT l_returnflag, l_quantity, COUNT(*) AS n
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (
+              SELECT l_returnflag, l_quantity,
+                     SUM(n) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+                     SUM(n) OVER (PARTITION BY l_returnflag) AS total
+              FROM hist)
+            SELECT l_returnflag,
+                   MIN(l_quantity) AS median_qty,
+                   MIN(total) AS n_rows
+            FROM cum WHERE cum >= (total + 1) // 2
+            GROUP BY 1 ORDER BY 1""",
         "rolling_distinct_users": f"""
             WITH du AS (
               SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
@@ -6727,6 +6900,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "share_of_nation": q_share_of_nation,
     "time_to_convert": q_time_to_convert,
     "top_parts_per_nation": q_top_parts_per_nation,
+    "histogram_2d": q_histogram_2d,
+    "term_pmi_pairs": q_term_pmi_pairs,
+    "median_exact_by_group": q_median_exact_by_group,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

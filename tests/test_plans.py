@@ -546,3 +546,30 @@ def test_round4_batch8_plan_shapes(spark):
     assert nc["ObjectHashAggregate"] >= 2, nc
     assert "Window" not in PI.explain_str(df)
     assert not PI.has_cartesian(df)
+
+
+def test_round4_batch9_plan_shapes(spark):
+    # 2D histogram: ONE partial/final hash-agg pair, join-free, output
+    # bounded by the bucket grid
+    df = _q(spark, "histogram_2d")
+    nc = PI.node_counts(df)
+    assert nc["HashAggregate"] == 2, nc
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    assert PI.exchange_count(df) <= 2
+    # PMI pairs: vocab materialized once (df lookups broadcast), the
+    # only nested-loop is the 1-row n_docs side, tokenize runs at most
+    # twice (vocab build + prune) — never once per vocab consumer
+    df = _q(spark, "term_pmi_pairs")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 3, nc
+    assert nc["BroadcastNestedLoopJoin"] <= 1, nc
+    assert nc["Generate"] <= 2, nc
+    assert "Window" not in PI.explain_str(df)
+    # exact grouped median: the cumulative window runs over the VALUE
+    # HISTOGRAM (post-aggregate frame), so a hash aggregate must sit
+    # below the window and the whole query needs <= 3 exchanges
+    df = _q(spark, "median_exact_by_group")
+    plan = PI.explain_str(df)
+    assert "Window" in plan
+    assert PI.node_counts(df)["HashAggregate"] >= 3, PI.node_counts(df)
+    assert PI.exchange_count(df) <= 3
