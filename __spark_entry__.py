@@ -1824,6 +1824,19 @@ def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
                   FROM h)"""
 
 
+def _quality_sql() -> str:
+    """DuckDB replica of text.analyze_documents' quality score over a
+    CTE exposing `text` and tokens `t` — shared by every oracle that
+    replays the curation quality gate."""
+    en = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    return f"""(CAST(least(len(t), 256) AS DOUBLE) / 256.0) * 0.4
+                       + least((len(list_filter(t, x -> list_contains(
+                           [{en}], x)))
+                                / greatest(len(t), 1)) * 4.0, 1.0) * 0.4
+                       + (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                                / greatest(length(text), 1)) * 0.2"""
+
+
 def _minhash_pairs_sql() -> str:
     """Shared DuckDB CTE body: MinHash-LSH verified pairs (id_a, id_b)."""
     return f"""
@@ -4724,8 +4737,45 @@ def q_top_parts_per_nation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Round-4 batch 9: 2D binning, PMI term pairs, exact grouped median.
+# Round-4 batch 9: 2D binning, PMI term pairs, exact grouped median,
+# quality-aware dedup survivors.
 # ---------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup collapse: within each MinHash-LSH
+    connected component keep the HIGHEST-quality member (tie-break:
+    higher doc_id), not the arbitrary min-id representative — the
+    curation semantics a training pipeline actually wants (of N copies,
+    keep the cleanest). Survivor choice is one struct-max hash
+    aggregate per component (never a window); the dropped side is
+    duplicates-only and the anti-join strategy stays with AQE, as in
+    q_dedup_apply. The oracle replays LSH -> recursive-CTE components
+    -> arg-max -> anti-join."""
+    from fb_ads_bigquery_etl_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    scored = analyze_documents(d, fields=("quality",)).select(
+        "doc_id", "source", "quality"
+    )
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    members = cc.join(
+        scored.select(F.col("doc_id").alias("node"), "quality"), "node"
+    )
+    best = members.groupBy("component").agg(
+        F.max(F.struct("quality", "node")).alias("m")
+    )
+    dropped = (
+        members.join(best, "component")
+        .filter(F.col("node") != F.col("m.node"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        scored.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    )
 
 def q_histogram_2d(spark, sf_dir):
     """2D histogram (quantity-bucket x discount-percent cell counts +
@@ -6661,6 +6711,38 @@ def _oracle() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                    (SELECT COUNT(*) FROM wedges) AS n_wedges,
                    (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk
+                   GROUP BY node),
+            base AS (SELECT doc_id, source, text, {_TOK} AS t
+                     FROM documents),
+            scored AS (
+              SELECT doc_id, source, {_quality_sql()} AS quality
+              FROM base),
+            members AS (
+              SELECT cc.node, cc.component, s.quality
+              FROM cc JOIN scored s ON cc.node = s.doc_id),
+            best AS (
+              SELECT component, node AS keep FROM (
+                SELECT component, node,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                                          ORDER BY quality DESC,
+                                                   node DESC) AS rn
+                FROM members) WHERE rn = 1),
+            dropped AS (
+              SELECT m.node FROM members m
+              JOIN best b ON m.component = b.component
+              WHERE m.node <> b.keep)
+            SELECT doc_id, source, quality FROM scored
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
+            ORDER BY doc_id""",
         "histogram_2d": f"""
             SELECT CAST(floor(l_quantity / 10) AS INT) AS qty_bucket,
                    CAST(floor(l_discount * 100) AS INT) AS disc_pct,
@@ -6903,6 +6985,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_2d": q_histogram_2d,
     "term_pmi_pairs": q_term_pmi_pairs,
     "median_exact_by_group": q_median_exact_by_group,
+    "dedup_keep_best": q_dedup_keep_best,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

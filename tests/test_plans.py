@@ -573,3 +573,14 @@ def test_round4_batch9_plan_shapes(spark):
     assert "Window" in plan
     assert PI.node_counts(df)["HashAggregate"] >= 3, PI.node_counts(df)
     assert PI.exchange_count(df) <= 3
+
+
+def test_dedup_keep_best_no_window_struct_max(spark):
+    # survivor selection is a struct-max hash aggregate per component +
+    # an AQE-decided anti-join — never a ROW_NUMBER window (that's only
+    # the oracle's formulation)
+    df = _q(spark, "dedup_keep_best")
+    plan = PI.explain_str(df)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan, plan[:1500]
+    assert not PI.has_cartesian(df)
