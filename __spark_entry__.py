@@ -475,6 +475,29 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (temporal.asof_join direction='forward'):
+    each purchase matched to the user's next at-or-after view — the
+    'what happened next' lookup (follow-up attribution, next-touch).
+    Identical single-shuffle union+keyed-window plan as the backward
+    form, scanning descending ts."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = e.filter(F.col("event_type") == "view")
+    return temporal.asof_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "ts"],
+        right_order=["event_id"],
+        direction="forward",
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Bounded range join: views per user within 1h before each purchase
     (bucketed equi-join, no theta cross-product; operators/temporal.py)."""
@@ -5234,6 +5257,25 @@ def _oracle() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
             SELECT event_id, user_id, ts, value, asof_event_id, asof_ts
             FROM w WHERE is_l = 1""",
+        "asof_join_forward": """
+            WITH u AS (
+              SELECT user_id, ts, event_id, value, 1 AS is_l
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, NULL AS value, 0
+              FROM events WHERE event_type = 'view'),
+            w AS (
+              SELECT user_id, ts, event_id, value, is_l,
+                     last_value(CASE WHEN is_l = 0 THEN event_id END IGNORE NULLS)
+                       OVER win AS asof_event_id,
+                     last_value(CASE WHEN is_l = 0 THEN ts END IGNORE NULLS)
+                       OVER win AS asof_ts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts DESC, is_l ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, user_id, ts, value, asof_event_id, asof_ts
+            FROM w WHERE is_l = 1""",
         "range_join": """
             SELECT p.event_id, p.user_id, p.ts, p.value,
                    COUNT(v.ts) AS n_views,
@@ -6986,6 +7028,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_pmi_pairs": q_term_pmi_pairs,
     "median_exact_by_group": q_median_exact_by_group,
     "dedup_keep_best": q_dedup_keep_best,
+    "asof_join_forward": q_asof_join_forward,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,

@@ -36,9 +36,14 @@ def asof_join(
     right_cols: list[str],
     right_order: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with
-    the greatest `right_ts <= left_ts` for the same `on` key (inclusive).
+    """As-of join: for each left row, attach the right row with the
+    greatest `right_ts <= left_ts` (direction="backward", default) or
+    the smallest `right_ts >= left_ts` (direction="forward") for the
+    same `on` key (inclusive either way). Same single-shuffle
+    union+keyed-window plan in both directions — forward simply scans
+    the interleaved stream in descending ts order.
 
     `right_order` breaks ties among right rows sharing (key, ts): the row
     that sorts LAST wins, deterministically. Output = every left column
@@ -70,12 +75,18 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         *[F.col(c).alias(f"_o_{c}") for c in right_order],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Right rows sort before left rows at equal ts (asof is inclusive);
-    # among right rows, right_order ascending so the last one wins.
+    # among right rows sharing (key, ts), right_order ascending so the
+    # last one seen wins. Forward scans ts DESCENDING, so the running
+    # last(ignorenulls) carries the nearest following right row instead
+    # of the nearest preceding one.
+    ts_ordered = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("_ts").asc(),
+            ts_ordered,
             F.col("_side").asc(),
             *[F.col(f"_o_{c}").asc_nulls_first() for c in right_order],
         )

@@ -129,3 +129,43 @@ def test_asof_null_field_in_latest_right_row_stays_null(spark):
     ).head()
     assert out["asof_px"] == "new_px"
     assert out["asof_qty"] is None  # NOT "old_qty"
+
+
+def test_asof_forward_picks_next_row_inclusive(spark):
+    """direction='forward' attaches the SMALLEST right_ts >= left_ts;
+    equality is inclusive, and among equal-(key, ts) right rows the
+    right_order-last row wins (same tie rule as backward)."""
+    left = spark.createDataFrame([("k", 5), ("k", 7)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 3, "past"), ("k", 7, "at"), ("k", 7, "at2"), ("k", 9, "next")],
+        ["key", "ts", "tag"],
+    )
+    rows = {
+        r["ts"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            right_cols=["tag"], right_order=["tag"], direction="forward",
+        ).collect()
+    }
+    assert rows == {5: "at2", 7: "at2"}  # inclusive at 7; tag-last wins
+
+
+def test_asof_forward_unmatched_left_gets_null(spark):
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame([("k", 3, "past")], ["key", "ts", "tag"])
+    out = asof_join(
+        left, right, on=["key"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], direction="forward",
+    ).head()
+    assert out["asof_tag"] is None
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("k", 1)], ["key", "ts"])
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, left, on=["key"], left_ts="ts", right_ts="ts",
+            right_cols=["ts"], direction="sideways",
+        )
