@@ -370,3 +370,71 @@ def test_rolling_distinct_matches_bruteforce(rows, win):
         for day in days
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_asof_join_matches_pandas_merge_asof(lrows, rrows, direction):
+    """Union+keyed-window as-of == pandas merge_asof for both
+    directions over generated (key, ts) streams. Right ts values are
+    deduped per key (merge_asof's tie handling among equal right ts
+    differs from our documented right_order rule, which the unit tests
+    pin separately)."""
+    from fb_ads_bigquery_etl_spark.operators.temporal import asof_join
+
+    rrows = list({(k, t): None for k, t in rrows})  # dedup (key, ts)
+    spark = _get_spark()
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], ["key", "ts", "lid"]
+    ).repartition(3)
+    right = spark.createDataFrame(
+        [(k, t, t) for k, t in rrows], ["key", "ts", "rts"]
+    ).repartition(2)
+    got = {
+        (r["key"], r["ts"], r["lid"]): r["asof_rts"]
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            right_cols=["rts"], direction=direction,
+        ).collect()
+    }
+    lpdf = (
+        pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lrows)],
+                     columns=["key", "ts", "lid"])
+        .sort_values("ts", kind="stable")
+    )
+    rpdf = (
+        pd.DataFrame([(k, t, t) for k, t in rrows],
+                     columns=["key", "ts", "rts"])
+        .sort_values("ts", kind="stable")
+    )
+    merged = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="key", direction=direction,
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    want = {
+        (r["key"], r["ts"], r["lid"]): (None if pd.isna(r["rts"]) else int(r["rts"]))
+        for _, r in merged.iterrows()
+    }
+    assert got == want
