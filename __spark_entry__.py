@@ -4777,8 +4777,14 @@ def q_dedup_keep_best(spark, sf_dir):
     from fb_ads_bigquery_etl_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    scored = analyze_documents(d, fields=("quality",)).select(
-        "doc_id", "source", "quality"
+    # persist the scored projection: it feeds both the member-quality
+    # join and the anti-join left side, and each lazy consumer would
+    # re-run the tokenize+regexp pass otherwise (the same
+    # multiple-consumer rule as q_term_pmi_pairs' vocab checkpoint)
+    scored = (
+        analyze_documents(d, fields=("quality",))
+        .select("doc_id", "source", "quality")
+        .persist()
     )
     pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -4901,11 +4907,7 @@ def q_median_exact_by_group(spark, sf_dir):
         "l_returnflag",
         "l_quantity",
         F.sum("n").over(w).alias("cum"),
-        F.sum("n").over(
-            Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+        F.sum("n").over(Window.partitionBy("l_returnflag")).alias("total"),
     )
     return (
         cum.filter(F.col("cum") >= F.expr("(total + 1) div 2"))
@@ -6631,12 +6633,7 @@ def _oracle() -> dict[str, str]:
             base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
             scored AS (
               SELECT doc_id, source,
-                     (CAST(least(len(t), 256) AS DOUBLE) / 256.0) * 0.4
-                       + least((len(list_filter(t, x -> list_contains(
-                           [{', '.join(repr(m) for m in LANG_MARKERS['en'])}], x)))
-                                / greatest(len(t), 1)) * 4.0, 1.0) * 0.4
-                       + (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))
-                                / greatest(length(text), 1)) * 0.2 AS quality,
+                     {_quality_sql()} AS quality,
                      CASE WHEN len(t) - 2 >= 1
                           THEN 1.0 - len(list_distinct(list_transform(
                                  generate_series(1, len(t) - 2),

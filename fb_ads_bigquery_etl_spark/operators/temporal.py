@@ -47,8 +47,9 @@ def asof_join(
 
     `right_order` breaks ties among right rows sharing (key, ts): the row
     that sorts LAST wins, deterministically. Output = every left column
-    plus `prefix + c` for each requested right column (null when no right
-    row precedes the left row).
+    plus `prefix + c` for each requested right column (null when no
+    right row exists on the joined side of left_ts — at-or-before it
+    for backward, at-or-after it for forward).
 
     Row-level semantics: the carried right columns are packed into ONE
     struct and carried with a single `last(ignorenulls=True)`, so every
