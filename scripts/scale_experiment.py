@@ -59,6 +59,11 @@ QUERIES = [
     ("share_of_nation", "ratio-to-total via broadcast totals (window-free)"),
     ("distinctive_terms", "smoothed freq-ratio keywords + two-phase top-k"),
     ("embedding_outliers", "quantized centroid moments + label broadcasts"),
+    ("histogram_2d", "bucket-grid heatmap agg (one hash agg)"),
+    ("term_pmi_pairs", "vocab-capped PMI pairs (basket expansion)"),
+    ("median_exact_by_group", "exact median on the value histogram"),
+    ("dedup_keep_best", "quality-aware LSH survivor pick"),
+    ("asof_join_forward", "forward as-of (union + keyed window)"),
 ]
 
 
@@ -239,6 +244,21 @@ def main() -> None:
         "local[32] still has parallelism headroom at x8: per-row cost, not",
         "coordination, is the limit — the property that transfers to a",
         "1000-executor cluster.",
+        "",
+        "**Reading `triangle_count` and `dedup_keep_best` honestly**: both",
+        "inherit copy-scaling artifacts. triangle_count's x1→x2 jump (then",
+        "FLAT through x8) is the support-threshold crossing: copies offset",
+        "l_orderkey but share l_partkey verbatim, so every pair's support",
+        "multiplies by the copy count and at x2 ALL 1,196,000 distinct",
+        "pairs pass the support>=2 edge filter (direct count: 3,573 edges",
+        "at x1 → 1,196,000 at every multiple >= 2 — the graph SATURATES,",
+        "hence the flat line). The row actually shows the degree-oriented",
+        "closure absorbing a 335x denser edge set in ~8s.",
+        "dedup_keep_best tracks dedup_apply's output-quadratic growth (its",
+        "input is the same verbatim-copy LSH pair set) plus a per-member",
+        "quality join — the perturbed-copy control below is the honest",
+        "read for this family. `asof_join_forward` reads events, which is",
+        "a DIM here (fixed size): its flat row is a control, not evidence.",
         "",
         "## Perturbed-copy near-dup scaling (linear-output control)",
         "",
