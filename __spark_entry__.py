@@ -4761,8 +4761,64 @@ def q_top_parts_per_nation(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Round-4 batch 9: 2D binning, PMI term pairs, exact grouped median,
-# quality-aware dedup survivors.
+# quality-aware dedup survivors, interchange-format round-trips.
 # ---------------------------------------------------------------------------
+
+def _roundtrip_state(spark, sf_dir, writer, reader, prefix):
+    """Shared write→read→aggregate gate for interchange sinks: documents
+    projected to typed columns, shipped through the sink on a
+    session-temp path, read back schema-pinned, and reduced to a
+    per-(source, lang) aggregate the DuckDB oracle computes directly on
+    the parquet — so a green row proves the FORMAT round-trips values
+    bit-exactly (the same promotion merge_upsert_state gave MERGE).
+    Materializes via localCheckpoint so the temp dir is removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        path = os.path.join(tmp, "docs")
+        writer(d, path)
+        back = reader(spark, path, d.schema)
+        return (
+            back.groupBy("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.col("doc_id") * F.col("doc_id")).alias("sum_id_sq"),
+            )
+            .orderBy("source", "lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink/source round-trip under the oracle gate
+    (sinks.write_jsonl / read_jsonl — the interchange format LLM
+    corpora ship in). The checksum aggregate includes sum(doc_id^2) so
+    silent value corruption (not just row loss) fails the hash."""
+    from fb_ads_bigquery_etl_spark.sinks import read_jsonl, write_jsonl
+
+    return _roundtrip_state(
+        spark, sf_dir, write_jsonl, read_jsonl, "_q_jsonl_rt_"
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source round-trip under the oracle gate
+    (sinks.write_orc / read_orc — the second columnar interchange
+    format next to parquet)."""
+    from fb_ads_bigquery_etl_spark.sinks import read_orc, write_orc
+
+    return _roundtrip_state(
+        spark, sf_dir, write_orc, read_orc, "_q_orc_rt_"
+    )
 
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup collapse: within each MinHash-LSH
@@ -6750,6 +6806,16 @@ def _oracle() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM e) AS n_edges,
                    (SELECT COUNT(*) FROM wedges) AS n_wedges,
                    (SELECT COUNT(*) FROM closed) AS n_triangles""",
+        "jsonl_roundtrip": """
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(doc_id * doc_id) AS BIGINT) AS sum_id_sq
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+        "orc_roundtrip": """
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(doc_id * doc_id) AS BIGINT) AS sum_id_sq
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
         "dedup_keep_best": f"""
             WITH RECURSIVE {_minhash_pairs_sql()},
             edges AS (SELECT id_a AS u, id_b AS v FROM verified
@@ -7026,6 +7092,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_exact_by_group": q_median_exact_by_group,
     "dedup_keep_best": q_dedup_keep_best,
     "asof_join_forward": q_asof_join_forward,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "doc_chunks": q_doc_chunks,
