@@ -827,14 +827,27 @@ def q_running_total(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL approx distinct vs exact (approximate by design: rows-only
-    correctness check, no DuckDB oracle — sketches differ across engines)."""
+    """HLL approx distinct, gated deterministically: raw sketch estimates
+    are engine-specific (Spark and DuckDB HLLs disagree by design), so
+    the reported column is the tolerance-band verdict |approx - exact|
+    <= 15% * exact — 3x the default rsd 0.05, so both engines' estimates
+    land inside it deterministically — plus the exact count. The HLL
+    still runs on both sides; only the engine-specific digits stay out
+    of the hash."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id").alias("approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("within_tolerance"),
         )
         .orderBy("event_type")
     )
@@ -4300,9 +4313,10 @@ def q_ewma_daily(spark, sf_dir):
     ).select(
         F.date_add(F.col("day"), F.col("lw.lag")).alias("day"),
         # narrow the summed revenue back to (18,2) first: the SUM type is
-        # (28,2), and (28,2)x(14,12) overflows the 38-digit cap, which
-        # makes Spark TRUNCATE scale (engine-specific). (18,2)x(14,12)
-        # stays exact in both engines.
+        # (28,2), and (28,2)x(11,9) would overflow the 38-digit cap,
+        # which makes Spark TRUNCATE scale (engine-specific).
+        # (18,2)x(11,9) stays exact in both engines (weights are the
+        # frozen DECIMAL(11,9) literals in _EWMA_WEIGHTS).
         (F.col("rev_dec").cast("decimal(18,2)") * F.col("lw.w")).alias("c"),
     )
     ewma = contrib.groupBy("day").agg(F.sum("c").alias("e"))
@@ -4833,14 +4847,16 @@ def q_dedup_keep_best(spark, sf_dir):
     from fb_ads_bigquery_etl_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    # persist the scored projection: it feeds both the member-quality
+    # materialize the scored projection: it feeds both the member-quality
     # join and the anti-join left side, and each lazy consumer would
-    # re-run the tokenize+regexp pass otherwise (the same
-    # multiple-consumer rule as q_term_pmi_pairs' vocab checkpoint)
+    # re-run the tokenize+regexp pass otherwise. localCheckpoint (eager)
+    # rather than persist so nothing stays pinned in executor memory for
+    # the rest of a long multi-query run (the same multiple-consumer rule
+    # as q_term_pmi_pairs' vocab checkpoint).
     scored = (
         analyze_documents(d, fields=("quality",))
         .select("doc_id", "source", "quality")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -4986,6 +5002,16 @@ def _oracle() -> dict[str, str]:
     greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
     bpe = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     return {
+        # HLL estimates are engine-specific; the gated columns are the
+        # exact count and the tolerance-band verdict, which both engines
+        # satisfy deterministically (band = 3x the default rsd 0.05).
+        "approx_distinct": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   abs(CAST(approx_count_distinct(user_id) AS BIGINT)
+                       - COUNT(DISTINCT user_id))
+                     <= 0.15 * COUNT(DISTINCT user_id) AS within_tolerance
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_dsum_sql('l_quantity', 'sum_qty')},
@@ -5623,7 +5649,11 @@ def _oracle() -> dict[str, str]:
             feats AS (SELECT source,
               len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
-              + len(regexp_extract_all(text, '[0-9][0-9()\\-\\s]{{6,}}[0-9]'))
+              + len(regexp_extract_all(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                    '<EMAIL>', 'g'),
+                  '[0-9][0-9()\\-\\s]{{6,}}[0-9]'))
                 AS pii,
               length(text) - length(trim(regexp_replace(
                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
@@ -6468,11 +6498,14 @@ def _oracle() -> dict[str, str]:
                        '{_EMAIL_RE}', '<EMAIL>', 'g'),
                        '{_NUMBER_RE}', '<NUMBER>', 'g')) AS len_red,
                      len(regexp_extract_all(t, '{_EMAIL_RE}'))
-                       + len(regexp_extract_all(t, '{_NUMBER_RE}')) AS n_spans
+                       + len(regexp_extract_all(
+                           regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{_NUMBER_RE}')) AS n_spans
               FROM inj)
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+                   CAST(SUM(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs_with_pii,
                    CAST(SUM(n_spans) AS BIGINT) AS n_spans,
                    CAST(SUM(len_raw - len_red) AS BIGINT) AS chars_redacted
             FROM scored GROUP BY source ORDER BY source""",
@@ -6488,11 +6521,11 @@ def _oracle() -> dict[str, str]:
               FROM tok)
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(n_grams) AS total_grams,
-                   SUM(n_distinct) AS distinct_grams,
-                   SUM(CASE WHEN n_grams > 0
+                   CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+                   CAST(SUM(n_distinct) AS BIGINT) AS distinct_grams,
+                   CAST(SUM(CASE WHEN n_grams > 0
                              AND 1.0 - n_distinct / CAST(n_grams AS DOUBLE) > 0.25
-                            THEN 1 ELSE 0 END) AS n_repetitive,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
                    1.0 - SUM(n_distinct) / CAST(SUM(n_grams) AS DOUBLE)
                      AS dup_fraction
             FROM g GROUP BY source ORDER BY source""",
@@ -6700,14 +6733,17 @@ def _oracle() -> dict[str, str]:
               FROM base)
             SELECT source,
                    COUNT(*) AS n_total,
-                   SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS n_quality,
-                   SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25
-                            THEN 1 ELSE 0 END) AS n_clean,
-                   SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25 AND NOT is_dup
-                            THEN 1 ELSE 0 END) AS n_kept
+                   CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_quality,
+                   CAST(SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                   CAST(SUM(CASE WHEN quality >= 0.5 AND rep <= 0.25
+                                  AND NOT is_dup
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM scored GROUP BY source ORDER BY source""",
         "skew_audit": "\nUNION ALL\n".join(
-            f"""SELECT '{t}.{c}' AS key_col, SUM(cnt) AS n_rows,
+            f"""SELECT '{t}.{c}' AS key_col,
+                       CAST(SUM(cnt) AS BIGINT) AS n_rows,
                        COUNT(*) AS n_keys, MAX(cnt) AS max_key_rows,
                        MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS max_share
                 FROM (SELECT {c}, COUNT(*) AS cnt FROM {t} GROUP BY {c})"""
@@ -6896,7 +6932,7 @@ def _oracle() -> dict[str, str]:
               FROM hist)
             SELECT l_returnflag,
                    MIN(l_quantity) AS median_qty,
-                   MIN(total) AS n_rows
+                   CAST(MIN(total) AS BIGINT) AS n_rows
             FROM cum WHERE cum >= (total + 1) // 2
             GROUP BY 1 ORDER BY 1""",
         "rolling_distinct_users": f"""
@@ -6969,7 +7005,8 @@ def _oracle() -> dict[str, str]:
             FROM r WHERE rk <= 3 ORDER BY n_name, rk""",
         "streaming_enrich": """
             SELECT c_mktsegment, COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_micros
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS value_micros
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1 ORDER BY 1""",
         "distinctive_terms": f"""
@@ -7067,68 +7104,29 @@ def _oracle() -> dict[str, str]:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order is deliberate: the driver's correctness harness checks
-    # the first ~50 entries per round, so queries not yet driver-confirmed
-    # (no green row in any CORRECTNESS_r*.json) come first; already-green
-    # entries follow (they stay regression-guarded by
-    # tests/test_oracle_parity.py, which parametrizes the FULL registry
-    # regardless of order). Rotation strategy is documented in SURVEY.md §2.1.
-    # --- new in round 4 (never driver-checked) ---
-    "frequent_pairs": q_frequent_pairs,
-    "mode_brand": q_mode_brand,
-    "ewma_daily": q_ewma_daily,
-    "triangle_count": q_triangle_count,
-    "embedding_outliers": q_embedding_outliers,
+    # the first ~50 entries per round, so the window below is curated each
+    # round (rotation strategy: SURVEY.md §2.1). Entries behind the window
+    # stay regression-guarded by tests/test_oracle_parity.py, which
+    # parametrizes the FULL registry.
+    # --- round-5 window head: the six round-4 hash failures (root cause:
+    # uncast SUM(...) typed HUGEINT by DuckDB; oracles now CAST to BIGINT
+    # and tests/test_oracle_parity.py gates all oracles with a plan-only
+    # DESCRIBE check) — re-fronted for first green driver rows ---
     "streaming_enrich": q_streaming_enrich,
-    "distinctive_terms": q_distinctive_terms,
-    "centroid_distances": q_centroid_distances,
-    "degree_histogram": q_degree_histogram,
-    "intersect_all": q_intersect_all,
-    "rolling_distinct_users": q_rolling_distinct_users,
-    "share_of_nation": q_share_of_nation,
-    "time_to_convert": q_time_to_convert,
-    "top_parts_per_nation": q_top_parts_per_nation,
-    "histogram_2d": q_histogram_2d,
-    "term_pmi_pairs": q_term_pmi_pairs,
     "median_exact_by_group": q_median_exact_by_group,
-    "dedup_keep_best": q_dedup_keep_best,
-    "asof_join_forward": q_asof_join_forward,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
-    "doc_chunks": q_doc_chunks,
-    "embedding_normalize": q_embedding_normalize,
-    "vocab_coverage": q_vocab_coverage,
-    "containment_pairs": q_containment_pairs,
-    "cross_source_dups": q_cross_source_dups,
-    "chunk_dedup_rate": q_chunk_dedup_rate,
-    "ann_lsh": q_ann_lsh,
-    "ann_recall": q_ann_recall,
-    "dup_cluster_stats": q_dup_cluster_stats,
     "corpus_funnel": q_corpus_funnel,
     "skew_audit": q_skew_audit,
-    "transition_counts": q_transition_counts,
-    "lang_confusion": q_lang_confusion,
-    "bm25_topk": q_bm25_topk,
-    "merge_upsert_state": q_merge_upsert_state,
-    "scd2_state": q_scd2_state,
-    "incremental_rollup": q_incremental_rollup,
-    # --- regression re-confirmation rotation (round 4): these 50 were
-    # last driver-checked in r01, and their underlying operators have
-    # been refactored across rounds 2-3 (shared top-k core, portable
-    # hash functions, percent_rank rewrite) with only the local parity
-    # suite as the guard since; fresh driver rows prove no regression
-    # slipped past it. The r02/r03-confirmed blocks follow. ---
-    "pricing_summary": q_pricing_summary,
-    "freshness": q_freshness,
-    "daily_rollup": q_daily_rollup,
-    "freshness_status": q_freshness_status,
-    "count_scan": q_count,
-    "distinct_projection": q_distinct,
-    "dedup_keepfirst": q_dedup_keepfirst,
-    "events_pivot": q_events_pivot,
-    "topk_per_group": q_topk_per_group,
-    "revenue_by_nation": q_revenue_by_nation,
+    # --- oracle-semantics changes this round: pii span counting now
+    # mirrors redaction order (both sides); approx_distinct gained its
+    # first deterministic oracle (tolerance-band verdict) ---
+    "corpus_clean_stats": q_corpus_clean_stats,
+    "approx_distinct": q_approx_distinct,
+    # --- new in round 5 (never driver-checked) are inserted here ---
+    # --- stale r01 tail: last driver rows are from round 1 and the
+    # underlying operators were refactored in rounds 2-4 (shared top-k
+    # core, portable hashes, percent_rank rewrite); fresh rows wanted ---
     "rollup_region_nation": q_rollup_region_nation,
     "sessionize": q_sessionize,
     "join_outer_agg": q_join_outer_agg,
@@ -7147,7 +7145,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "tumbling_hourly": q_tumbling_hourly,
     "running_total": q_running_total,
-    "approx_distinct": q_approx_distinct,
     "shipping_priority": q_shipping_priority,
     "revenue_forecast": q_revenue_forecast,
     "promo_revenue_ratio": q_promo_revenue_ratio,
@@ -7169,39 +7166,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "train_test_split": q_train_test_split,
-    # --- confirmed green in CORRECTNESS_r03.json ---
-    "streaming_sessions": q_streaming_sessions,
-    "gap_fill_daily": q_gap_fill_daily,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "weighted_sample": q_weighted_sample,
-    "trend_by_nation": q_trend_by_nation,
-    "anomaly_zscore": q_anomaly_zscore,
-    "lang_gini_by_source": q_lang_gini_by_source,
-    "streaming_interval_join": q_streaming_interval_join,
-    "dedup_apply": q_dedup_apply,
-    "streaming_dedup": q_streaming_dedup,
-    "reservoir_per_group": q_reservoir_per_group,
-    "pack_sequences": q_pack_sequences,
-    "streaming_user_totals": q_streaming_user_totals,
-    "cdc_changelog_apply": q_cdc_changelog_apply,
-    "skew_salted_join": q_skew_salted_join,
-    "dedup_url_canonical": q_dedup_url_canonical,
-    "attribution_linear": q_attribution_linear,
-    "inverted_index": q_inverted_index,
-    "pagerank": q_pagerank,
-    "table_diff": q_table_diff,
-    "profile_columns": q_profile_columns,
-    "topk_per_group_agg": q_topk_per_group_agg,
-    "global_rank": q_global_rank,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
-    "array_hof_suite": q_array_hof_suite,
-    "datetime_suite": q_datetime_suite,
-    "fk_integrity": q_fk_integrity,
-    "reachability": q_reachability,
-    "balanced_mix": q_balanced_mix,
-    "truncation_stats": q_truncation_stats,
-    "full_schema_join": q_full_schema_join,
-    # --- confirmed green in CORRECTNESS_r02.json ---
+    # --- stale r02 block (driver rows from round 2; next-oldest) ---
     "stratified_sample": q_stratified_sample,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
@@ -7213,7 +7178,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekday_revenue": q_weekday_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "value_concentration": q_value_concentration,
-    "corpus_clean_stats": q_corpus_clean_stats,
     "overlap_pairs": q_overlap_pairs,
     "dq_audit": q_dq_audit,
     "join_full_outer": q_join_full_outer,
@@ -7252,6 +7216,83 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_price_qty": q_corr_price_qty,
     "sliding_windows": q_sliding_windows,
     "pivot_source_lang": q_pivot_source_lang,
+    # --- confirmed green in CORRECTNESS_r03.json ---
+    "streaming_sessions": q_streaming_sessions,
+    "gap_fill_daily": q_gap_fill_daily,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "weighted_sample": q_weighted_sample,
+    "trend_by_nation": q_trend_by_nation,
+    "anomaly_zscore": q_anomaly_zscore,
+    "lang_gini_by_source": q_lang_gini_by_source,
+    "streaming_interval_join": q_streaming_interval_join,
+    "dedup_apply": q_dedup_apply,
+    "streaming_dedup": q_streaming_dedup,
+    "reservoir_per_group": q_reservoir_per_group,
+    "pack_sequences": q_pack_sequences,
+    "streaming_user_totals": q_streaming_user_totals,
+    "cdc_changelog_apply": q_cdc_changelog_apply,
+    "skew_salted_join": q_skew_salted_join,
+    "dedup_url_canonical": q_dedup_url_canonical,
+    "attribution_linear": q_attribution_linear,
+    "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
+    "table_diff": q_table_diff,
+    "profile_columns": q_profile_columns,
+    "topk_per_group_agg": q_topk_per_group_agg,
+    "global_rank": q_global_rank,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "array_hof_suite": q_array_hof_suite,
+    "datetime_suite": q_datetime_suite,
+    "fk_integrity": q_fk_integrity,
+    "reachability": q_reachability,
+    "balanced_mix": q_balanced_mix,
+    "truncation_stats": q_truncation_stats,
+    "full_schema_join": q_full_schema_join,
+    # --- confirmed green in CORRECTNESS_r04.json ---
+    "frequent_pairs": q_frequent_pairs,
+    "mode_brand": q_mode_brand,
+    "ewma_daily": q_ewma_daily,
+    "triangle_count": q_triangle_count,
+    "embedding_outliers": q_embedding_outliers,
+    "distinctive_terms": q_distinctive_terms,
+    "centroid_distances": q_centroid_distances,
+    "degree_histogram": q_degree_histogram,
+    "intersect_all": q_intersect_all,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "share_of_nation": q_share_of_nation,
+    "time_to_convert": q_time_to_convert,
+    "top_parts_per_nation": q_top_parts_per_nation,
+    "histogram_2d": q_histogram_2d,
+    "term_pmi_pairs": q_term_pmi_pairs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "asof_join_forward": q_asof_join_forward,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "doc_chunks": q_doc_chunks,
+    "embedding_normalize": q_embedding_normalize,
+    "vocab_coverage": q_vocab_coverage,
+    "containment_pairs": q_containment_pairs,
+    "cross_source_dups": q_cross_source_dups,
+    "chunk_dedup_rate": q_chunk_dedup_rate,
+    "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "transition_counts": q_transition_counts,
+    "lang_confusion": q_lang_confusion,
+    "bm25_topk": q_bm25_topk,
+    "merge_upsert_state": q_merge_upsert_state,
+    "scd2_state": q_scd2_state,
+    "incremental_rollup": q_incremental_rollup,
+    "pricing_summary": q_pricing_summary,
+    "freshness": q_freshness,
+    "daily_rollup": q_daily_rollup,
+    "freshness_status": q_freshness_status,
+    "count_scan": q_count,
+    "distinct_projection": q_distinct,
+    "dedup_keepfirst": q_dedup_keepfirst,
+    "events_pivot": q_events_pivot,
+    "topk_per_group": q_topk_per_group,
+    "revenue_by_nation": q_revenue_by_nation,
 }
 
 
@@ -7266,8 +7307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry entries intentionally shipped without a DuckDB oracle (the driver
 # records a weaker rows-only check for these). Anything else missing an
-# oracle is a bug and fails loudly below.
-_NO_ORACLE_BY_DESIGN = {"approx_distinct"}
+# oracle is a bug and fails loudly below. Empty since round 5:
+# approx_distinct gained a deterministic tolerance-band oracle.
+_NO_ORACLE_BY_DESIGN: set[str] = set()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -220,10 +220,17 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_match_count(text: Column) -> Column:
-    """How many PII spans redact_pii would replace (audit metric)."""
-    return F.regexp_count(
-        text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
-    ) + F.regexp_count(text, F.lit(r"[0-9][0-9()\-\s]{6,}[0-9]"))
+    """How many PII spans redact_pii would replace (audit metric).
+
+    Number spans are counted on the *email-redacted* text, mirroring
+    redact_pii's replacement order — a long digit run inside an email
+    local-part is one redacted span, not two counted ones.
+    """
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    after_emails = F.regexp_replace(text, email_re, "<EMAIL>")
+    return F.regexp_count(text, F.lit(email_re)) + F.regexp_count(
+        after_emails, F.lit(r"[0-9][0-9()\-\s]{6,}[0-9]")
+    )
 
 
 def repetition_ratio(text: Column, k: int = 3) -> Column:
