@@ -1011,76 +1011,71 @@ def q_percent_rank(spark, sf_dir):
 
     The naive `percent_rank() OVER (PARTITION BY o_orderpriority ORDER
     BY o_totalprice)` funnels the whole table into <=5 window tasks (5
-    priorities) — the canonical straggler. Both functions only depend
-    on per-(group, value) counts, so decompose like
-    operators/rank.global_row_number:
+    priorities) — the canonical straggler. Decompose via order-
+    preserving range buckets (the `operators/rank.global_row_number`
+    shape) with ONE data-sized shuffle:
 
-    1. aggregate counts per (group, cents) — parallel hash agg;
-    2. range-bucket the distinct values (cents div 10^6 — order
-       preserving), prefix-sum WITHIN each bucket: window partitions
-       bounded by bucket width, never table size;
-    3. prefix-sum per-(group, bucket) totals (one row per bucket —
-       metadata at any scale) and broadcast the offsets + group sizes;
-    4. rank(v) = offset + rows<v + 1 (RANK semantics: ties share),
-       le(v) = offset + rows<=v; percent_rank = (rank-1)/(n-1),
-       cume_dist = le/n; join stats back to rows on (group, cents) — a
-       keyed shuffle join, fully parallel.
+    1. bucket rows by cents div 10^6 (order-preserving: every row in
+       bucket b sorts before every row in b+1; equal values share a
+       bucket by construction);
+    2. window raw rows ONCE on (group, bucket): rank()-1 counts rows
+       below within the bucket (ties share), and a RANGE frame counts
+       rows <= the current value — the max window partition is bounded
+       by the bucket's value width, never table size;
+    3. per-(group, bucket) totals come from a separate groupBy branch
+       whose shuffle carries only map-side-combined bucket counts
+       (metadata-sized network); prefix-sum those within each group
+       (window over one row per bucket) and broadcast offsets + group
+       sizes back onto the ranked rows — no re-shuffle, no join back
+       to the fact on the value key.
 
-    Equal values always land in the same bucket (bucket is a function
-    of the value), so tie groups never straddle a bucket boundary."""
+    rank(v) = offset + rank_in_bucket; le(v) = offset + le_in_bucket;
+    percent_rank = (rank-1)/(n-1), cume_dist = le/n."""
     o = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    vals = (
-        o.select("o_orderpriority", cents.alias("cents"))
-        .groupBy("o_orderpriority", "cents")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("_bkt", F.expr("cents div 1000000"))
+    rows = o.select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    ).withColumn("_bkt", F.expr("cents div 1000000"))
+    wb = Window.partitionBy("o_orderpriority", "_bkt").orderBy("cents")
+    ranked = rows.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "_bkt",
+        (F.rank().over(wb) - 1).alias("lt_b"),
+        F.count("*")
+        .over(wb.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("le_b"),
     )
-    wb = (
-        Window.partitionBy("o_orderpriority", "_bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    bkt_tot = rows.groupBy("o_orderpriority", "_bkt").agg(
+        F.count("*").alias("_bn")
     )
-    vals = vals.withColumn(
-        "lt_b", F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("long"))
-    )
-    bkt_tot = vals.groupBy("o_orderpriority", "_bkt").agg(
-        F.sum("cnt").alias("_bn")
-    )
-    wo = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = bkt_tot.withColumn(
-        "_off", F.coalesce(F.sum("_bn").over(wo), F.lit(0).cast("long"))
-    ).select("o_orderpriority", "_bkt", "_off")
-    totals = bkt_tot.groupBy("o_orderpriority").agg(F.sum("_bn").alias("_n"))
-    stats = (
-        vals.join(F.broadcast(offs), ["o_orderpriority", "_bkt"])
-        .join(F.broadcast(totals), "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            "cents",
-            (F.col("_off") + F.col("lt_b") + 1).alias("_rk"),
-            (F.col("_off") + F.col("lt_b") + F.col("cnt")).alias("_le"),
-            "_n",
+    wo = Window.partitionBy("o_orderpriority").orderBy("_bkt")
+    offs = bkt_tot.select(
+        "o_orderpriority",
+        "_bkt",
+        F.coalesce(
+            F.sum("_bn").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("_off"),
+        F.sum("_bn")
+        .over(
+            wo.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
+        .alias("_n"),
     )
-    return (
-        o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
-        .join(stats, ["o_orderpriority", "cents"])
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.round(
-                F.when(
-                    F.col("_n") > 1, (F.col("_rk") - 1) / (F.col("_n") - 1)
-                ).otherwise(0.0),
-                6,
-            ).alias("pr"),
-            F.round(F.col("_le") / F.col("_n"), 6).alias("cd"),
-        )
+    return ranked.join(F.broadcast(offs), ["o_orderpriority", "_bkt"]).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_off") + F.col("lt_b")) / (F.col("_n") - 1),
+            ).otherwise(0.0),
+            6,
+        ).alias("pr"),
+        F.round((F.col("_off") + F.col("le_b")) / F.col("_n"), 6).alias("cd"),
     )
 
 

@@ -332,8 +332,9 @@ def test_percent_rank_has_no_group_only_window(spark):
         if part_keys == {"o_orderpriority"}:
             assert order_keys == {"_bkt"}, spec
     # the straggler shape is gone but the decomposition is still
-    # broadcast-stitched: offsets and group sizes arrive by broadcast
-    assert PI.broadcast_join_count(df) >= 2
+    # broadcast-stitched: bucket offsets and group sizes arrive in a
+    # single broadcast join (fused since round 5's one-shuffle rewrite)
+    assert PI.broadcast_join_count(df) >= 1
 
 
 def test_full_schema_join_broadcasts_all_dims(spark):
