@@ -3716,11 +3716,14 @@ def q_embedding_normalize(spark, sf_dir):
     """Per-dimension z-score feature scaling reported as each vector's
     normalized L2 norm (operators/similarity.py zscore_norms): dim stats
     via posexplode + map-side-combined hash agg, stats broadcast back as
-    arrays, per-row math a narrow in-order fold."""
+    arrays, per-row math a narrow in-order fold. No output orderBy: a
+    global range sort SAMPLES its child, executing the whole
+    stats+fold subtree twice (measured 2x at sf0.1), and the driver's
+    hash gate is order-insensitive."""
     from fb_ads_bigquery_etl_spark.operators.similarity import zscore_norms
 
     e = _t(spark, sf_dir, "embeddings")
-    return zscore_norms(e, "vec_id", "embedding", "label").orderBy("vec_id")
+    return zscore_norms(e, "vec_id", "embedding", "label")
 
 
 def q_vocab_coverage(spark, sf_dir):

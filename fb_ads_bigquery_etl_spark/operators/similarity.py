@@ -414,7 +414,16 @@ def zscore_norms(
     """
     from fb_ads_bigquery_etl_spark.functions.portable import bind
 
-    e = _prepared(df, id_col, vec_col, *extra).select("id", "vec", *extra)
+    # deliberately NOT _prepared(): its spread() round-robin repartition
+    # exists for hash/shingle-heavy projections; here both consumers are
+    # cheap narrow expressions, and on the stats branch the posexplode
+    # partial-agg combines map-side AT THE SCAN — an extra shuffle ahead
+    # of it would move |rows|*|dims| exploded values for nothing.
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        *[F.col(c) for c in extra],
+    )
     pe = e.select(F.posexplode("vec").alias("dim", "x"))
     stats = pe.groupBy("dim").agg(
         F.sum(F.floor(F.col("x") * F.lit(1e12)).cast("decimal(28,0)")).alias("s"),
