@@ -3712,6 +3712,32 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact duplicated-substring audit (Lee et al. 2022 exact-substring
+    dedup): any token 8-gram occurring >= 2 times corpus-wide marks
+    duplicated text; overlapping marked grams merge into maximal spans
+    per document (operators/dedup.duplicated_gram_spans — agg+join dup
+    detection so the gram exchange is AQE-skew-splittable, per-doc
+    bounded windows for the merge). Reported per affected doc: span
+    count, duplicated-token coverage, and its fraction of the doc."""
+    from fb_ads_bigquery_etl_spark.operators.dedup import duplicated_gram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_gram_spans(d, k=8)
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_len").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_tokens") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_normalize(spark, sf_dir):
     """Per-dimension z-score feature scaling reported as each vector's
     normalized L2 norm (operators/similarity.py zscore_norms): dim stats
@@ -6527,6 +6553,38 @@ def _oracle() -> dict[str, str]:
                    1.0 - SUM(n_distinct) / CAST(SUM(n_grams) AS DOUBLE)
                      AS dup_fraction
             FROM g GROUP BY source ORDER BY source""",
+        "substring_dedup_spans": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (
+              SELECT doc_id, len(t) AS n_tokens, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                      1, 15))::BIGINT AS gh
+              FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+            dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+            p AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (gh)),
+            f AS (
+              SELECT doc_id, n_tokens, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS new_span
+              FROM p),
+            s AS (
+              SELECT doc_id, n_tokens, pos,
+                     SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS span_id
+              FROM f),
+            spans AS (
+              SELECT doc_id, n_tokens,
+                     MAX(pos) - MIN(pos) + 8 AS span_len
+              FROM s GROUP BY doc_id, n_tokens, span_id)
+            SELECT doc_id, n_tokens,
+                   COUNT(*) AS n_dup_spans,
+                   CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+                   CAST(SUM(span_len) AS BIGINT)
+                     / CAST(n_tokens AS DOUBLE) AS dup_fraction
+            FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""",
         "doc_chunks": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
             sized AS (
@@ -7122,6 +7180,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_stats": q_corpus_clean_stats,
     "approx_distinct": q_approx_distinct,
     # --- new in round 5 (never driver-checked) are inserted here ---
+    "substring_dedup_spans": q_substring_dedup_spans,
     # --- stale r01 tail: last driver rows are from round 1 and the
     # underlying operators were refactored in rounds 2-4 (shared top-k
     # core, portable hashes, percent_rank rewrite); fresh rows wanted ---

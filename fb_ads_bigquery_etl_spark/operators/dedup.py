@@ -84,6 +84,81 @@ def distinct_rows(df: DataFrame) -> DataFrame:
     return df.distinct()
 
 
+def duplicated_gram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans at token granularity (LLM op).
+
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") treat any token k-gram occurring >= 2 times CORPUS-WIDE as
+    duplicated text; overlapping/adjacent duplicated k-grams merge into
+    maximal spans that a curation pass can cut out of the document.
+    Returns one row per maximal span: (id, n_tokens, span_start,
+    span_len), token-indexed from 0. Docs shorter than k tokens (or with
+    no duplicated gram) emit nothing.
+
+    Plan shape / 100 TB notes:
+    - Gram identity is portable.hash60 of the k-token window (md5-based,
+      bit-identical in the DuckDB oracle). Only the 8-byte hash
+      shuffles, never gram text; collision odds over 2^60 are
+      negligible at corpus scale.
+    - Duplicated-gram detection is a two-pass agg+join, NOT a
+      count-over-window: the count aggregate map-side combines so only
+      (hash, partial count) partials shuffle, and the position->dup-set
+      join is AQE-skew-splittable (the build side is one row per key),
+      whereas a window partitioned on the gram hash would pin a
+      boilerplate gram's every occurrence to a single task. The gram
+      pipeline is evaluated once per pass (2x CPU) - the deliberate
+      trade for a skew-proof exchange.
+    - Span merging windows per DOCUMENT (partition bounded by doc token
+      count): lag() flags a new span when the gap to the previous
+      duplicated position exceeds k, a running sum numbers spans, and a
+      hash agg folds each to (start, len).
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, hash60, tokens
+
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+
+    def grams_of(t):
+        n = F.size(t) - (k - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+            lambda i: hash60(F.concat_ws(" ", F.slice(t, i, k))),
+        )
+
+    pos = tok.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.posexplode(bind(F.col("_t"), grams_of)).alias("pos", "gh"),
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("gh")
+    )
+    marked = pos.join(dup, "gh").select(id_col, "n_tokens", "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marked.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    numbered = flagged.withColumn(
+        "_span",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy(id_col, "n_tokens", "_span").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+    ).drop("_span")
+
+
 def exact_content_dedup(
     df: DataFrame,
     content_col: str,
