@@ -3438,6 +3438,30 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (alpha=0.5, target 20%):
+    per-source keep rates proportional to sqrt(count) rebalance big vs
+    small sources (operators/sampling.temperature_mix). sqrt is chosen
+    over pow(n, alpha) deliberately: IEEE guarantees it correctly
+    rounded, so the integer weights — and thus the sampled set — are
+    engine-exact. Rates ride a metadata-sized broadcast; the keep
+    decision is the salted-hash threshold (append-stable). Sources
+    whose draw sampled zero rows emit no row, deterministically."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(d, "source", "doc_id", target_frac=0.2)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.min("_rate").alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming per-user session windows (30-min inactivity gap) via
     session_window + Trigger.AvailableNow into a memory sink; sessions
@@ -6484,6 +6508,27 @@ def _oracle() -> dict[str, str]:
                     * maxc
                   < n_chars * 4294967296
             ORDER BY doc_id""",
+        "temperature_mix": """
+            WITH c AS (SELECT source, COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                         CAST(SUM(CAST(floor(sqrt(n)) AS BIGINT)) AS BIGINT)
+                           AS ts
+                  FROM c),
+            r AS (SELECT source,
+                         least(1.0,
+                               (tn * CAST(floor(sqrt(n)) AS BIGINT) * 0.2)
+                                 / CAST(ts * n AS DOUBLE)) AS rate
+                  FROM c, t),
+            k AS (SELECT d.source, d.n_chars, r.rate
+                  FROM documents d JOIN r USING (source)
+                  WHERE ('0x' || substr(md5('tm:' || CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT
+                        < rate * 4294967296.0)
+            SELECT source, COUNT(*) AS n_sampled,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+                   MIN(rate) AS sample_rate
+            FROM k GROUP BY source ORDER BY source""",
         # session_window merges events < gap apart; a gap of EXACTLY 30min
         # starts a new session ([a, a+g) does not overlap [a+g, ...)), hence
         # >= in the oracle's new-session predicate.
@@ -7181,6 +7226,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     # --- new in round 5 (never driver-checked) are inserted here ---
     "substring_dedup_spans": q_substring_dedup_spans,
+    "temperature_mix": q_temperature_mix,
     # --- stale r01 tail: last driver rows are from round 1 and the
     # underlying operators were refactored in rounds 2-4 (shared top-k
     # core, portable hashes, percent_rank rewrite); fresh rows wanted ---

@@ -191,3 +191,57 @@ def weighted_keep(key: Column, weight: Column, max_weight: Column, salt: str = "
     probability ~1 (exactly 1 - 2^-32)."""
     u = hash32(F.concat(F.lit(salt), key.cast("string")))
     return u * max_weight < weight * F.lit(2**32)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    target_frac: float = 0.2,
+    salt: str = "tm:",
+) -> DataFrame:
+    """Temperature-flattened source mixing at alpha = 0.5 (LLM op).
+
+    Multilingual / multi-source LM training samples source i with
+    probability proportional to n_i^alpha (Conneau & Lample 2019-style
+    mixing) so big sources stop drowning small ones. Alpha is fixed at
+    0.5 because sqrt is the one power IEEE-754 guarantees correctly
+    rounded — floor(sqrt(n)) is an EXACT integer weight in every
+    engine, where pow(n, 0.3) would drag libm rounding differences
+    into the sampled set.
+
+    Per-source keep rate: r_i = min(1, target_frac * N * w_i / (S * n_i))
+    with w_i = floor(sqrt(n_i)), N = total rows, S = sum of weights —
+    expected sample size is target_frac * N, spread across sources by
+    weight. The keep decision is the usual salted hash32 threshold:
+    deterministic, append-stable, partitioning-independent.
+
+    Plan shape: two metadata-sized aggregates (per-group counts, their
+    1-row total) broadcast back onto the fact scan; the filter is a
+    narrow projection. One full scan + one pre-scan for counts; no
+    corpus-sized shuffle. Returns the sampled rows with their `_rate`
+    attached.
+    """
+    def w_of(n: Column) -> Column:
+        return F.floor(F.sqrt(n)).cast("long")
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum(w_of(F.col("_n"))).cast("long").alias("_S"),
+    )
+    # tot derives from counts, so the cross join is a self-join in
+    # lineage terms — alias both sides and qualify every reference.
+    rates = counts.alias("c").crossJoin(F.broadcast(tot).alias("t")).select(
+        F.col(f"c.{group_col}").alias(group_col),
+        F.least(
+            F.lit(1.0),
+            (F.col("t._N") * w_of(F.col("c._n")) * F.lit(target_frac))
+            / (F.col("t._S") * F.col("c._n")).cast("double"),
+        ).alias("_rate"),
+    )
+    u = hash32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.join(F.broadcast(rates), group_col).filter(
+        u < F.col("_rate") * F.lit(float(2**32))
+    )
