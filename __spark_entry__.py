@@ -3736,6 +3736,116 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Train/test trigram novelty (memorization / generalization audit):
+    split the corpus with the deterministic hash split (sampling.
+    assign_split), build the train trigram vocabulary, and measure what
+    fraction of each source's TEST trigram occurrences never appear in
+    train (k=3 because the synthetic corpus' tiny word vocabulary makes
+    bigrams fully saturated — rate would be identically 0). Plan: one
+    corpus scan per split branch, gram-level distinct on train
+    (map-side combined), left join on the gram string — at 100 TB the
+    join shuffles gram-sized keys once; a bloom filter on the train
+    side would be the next refinement."""
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+    from fb_ads_bigquery_etl_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    k = 3
+
+    def grams_of(t):
+        n = F.size(t) - (k - 1)
+        return F.transform(
+            F.slice(t, 1, F.greatest(n, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", *([x] + [F.get(t, i + j) for j in range(1, k)])
+            ),
+        )
+
+    base = d.select(
+        "doc_id",
+        "source",
+        assign_split(F.col("doc_id")).alias("split"),
+        bind(tokens(F.col("text")), grams_of).alias("_b"),
+    )
+    train = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("_b").alias("g"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    test = base.filter(F.col("split") == "test").select(
+        "doc_id", "source", F.explode("_b").alias("g")
+    )
+    tagged = test.join(train, "g", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_test_docs"),
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("_seen").isNull().cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.col("n_novel") / F.col("n_grams").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: cumulative distinct-TRIGRAM
+    count at each tenth of the corpus (doc_id order; trigrams because
+    the synthetic corpus' ~31-word unigram vocabulary saturates in the
+    first decile — a flat line proves nothing). Scale shape: grams fold
+    to (gram, first_doc) via a map-side-combined min-agg, then to ten
+    bucket counts; the cumulative sum windows over a METADATA-SIZED
+    10-row spine, never over corpus rows — the classic way to get a
+    'running distinct' without a global window."""
+    from fb_ads_bigquery_etl_spark.functions.portable import word_shingles, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg((F.max("doc_id") + 1).cast("long").alias("_N"))
+    first = (
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), k=3)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    tb = (
+        first.crossJoin(F.broadcast(n))
+        .select(F.expr("div(first_doc * 10, _N)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_terms"))
+    )
+    db = (
+        d.crossJoin(F.broadcast(n))
+        .select(F.expr("div(doc_id * 10, _N)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_docs"))
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(tb, "bucket", "left")
+        .join(db, "bucket", "left")
+        .select(
+            (F.col("bucket") + 1).cast("long").alias("decile"),
+            F.sum(F.coalesce(F.col("_docs"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(F.coalesce(F.col("_terms"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_substring_dedup_spans(spark, sf_dir):
     """Exact duplicated-substring audit (Lee et al. 2022 exact-substring
     dedup): any token 8-gram occurring >= 2 times corpus-wide marks
@@ -5804,6 +5914,52 @@ def _oracle() -> dict[str, str]:
                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS spend_30d
             FROM orders""",
+        "ngram_novelty": f"""
+            WITH lab AS (
+              SELECT doc_id, source, {_TOK} AS t,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents),
+            bi AS (
+              SELECT doc_id, source, b,
+                     array_to_string(t[i:i+2], ' ') AS g
+              FROM lab, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+            tr AS (SELECT DISTINCT g FROM bi WHERE b < 9000),
+            te AS (SELECT doc_id, source, g FROM bi WHERE b >= 9500)
+            SELECT te.source,
+                   COUNT(DISTINCT te.doc_id) AS n_test_docs,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                   CAST(SUM(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+            FROM te LEFT JOIN tr ON te.g = tr.g
+            GROUP BY te.source ORDER BY te.source""",
+        "vocab_growth": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            term AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+                     FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+            fst AS (SELECT term, MIN(doc_id) AS first_doc
+                    FROM term GROUP BY term),
+            n AS (SELECT MAX(doc_id) + 1 AS nn FROM documents),
+            tb AS (SELECT (first_doc * 10) // nn AS bucket,
+                          COUNT(*) AS n_terms
+                   FROM fst, n GROUP BY 1),
+            db AS (SELECT (doc_id * 10) // nn AS bucket,
+                          COUNT(*) AS n_docs
+                   FROM documents, n GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+            SELECT bucket + 1 AS decile,
+                   CAST(SUM(COALESCE(db.n_docs, 0)) OVER (
+                     ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_docs,
+                   CAST(SUM(COALESCE(tb.n_terms, 0)) OVER (
+                     ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS vocab_size
+            FROM spine LEFT JOIN tb USING (bucket) LEFT JOIN db USING (bucket)
+            ORDER BY decile""",
         "train_test_split": """
             SELECT CASE
                      WHEN b < 9000 THEN 'train'
@@ -7271,6 +7427,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     # --- stale r02 block (driver rows from round 2; next-oldest) ---
     "stratified_sample": q_stratified_sample,
+    # --- new in round 5, behind the ~50-entry driver window so the
+    # stale-block re-confirmation above stays >= 40 strong; locally
+    # oracle-gated by tests/test_oracle_parity.py, front these in r06 ---
+    "ngram_novelty": q_ngram_novelty,
+    "vocab_growth": q_vocab_growth,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
