@@ -3736,6 +3736,73 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_approx_percentile_banded(spark, sf_dir):
+    """percentile_approx under a deterministic rank-error gate: the raw
+    sketch values are engine-specific (Spark KLL vs DuckDB t-digest), so
+    — like approx_distinct — the hashed columns are the VERDICTS: each
+    engine takes its own approximate p50/p95 per group, counts exactly
+    how many rows fall at or below it (one broadcast-join pass), and
+    asserts the realized rank is within +/-2% of the target. Exact
+    integer counts -> the booleans agree even though the sketches
+    don't. Two scans: sketch agg, then the rank-count agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_ap"),
+    )
+    joined = li.join(F.broadcast(ap), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.get("_ap", 0)).cast("long")
+            ).alias("_le50"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.get("_ap", 1)).cast("long")
+            ).alias("_le95"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("_le50") / F.col("n_rows").cast("double") - 0.5)
+                <= 0.02
+            ).alias("p50_in_band"),
+            (
+                F.abs(F.col("_le95") / F.col("n_rows").cast("double") - 0.95)
+                <= 0.02
+            ).alias("p95_in_band"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_map_agg_metrics(spark, sf_dir):
+    """Map-typed aggregation surface: per-user event-type counts folded
+    into a MAP column (map_from_entries over a sorted entry array), a
+    higher-order F.aggregate over map_values for the total, and a
+    canonical compact-JSON rendering for the hash gate (entry order
+    pinned by array_sort, so the JSON is deterministic). Two hash aggs,
+    both map-side combined; no window, no collect."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("_c")
+    )
+    packed = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "_c")))
+        ).alias("_m")
+    )
+    return packed.select(
+        "user_id",
+        F.size("_m").cast("long").alias("n_types"),
+        F.aggregate(
+            F.map_values("_m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_events"),
+        F.to_json(F.col("_m")).alias("metrics_json"),
+    ).orderBy("user_id")
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Train/test trigram novelty (memorization / generalization audit):
     split the corpus with the deterministic hash split (sampling.
@@ -5914,6 +5981,34 @@ def _oracle() -> dict[str, str]:
                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS spend_30d
             FROM orders""",
+        "approx_percentile_banded": """
+            WITH ap AS (
+              SELECT l_returnflag,
+                     approx_quantile(l_extendedprice, 0.5) AS a50,
+                     approx_quantile(l_extendedprice, 0.95) AS a95
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag,
+                   COUNT(*) AS n_rows,
+                   abs(CAST(SUM(CASE WHEN l_extendedprice <= a50
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                       / CAST(COUNT(*) AS DOUBLE) - 0.5) <= 0.02
+                     AS p50_in_band,
+                   abs(CAST(SUM(CASE WHEN l_extendedprice <= a95
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                       / CAST(COUNT(*) AS DOUBLE) - 0.95) <= 0.02
+                     AS p95_in_band
+            FROM lineitem l JOIN ap USING (l_returnflag)
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+        "map_agg_metrics": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   '{' || string_agg('"' || event_type || '":' || n, ','
+                           ORDER BY event_type) || '}' AS metrics_json
+            FROM c GROUP BY user_id ORDER BY user_id""",
         "ngram_novelty": f"""
             WITH lab AS (
               SELECT doc_id, source, {_TOK} AS t,
@@ -7432,6 +7527,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-gated by tests/test_oracle_parity.py, front these in r06 ---
     "ngram_novelty": q_ngram_novelty,
     "vocab_growth": q_vocab_growth,
+    "approx_percentile_banded": q_approx_percentile_banded,
+    "map_agg_metrics": q_map_agg_metrics,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
