@@ -195,3 +195,69 @@ def test_rolling_distinct_all_days_reports_trailing_window(spark):
         d0 + datetime.timedelta(days=1): 2,
         d0 + datetime.timedelta(days=2): 2,
     }
+
+
+def test_duplicated_gram_spans_merges_overlaps(spark):
+    from fb_ads_bigquery_etl_spark.operators.dedup import duplicated_gram_spans
+
+    rows = [
+        (0, "a b c d e f x y z"),   # shares "a b c d e f" with doc 1
+        (1, "q a b c d e f r"),
+        (2, "m n o p m n o p"),     # duplicates ITSELF (within-doc repeat)
+        (3, "totally unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_gram_spans(df, k=3).collect()
+    }
+    # doc 0: grams at pos 0..3 are duplicated -> one span [0, len 6]
+    # doc 1: the run sits at pos 1..4 -> span [1, len 6]
+    # doc 2: positions 0,1,4,5 duplicated; gap 4-1=3 <= k merges -> [0, len 8]
+    # doc 3: nothing
+    assert got == {(0, 0, 6), (1, 1, 6), (2, 0, 8)}
+
+
+def test_duplicated_gram_spans_splits_on_gap(spark):
+    from fb_ads_bigquery_etl_spark.operators.dedup import duplicated_gram_spans
+
+    # the duplicated phrase appears at both ends of doc 2 with a long
+    # unique middle: two separate spans, not one
+    rows = [
+        (0, "p q r s"),
+        (1, "p q r s"),
+        (2, "p q r s u1 u2 u3 u4 u5 u6 p q r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_gram_spans(df, k=3).collect()
+    )
+    assert got == [(0, 0, 4), (1, 0, 4), (2, 0, 4), (2, 10, 4)]
+
+
+def test_temperature_mix_flattens_skewed_sources(spark):
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import temperature_mix
+
+    rows = [("big", i) for i in range(100)] + [("small", 1000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["source", "key"])
+    kept = temperature_mix(df, "source", "key", target_frac=0.2)
+    rates = {
+        r["source"]: r["rate"]
+        for r in kept.groupBy("source").agg(F.min("_rate").alias("rate")).collect()
+    }
+    # weights floor(sqrt(n)): big=10, small=2; N=104, S=12
+    assert abs(rates["big"] - 0.2 * 104 * 10 / (12 * 100)) < 1e-12
+    assert abs(rates["small"] - 0.2 * 104 * 2 / (12 * 4)) < 1e-12
+    assert rates["small"] > rates["big"]  # flattening favors the small source
+    # deterministic: same sampled key set on re-run
+    k1 = sorted(r["key"] for r in kept.select("key").collect())
+    k2 = sorted(
+        r["key"]
+        for r in temperature_mix(df, "source", "key", target_frac=0.2)
+        .select("key")
+        .collect()
+    )
+    assert k1 == k2 and k1
