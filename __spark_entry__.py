@@ -5059,6 +5059,97 @@ def q_orc_roundtrip(spark, sf_dir):
         spark, sf_dir, write_orc, read_orc, "_q_orc_rt_"
     )
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink/source round-trip under the oracle gate (sinks.
+    write_csv_dataset / read_csv_dataset — the reference's interchange
+    format, load_csv_to_bq.py:41-111, here as a multi-part scale path
+    with schema-pinned reads). Completes the format family next to
+    jsonl_roundtrip / orc_roundtrip."""
+    from fb_ads_bigquery_etl_spark.sinks import read_csv_dataset, write_csv_dataset
+
+    return _roundtrip_state(
+        spark, sf_dir, write_csv_dataset, read_csv_dataset, "_q_csv_rt_"
+    )
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: over LSH candidate pairs, compare
+    the 32-permutation signature-match estimate (m/32) against exact
+    shingle Jaccard (i/u), banded by true-Jaccard decile — the
+    quality-of-sketch eval a dedup pipeline runs before trusting its
+    threshold. All error terms are exact integers scaled via
+    floor(|m*u - 32*i| / (32*u) * 1e9), so the per-band sum is
+    engine-exact; the only doubles are final single divisions. Same
+    banded-candidate plan shape as minhash_lsh_pairs (no all-pairs)."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
+        band_keys,
+        minhash_signatures,
+        shared,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = shared(minhash_signatures(d, "text", "doc_id", k=3))
+    banded = sigs.select(
+        "id", F.explode(band_keys(F.col("signature"), 8, 4)).alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("_ida"),
+        F.col("shingles").alias("_sha"),
+        F.col("signature").alias("_siga"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("_idb"),
+        F.col("shingles").alias("_shb"),
+        F.col("signature").alias("_sigb"),
+    )
+    m = F.aggregate(
+        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    i = F.size(F.array_intersect("_sha", "_shb")).cast("long")
+    scored = (
+        cands.join(sa, F.col("id_a") == F.col("_ida"))
+        .join(sb, F.col("id_b") == F.col("_idb"))
+        .select(
+            m.alias("_m"),
+            i.alias("_i"),
+            ((F.size("_sha") + F.size("_shb")).cast("long") - i).alias("_u"),
+        )
+        .filter(F.col("_u") > 0)
+    )
+    err = F.floor(
+        F.abs(F.col("_m") * F.col("_u") - F.lit(32) * F.col("_i")).cast("double")
+        / (F.lit(32) * F.col("_u")).cast("double")
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        scored.select(F.expr("div(_i * 10, _u)").alias("j_band"), err.alias("_e"))
+        .groupBy("j_band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("_e").alias("sum_abs_err_e9"),
+        )
+        .withColumn(
+            "mean_abs_err",
+            F.col("sum_abs_err_e9").cast("double")
+            / F.lit(1e9)
+            / F.col("n_pairs").cast("double"),
+        )
+        .orderBy("j_band")
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup collapse: within each MinHash-LSH
     connected component keep the HIGHEST-quality member (tie-break:
@@ -7204,6 +7295,49 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(doc_id * doc_id) AS BIGINT) AS sum_id_sq
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+        "csv_roundtrip": """
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(doc_id * doc_id) AS BIGINT) AS sum_id_sq
+            FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+        "minhash_calibration": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+            hashed AS (SELECT doc_id, shingles,
+                list_transform(shingles,
+                  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+              FROM shl),
+            sigs AS (SELECT doc_id, shingles, {_MINHASH_SIG} AS sig
+                     FROM hashed),
+            bands AS (
+              SELECT doc_id, md5(concat_ws(',', b::VARCHAR,
+                       sig[4*b+1]::VARCHAR, sig[4*b+2]::VARCHAR,
+                       sig[4*b+3]::VARCHAR, sig[4*b+4]::VARCHAR)) AS band_key
+              FROM sigs, (SELECT unnest(generate_series(0, 7)) AS b)),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            p AS (
+              SELECT len(list_filter(generate_series(1, 32),
+                       j -> sa.sig[j] = sb.sig[j])) AS m,
+                     len(list_intersect(sa.shingles, sb.shingles)) AS i,
+                     len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS u
+              FROM cands
+              JOIN sigs sa ON id_a = sa.doc_id
+              JOIN sigs sb ON id_b = sb.doc_id)
+            SELECT (i * 10) // u AS j_band,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(CAST(floor(CAST(abs(m * u - 32 * i) AS DOUBLE)
+                       / CAST(32 * u AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT)
+                     AS sum_abs_err_e9,
+                   CAST(SUM(CAST(floor(CAST(abs(m * u - 32 * i) AS DOUBLE)
+                       / CAST(32 * u AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT)
+                     ::DOUBLE / 1e9 / CAST(COUNT(*) AS DOUBLE)
+                     AS mean_abs_err
+            FROM p WHERE u > 0
+            GROUP BY 1 ORDER BY 1""",
         "dedup_keep_best": f"""
             WITH RECURSIVE {_minhash_pairs_sql()},
             edges AS (SELECT id_a AS u, id_b AS v FROM verified
@@ -7529,6 +7663,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth": q_vocab_growth,
     "approx_percentile_banded": q_approx_percentile_banded,
     "map_agg_metrics": q_map_agg_metrics,
+    "csv_roundtrip": q_csv_roundtrip,
+    "minhash_calibration": q_minhash_calibration,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,

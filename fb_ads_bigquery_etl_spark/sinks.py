@@ -489,3 +489,29 @@ def scd2_apply(
     return spark.read.parquet(path).filter(F.col("state") == "current").drop(
         "state"
     )
+
+
+def write_csv_dataset(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Multi-part CSV sink (one file per partition — the scale path,
+    unlike write_csv_artifact's single-file review artifact). Header on
+    every part so each file is independently consumable; gzip per part
+    keeps shuffle-free parallel reads."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+
+
+def read_csv_dataset(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV dataset source. Pass an explicit schema at scale — CSV
+    inference scans the data twice (the reference makes the same
+    choice: explicit schema in load_csv_to_bq.py:95-108); falls back
+    to inference for ad-hoc reads."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
