@@ -2440,6 +2440,99 @@ def q_streaming_interval_join(spark, sf_dir):
     return out.orderBy("p_event_id", "v_event_id")
 
 
+def q_streaming_interval_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the state-eviction-
+    dependent streaming shape: an unmatched purchase may only emit its
+    null-match row once the watermark PROVES no late view can still
+    match it. Two far-future sentinel files (+10h and +20h past the
+    stream) are staged behind the real events with
+    maxFilesPerTrigger=1, forcing two extra micro-batches whose
+    watermark advances flush every tail purchase before AvailableNow
+    terminates — without them the final unmatched rows would die in the
+    state store and stream != batch. Each sentinel file carries one
+    user_id=-1 row PER SIDE (view and purchase): the query watermark is
+    the MIN across both withWatermark operators, so a view-only
+    sentinel leaves the purchase side pinned at its own max and the
+    tail purchases still never flush (observed: exactly the last 2
+    rows missing). Sentinel purchases are filtered out of the output;
+    sentinel views can match nothing. Oracle: the batch LEFT interval
+    join."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_ilj_landing_"
+    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ts_type = {f.name: f.dataType for f in schema}["ts"]
+    mx = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0][0]
+    )
+    base_m = os.path.getmtime(os.path.join(landing, "events.parquet"))
+    for i, hours in enumerate((10, 20)):
+        if isinstance(ts_type, LongType):
+            far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read shape)
+        else:
+            far = mx + datetime.timedelta(hours=hours)
+        srow = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
+                (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
+            ],
+            schema,
+        )
+        tmp_out = tempfile.mkdtemp(prefix="_ilj_sent_")
+        try:
+            srow.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            part = next(
+                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+            )
+            dest = os.path.join(landing, f"z_sentinel_{i}.parquet")
+            shutil.copyfile(os.path.join(tmp_out, part), dest)
+            # FileStreamSource orders batches by modification time: pin
+            # sentinels strictly after the events file, in order.
+            os.utime(dest, (base_m + 100 * (i + 1),) * 2)
+        finally:
+            shutil.rmtree(tmp_out, ignore_errors=True)
+
+    def side(event_type: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        return event_ts_to_timestamp(raw).filter(
+            F.col("event_type") == event_type
+        )
+
+    from fb_ads_bigquery_etl_spark.streaming.joins import (
+        purchases_with_recent_views,
+    )
+
+    joined = purchases_with_recent_views(
+        side("purchase"), side("view"), how="leftOuter"
+    )
+    name = f"_stream_ilj_{next(_STREAM_SEQ)}"
+    out = _drain_memory_stream(spark, joined, name, "append", landing)
+    # Sentinel rows are excluded on the BATCH side, after the sink: a
+    # filter inside the streaming plan gets constraint-pushed through
+    # the join into both parquet scans — BELOW the withWatermark
+    # operators — silently re-breaking the watermark advance the
+    # sentinels exist to provide. (In practice no sentinel row reaches
+    # the sink anyway: sentinel purchases outlive the final watermark
+    # and sentinel views match nothing; this is belt and suspenders.)
+    return out.filter(F.col("p_user_id") >= 0).orderBy(
+        "p_event_id", "v_event_id"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (concat-then-chunk): per source, docs
     concatenate in doc_id order and cut every 512 tokens; each doc
@@ -6470,6 +6563,16 @@ def _oracle() -> dict[str, str]:
              AND p.event_type = 'purchase' AND v.event_type = 'view'
              AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
             ORDER BY p_event_id, v_event_id""",
+        "streaming_interval_left_join": """
+            SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+                   p.ts AS p_ts, p.value AS p_value,
+                   v.event_id AS v_event_id, v.user_id AS v_user_id,
+                   v.ts AS v_ts, v.value AS v_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            ORDER BY p_event_id, v_event_id""",
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
         "kmeans_clusters": _kmeans_oracle_sql(),
@@ -7665,6 +7768,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_agg_metrics": q_map_agg_metrics,
     "csv_roundtrip": q_csv_roundtrip,
     "minhash_calibration": q_minhash_calibration,
+    "streaming_interval_left_join": q_streaming_interval_left_join,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,

@@ -20,14 +20,23 @@ def purchases_with_recent_views(
     *,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: (purchase, view) pairs of the same user where
+    """Interval join: (purchase, view) pairs of the same user where
     the view happened within `lookback` before the purchase (half-open:
     `p.ts - lookback <= v.ts < p.ts`).
 
     State eviction: views older than watermark+lookback relative to the
     purchase-side watermark are dropped from the buffer. Output columns
     are prefixed (p_/v_) so the pair row is self-describing.
+
+    how='leftOuter' keeps view-less purchases (null v_*): Spark emits an
+    unmatched left row only once the watermark passes its timestamp —
+    proof no late view can still match — so the null-match rows depend
+    on WATERMARK ADVANCEMENT, not just on draining the data. Callers
+    that need every tail row flushed before the query stops must push
+    the watermark past the last purchase (see the sentinel staging in
+    the registry's streaming_interval_left_join query).
     """
     p = purchases.withWatermark("ts", watermark).select(
         F.col("event_id").alias("p_event_id"),
@@ -46,5 +55,5 @@ def purchases_with_recent_views(
         (F.col("p_user_id") == F.col("v_user_id"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("v_ts") < F.col("p_ts")),
-        "inner",
+        how,
     )
