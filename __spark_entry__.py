@@ -3829,6 +3829,122 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_user_paths(spark, sf_dir):
+    """Common event-journey prefixes: each user's first three event
+    types (ts then event_id ordered — fully deterministic) folded into
+    a path string, counted across users. Ordered sequence extraction
+    WITHOUT a ranking window: collect_list(struct) per user (array
+    bounded by that user's events), array_sort, slice — per-user
+    parallelism at any scale."""
+    e = _t(spark, sf_dir, "events")
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                3,
+            ),
+            lambda s: s["event_type"],
+        ),
+    )
+    per_user = e.groupBy("user_id").agg(path.alias("path"))
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+    )
+
+
+def q_length_quantiles_by_lang(spark, sf_dir):
+    """Exact grouped multi-percentile (p25/p50/p75/p95 of doc length per
+    language) as discrete order statistics: smallest value whose
+    cumulative count reaches ceil(p*n) — the type-1 quantile both
+    engines can state in integer arithmetic, no interpolation, no
+    engine-specific quantile definition. Same machinery as
+    median_exact_by_group: the cumulative window touches only the
+    per-(lang, value) HISTOGRAM (metadata-sized), never doc rows."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    )
+    out = cum.groupBy("lang").agg(
+        F.max("_n").alias("n_docs"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * 100 >= F.col("_n") * p, F.col("n_chars")
+                )
+            ).alias(f"p{p}")
+            for p in (25, 50, 75, 95)
+        ],
+    )
+    return out.orderBy("lang")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Append-time NEAR-dedup — the production ingest shape: a new
+    batch ('arrivals', doc_id >= 250) is screened against the EXISTING
+    corpus (doc_id < 250) with MinHash-LSH; an arrival near-duplicating
+    (verified Jaccard >= 0.5) any existing doc is dropped. The
+    candidate join is batch-bands x corpus-bands — never the corpus
+    SELF-join a full re-dedup would run — which is what makes nightly
+    ingest O(batch), not O(corpus). (The testdata has zero EXACT
+    content duplicates, so the usual hash pre-stage would be a no-op
+    here; dedup_exact/dedup_apply cover it.) Reports kept/dropped per
+    source."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
+        band_keys,
+        minhash_signatures,
+        shared,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = shared(minhash_signatures(d, "text", "doc_id", k=3))
+    banded = sigs.select(
+        "id", F.explode(band_keys(F.col("signature"), 8, 4)).alias("band_key")
+    )
+    ar_b = banded.filter(F.col("id") >= 250).select(
+        F.col("id").alias("id_a"), "band_key"
+    )
+    ex_b = banded.filter(F.col("id") < 250).select(
+        F.col("id").alias("id_b"), "band_key"
+    )
+    cands = ar_b.join(ex_b, "band_key").select("id_a", "id_b").distinct()
+    sh = sigs.select("id", "shingles")
+    jac = F.size(F.array_intersect("sa.shingles", "sb.shingles")) / F.size(
+        F.array_union("sa.shingles", "sb.shingles")
+    )
+    dups = (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(jac >= 0.5)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    arrivals = d.filter(F.col("doc_id") >= 250).select("doc_id", "source")
+    tagged = arrivals.join(dups, "doc_id", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_arrivals"),
+            F.sum(F.col("_dup").isNull().cast("long")).alias("n_kept"),
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_approx_percentile_banded(spark, sf_dir):
     """percentile_approx under a deterministic rank-error gate: the raw
     sketch values are engine-specific (Spark KLL vs DuckDB t-digest), so
@@ -6165,6 +6281,53 @@ def _oracle() -> dict[str, str]:
                         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS spend_30d
             FROM orders""",
+        "user_paths": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM s WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, COUNT(*) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path ASC""",
+        "length_quantiles_by_lang": """
+            WITH h AS (SELECT lang, n_chars, COUNT(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, n_chars,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cm,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM h)
+            SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(MIN(CASE WHEN cm * 100 >= n * 25 THEN n_chars END)
+                     AS BIGINT) AS p25,
+                   CAST(MIN(CASE WHEN cm * 100 >= n * 50 THEN n_chars END)
+                     AS BIGINT) AS p50,
+                   CAST(MIN(CASE WHEN cm * 100 >= n * 75 THEN n_chars END)
+                     AS BIGINT) AS p75,
+                   CAST(MIN(CASE WHEN cm * 100 >= n * 95 THEN n_chars END)
+                     AS BIGINT) AS p95
+            FROM cum GROUP BY lang ORDER BY lang""",
+        # verified (from the shared LSH fragment) orders id_a < id_b, so
+        # cross-half pairs always land as (existing id_a, arrival id_b).
+        "dedup_incremental": f"""
+            WITH {_minhash_pairs_sql()},
+            dup AS (SELECT DISTINCT id_b AS doc_id FROM verified
+                    WHERE id_a < 250 AND id_b >= 250),
+            ar AS (SELECT doc_id, source FROM documents
+                   WHERE doc_id >= 250)
+            SELECT source, COUNT(*) AS n_arrivals,
+                   CAST(SUM(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_dropped
+            FROM ar LEFT JOIN dup ON ar.doc_id = dup.doc_id
+            GROUP BY source ORDER BY source""",
         "approx_percentile_banded": """
             WITH ap AS (
               SELECT l_returnflag,
@@ -7769,6 +7932,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip": q_csv_roundtrip,
     "minhash_calibration": q_minhash_calibration,
     "streaming_interval_left_join": q_streaming_interval_left_join,
+    "user_paths": q_user_paths,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "dedup_incremental": q_dedup_incremental,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,

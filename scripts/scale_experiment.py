@@ -64,6 +64,9 @@ QUERIES = [
     ("median_exact_by_group", "exact median on the value histogram"),
     ("dedup_keep_best", "quality-aware LSH survivor pick"),
     ("asof_join_forward", "forward as-of (union + keyed window)"),
+    ("ngram_novelty", "train/test gram novelty (distinct + gram-keyed join)"),
+    ("temperature_mix", "sqrt-weight source mixing (broadcast rates)"),
+    ("vocab_growth", "Heaps curve (min-agg -> 10-row spine window)"),
 ]
 
 
@@ -94,6 +97,13 @@ NEARDUP_QUERIES = [
     ("overlap_pairs", "winnowed fingerprint overlap"),
     ("dedup_apply", "full dedup path (pairs -> CC -> anti-join)"),
     ("containment_pairs", "postings-list containment pairs"),
+    # substring spans belong in the PERTURBED track: verbatim key-offset
+    # copies would make literally every gram corpus-duplicated (marked
+    # positions jump from sparse to all positions at x2), conflating
+    # output-semantics change with engine scaling; perturbed copies keep
+    # the duplicated set linear in the corpus.
+    ("substring_dedup_spans", "corpus-duplicated gram spans (agg+join + merge)"),
+    ("minhash_calibration", "signature-vs-exact Jaccard calibration"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
