@@ -585,3 +585,73 @@ def test_dedup_keep_best_no_window_struct_max(spark):
     assert "Window" not in plan
     assert "LeftAnti" in plan, plan[:1500]
     assert not PI.has_cartesian(df)
+
+
+def test_partitioned_write_static_partition_pruning(spark, tmp_path):
+    """L5 day-partitioned layout: an equality filter on the partition
+    column must land in PartitionFilters (directory pruning — the scan
+    never lists the other days), not in data filters."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark import sinks
+
+    o = (
+        entry_mod._t(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= "2001-07-01")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("date_start"),
+        )
+    )
+    path = str(tmp_path / "po")
+    sinks.write_partitioned(o, path, mode="overwrite")
+    back = spark.read.parquet(path)
+    one_day = o.agg(F.max("date_start")).collect()[0][0]
+    q = back.filter(F.col("date_start") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[[^\]]*date_start[^\]]*\]", plan)
+    assert pf, f"partition filter not pushed to directory pruning:\n{plan}"
+    assert q.count() > 0
+
+
+def test_partitioned_join_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the day-partitioned fact on its partition column against
+    a dim with a selective predicate must insert a
+    dynamicpruningexpression into the scan: only partitions matching
+    the dim's surviving keys are read — the Spark feature that makes
+    fact x date-dim joins at 100 TB read days, not history."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark import sinks
+
+    o = (
+        entry_mod._t(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= "2001-07-01")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("date_start"),
+        )
+    )
+    path = str(tmp_path / "po")
+    sinks.write_partitioned(o, path, mode="overwrite")
+    back = spark.read.parquet(path)
+    one_day = o.agg(F.max("date_start")).collect()[0][0]
+    dim = (
+        spark.range(0, 10)
+        .select(
+            F.date_add(F.lit(one_day), (F.col("id") * -1).cast("int")).alias(
+                "date_start"
+            ),
+            F.col("id").alias("k"),
+        )
+        .filter(F.col("k") < 2)
+    )
+    q = back.join(dim, "date_start").select("o_orderkey", "k")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"expected dynamic partition pruning in scan:\n{plan}"
+    )
+    assert q.count() > 0
