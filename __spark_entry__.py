@@ -3829,6 +3829,23 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training, first 3 merges (operators/bpe.py) — the
+    fourth iterative operator family (after k-means, PageRank, CC),
+    fully hash-gated: pair counts ride word FREQUENCIES (the corpus
+    folds once to a vocabulary frame; every iteration is
+    vocabulary-sized), the argmax pair is a lazy one-row broadcast (no
+    driver collect between iterations), and greedy
+    leftmost-nonoverlapping application is run-parity window
+    arithmetic. The DuckDB oracle replays all 3 iterations as unrolled
+    CTEs."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.learn_merges(d, tokens(F.col("text")), iters=3)
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -4516,6 +4533,70 @@ def q_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+def _bpe_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-CTE replay of operators/bpe.learn_merges: per iteration,
+    lead()-adjacency pair counts weighted by word frequency, a
+    count-desc/lexicographic LIMIT-1 argmax, run-parity greedy
+    selection, and the positional merge application."""
+    ctes = [
+        f"""wf AS (SELECT wid, COUNT(*) AS freq
+               FROM (SELECT unnest({_TOK}) AS wid FROM documents)
+               GROUP BY wid)""",
+        """s0 AS (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
+               FROM wf, UNNEST(generate_series(1, length(wid))) AS u(i))""",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""n{k} AS (
+              SELECT wid, pos, sym,
+                     lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+                     ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn
+              FROM s{k})"""
+        )
+        ctes.append(
+            f"""p{k} AS (
+              SELECT n.sym AS a, n.nxt AS b, SUM(w.freq) AS cnt
+              FROM n{k} n JOIN wf w USING (wid)
+              WHERE n.nxt IS NOT NULL GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""t{k} AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+              FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+              SELECT n.wid, n.rn,
+                     ROW_NUMBER() OVER (PARTITION BY n.wid ORDER BY n.rn)
+                       AS crn
+              FROM n{k} n, t{k} t WHERE n.sym = t.a AND n.nxt = t.b)"""
+        )
+        ctes.append(
+            f"""sel{k} AS (
+              SELECT wid, rn FROM (
+                SELECT wid, rn,
+                       rn - MIN(rn) OVER (PARTITION BY wid, rn - crn) AS off
+                FROM c{k})
+              WHERE off % 2 = 0)"""
+        )
+        ctes.append(
+            f"""s{k + 1} AS (
+              SELECT n.wid, n.pos,
+                     CASE WHEN sl.rn IS NOT NULL
+                          THEN n.sym || (SELECT b FROM t{k})
+                          ELSE n.sym END AS sym
+              FROM n{k} n
+              LEFT JOIN sel{k} sl ON n.wid = sl.wid AND n.rn = sl.rn
+              LEFT JOIN sel{k} sp ON n.wid = sp.wid AND n.rn = sp.rn + 1
+              WHERE sp.rn IS NULL)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"""SELECT CAST({k + 1} AS BIGINT) AS step, a AS left_sym,
+                   b AS right_sym, cnt AS pair_weight FROM t{k}"""
+        for k in range(iters)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY step"
 
 
 def _bm25_oracle_sql() -> str:
@@ -7480,6 +7561,7 @@ def _oracle() -> dict[str, str]:
             SELECT lang, lang_pred, COUNT(*) AS n
             FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
         "bm25_topk": _bm25_oracle_sql(),
+        "bpe_merges": _bpe_oracle_sql(),
         "frequent_pairs": f"""
             WITH items AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
@@ -7935,6 +8017,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_paths": q_user_paths,
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "dedup_incremental": q_dedup_incremental,
+    "bpe_merges": q_bpe_merges,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,

@@ -1,0 +1,159 @@
+"""BPE merge learning — the tokenizer-training fixpoint, distributed.
+
+Byte-pair encoding (Sennrich et al. 2016) trains a tokenizer by
+repeatedly (1) counting adjacent symbol pairs across the corpus
+weighted by word frequency, (2) merging the most frequent pair
+everywhere (greedy leftmost-nonoverlapping within each word), and
+iterating. This is the fourth iterative operator family in the engine
+(next to k-means, PageRank, and connected components) and, like them,
+it is expressed so a SQL oracle can replay it exactly:
+
+- the corpus folds ONCE to a (word, freq) vocabulary frame — every
+  subsequent step is vocabulary-sized, never corpus-sized (the reason
+  real BPE trainers scale: pair statistics ride word frequencies);
+- symbol state is positional rows (word, pos, sym); adjacency is a
+  per-word lead() window (partitions bounded by word length);
+- the argmax pair is a count-desc/lexicographic LIMIT 1 — a one-row
+  broadcast, kept lazy (no driver-side collect between iterations);
+- greedy leftmost-nonoverlapping application is run-parity selection:
+  candidates at consecutive sequence indices (only possible when the
+  pair is (a, a)) keep even offsets within each run — exactly the
+  left-to-right scan's choices, but computable as window arithmetic.
+
+Iterations are unrolled lazily (fixed `iters`), mirroring the
+unrolled-CTE DuckDB oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def word_frequencies(df: DataFrame, tokens_col: Column) -> DataFrame:
+    """Corpus -> (wid, freq): the single corpus-sized pass."""
+    return (
+        df.select(F.explode(tokens_col).alias("wid"))
+        .groupBy("wid")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(wid, pos, sym): each word split into 1-char symbols."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("wid")),
+        lambda i: F.col("wid").substr(i, F.lit(1)),
+    )
+    return words.select(
+        "wid", F.posexplode(chars).alias("pos", "sym")
+    )
+
+
+def _one_merge(state: DataFrame, words: DataFrame):
+    """One BPE iteration. Returns (merge_row_df, next_state_df)."""
+    w = Window.partitionBy("wid").orderBy("pos")
+    n = state.select(
+        "wid",
+        "pos",
+        "sym",
+        F.lead("sym").over(w).alias("_nxt"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    pairs = (
+        n.filter(F.col("_nxt").isNotNull())
+        .join(words, "wid")
+        .groupBy("sym", "_nxt")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    top = (
+        pairs.orderBy(F.col("cnt").desc(), F.col("sym").asc(), F.col("_nxt").asc())
+        .limit(1)
+        .select(
+            F.col("sym").alias("_a"),
+            F.col("_nxt").alias("_b"),
+            F.col("cnt").cast("long").alias("_c"),
+        )
+    )
+    cand = (
+        n.crossJoin(F.broadcast(top))
+        .filter((F.col("sym") == F.col("_a")) & (F.col("_nxt") == F.col("_b")))
+        .select(
+            "wid",
+            "_rn",
+            "_b",
+            F.row_number()
+            .over(Window.partitionBy("wid").orderBy("_rn"))
+            .alias("_crn"),
+        )
+    )
+    # run-parity: candidates at consecutive _rn form a run (possible only
+    # for (a, a) pairs); the greedy left-to-right scan takes even offsets.
+    runs = cand.withColumn(
+        "_off",
+        F.col("_rn")
+        - F.min("_rn").over(
+            Window.partitionBy("wid", F.col("_rn") - F.col("_crn"))
+        ),
+    )
+    sel = runs.filter(F.col("_off") % 2 == 0).select("wid", "_rn", "_b")
+    # apply the merge with two left joins: selected rows take the fused
+    # symbol; rows immediately after a selected row are consumed
+    s_hit = sel.select(
+        F.col("wid").alias("_hw"), F.col("_rn").alias("_hr"), "_b"
+    )
+    s_prev = sel.select(
+        F.col("wid").alias("_pw"), (F.col("_rn") + 1).alias("_pr")
+    )
+    nxt_state = (
+        n.join(
+            s_hit,
+            (F.col("wid") == F.col("_hw")) & (F.col("_rn") == F.col("_hr")),
+            "left",
+        )
+        .join(
+            s_prev,
+            (F.col("wid") == F.col("_pw")) & (F.col("_rn") == F.col("_pr")),
+            "left",
+        )
+        .filter(F.col("_pr").isNull())
+        .select(
+            "wid",
+            "pos",
+            F.when(
+                F.col("_hr").isNotNull(), F.concat(F.col("sym"), F.col("_b"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return top, nxt_state
+
+
+def learn_merges(
+    df: DataFrame, tokens_col: Column, *, iters: int = 3
+) -> DataFrame:
+    """Learn the first `iters` BPE merges over the corpus.
+
+    Returns (step, left_sym, right_sym, pair_weight) — one row per
+    learned merge, in order. Everything after the initial corpus fold
+    is vocabulary-sized; iterations are unrolled lazily.
+    """
+    # checkpoint the vocabulary: every iteration joins it, and each lazy
+    # consumer would otherwise re-run the corpus fold
+    words = word_frequencies(df, tokens_col).localCheckpoint(eager=True)
+    state = initial_symbols(words)
+    outs = []
+    for step in range(1, iters + 1):
+        top, state = _one_merge(state, words)
+        outs.append(
+            top.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("_a").alias("left_sym"),
+                F.col("_b").alias("right_sym"),
+                F.col("_c").alias("pair_weight"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.orderBy("step")

@@ -1,0 +1,65 @@
+"""BPE merge learning vs a sequential reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from fb_ads_bigquery_etl_spark.functions.portable import tokens
+from fb_ads_bigquery_etl_spark.operators import bpe
+
+
+def _reference_bpe(texts: list[str], iters: int) -> list[tuple[str, str, int]]:
+    """Plain sequential BPE: the semantics learn_merges must match."""
+    words = Counter()
+    for t in texts:
+        words.update(w for w in t.lower().split() if w)
+    state = {w: [c for c in w] for w in words}
+    merges = []
+    for _ in range(iters):
+        counts: Counter = Counter()
+        for w, syms in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += words[w]
+        if not counts:
+            break
+        # max count, then lexicographic (a, b) — the engine's tie-break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def _run(spark, texts, iters=3):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_weight"])
+        for r in bpe.learn_merges(df, tokens(F.col("text")), iters=iters).collect()
+    ]
+    assert got == _reference_bpe(texts, iters), f"texts={texts}"
+
+
+def test_bpe_matches_reference_on_simple_corpus(spark):
+    _run(spark, ["low lower lowest", "low low newer newest", "wider wide"])
+
+
+def test_bpe_greedy_overlap_runs(spark):
+    # 'aaaa' exercises the (a, a) run-parity path: greedy takes
+    # positions 0-1 and 2-3, NOT the overlapping 1-2
+    _run(spark, ["aaaa aaa aa baab", "aaaa caa aac"])
+
+
+def test_bpe_merged_symbols_chain(spark):
+    # after (a, b) -> 'ab', the next iterations must see 'ab' as ONE
+    # symbol (e.g. ('ab', 'c') can win), not re-split it
+    _run(spark, ["abc abc abc abd", "abx abc yabc"], iters=4)
