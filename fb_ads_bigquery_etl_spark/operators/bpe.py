@@ -145,6 +145,12 @@ def learn_merges(
     outs = []
     for step in range(1, iters + 1):
         top, state = _one_merge(state, words)
+        # cut the lineage each iteration: state feeds multiple consumers
+        # in the next one (pair counts AND candidate application), and
+        # without a checkpoint the recomputation compounds geometrically
+        # across iterations — same treatment as the k-means / PageRank
+        # fixpoints. Vocabulary-sized, so the materialization is cheap.
+        state = state.localCheckpoint(eager=True)
         outs.append(
             top.select(
                 F.lit(step).cast("long").alias("step"),
