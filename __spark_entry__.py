@@ -721,6 +721,10 @@ def q_excess_shippers(spark, sf_dir):
 
 _STREAM_SEQ = itertools.count()
 
+# sf_dir -> cached sentinel parquet files for the left-outer interval
+# join (built once; copied into each invocation's fresh landing dir)
+_ILJ_SENTINEL_CACHE: dict[str, list[str]] = {}
+
 
 def _stage_events_landing(spark, sf_dir, prefix, *, copies=1):
     """Stage events.parquet into a fresh temp landing DIRECTORY (the
@@ -754,22 +758,41 @@ def _stage_events_landing(spark, sf_dir, prefix, *, copies=1):
     return open_stream, landing
 
 
-def _drain_memory_stream(spark, agg, name, output_mode, landing):
+def _drain_memory_stream(
+    spark, agg, name, output_mode, landing, *, state_partitions=None
+):
     """AvailableNow-drain a streaming aggregation into a memory sink and
     return its MATERIALIZED contents (localCheckpoint), then remove the
     temp landing dir and drop the sink's temp view — a long bench
     session runs 131 queries back to back and must not accumulate
-    per-invocation landing dirs or sink tables."""
+    per-invocation landing dirs or sink tables.
+
+    state_partitions: stream-stream JOINS maintain 4 HDFS-backed state
+    stores per shuffle partition and snapshot each one per micro-batch;
+    at 32 shuffle partitions that file churn dominates the query (~35%
+    measured). The partition count is frozen into the state layout at
+    stream start, so we scope a lower spark.sql.shuffle.partitions to
+    exactly this query and restore the session value after. (On a real
+    cluster you would size this to the state volume, not the CPU
+    count — state partitions are about store count, not parallelism.)
+    """
     import shutil
 
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(landing, ignore_errors=True)
@@ -2436,7 +2459,9 @@ def q_streaming_interval_join(spark, sf_dir):
 
     joined = purchases_with_recent_views(side("purchase"), side("view"))
     name = f"_stream_ij_{next(_STREAM_SEQ)}"
-    out = _drain_memory_stream(spark, joined, name, "append", landing)
+    out = _drain_memory_stream(
+        spark, joined, name, "append", landing, state_partitions=8
+    )
     return out.orderBy("p_event_id", "v_event_id")
 
 
@@ -2445,18 +2470,21 @@ def q_streaming_interval_left_join(spark, sf_dir):
     dependent streaming shape: an unmatched purchase may only emit its
     null-match row once the watermark PROVES no late view can still
     match it. Two far-future sentinel files (+10h and +20h past the
-    stream) are staged behind the real events with
-    maxFilesPerTrigger=1, forcing two extra micro-batches whose
-    watermark advances flush every tail purchase before AvailableNow
-    terminates — without them the final unmatched rows would die in the
-    state store and stream != batch. Each sentinel file carries one
-    user_id=-1 row PER SIDE (view and purchase): the query watermark is
-    the MIN across both withWatermark operators, so a view-only
-    sentinel leaves the purchase side pinned at its own max and the
-    tail purchases still never flush (observed: exactly the last 2
-    rows missing). Sentinel purchases are filtered out of the output;
-    sentinel views can match nothing. Oracle: the batch LEFT interval
-    join."""
+    stream) are staged behind the real events; maxFilesPerTrigger=2
+    packs [events, sentinel_0] into batch 0 — so the watermark after
+    batch 0 is already past every real purchase — and batch 1
+    (sentinel_1) runs with that watermark and flushes every tail
+    purchase's null-match row before AvailableNow terminates. Without
+    the sentinels the final unmatched rows would die in the state store
+    and stream != batch. Each sentinel file carries one user_id=-1 row
+    PER SIDE (view and purchase): the query watermark is the MIN across
+    both withWatermark operators, so a view-only sentinel leaves the
+    purchase side pinned at its own max and the tail purchases still
+    never flush (observed: exactly the last 2 rows missing). Sentinel
+    purchases are filtered out of the output; sentinel views can match
+    nothing. Sentinel files are built once per sf_dir and cached — the
+    max-ts probe and two parquet writes don't repeat on re-invocation.
+    Oracle: the batch LEFT interval join."""
     import datetime
     import shutil
     import tempfile
@@ -2468,44 +2496,50 @@ def q_streaming_interval_left_join(spark, sf_dir):
     )
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    ts_type = {f.name: f.dataType for f in schema}["ts"]
-    mx = (
-        spark.read.schema(schema)
-        .parquet(path)
-        .agg(F.max("ts").alias("m"))
-        .collect()[0][0]
-    )
-    base_m = os.path.getmtime(os.path.join(landing, "events.parquet"))
-    for i, hours in enumerate((10, 20)):
-        if isinstance(ts_type, LongType):
-            far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read shape)
-        else:
-            far = mx + datetime.timedelta(hours=hours)
-        srow = spark.createDataFrame(
-            [
-                (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
-                (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
-            ],
-            schema,
+    if sf_dir not in _ILJ_SENTINEL_CACHE:
+        ts_type = {f.name: f.dataType for f in schema}["ts"]
+        mx = (
+            spark.read.schema(schema)
+            .parquet(path)
+            .agg(F.max("ts").alias("m"))
+            .collect()[0][0]
         )
-        tmp_out = tempfile.mkdtemp(prefix="_ilj_sent_")
-        try:
+        cache_dir = tempfile.mkdtemp(prefix="_ilj_sent_cache_")
+        files = []
+        for i, hours in enumerate((10, 20)):
+            if isinstance(ts_type, LongType):
+                far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read)
+            else:
+                far = mx + datetime.timedelta(hours=hours)
+            srow = spark.createDataFrame(
+                [
+                    (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
+                    (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
+                ],
+                schema,
+            )
+            tmp_out = os.path.join(cache_dir, f"w{i}")
             srow.coalesce(1).write.mode("overwrite").parquet(tmp_out)
             part = next(
                 f for f in os.listdir(tmp_out) if f.endswith(".parquet")
             )
-            dest = os.path.join(landing, f"z_sentinel_{i}.parquet")
+            dest = os.path.join(cache_dir, f"z_sentinel_{i}.parquet")
             shutil.copyfile(os.path.join(tmp_out, part), dest)
-            # FileStreamSource orders batches by modification time: pin
-            # sentinels strictly after the events file, in order.
-            os.utime(dest, (base_m + 100 * (i + 1),) * 2)
-        finally:
             shutil.rmtree(tmp_out, ignore_errors=True)
+            files.append(dest)
+        _ILJ_SENTINEL_CACHE[sf_dir] = files
+    base_m = os.path.getmtime(os.path.join(landing, "events.parquet"))
+    for i, src in enumerate(_ILJ_SENTINEL_CACHE[sf_dir]):
+        dest = os.path.join(landing, os.path.basename(src))
+        shutil.copyfile(src, dest)
+        # FileStreamSource orders batches by modification time: pin
+        # sentinels strictly after the events file, in order.
+        os.utime(dest, (base_m + 100 * (i + 1),) * 2)
 
     def side(event_type: str) -> DataFrame:
         raw = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(landing)
         )
         return event_ts_to_timestamp(raw).filter(
@@ -2520,7 +2554,9 @@ def q_streaming_interval_left_join(spark, sf_dir):
         side("purchase"), side("view"), how="leftOuter"
     )
     name = f"_stream_ilj_{next(_STREAM_SEQ)}"
-    out = _drain_memory_stream(spark, joined, name, "append", landing)
+    out = _drain_memory_stream(
+        spark, joined, name, "append", landing, state_partitions=8
+    )
     # Sentinel rows are excluded on the BATCH side, after the sink: a
     # filter inside the streaming plan gets constraint-pushed through
     # the join into both parquet scans — BELOW the withWatermark
