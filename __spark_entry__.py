@@ -4514,13 +4514,9 @@ def q_lang_confusion(spark, sf_dir):
     )
 
 
-def q_bm25_topk(spark, sf_dir):
-    """BM25 document scoring (rational-idf variant — see _BM25_TERMS
-    note) for a fixed conjunctive term set: per-doc term frequencies in
-    one narrow tokenize pass, corpus stats (N, avgdl, per-term df)
-    collapse to ONE broadcast row, scoring is a narrow expression, and
-    the reduction is top-k (TakeOrdered) — the retrieval shape that
-    pairs with inverted_index/tfidf_top."""
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, bm25) for the fixed _BM25_TERMS query — the scored frame
+    shared by q_bm25_topk and q_rrf_fusion (filter > 0 applied)."""
     from fb_ads_bigquery_etl_spark.functions.portable import tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -4563,11 +4559,67 @@ def q_bm25_topk(spark, sf_dir):
             )
         )
         score = term if score is None else score + term
+    return j.select("doc_id", score.alias("bm25")).filter(F.col("bm25") > 0.0)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 document scoring (rational-idf variant — see _BM25_TERMS
+    note) for a fixed conjunctive term set: per-doc term frequencies in
+    one narrow tokenize pass, corpus stats (N, avgdl, per-term df)
+    collapse to ONE broadcast row, scoring is a narrow expression, and
+    the reduction is top-k (TakeOrdered) — the retrieval shape that
+    pairs with inverted_index/tfidf_top."""
     return (
-        j.select("doc_id", score.alias("bm25"))
-        .filter(F.col("bm25") > 0.0)
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the dense cosine ranking (query = vector 0; vec_id and
+    doc_id share the 0..N id domain in the testdata). Each retriever
+    contributes its top-50; rrf = 1/(60+rank_lex) + 1/(60+rank_dense)
+    with a missing-list term contributing 0 — the standard hybrid
+    search combiner. Both candidate lists are top-k reductions
+    (TakeOrdered) before any ranking window, so the single-partition
+    row_number touches <= 50 rows — metadata-sized, like the offsets in
+    percent_rank. All rank arithmetic is exact-integer; the only
+    doubles are the two 1/(60+r) divisions, correctly rounded in both
+    engines."""
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    dense = similarity.brute_force_topk(e, list(qvec), k=50)
+    denser = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("dense_rank"),
+    )
+    fused = lexr.join(denser, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
 
 
@@ -4635,7 +4687,8 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY step"
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_ctes_and_terms() -> tuple[str, str]:
+    """Shared BM25 oracle fragments: (CTE body, score expression)."""
     tf_exprs = ", ".join(
         f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -4651,17 +4704,60 @@ def _bm25_oracle_sql() -> str:
         f"* dl / (total_len / CAST(n_docs AS DOUBLE)))))"
         for i in range(len(_BM25_TERMS))
     )
-    return f"""
-        WITH per_doc AS (
+    ctes = f"""per_doc AS (
           SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_exprs}
           FROM (SELECT doc_id, {_TOK} AS t FROM documents)),
         stats AS (
           SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len, {df_exprs}
-          FROM per_doc)
+          FROM per_doc)"""
+    return ctes, terms
+
+
+def _bm25_oracle_sql() -> str:
+    ctes, terms = _bm25_ctes_and_terms()
+    return f"""
+        WITH {ctes}
         SELECT doc_id, {terms} AS bm25
         FROM per_doc, stats
         WHERE {terms} > 0.0
         ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
+
+def _rrf_oracle_sql() -> str:
+    ctes, terms = _bm25_ctes_and_terms()
+    return f"""
+        WITH {ctes},
+        lex AS (
+          SELECT doc_id, {terms} AS bm25
+          FROM per_doc, stats
+          WHERE {terms} > 0.0
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+        lexr AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                   AS lex_rank
+          FROM lex),
+        ve AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+        q AS (SELECT e AS qe FROM ve WHERE vec_id = 0),
+        dn AS (SELECT vec_id, {_cos_sql('e', 'qe')} AS score
+               FROM ve, q
+               ORDER BY score DESC, vec_id ASC LIMIT 50),
+        dnr AS (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC)
+                   AS dense_rank
+          FROM dn),
+        f AS (
+          SELECT COALESCE(lexr.doc_id, dnr.doc_id) AS doc_id,
+                 lex_rank, dense_rank
+          FROM lexr FULL OUTER JOIN dnr ON lexr.doc_id = dnr.doc_id)
+        SELECT doc_id, lex_rank, dense_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0)
+                 AS rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10"""
 
 
 def _lsh_planes_sql(num_planes: int = 8, dim: int = 64) -> str:
@@ -7598,6 +7694,7 @@ def _oracle() -> dict[str, str]:
             FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
         "bm25_topk": _bm25_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "rrf_fusion": _rrf_oracle_sql(),
         "frequent_pairs": f"""
             WITH items AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
@@ -8054,6 +8151,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles_by_lang": q_length_quantiles_by_lang,
     "dedup_incremental": q_dedup_incremental,
     "bpe_merges": q_bpe_merges,
+    "rrf_fusion": q_rrf_fusion,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
