@@ -4201,6 +4201,36 @@ def q_substring_dedup_spans(spark, sf_dir):
     )
 
 
+def q_substring_dedup_apply(spark, sf_dir):
+    """Lee-et-al exact-substring dedup APPLIED (dedup.
+    strip_duplicated_spans): every token covered by a corpus-duplicated
+    8-gram is cut; reported per source with a content checksum (sum of
+    portable hash32 over each cleaned doc) so the hash gate verifies
+    the CLEANED TEXT itself, not just counts. Duplicated-position sets
+    fold to one bounded array per affected doc and join back id-keyed;
+    removal is a narrow filter-with-index — no second corpus shuffle."""
+    from fb_ads_bigquery_etl_spark.functions.portable import hash32
+    from fb_ads_bigquery_etl_spark.operators.dedup import strip_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    c = strip_duplicated_spans(d, k=8)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.size("_tokens") != F.size("cleaned_tokens")).cast("long")
+            ).alias("n_docs_affected"),
+            F.sum(F.size("_tokens").cast("long")).alias("tokens_before"),
+            F.sum(F.size("cleaned_tokens").cast("long")).alias("tokens_after"),
+            F.sum(
+                hash32(F.concat_ws(" ", F.col("cleaned_tokens")))
+            ).alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_embedding_normalize(spark, sf_dir):
     """Per-dimension z-score feature scaling reported as each vector's
     normalized L2 norm (operators/similarity.py zscore_norms): dim stats
@@ -7451,6 +7481,34 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(span_len) AS BIGINT)
                      / CAST(n_tokens AS DOUBLE) AS dup_fraction
             FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""",
+        "substring_dedup_apply": f"""
+            WITH tok AS (SELECT doc_id, source, {_TOK} AS t
+                         FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                      1, 15))::BIGINT AS gh
+              FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+            dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+            dp AS (SELECT doc_id, list_sort(list(pos)) AS dps
+                   FROM g JOIN dup USING (gh) GROUP BY doc_id),
+            c AS (
+              SELECT tok.source, t,
+                     CASE WHEN dps IS NULL THEN t
+                          ELSE list_filter(t, (x, j) ->
+                                 len(list_filter(dps,
+                                   q -> q <= j - 1 AND j - 1 < q + 8)) = 0)
+                     END AS ct
+              FROM tok LEFT JOIN dp USING (doc_id))
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN len(t) <> len(ct) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_docs_affected,
+                   CAST(SUM(len(t)) AS BIGINT) AS tokens_before,
+                   CAST(SUM(len(ct)) AS BIGINT) AS tokens_after,
+                   CAST(SUM(('0x' || substr(md5(
+                      COALESCE(array_to_string(ct, ' '), '')),
+                      1, 8))::BIGINT) AS BIGINT) AS content_checksum
+            FROM c GROUP BY source ORDER BY source""",
         "doc_chunks": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
             sized AS (
@@ -8152,6 +8210,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "bpe_merges": q_bpe_merges,
     "rrf_fusion": q_rrf_fusion,
+    "substring_dedup_apply": q_substring_dedup_apply,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,

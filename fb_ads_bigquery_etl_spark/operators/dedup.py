@@ -84,6 +84,81 @@ def distinct_rows(df: DataFrame) -> DataFrame:
     return df.distinct()
 
 
+def duplicated_gram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Token positions whose k-gram occurs >= 2 times corpus-wide.
+
+    Returns (id, n_tokens, pos): pos is the 0-based start of a
+    duplicated k-gram — each marks tokens [pos, pos+k-1] as duplicated
+    text. Shared base of `duplicated_gram_spans` (maximal-span
+    reporting) and `strip_duplicated_spans` (removal); see the former
+    for the agg+join-vs-window plan rationale.
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, hash60, tokens
+
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+
+    def grams_of(t):
+        n = F.size(t) - (k - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+            lambda i: hash60(F.concat_ws(" ", F.slice(t, i, k))),
+        )
+
+    pos = tok.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.posexplode(bind(F.col("_t"), grams_of)).alias("pos", "gh"),
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("gh")
+    )
+    return pos.join(dup, "gh").select(id_col, "n_tokens", "pos")
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Lee et al. 2022 APPLIED: every token covered by a corpus-
+    duplicated k-gram is cut from the document.
+
+    Returns the full corpus as (id, tokens, cleaned_tokens): unaffected
+    docs pass through with cleaned == tokens. The duplicated-position
+    sets fold to one array per affected doc (bounded by doc length) and
+    join back to the corpus id-keyed; removal is a narrow
+    filter-with-index over the token array — no second corpus shuffle.
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+
+    dp = (
+        duplicated_gram_positions(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_dps"))
+    )
+    tok = df.select(
+        "*", tokens(F.col(text_col)).alias("_tokens")
+    ).join(dp, id_col, "left")
+    cleaned = F.when(F.col("_dps").isNull(), F.col("_tokens")).otherwise(
+        F.filter(
+            F.col("_tokens"),
+            lambda x, j: ~F.exists(
+                F.col("_dps"), lambda p: (p <= j) & (j < p + k)
+            ),
+        )
+    )
+    return tok.withColumn("cleaned_tokens", cleaned).drop("_dps")
+
+
 def duplicated_gram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -118,29 +193,7 @@ def duplicated_gram_spans(
       duplicated position exceeds k, a running sum numbers spans, and a
       hash agg folds each to (start, len).
     """
-    from fb_ads_bigquery_etl_spark.functions.portable import bind, hash60, tokens
-
-    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-
-    def grams_of(t):
-        n = F.size(t) - (k - 1)
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
-            lambda i: hash60(F.concat_ws(" ", F.slice(t, i, k))),
-        )
-
-    pos = tok.select(
-        F.col(id_col),
-        F.size("_t").cast("long").alias("n_tokens"),
-        F.posexplode(bind(F.col("_t"), grams_of)).alias("pos", "gh"),
-    )
-    dup = (
-        pos.groupBy("gh")
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("gh")
-    )
-    marked = pos.join(dup, "gh").select(id_col, "n_tokens", "pos")
+    marked = duplicated_gram_positions(df, id_col, text_col, k)
 
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = marked.withColumn(
