@@ -721,9 +721,65 @@ def q_excess_shippers(spark, sf_dir):
 
 _STREAM_SEQ = itertools.count()
 
-# sf_dir -> cached sentinel parquet files for the left-outer interval
-# join (built once; copied into each invocation's fresh landing dir)
-_ILJ_SENTINEL_CACHE: dict[str, list[str]] = {}
+# sf_dir -> cached sentinel parquet files for streaming queries whose
+# final emissions depend on WATERMARK ADVANCE past the stream's end
+# (left-outer join null flush, event-time-timeout state eviction).
+# Built once; copied into each invocation's fresh landing dir.
+_SENTINEL_CACHE: dict[str, list[str]] = {}
+
+
+def _stage_sentinels(spark, sf_dir, landing):
+    """Copy two far-future sentinel files (+10h / +20h past the stream,
+    one user_id=-1 row PER event type so every withWatermark operator
+    advances) into `landing`, mtime-pinned strictly after the events
+    file so maxFilesPerTrigger batching orders them last. Returns the
+    raw events schema."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if sf_dir not in _SENTINEL_CACHE:
+        ts_type = {f.name: f.dataType for f in schema}["ts"]
+        mx = (
+            spark.read.schema(schema)
+            .parquet(path)
+            .agg(F.max("ts").alias("m"))
+            .collect()[0][0]
+        )
+        cache_dir = tempfile.mkdtemp(prefix="_sent_cache_")
+        files = []
+        for i, hours in enumerate((10, 20)):
+            if isinstance(ts_type, LongType):
+                far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read)
+            else:
+                far = mx + datetime.timedelta(hours=hours)
+            srow = spark.createDataFrame(
+                [
+                    (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
+                    (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
+                ],
+                schema,
+            )
+            tmp_out = os.path.join(cache_dir, f"w{i}")
+            srow.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            part = next(
+                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+            )
+            dest = os.path.join(cache_dir, f"z_sentinel_{i}.parquet")
+            shutil.copyfile(os.path.join(tmp_out, part), dest)
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            files.append(dest)
+        _SENTINEL_CACHE[sf_dir] = files
+    base_m = os.path.getmtime(os.path.join(landing, "events.parquet"))
+    for i, src in enumerate(_SENTINEL_CACHE[sf_dir]):
+        dest = os.path.join(landing, os.path.basename(src))
+        shutil.copyfile(src, dest)
+        os.utime(dest, (base_m + 100 * (i + 1),) * 2)
+    return schema
 
 
 def _stage_events_landing(spark, sf_dir, prefix, *, copies=1):
@@ -2485,56 +2541,10 @@ def q_streaming_interval_left_join(spark, sf_dir):
     nothing. Sentinel files are built once per sf_dir and cached — the
     max-ts probe and two parquet writes don't repeat on re-invocation.
     Oracle: the batch LEFT interval join."""
-    import datetime
-    import shutil
-    import tempfile
-
-    from pyspark.sql.types import LongType
-
     open_stream, landing = _stage_events_landing(
         spark, sf_dir, "stream_ilj_landing_"
     )
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    if sf_dir not in _ILJ_SENTINEL_CACHE:
-        ts_type = {f.name: f.dataType for f in schema}["ts"]
-        mx = (
-            spark.read.schema(schema)
-            .parquet(path)
-            .agg(F.max("ts").alias("m"))
-            .collect()[0][0]
-        )
-        cache_dir = tempfile.mkdtemp(prefix="_ilj_sent_cache_")
-        files = []
-        for i, hours in enumerate((10, 20)):
-            if isinstance(ts_type, LongType):
-                far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read)
-            else:
-                far = mx + datetime.timedelta(hours=hours)
-            srow = spark.createDataFrame(
-                [
-                    (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
-                    (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
-                ],
-                schema,
-            )
-            tmp_out = os.path.join(cache_dir, f"w{i}")
-            srow.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-            part = next(
-                f for f in os.listdir(tmp_out) if f.endswith(".parquet")
-            )
-            dest = os.path.join(cache_dir, f"z_sentinel_{i}.parquet")
-            shutil.copyfile(os.path.join(tmp_out, part), dest)
-            shutil.rmtree(tmp_out, ignore_errors=True)
-            files.append(dest)
-        _ILJ_SENTINEL_CACHE[sf_dir] = files
-    base_m = os.path.getmtime(os.path.join(landing, "events.parquet"))
-    for i, src in enumerate(_ILJ_SENTINEL_CACHE[sf_dir]):
-        dest = os.path.join(landing, os.path.basename(src))
-        shutil.copyfile(src, dest)
-        # FileStreamSource orders batches by modification time: pin
-        # sentinels strictly after the events file, in order.
-        os.utime(dest, (base_m + 100 * (i + 1),) * 2)
+    schema = _stage_sentinels(spark, sf_dir, landing)
 
     def side(event_type: str) -> DataFrame:
         raw = (
@@ -3564,6 +3574,40 @@ def q_weighted_sample(spark, sf_dir):
         )
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+def q_streaming_sessions_timeout(spark, sf_dir):
+    """Per-user sessions via applyInPandasWithState + EVENT-TIME
+    TIMEOUT (streaming/state.timeout_sessions) — the arbitrary-state
+    path to the same session semantics session_window gives, gating the
+    state dimension the accumulator op doesn't: a key with no further
+    arrivals is closed by WATERMARK-driven timeout (state.hasTimedOut
+    invocation), not by new data. Far-future sentinels +
+    maxFilesPerTrigger=2 advance the watermark so every open session's
+    deadline passes before AvailableNow terminates (same staging as the
+    left-outer interval join); the sentinel key itself never times out
+    and is filtered on the batch side. Oracle: the same batch lag()
+    session reconstruction that gates streaming_sessions."""
+    from fb_ads_bigquery_etl_spark.streaming.state import timeout_sessions
+
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_sto_landing_"
+    )
+    schema = _stage_sentinels(spark, sf_dir, landing)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    ev = event_ts_to_timestamp(raw).withWatermark("ts", "2 hours")
+    sess = timeout_sessions(ev, gap_minutes=30)
+    name = f"_stream_sto_{next(_STREAM_SEQ)}"
+    out = _drain_memory_stream(
+        spark, sess, name, "append", landing, state_partitions=8
+    )
+    return out.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "sess_start"
     )
 
 
@@ -7400,6 +7444,26 @@ def _oracle() -> dict[str, str]:
               FROM g)
             SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+        # same batch reconstruction as streaming_sessions: the timeout
+        # variant must produce identical sessions through the arbitrary-
+        # state path
+        "streaming_sessions_timeout": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  >= 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM g)
+            SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""",
         "pii_redaction": f"""
             WITH inj AS (
               SELECT source,
@@ -8211,6 +8275,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "rrf_fusion": q_rrf_fusion,
     "substring_dedup_apply": q_substring_dedup_apply,
+    "streaming_sessions_timeout": q_streaming_sessions_timeout,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
