@@ -207,3 +207,77 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
         for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got_counts == want
+
+
+def test_timeout_sessions_across_batches(spark, tmp_path):
+    """timeout_sessions' carried-state path: sessions SPANNING a
+    micro-batch boundary must merge (open state + marker row), a
+    cross-batch gap must split, and a key silent after batch 1 must be
+    flushed by the event-time TIMEOUT, not by new data. Files are
+    mtime-ordered with maxFilesPerTrigger=1 so each is its own batch."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.streaming.state import timeout_sessions
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    import shutil
+
+    schema = "event_id long, ts timestamp, user_id long"
+    batch1 = [(1, ts(0), 1), (2, ts(10), 1), (3, ts(5), 2), (4, ts(0), 3)]
+    batch2 = [(5, ts(50), 1), (6, ts(20), 2)]
+    # TWO sentinel batches (like the registry staging): timeouts fire in
+    # a batch whose watermark ALREADY passed the deadline, so the first
+    # sentinel advances the watermark and the second flushes
+    sentinels = ([(98, ts(600), -1)], [(99, ts(1200), -1)])
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate((batch1, batch2, *sentinels)):
+        # stage each batch as a single parquet FILE (the write makes a
+        # directory; FileStreamSource wants plain files)
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        p = os.path.join(landing, f"b{i}.parquet")
+        shutil.copyfile(os.path.join(d, part), p)
+        base = os.path.getmtime(os.path.join(landing, "b0.parquet"))
+        os.utime(p, (base + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        timeout_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sto_batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"])
+        for r in spark.table("sto_batches").collect()
+        if r["user_id"] >= 0
+    }
+    spark.catalog.dropTempView("sto_batches")
+    assert got == {
+        # user 1: [0m, 10m] closed by the 50m event arriving NEXT batch
+        # (gap 40m >= 30m), then [50m] flushed by timeout
+        (1, ts(0), 2),
+        (1, ts(50), 1),
+        # user 2: 5m (batch 1) and 20m (batch 2) MERGE across the
+        # boundary — gap 15m < 30m
+        (2, ts(5), 2),
+        # user 3: silent after batch 1 — flushed purely by timeout
+        (3, ts(0), 1),
+    }
