@@ -2602,6 +2602,47 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_packing_efficiency(spark, sf_dir):
+    """Token-budget packing audit per source: total tokens, chunks
+    needed at a 512 budget, padding wasted in the final partial chunk,
+    fill rate, and how many docs straddle a chunk boundary (the rows a
+    loader must split). Runs the sharded packer (same plan as
+    pack_sequences) and folds to one row per source; all integer
+    arithmetic except the single fill-rate division."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.packing import pack_chunks_sharded
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = pack_chunks_sharded(sized, shard_width=64)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("spans_chunks").cast("long")).alias("n_straddling"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "n_straddling",
+            F.expr("(total_tokens + 511) div 512").alias("n_chunks"),
+            (
+                F.expr("(total_tokens + 511) div 512") * 512
+                - F.col("total_tokens")
+            ).alias("pad_tokens"),
+            (
+                F.col("total_tokens")
+                / (F.expr("(total_tokens + 511) div 512") * 512).cast(
+                    "double"
+                )
+            ).alias("fill_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_reservoir_per_group(spark, sf_dir):
     """Exact-k deterministic sample per group (k=5 docs per source) via
     sampling.topk_per_group_hashrank: two-phase hash-aggregate top-k —
@@ -6987,6 +7028,33 @@ def _oracle() -> dict[str, str]:
                    ((cum_after - n_tokens) // 512) <> ((cum_after - 1) // 512)
                      AS spans_chunks
             FROM cum ORDER BY source, doc_id""",
+        "packing_efficiency": f"""
+            WITH sized AS (
+              SELECT source, doc_id,
+                     CAST(len({_TOK}) AS BIGINT) AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_after
+              FROM sized),
+            agg AS (
+              SELECT source,
+                     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(SUM(CASE WHEN ((cum_after - n_tokens) // 512)
+                                    <> ((cum_after - 1) // 512)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+              FROM cum GROUP BY source)
+            SELECT source, total_tokens, n_straddling,
+                   (total_tokens + 511) // 512 AS n_chunks,
+                   ((total_tokens + 511) // 512) * 512 - total_tokens
+                     AS pad_tokens,
+                   total_tokens
+                     / CAST(((total_tokens + 511) // 512) * 512 AS DOUBLE)
+                     AS fill_rate
+            FROM agg ORDER BY source""",
         "reservoir_per_group": """
             SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
               SELECT source, doc_id,
@@ -8276,6 +8344,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion": q_rrf_fusion,
     "substring_dedup_apply": q_substring_dedup_apply,
     "streaming_sessions_timeout": q_streaming_sessions_timeout,
+    "packing_efficiency": q_packing_efficiency,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
