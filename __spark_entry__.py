@@ -8265,27 +8265,70 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round (rotation strategy: SURVEY.md §2.1). Entries behind the window
     # stay regression-guarded by tests/test_oracle_parity.py, which
     # parametrizes the FULL registry.
-    # --- round-5 window head: the six round-4 hash failures (root cause:
-    # uncast SUM(...) typed HUGEINT by DuckDB; oracles now CAST to BIGINT
-    # and tests/test_oracle_parity.py gates all oracles with a plan-only
-    # DESCRIBE check) — re-fronted for first green driver rows ---
+    # --- round-6 window head: new round-6 queries (never driver-checked)
+    # are inserted here as they land ---
+    # --- the fifteen round-5 entries that sat behind the round-5 window
+    # (SURVEY.md §2.1): first driver rows wanted ---
+    "ngram_novelty": q_ngram_novelty,
+    "vocab_growth": q_vocab_growth,
+    "approx_percentile_banded": q_approx_percentile_banded,
+    "map_agg_metrics": q_map_agg_metrics,
+    "csv_roundtrip": q_csv_roundtrip,
+    "minhash_calibration": q_minhash_calibration,
+    "streaming_interval_left_join": q_streaming_interval_left_join,
+    "user_paths": q_user_paths,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "dedup_incremental": q_dedup_incremental,
+    "bpe_merges": q_bpe_merges,
+    "rrf_fusion": q_rrf_fusion,
+    "substring_dedup_apply": q_substring_dedup_apply,
+    "streaming_sessions_timeout": q_streaming_sessions_timeout,
+    "packing_efficiency": q_packing_efficiency,
+    # --- r03-confirmed block: oldest driver rows in the registry (round 3);
+    # re-fronted for regression re-confirmation ---
+    "streaming_sessions": q_streaming_sessions,
+    "gap_fill_daily": q_gap_fill_daily,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "weighted_sample": q_weighted_sample,
+    "trend_by_nation": q_trend_by_nation,
+    "anomaly_zscore": q_anomaly_zscore,
+    "lang_gini_by_source": q_lang_gini_by_source,
+    "streaming_interval_join": q_streaming_interval_join,
+    "dedup_apply": q_dedup_apply,
+    "streaming_dedup": q_streaming_dedup,
+    "reservoir_per_group": q_reservoir_per_group,
+    "pack_sequences": q_pack_sequences,
+    "streaming_user_totals": q_streaming_user_totals,
+    "cdc_changelog_apply": q_cdc_changelog_apply,
+    "skew_salted_join": q_skew_salted_join,
+    "dedup_url_canonical": q_dedup_url_canonical,
+    "attribution_linear": q_attribution_linear,
+    "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
+    "table_diff": q_table_diff,
+    "profile_columns": q_profile_columns,
+    "topk_per_group_agg": q_topk_per_group_agg,
+    "global_rank": q_global_rank,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "array_hof_suite": q_array_hof_suite,
+    "datetime_suite": q_datetime_suite,
+    "fk_integrity": q_fk_integrity,
+    "reachability": q_reachability,
+    "balanced_mix": q_balanced_mix,
+    "truncation_stats": q_truncation_stats,
+    "full_schema_join": q_full_schema_join,
+    # --- behind the window: driver rows from rounds 4-5 (fresh); full-
+    # registry DuckDB parity still gates every entry on each pytest run ---
     "streaming_enrich": q_streaming_enrich,
     "median_exact_by_group": q_median_exact_by_group,
     "pii_redaction": q_pii_redaction,
     "repetition_stats": q_repetition_stats,
     "corpus_funnel": q_corpus_funnel,
     "skew_audit": q_skew_audit,
-    # --- oracle-semantics changes this round: pii span counting now
-    # mirrors redaction order (both sides); approx_distinct gained its
-    # first deterministic oracle (tolerance-band verdict) ---
     "corpus_clean_stats": q_corpus_clean_stats,
     "approx_distinct": q_approx_distinct,
-    # --- new in round 5 (never driver-checked) are inserted here ---
     "substring_dedup_spans": q_substring_dedup_spans,
     "temperature_mix": q_temperature_mix,
-    # --- stale r01 tail: last driver rows are from round 1 and the
-    # underlying operators were refactored in rounds 2-4 (shared top-k
-    # core, portable hashes, percent_rank rewrite); fresh rows wanted ---
     "rollup_region_nation": q_rollup_region_nation,
     "sessionize": q_sessionize,
     "join_outer_agg": q_join_outer_agg,
@@ -8325,26 +8368,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "train_test_split": q_train_test_split,
-    # --- stale r02 block (driver rows from round 2; next-oldest) ---
     "stratified_sample": q_stratified_sample,
-    # --- new in round 5, behind the ~50-entry driver window so the
-    # stale-block re-confirmation above stays >= 40 strong; locally
-    # oracle-gated by tests/test_oracle_parity.py, front these in r06 ---
-    "ngram_novelty": q_ngram_novelty,
-    "vocab_growth": q_vocab_growth,
-    "approx_percentile_banded": q_approx_percentile_banded,
-    "map_agg_metrics": q_map_agg_metrics,
-    "csv_roundtrip": q_csv_roundtrip,
-    "minhash_calibration": q_minhash_calibration,
-    "streaming_interval_left_join": q_streaming_interval_left_join,
-    "user_paths": q_user_paths,
-    "length_quantiles_by_lang": q_length_quantiles_by_lang,
-    "dedup_incremental": q_dedup_incremental,
-    "bpe_merges": q_bpe_merges,
-    "rrf_fusion": q_rrf_fusion,
-    "substring_dedup_apply": q_substring_dedup_apply,
-    "streaming_sessions_timeout": q_streaming_sessions_timeout,
-    "packing_efficiency": q_packing_efficiency,
     "embedding_centroids": q_embedding_centroids,
     "top_terms": q_top_terms,
     "bigram_counts": q_bigram_counts,
@@ -8393,39 +8417,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_price_qty": q_corr_price_qty,
     "sliding_windows": q_sliding_windows,
     "pivot_source_lang": q_pivot_source_lang,
-    # --- confirmed green in CORRECTNESS_r03.json ---
-    "streaming_sessions": q_streaming_sessions,
-    "gap_fill_daily": q_gap_fill_daily,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "weighted_sample": q_weighted_sample,
-    "trend_by_nation": q_trend_by_nation,
-    "anomaly_zscore": q_anomaly_zscore,
-    "lang_gini_by_source": q_lang_gini_by_source,
-    "streaming_interval_join": q_streaming_interval_join,
-    "dedup_apply": q_dedup_apply,
-    "streaming_dedup": q_streaming_dedup,
-    "reservoir_per_group": q_reservoir_per_group,
-    "pack_sequences": q_pack_sequences,
-    "streaming_user_totals": q_streaming_user_totals,
-    "cdc_changelog_apply": q_cdc_changelog_apply,
-    "skew_salted_join": q_skew_salted_join,
-    "dedup_url_canonical": q_dedup_url_canonical,
-    "attribution_linear": q_attribution_linear,
-    "inverted_index": q_inverted_index,
-    "pagerank": q_pagerank,
-    "table_diff": q_table_diff,
-    "profile_columns": q_profile_columns,
-    "topk_per_group_agg": q_topk_per_group_agg,
-    "global_rank": q_global_rank,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
-    "array_hof_suite": q_array_hof_suite,
-    "datetime_suite": q_datetime_suite,
-    "fk_integrity": q_fk_integrity,
-    "reachability": q_reachability,
-    "balanced_mix": q_balanced_mix,
-    "truncation_stats": q_truncation_stats,
-    "full_schema_join": q_full_schema_join,
-    # --- confirmed green in CORRECTNESS_r04.json ---
     "frequent_pairs": q_frequent_pairs,
     "mode_brand": q_mode_brand,
     "ewma_daily": q_ewma_daily,

@@ -75,7 +75,13 @@ def word_shingles(tok: Column, k: int = 3) -> Column:
     DuckDB: ``list_distinct(list_transform(generate_series(1, len(t)-k+1),
     i -> array_to_string(t[i:i+k-1], ' ')))`` (1-based inclusive slices).
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    # Guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]); a token array
+    # shorter than k must yield an explicit empty array or slice(t, 0, k)
+    # raises INVALID_PARAMETER_VALUE.START.
+    n = F.size(tok) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
     return F.array_distinct(sh)
 

@@ -103,9 +103,15 @@ def duplicated_gram_positions(
     tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
 
     def grams_of(t):
+        # Guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a doc
+        # shorter than k tokens must map to an explicit empty array or the
+        # slice(t, 0, k) it produces raises INVALID_PARAMETER_VALUE.START.
         n = F.size(t) - (k - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+            idx,
             lambda i: hash60(F.concat_ws(" ", F.slice(t, i, k))),
         )
 

@@ -500,6 +500,13 @@ def write_csv_dataset(df: DataFrame, path: str, *, mode: str = "overwrite") -> N
         df.write.mode(mode)
         .option("header", "true")
         .option("compression", "gzip")
+        # RFC-4180 quoting (doubled quotes, not backslash-escaped) so any
+        # standards-compliant reader — and read_csv_dataset — reassembles
+        # embedded quotes/newlines losslessly.
+        .option("escape", '"')
+        # writer defaults trim cell-edge whitespace; keep values lossless
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
 
@@ -508,8 +515,19 @@ def read_csv_dataset(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """CSV dataset source. Pass an explicit schema at scale — CSV
     inference scans the data twice (the reference makes the same
     choice: explicit schema in load_csv_to_bq.py:95-108); falls back
-    to inference for ad-hoc reads."""
-    reader = spark.read.option("header", "true")
+    to inference for ad-hoc reads.
+
+    multiLine + escape='"' reassemble quoted text fields containing
+    embedded newlines (Spark quotes them on write but splits them into
+    spurious rows on read without multiLine). Trade-off: multiLine files
+    are parsed whole-file-per-task rather than split by byte range, so
+    at 100 TB prefer many medium part files (write_csv_dataset already
+    emits one per partition) — or parquet, the default interchange."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -110,8 +110,19 @@ def timeout_sessions(
     Same session semantics as streaming/windows.py's session_window
     gate: a gap of EXACTLY `gap_minutes` starts a new session. Events
     within a batch are sorted (ts, event_id) and split vectorized
-    (numpy diff/cumsum) — no per-row Python in the hot loop. Emission
-    is append-mode: a session row is final when emitted.
+    (numpy diff/flatnonzero) — no per-row Python in the hot loop.
+    Emission is append-mode: a session row is final when emitted.
+
+    Out-of-order ACROSS batches (an event >= the watermark but earlier
+    than the carried last_us — legal under watermark semantics) is
+    merged against the compressed open-session state exactly as the
+    batch lag() oracle would place it: an event inside [sess_start,
+    last_us] joins the open session (gaps only shrink — count+1, no
+    boundary moves); events before sess_start chain backwards — the
+    suffix whose gaps (including the exact gap to the open session's
+    real first event, sess_start) stay < gap extends the open session
+    earlier, and anything cut off by a >= gap break closes as its own
+    earlier session(s).
 
     Timeout flushing requires the watermark to ADVANCE past the last
     session's deadline before the query stops — AvailableNow callers
@@ -120,6 +131,17 @@ def timeout_sessions(
     import numpy as np
 
     gap_us = gap_minutes * 60 * 1_000_000
+
+    def split_sessions(arr):
+        """(starts, counts) of gap-delimited sessions over a sorted
+        int64 array — vectorized, no per-session Python loop."""
+        new_sess = np.empty(len(arr), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = np.diff(arr) >= gap_us
+        bounds = np.flatnonzero(new_sess)
+        starts = arr[bounds]
+        counts = np.diff(np.append(bounds, len(arr)))
+        return starts, counts
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -136,31 +158,44 @@ def timeout_sessions(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         ts_us = rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        closed_starts: list[int] = []
+        closed_counts: list[int] = []
         if state.exists:
             s0, l0, n0 = state.get
-            ts_all = np.concatenate([[l0], ts_us])
-        else:
-            s0, n0 = None, 0
-            ts_all = ts_us
-        # vectorized gap split: new session where the gap >= gap_us
-        new_sess = np.empty(len(ts_all), dtype=bool)
-        new_sess[0] = True
-        new_sess[1:] = (ts_all[1:] - ts_all[:-1]) >= gap_us
-        sess_id = np.cumsum(new_sess) - 1
-        starts, counts = [], []
-        for sid in range(sess_id[-1] + 1):
-            mask = sess_id == sid
-            starts.append(int(ts_all[mask][0]))
-            counts.append(int(mask.sum()))
-        if state.exists:
-            # first pseudo-row was the carried last_ts: session 0
-            # continues the open session (don't double count the marker)
+            # Late-but-legal arrivals: place them against the compressed
+            # open session [s0, l0] (all internal gaps < gap_us by
+            # construction, so events inside the span can never split it).
+            pre = ts_us[ts_us < s0]
+            n0 += int(((ts_us >= s0) & (ts_us <= l0)).sum())
+            post = ts_us[ts_us > l0]
+            if len(pre):
+                starts_p, counts_p = split_sessions(pre)
+                if s0 - pre[-1] < gap_us:
+                    # last pre-chain connects to the open session's real
+                    # first event: extend the session backwards
+                    s0 = int(starts_p[-1])
+                    n0 += int(counts_p[-1])
+                    starts_p, counts_p = starts_p[:-1], counts_p[:-1]
+                closed_starts.extend(int(x) for x in starts_p)
+                closed_counts.extend(int(x) for x in counts_p)
+            # fresh tail: split relative to the carried last event time
+            starts_f, counts_f = split_sessions(np.concatenate([[l0], post]))
+            starts = [int(x) for x in starts_f]
+            counts = [int(x) for x in counts_f]
+            # session 0 continues the open session: the l0 element is a
+            # marker, not a new event
             starts[0] = s0
             counts[0] += n0 - 1
-        closed_starts, closed_counts = starts[:-1], counts[:-1]
+            last_us = int(post[-1]) if len(post) else l0
+        else:
+            starts_f, counts_f = split_sessions(ts_us)
+            starts = [int(x) for x in starts_f]
+            counts = [int(x) for x in counts_f]
+            last_us = int(ts_us[-1])
+        closed_starts.extend(starts[:-1])
+        closed_counts.extend(counts[:-1])
         open_start, open_count = starts[-1], counts[-1]
-        last_us = int(ts_all[-1])
-        state.update((int(open_start), last_us, int(open_count)))
+        state.update((open_start, last_us, open_count))
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
         yield pd.DataFrame(
             {

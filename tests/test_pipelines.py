@@ -572,3 +572,25 @@ def test_run_streaming_drains_and_is_exactly_once(spark, tmp_path):
     assert days2 == {"2026-01-10", "2026-01-11", "2026-01-12"}
     assert after.count() > n0
     assert after.select(*DEDUP_KEY).distinct().count() == after.count()
+
+
+def test_csv_dataset_roundtrip_embedded_newlines(spark, tmp_path):
+    """Text cells containing newlines/quotes/commas must survive a CSV
+    write→read cycle as one row each (round-5 ADVICE: read_csv_dataset
+    needed multiLine + escape to reassemble quoted multi-line fields)."""
+    from fb_ads_bigquery_etl_spark.sinks import read_csv_dataset, write_csv_dataset
+
+    rows = [
+        (1, 'line one\nline two', "plain"),
+        (2, 'quote " and, comma', "x,y"),
+        (3, "trailing newline\n", ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "body", "tag"])
+    path = str(tmp_path / "csv_nl")
+    write_csv_dataset(df, path)
+    back = read_csv_dataset(spark, path)
+    got = {r["id"]: (r["body"], r["tag"]) for r in back.collect()}
+    assert len(got) == 3
+    assert got[1] == ("line one\nline two", "plain")
+    assert got[2] == ('quote " and, comma', "x,y")
+    assert got[3][0] == "trailing newline\n"

@@ -236,6 +236,51 @@ def test_duplicated_gram_spans_splits_on_gap(spark):
     assert got == [(0, 0, 4), (1, 0, 4), (2, 0, 4), (2, 10, 4)]
 
 
+def test_duplicated_grams_short_docs_do_not_crash(spark):
+    """Docs shorter than k tokens (incl. empty) must emit no grams.
+
+    Regression: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so an
+    unguarded gram index crashed on slice(t, 0, k) for any short doc
+    (round-5 ADVICE, dedup.py). Same latent pattern in word_shingles.
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens, word_shingles
+    from fb_ads_bigquery_etl_spark.operators.dedup import (
+        duplicated_gram_spans,
+        strip_duplicated_spans,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "one two"),            # shorter than k=3
+        (1, ""),                   # empty after tokenization
+        (2, "a b c d"),
+        (3, "a b c d"),            # dup of 2 so spans is non-empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_gram_spans(df, k=3).collect()
+    )
+    assert got == [(2, 0, 4), (3, 0, 4)]
+
+    stripped = {
+        r["doc_id"]: r["cleaned_tokens"]
+        for r in strip_duplicated_spans(df, k=3).collect()
+    }
+    assert stripped[0] == ["one", "two"]   # short doc passes through intact
+    assert stripped[1] == []
+    assert stripped[2] == [] and stripped[3] == []
+
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("sh")
+        ).collect()
+    }
+    assert sh[0] == [] and sh[1] == []
+    assert sh[2] == ["a b c", "b c d"]
+
+
 def test_temperature_mix_flattens_skewed_sources(spark):
     from pyspark.sql import functions as F
 

@@ -281,3 +281,67 @@ def test_timeout_sessions_across_batches(spark, tmp_path):
         # user 3: silent after batch 1 — flushed purely by timeout
         (3, ts(0), 1),
     }
+
+
+def test_timeout_sessions_out_of_order_across_batches(spark, tmp_path):
+    """Events legal under the watermark but EARLIER than the carried
+    last_us (out-of-order across batches) must merge against the
+    compressed open-session state like the batch lag() oracle: an event
+    inside the open span is absorbed, one chaining backwards (< gap to
+    sess_start) moves the start earlier, and one cut off by a >= gap
+    break closes as its own earlier session (round-5 ADVICE)."""
+    import datetime
+    import os
+    import shutil
+
+    from fb_ads_bigquery_etl_spark.streaming.state import timeout_sessions
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    schema = "event_id long, ts timestamp, user_id long"
+    batch1 = [(1, ts(60), 7), (2, ts(70), 7)]
+    # all three are >= watermark (70m - 2h) yet earlier than last_us=70m:
+    #   40m chains backwards (60-40=20 < 30) -> extends start to 40m
+    #   65m falls inside [60, 70] -> absorbed, no boundary moves
+    #   0m is cut off (40-0=40 >= 30) -> closes as its own session
+    batch2 = [(3, ts(40), 7), (4, ts(65), 7), (5, ts(0), 7)]
+    sentinels = ([(98, ts(600), -1)], [(99, ts(1200), -1)])
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i, rows in enumerate((batch1, batch2, *sentinels)):
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        p = os.path.join(landing, f"b{i}.parquet")
+        shutil.copyfile(os.path.join(d, part), p)
+        base = os.path.getmtime(os.path.join(landing, "b0.parquet"))
+        os.utime(p, (base + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        timeout_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sto_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["sess_start"], r["n_events"])
+        for r in spark.table("sto_ooo").collect()
+        if r["user_id"] >= 0
+    }
+    spark.catalog.dropTempView("sto_ooo")
+    assert got == {
+        (7, ts(0), 1),    # closed in batch 2: detached late event
+        (7, ts(40), 4),   # timeout flush: events at 40, 60, 65, 70
+    }
