@@ -3967,6 +3967,42 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.learn_merges(d, tokens(F.col("text")), iters=3)
 
 
+_BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("s", "t"),
+    ("o", "w"),
+    ("st", "r"),  # rank 5 consumes rank 3's output: merge chaining
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODING (operators/bpe.apply_merges): apply a fixed learned
+    merge table (rank order, one greedy leftmost-nonoverlapping pass
+    per rank) to the corpus vocabulary and report the top-25 encoded
+    tokens by corpus occurrence. The encode runs on the DISTINCT-WORD
+    frame — vocabulary-sized regardless of corpus size — and token
+    frequencies ride the (wid, freq) weights from the single corpus
+    fold. The DuckDB oracle replays every rank as unrolled CTEs with
+    the pair fixed as literals."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(d, tokens(F.col("text"))).localCheckpoint(
+        eager=True
+    )
+    enc = bpe.apply_merges(words, _BPE_ENCODE_MERGES)
+    return (
+        enc.join(words, "wid")
+        .select(F.explode("toks").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -4800,6 +4836,63 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
         for k in range(iters)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY step"
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Unrolled-CTE replay of operators/bpe.apply_merges over
+    _BPE_ENCODE_MERGES: per rank, lead()-adjacency with the pair fixed
+    as literals, run-parity greedy selection, positional application;
+    finally token frequencies weighted by the vocabulary counts."""
+    ctes = [
+        f"""wf AS (SELECT wid, COUNT(*) AS freq
+               FROM (SELECT unnest({_TOK}) AS wid FROM documents)
+               GROUP BY wid)""",
+        """s0 AS (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
+               FROM wf, UNNEST(generate_series(1, length(wid))) AS u(i))""",
+    ]
+    for k, (a, b) in enumerate(_BPE_ENCODE_MERGES):
+        ctes.append(
+            f"""n{k} AS (
+              SELECT wid, pos, sym,
+                     lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+                     ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn
+              FROM s{k})"""
+        )
+        ctes.append(
+            f"""c{k} AS (
+              SELECT wid, rn,
+                     ROW_NUMBER() OVER (PARTITION BY wid ORDER BY rn) AS crn
+              FROM n{k} WHERE sym = '{a}' AND nxt = '{b}')"""
+        )
+        ctes.append(
+            f"""sel{k} AS (
+              SELECT wid, rn FROM (
+                SELECT wid, rn,
+                       rn - MIN(rn) OVER (PARTITION BY wid, rn - crn) AS off
+                FROM c{k})
+              WHERE off % 2 = 0)"""
+        )
+        ctes.append(
+            f"""s{k + 1} AS (
+              SELECT n.wid, n.pos,
+                     CASE WHEN sl.rn IS NOT NULL
+                          THEN n.sym || '{b}'
+                          ELSE n.sym END AS sym
+              FROM n{k} n
+              LEFT JOIN sel{k} sl ON n.wid = sl.wid AND n.rn = sl.rn
+              LEFT JOIN sel{k} sp ON n.wid = sp.wid AND n.rn = sp.rn + 1
+              WHERE sp.rn IS NULL)"""
+        )
+    last = len(_BPE_ENCODE_MERGES)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT s.sym AS token, CAST(SUM(w.freq) AS BIGINT) AS n_occurrences
+        FROM s{last} s JOIN wf w USING (wid)
+        GROUP BY s.sym
+        ORDER BY n_occurrences DESC, token ASC LIMIT 25"""
+    )
 
 
 def _bm25_ctes_and_terms() -> tuple[str, str]:
@@ -7884,6 +7977,7 @@ def _oracle() -> dict[str, str]:
             FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
         "bm25_topk": _bm25_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "rrf_fusion": _rrf_oracle_sql(),
         "frequent_pairs": f"""
             WITH items AS (
@@ -8267,6 +8361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parametrizes the FULL registry.
     # --- round-6 window head: new round-6 queries (never driver-checked)
     # are inserted here as they land ---
+    "bpe_encode": q_bpe_encode,
     # --- the fifteen round-5 entries that sat behind the round-5 window
     # (SURVEY.md §2.1): first driver rows wanted ---
     "ngram_novelty": q_ngram_novelty,

@@ -26,6 +26,9 @@ unrolled-CTE DuckDB oracle in __spark_entry__.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -74,6 +77,11 @@ def _one_merge(state: DataFrame, words: DataFrame):
             F.col("cnt").cast("long").alias("_c"),
         )
     )
+    # the 1-row argmax feeds two consumers (the application's broadcast
+    # AND the caller's output union); checkpoint it HERE — before cand
+    # captures the lineage — so the pair-count aggregate runs once per
+    # iteration instead of once per consumer
+    top = top.localCheckpoint(eager=True)
     cand = (
         n.crossJoin(F.broadcast(top))
         .filter((F.col("sym") == F.col("_a")) & (F.col("_nxt") == F.col("_b")))
@@ -163,3 +171,137 @@ def learn_merges(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result.orderBy("step")
+
+
+def _apply_pair(state: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one KNOWN merge (a, b) to the positional symbol state.
+
+    The run-parity greedy application of `_one_merge` with the pair
+    fixed as literals: no argmax, no broadcast — candidate filtering is
+    a narrow predicate, so each rank costs the per-word adjacency
+    window plus two vocabulary-sized left joins.
+    """
+    w = Window.partitionBy("wid").orderBy("pos")
+    n = state.select(
+        "wid",
+        "pos",
+        "sym",
+        F.lead("sym").over(w).alias("_nxt"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    cand = (
+        n.filter((F.col("sym") == a) & (F.col("_nxt") == b))
+        .select(
+            "wid",
+            "_rn",
+            F.row_number()
+            .over(Window.partitionBy("wid").orderBy("_rn"))
+            .alias("_crn"),
+        )
+    )
+    runs = cand.withColumn(
+        "_off",
+        F.col("_rn")
+        - F.min("_rn").over(
+            Window.partitionBy("wid", F.col("_rn") - F.col("_crn"))
+        ),
+    )
+    sel = runs.filter(F.col("_off") % 2 == 0).select("wid", "_rn")
+    s_hit = sel.select(F.col("wid").alias("_hw"), F.col("_rn").alias("_hr"))
+    s_prev = sel.select(
+        F.col("wid").alias("_pw"), (F.col("_rn") + 1).alias("_pr")
+    )
+    return (
+        n.join(
+            s_hit,
+            (F.col("wid") == F.col("_hw")) & (F.col("_rn") == F.col("_hr")),
+            "left",
+        )
+        .join(
+            s_prev,
+            (F.col("wid") == F.col("_pw")) & (F.col("_rn") == F.col("_pr")),
+            "left",
+        )
+        .filter(F.col("_pr").isNull())
+        .select(
+            "wid",
+            "pos",
+            F.when(F.col("_hr").isNotNull(), F.concat(F.col("sym"), F.lit(b)))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def apply_merges(
+    words: DataFrame, merges: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """BPE ENCODING: tokenize the vocabulary with a learned merge table.
+
+    The half a data pipeline actually runs at scale — `learn_merges`
+    trains once, this applies the table to every corpus. Semantics are
+    the trainer's own: merges apply in RANK ORDER, one greedy
+    leftmost-nonoverlapping pass per rank (a pass can never re-create
+    an adjacency of its own pair: fusing (a, b) yields a symbol `ab`
+    whose neighbours form different pairs), so encode(learn(corpus))
+    is exactly the trainer's final symbol state.
+
+    Operates on the DISTINCT-WORD frame — vocabulary-sized, never
+    corpus-sized; join the result back to documents for corpus token
+    streams. Returns (wid, toks: array<string>). The unrolled plan is
+    the oracle-replayable path for small tables; production-size merge
+    tables (30k+ ranks) should use `apply_merges_pandas`, the
+    arrow-batched twin property-tested against this one.
+    """
+    state = initial_symbols(words.select("wid").distinct())
+    for a, b in merges:
+        # each rank's state feeds the next rank's window AND both
+        # application joins — cut lineage per rank like learn_merges
+        state = _apply_pair(state, a, b).localCheckpoint(eager=True)
+    return state.groupBy("wid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+            lambda s: s["sym"],
+        ).alias("toks")
+    )
+
+
+def apply_merges_pandas(
+    words: DataFrame, merges: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Scale path for production-size merge tables: a rank-priority
+    sequential encoder per distinct word, applied as an Arrow-batched
+    pandas UDF over the vocabulary frame (O(vocab) work regardless of
+    corpus size; the merge table broadcasts inside the UDF closure).
+
+    Same per-rank greedy leftmost-nonoverlapping semantics as
+    `apply_merges` (property-tested equal in tests/test_bpe.py); use
+    this when the unrolled per-rank plan would be too deep for
+    Catalyst (beyond a few dozen ranks).
+    """
+    merge_list = [tuple(m) for m in merges]
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merge_list:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        return col.map(encode_word)
+
+    return (
+        words.select("wid")
+        .distinct()
+        .select("wid", encode(F.col("wid")).alias("toks"))
+    )

@@ -63,3 +63,61 @@ def test_bpe_merged_symbols_chain(spark):
     # after (a, b) -> 'ab', the next iterations must see 'ab' as ONE
     # symbol (e.g. ('ab', 'c') can win), not re-split it
     _run(spark, ["abc abc abc abd", "abx abc yabc"], iters=4)
+
+
+def _reference_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = [c for c in word]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_apply_merges_matches_sequential_and_pandas_twin(spark):
+    words = [
+        "lower", "lowest", "aaaa", "aaab", "baab", "stream", "strstr",
+        "x", "", "ststst", "restart",
+    ]
+    merges = [("s", "t"), ("a", "a"), ("st", "r"), ("e", "r"), ("aa", "aa")]
+    df = spark.createDataFrame([(w,) for w in words if w], ["wid"])
+    want = {w: _reference_encode(w, merges) for w in words if w}
+    got = {
+        r["wid"]: r["toks"]
+        for r in bpe.apply_merges(df, merges).collect()
+    }
+    assert got == want
+    got_pd = {
+        r["wid"]: r["toks"]
+        for r in bpe.apply_merges_pandas(df, merges).collect()
+    }
+    assert got_pd == want
+
+
+def test_encode_learn_roundtrip_reproduces_trainer_state(spark):
+    """encode(learn(corpus)) must equal the trainer's final symbol
+    state: applying the learned table in rank order with one greedy
+    pass per rank is exactly what learning did."""
+    texts = ["low lower lowest low", "newer newest wide wider low"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    learned = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.learn_merges(df, tokens(F.col("text")), iters=4).collect()
+    ]
+    words = {w for t in texts for w in t.lower().split()}
+    wdf = spark.createDataFrame([(w,) for w in words], ["wid"])
+    got = {
+        r["wid"]: r["toks"] for r in bpe.apply_merges(wdf, learned).collect()
+    }
+    # independent sequential replay of train-then-encode
+    ref_merges = [(a, b) for a, b, _ in _reference_bpe(texts, 4)]
+    assert learned == ref_merges
+    assert got == {w: _reference_encode(w, ref_merges) for w in words}
