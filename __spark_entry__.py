@@ -1759,6 +1759,23 @@ def q_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(e, threshold=0.4, block_col="label")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (similarity.semdedup; Abbas et al. 2023): embedding-
+    cluster semantic dedup — deterministic mod-50 IVF buckets, pairwise
+    cosine ONLY within a bucket, remove any vector with a >= 0.4
+    neighbor of smaller id in its bucket. One verdict row per vector;
+    integer/boolean columns only (bucket, n_dup_neighbors, is_kept), so
+    the gate never compares float formatting. The quadratic step is
+    bounded by the largest cluster — the property that lets SemDeDup
+    run at corpus scale where all-pairs cosine cannot."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.semdedup(e, threshold=0.4, centroid_mod=50)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def q_ann_brute_force(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -1808,6 +1825,35 @@ def q_quartile_bucket(spark, sf_dir):
             _dsum(F.col("o_totalprice"), "total", scale=2),
         )
         .orderBy("o_orderpriority", "quartile")
+    )
+
+
+def q_ngram_lm_quality(spark, sf_dir):
+    """Bigram-LM fluency filter (text.ngram_lm_doc_scores; the
+    CCNet/KenLM perplexity-filter shape): add-1-smoothed bigram model
+    trained on the corpus's own token stream, every document scored
+    under it, docs folded into integer fluency bands (mean micro-
+    probability per bigram, div 1000). All gated columns are exact
+    integer arithmetic — per-bigram p is one IEEE divide and scores
+    accumulate as floor(1e6*p) BIGINTs, the libm-log dodge. Bigrams
+    build array-side (zero shuffle before the vocab-sized count
+    aggregates); the shared exploded stream is persisted once."""
+    from fb_ads_bigquery_etl_spark.operators.text import ngram_lm_doc_scores
+
+    d = _t(spark, sf_dir, "documents")
+    per = ngram_lm_doc_scores(d).select(
+        F.expr("total_prob_ppm div n_bigrams").alias("mean_ppm"),
+        "n_bigrams",
+    )
+    return (
+        per.groupBy(F.expr("mean_ppm div 1000").alias("fluency_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.min("mean_ppm").cast("long").alias("min_ppm"),
+            F.max("mean_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("fluency_band")
     )
 
 
@@ -6137,6 +6183,28 @@ def _oracle() -> dict[str, str]:
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM v, q ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "semdedup": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+                      WHERE vec_id % 50 = 0),
+            assign AS (
+              SELECT vec_id, e, centroid_id AS bucket FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC, c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            dups AS (
+              SELECT b.vec_id AS vid, COUNT(*) AS n_dup
+              FROM assign a JOIN assign b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE {_cos_sql('a.e', 'b.e')} >= 0.4
+              GROUP BY b.vec_id)
+            SELECT a.vec_id, a.bucket,
+                   CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_neighbors,
+                   COALESCE(d.n_dup, 0) = 0 AS is_kept
+            FROM assign a LEFT JOIN dups d ON a.vec_id = d.vid
+            ORDER BY a.vec_id""",
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -6155,6 +6223,34 @@ def _oracle() -> dict[str, str]:
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM assign JOIN probed ON bucket = centroid_id, q
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "ngram_lm_quality": f"""
+            WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            big AS (
+              SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+              FROM tokd, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+            bc AS (SELECT prev, w, COUNT(*) AS c_big FROM big GROUP BY prev, w),
+            cc AS (SELECT prev, COUNT(*) AS c_ctx FROM big GROUP BY prev),
+            vs AS (SELECT COUNT(*) AS v FROM (
+              SELECT DISTINCT x FROM (
+                SELECT w AS x FROM bc UNION ALL SELECT prev FROM bc))),
+            model AS (
+              SELECT bc.prev, bc.w,
+                     (bc.c_big + 1) / (cc.c_ctx + 1 * vs.v) AS p
+              FROM bc JOIN cc ON bc.prev = cc.prev, vs),
+            perdoc AS (
+              SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                     SUM(CAST(floor(m.p * 1000000) AS BIGINT)) AS total_ppm
+              FROM big b JOIN model m ON b.prev = m.prev AND b.w = m.w
+              GROUP BY b.doc_id),
+            per AS (SELECT CAST(total_ppm // n_bigrams AS BIGINT) AS mean_ppm,
+                           n_bigrams
+                    FROM perdoc)
+            SELECT CAST(mean_ppm // 1000 AS BIGINT) AS fluency_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+                   CAST(MIN(mean_ppm) AS BIGINT) AS min_ppm,
+                   CAST(MAX(mean_ppm) AS BIGINT) AS max_ppm
+            FROM per GROUP BY 1 ORDER BY 1""",
         "text_stats": f"""
             WITH base AS (
               SELECT doc_id, text, {_TOK} AS t FROM documents),
@@ -8362,6 +8458,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-6 window head: new round-6 queries (never driver-checked)
     # are inserted here as they land ---
     "bpe_encode": q_bpe_encode,
+    "semdedup": q_semdedup,
+    "ngram_lm_quality": q_ngram_lm_quality,
     # --- the fifteen round-5 entries that sat behind the round-5 window
     # (SURVEY.md §2.1): first driver rows wanted ---
     "ngram_novelty": q_ngram_novelty,

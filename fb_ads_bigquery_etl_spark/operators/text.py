@@ -9,7 +9,7 @@ text sweep (the scan is the whole job).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import (
     tokens,
@@ -290,3 +290,89 @@ def canonicalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"\?$", "")              # empty query left over
     u = F.regexp_replace(u, r"/(\?|$)", "$1")        # path-final slash
     return u
+
+
+def ngram_lm_doc_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    add_k: int = 1,
+) -> DataFrame:
+    """Bigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    shape): train an add-k-smoothed bigram model on the corpus's own
+    token stream, score every document's bigrams under it, and emit
+    per-doc fluency statistics. Documents full of rare or never-seen
+    token transitions (boilerplate soup, lorem-style noise, wrong-
+    language text) score low and are what a curation pass filters.
+
+    Scale shape: bigrams are built ARRAY-SIDE (zip-with-shifted-self,
+    like the bigram_counts query) — no per-doc window, so nothing
+    shuffles until the two map-side-combined count aggregates. The
+    exploded bigram stream feeds three consumers (bigram counts,
+    context counts, scoring join) and is persisted once via
+    fuzzy_dedup.shared(); the count tables join ONCE (vocab-sized)
+    into the model, and the doc stream joins it on the bigram key
+    (AQE-skew-splittable; build side is one row per bigram).
+
+    Engine-exactness: per-bigram probability p = (c_big + k) /
+    (c_ctx + k*V) is one IEEE-correctly-rounded divide; the per-doc
+    score accumulates floor(1e6 * p) as BIGINT micro-probabilities —
+    integer addition, bit-identical in any engine — instead of a
+    libm-log perplexity (same dodge as the exact-rational idf). The
+    float perplexity is a trailing DOUBLE column for human use; gate
+    on the integer columns. V counts the distinct tokens participating
+    in bigrams (union of contexts and successors) and is the single
+    driver-side scalar of the pipeline (metadata-sized, like k-means
+    centroids).
+    """
+    from fb_ads_bigquery_etl_spark.functions.portable import bind, tokens
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import shared
+
+    def bigrams_of(tok):
+        return F.when(
+            F.size(tok) >= 2,
+            F.transform(
+                F.slice(tok, 1, F.size(tok) - 1),
+                lambda t, i: F.struct(
+                    t.alias("_prev"), F.get(tok, i + 1).alias("_w")
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<_prev:string,_w:string>>")
+        )
+
+    big = shared(
+        df.select(
+            F.col(id_col),
+            F.explode(bind(tokens(F.col(text_col)), bigrams_of)).alias("_b"),
+        ).select(id_col, F.col("_b._prev").alias("_prev"), F.col("_b._w").alias("_w"))
+    )
+    # corpus tables: vocabulary-sized, map-side combined
+    big_counts = big.groupBy("_prev", "_w").agg(F.count("*").alias("c_big"))
+    ctx_counts = big.groupBy("_prev").agg(F.count("*").alias("c_ctx"))
+    vocab_size = (
+        big_counts.select("_w").union(big_counts.select("_prev"))
+        .distinct()
+        .count()
+    )
+    model = big_counts.join(ctx_counts, "_prev").select(
+        "_prev",
+        "_w",
+        (
+            (F.col("c_big") + F.lit(add_k))
+            / (F.col("c_ctx") + F.lit(add_k) * F.lit(vocab_size))
+        ).alias("_p"),
+    )
+    scored = big.join(model, ["_prev", "_w"])
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.floor(F.col("_p") * 1_000_000))
+            .cast("long")
+            .alias("total_prob_ppm"),
+            # human-facing fluency estimate; NOT engine-exact (libm log)
+            F.exp(-F.avg(F.log("_p"))).alias("perplexity"),
+        )
+    )

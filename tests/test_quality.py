@@ -87,3 +87,51 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert glob.glob(path + "/day=2026-01-02/*.orc")
     pruned = back.filter(F.col("day") == "2026-01-02")
     assert pruned.count() == 2
+
+
+def test_semdedup_keeps_min_id_representative(spark):
+    """Within a cluster, the smaller id of each >= threshold pair
+    survives; vectors without a close same-cluster neighbor are kept."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),      # centroid sample (id % 2 == 0 with mod=2... use mod=4)
+        (1, [0.999, 0.01]),   # near-dup of 0 -> removed
+        (2, [0.0, 1.0]),
+        (3, [0.01, 0.999]),   # near-dup of 2 -> removed (if same bucket)
+        (5, [-1.0, 0.05]),    # alone in direction -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: (r["is_kept"], r["n_dup_neighbors"])
+        for r in semdedup(df, threshold=0.99, centroid_mod=2).collect()
+    }
+    assert got[0] == (True, 0)
+    assert got[1] == (False, 1)
+    assert got[5][0] is True
+    # 2 and 3 land in the same bucket (both nearest the y-axis-most
+    # centroid among {0, 2}): 2 kept, 3 removed
+    assert got[2][0] is True and got[3][0] is False
+
+
+def test_ngram_lm_doc_scores_exact_small_corpus(spark):
+    """Hand-computed add-1 bigram LM on a two-doc corpus."""
+    from fb_ads_bigquery_etl_spark.operators.text import ngram_lm_doc_scores
+
+    # doc 0: "a b a b" -> bigrams (a,b) (b,a) (a,b)
+    # doc 1: "a b c"   -> bigrams (a,b) (b,c)
+    # counts: (a,b)=3 (b,a)=1 (b,c)=1; ctx a=3 b=2; V = |{a,b,c}| = 3
+    rows = [(0, "a b a b"), (1, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["total_prob_ppm"])
+        for r in ngram_lm_doc_scores(df).collect()
+    }
+    import math
+    p_ab = (3 + 1) / (3 + 3)   # 0.666...
+    p_ba = (1 + 1) / (2 + 3)   # 0.4
+    p_bc = (1 + 1) / (2 + 3)   # 0.4
+    want0 = 2 * math.floor(p_ab * 1e6) + math.floor(p_ba * 1e6)
+    want1 = math.floor(p_ab * 1e6) + math.floor(p_bc * 1e6)
+    assert got[0] == (3, want0)
+    assert got[1] == (2, want1)
