@@ -8451,17 +8451,15 @@ def _oracle() -> dict[str, str]:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order is deliberate: the driver's correctness harness checks
-    # the first ~50 entries per round, so the window below is curated each
-    # round (rotation strategy: SURVEY.md §2.1). Entries behind the window
-    # stay regression-guarded by tests/test_oracle_parity.py, which
-    # parametrizes the FULL registry.
-    # --- round-6 window head: new round-6 queries (never driver-checked)
-    # are inserted here as they land ---
+    # the first ~50 entries per round, so the window is curated each round
+    # (rotation strategy: SURVEY.md §2.1, cadence table there). Ordering =
+    # STALENESS: entries with no driver row yet first, then ascending
+    # last-driver-green round. Entries behind the window stay regression-
+    # guarded by tests/test_oracle_parity.py (full-registry parametrize).
+    # --- never driver-checked (new r6 queries + the fifteen r5 entries parked behind the r5 window) ---
     "bpe_encode": q_bpe_encode,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
-    # --- the fifteen round-5 entries that sat behind the round-5 window
-    # (SURVEY.md §2.1): first driver rows wanted ---
     "ngram_novelty": q_ngram_novelty,
     "vocab_growth": q_vocab_growth,
     "approx_percentile_banded": q_approx_percentile_banded,
@@ -8477,8 +8475,39 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup_apply": q_substring_dedup_apply,
     "streaming_sessions_timeout": q_streaming_sessions_timeout,
     "packing_efficiency": q_packing_efficiency,
-    # --- r03-confirmed block: oldest driver rows in the registry (round 3);
-    # re-fronted for regression re-confirmation ---
+    # --- last driver-green r02 (oldest banked rows) ---
+    "paged_orders": q_paged_orders,
+    "lateral_top_orders": q_lateral_top_orders,
+    "rolling_30d_spend": q_rolling_30d_spend,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_ivf": q_ann_ivf,
+    "text_stats": q_text_stats,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "quality_by_source": q_quality_by_source,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "profit_by_nation": q_profit_by_nation,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_cnt": q_parts_supplier_cnt,
+    "large_orders": q_large_orders,
+    "idle_customers": q_idle_customers,
+    "streaming_hourly": q_streaming_hourly,
+    "priority_count": q_priority_count,
+    "local_supplier_volume": q_local_supplier_volume,
+    "shipping_delay_priority": q_shipping_delay_priority,
+    "excess_shippers": q_excess_shippers,
+    "knn_join": q_knn_join,
+    "quartile_bucket": q_quartile_bucket,
+    "conversion_funnel": q_conversion_funnel,
+    "cohort_retention": q_cohort_retention,
+    "lang_distribution": q_lang_distribution,
+    "null_safe_join": q_null_safe_join,
+    "corr_price_qty": q_corr_price_qty,
+    "sliding_windows": q_sliding_windows,
+    "pivot_source_lang": q_pivot_source_lang,
+    # --- last driver-green r03 ---
     "streaming_sessions": q_streaming_sessions,
     "gap_fill_daily": q_gap_fill_daily,
     "dedup_levenshtein": q_dedup_levenshtein,
@@ -8510,8 +8539,69 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balanced_mix": q_balanced_mix,
     "truncation_stats": q_truncation_stats,
     "full_schema_join": q_full_schema_join,
-    # --- behind the window: driver rows from rounds 4-5 (fresh); full-
-    # registry DuckDB parity still gates every entry on each pytest run ---
+    "embedding_centroids": q_embedding_centroids,
+    "top_terms": q_top_terms,
+    "bigram_counts": q_bigram_counts,
+    "tfidf_top": q_tfidf_top,
+    "unpivot_metrics": q_unpivot_metrics,
+    "kmeans_clusters": q_kmeans_clusters,
+    "array_ops": q_array_ops,
+    "weekday_revenue": q_weekday_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "value_concentration": q_value_concentration,
+    "overlap_pairs": q_overlap_pairs,
+    "dq_audit": q_dq_audit,
+    "join_full_outer": q_join_full_outer,
+    "set_except_all": q_set_except_all,
+    "window_funcs": q_window_funcs,
+    "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
+    # --- last driver-green r04 ---
+    "frequent_pairs": q_frequent_pairs,
+    "mode_brand": q_mode_brand,
+    "ewma_daily": q_ewma_daily,
+    "triangle_count": q_triangle_count,
+    "embedding_outliers": q_embedding_outliers,
+    "distinctive_terms": q_distinctive_terms,
+    "centroid_distances": q_centroid_distances,
+    "degree_histogram": q_degree_histogram,
+    "intersect_all": q_intersect_all,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "share_of_nation": q_share_of_nation,
+    "time_to_convert": q_time_to_convert,
+    "top_parts_per_nation": q_top_parts_per_nation,
+    "histogram_2d": q_histogram_2d,
+    "term_pmi_pairs": q_term_pmi_pairs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "asof_join_forward": q_asof_join_forward,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "doc_chunks": q_doc_chunks,
+    "embedding_normalize": q_embedding_normalize,
+    "vocab_coverage": q_vocab_coverage,
+    "containment_pairs": q_containment_pairs,
+    "cross_source_dups": q_cross_source_dups,
+    "chunk_dedup_rate": q_chunk_dedup_rate,
+    "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "transition_counts": q_transition_counts,
+    "lang_confusion": q_lang_confusion,
+    "bm25_topk": q_bm25_topk,
+    "merge_upsert_state": q_merge_upsert_state,
+    "scd2_state": q_scd2_state,
+    "incremental_rollup": q_incremental_rollup,
+    "pricing_summary": q_pricing_summary,
+    "freshness": q_freshness,
+    "daily_rollup": q_daily_rollup,
+    "freshness_status": q_freshness_status,
+    "count_scan": q_count,
+    "distinct_projection": q_distinct,
+    "dedup_keepfirst": q_dedup_keepfirst,
+    "events_pivot": q_events_pivot,
+    "topk_per_group": q_topk_per_group,
+    "revenue_by_nation": q_revenue_by_nation,
+    # --- last driver-green r05 (freshest) ---
     "streaming_enrich": q_streaming_enrich,
     "median_exact_by_group": q_median_exact_by_group,
     "pii_redaction": q_pii_redaction,
@@ -8562,98 +8652,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
-    "embedding_centroids": q_embedding_centroids,
-    "top_terms": q_top_terms,
-    "bigram_counts": q_bigram_counts,
-    "tfidf_top": q_tfidf_top,
-    "unpivot_metrics": q_unpivot_metrics,
-    "kmeans_clusters": q_kmeans_clusters,
-    "array_ops": q_array_ops,
-    "weekday_revenue": q_weekday_revenue,
-    "waiting_suppliers": q_waiting_suppliers,
-    "value_concentration": q_value_concentration,
-    "overlap_pairs": q_overlap_pairs,
-    "dq_audit": q_dq_audit,
-    "join_full_outer": q_join_full_outer,
-    "set_except_all": q_set_except_all,
-    "window_funcs": q_window_funcs,
-    "contamination_check": q_contamination_check,
-    "price_histogram": q_price_histogram,
-    "paged_orders": q_paged_orders,
-    "lateral_top_orders": q_lateral_top_orders,
-    "rolling_30d_spend": q_rolling_30d_spend,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_brute_force": q_ann_brute_force,
-    "ann_ivf": q_ann_ivf,
-    "text_stats": q_text_stats,
-    "rolling_fingerprints": q_rolling_fingerprints,
-    "quality_by_source": q_quality_by_source,
-    "volume_shipping": q_volume_shipping,
-    "market_share": q_market_share,
-    "profit_by_nation": q_profit_by_nation,
-    "returned_revenue": q_returned_revenue,
-    "top_supplier": q_top_supplier,
-    "parts_supplier_cnt": q_parts_supplier_cnt,
-    "large_orders": q_large_orders,
-    "idle_customers": q_idle_customers,
-    "streaming_hourly": q_streaming_hourly,
-    "priority_count": q_priority_count,
-    "local_supplier_volume": q_local_supplier_volume,
-    "shipping_delay_priority": q_shipping_delay_priority,
-    "excess_shippers": q_excess_shippers,
-    "knn_join": q_knn_join,
-    "quartile_bucket": q_quartile_bucket,
-    "conversion_funnel": q_conversion_funnel,
-    "cohort_retention": q_cohort_retention,
-    "lang_distribution": q_lang_distribution,
-    "null_safe_join": q_null_safe_join,
-    "corr_price_qty": q_corr_price_qty,
-    "sliding_windows": q_sliding_windows,
-    "pivot_source_lang": q_pivot_source_lang,
-    "frequent_pairs": q_frequent_pairs,
-    "mode_brand": q_mode_brand,
-    "ewma_daily": q_ewma_daily,
-    "triangle_count": q_triangle_count,
-    "embedding_outliers": q_embedding_outliers,
-    "distinctive_terms": q_distinctive_terms,
-    "centroid_distances": q_centroid_distances,
-    "degree_histogram": q_degree_histogram,
-    "intersect_all": q_intersect_all,
-    "rolling_distinct_users": q_rolling_distinct_users,
-    "share_of_nation": q_share_of_nation,
-    "time_to_convert": q_time_to_convert,
-    "top_parts_per_nation": q_top_parts_per_nation,
-    "histogram_2d": q_histogram_2d,
-    "term_pmi_pairs": q_term_pmi_pairs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "asof_join_forward": q_asof_join_forward,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "doc_chunks": q_doc_chunks,
-    "embedding_normalize": q_embedding_normalize,
-    "vocab_coverage": q_vocab_coverage,
-    "containment_pairs": q_containment_pairs,
-    "cross_source_dups": q_cross_source_dups,
-    "chunk_dedup_rate": q_chunk_dedup_rate,
-    "ann_lsh": q_ann_lsh,
-    "ann_recall": q_ann_recall,
-    "dup_cluster_stats": q_dup_cluster_stats,
-    "transition_counts": q_transition_counts,
-    "lang_confusion": q_lang_confusion,
-    "bm25_topk": q_bm25_topk,
-    "merge_upsert_state": q_merge_upsert_state,
-    "scd2_state": q_scd2_state,
-    "incremental_rollup": q_incremental_rollup,
-    "pricing_summary": q_pricing_summary,
-    "freshness": q_freshness,
-    "daily_rollup": q_daily_rollup,
-    "freshness_status": q_freshness_status,
-    "count_scan": q_count,
-    "distinct_projection": q_distinct,
-    "dedup_keepfirst": q_dedup_keepfirst,
-    "events_pivot": q_events_pivot,
-    "topk_per_group": q_topk_per_group,
-    "revenue_by_nation": q_revenue_by_nation,
 }
 
 

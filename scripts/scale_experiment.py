@@ -67,6 +67,8 @@ QUERIES = [
     ("ngram_novelty", "train/test gram novelty (distinct + gram-keyed join)"),
     ("temperature_mix", "sqrt-weight source mixing (broadcast rates)"),
     ("vocab_growth", "Heaps curve (min-agg -> 10-row spine window)"),
+    ("ngram_lm_quality", "bigram-LM fluency bands (2 vocab aggs + gram join)"),
+    ("bpe_encode", "BPE encode: 5 unrolled ranks over the vocab frame"),
 ]
 
 
@@ -104,6 +106,16 @@ NEARDUP_QUERIES = [
     # the duplicated set linear in the corpus.
     ("substring_dedup_spans", "corpus-duplicated gram spans (agg+join + merge)"),
     ("minhash_calibration", "signature-vs-exact Jaccard calibration"),
+    # dedup_keep_best consumes the same LSH pair set as dedup_apply plus
+    # a per-member quality join — its verbatim-copy row is output-
+    # quadratic for the same reason, so the control lives here (r5
+    # verdict item 5)
+    ("dedup_keep_best", "quality-aware LSH survivor pick"),
+    # semdedup reads EMBEDDINGS, which build_perturbed scales by
+    # dimension-ROTATED copies (norms and within-copy geometry preserved
+    # exactly; cross-copy cosines decorrelate) — the rows columns verify
+    # how linear the resulting pair set actually is
+    ("semdedup", "embedding-cluster semantic dedup (bucketed cosine prune)"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
@@ -143,7 +155,29 @@ def build_perturbed(spark, base: str, mult: int, out_dir: str) -> str:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
-    for name in list(DIMS) + [t for t in FACTS if t != "documents"]:
+    # embeddings scale by dimension-ROTATED copies: vec' = vec[i:]+vec[:i]
+    # per copy i — a permutation, so norms and all WITHIN-copy cosines are
+    # preserved exactly while cross-copy cosines decorrelate (the
+    # embedding analog of the character rotation above)
+    e = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    etop = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    ecopies = [e]
+    for i in range(1, mult):
+        rotated = F.concat(
+            F.slice(F.col("embedding"), i + 1, 10_000),
+            F.slice(F.col("embedding"), 1, i),
+        )
+        ecopies.append(
+            e.withColumn("vec_id", F.col("vec_id") + F.lit(i * etop))
+            .withColumn("embedding", rotated)
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(os.path.join(dst, "embeddings.parquet"))
+    for name in list(DIMS) + [
+        t for t in FACTS if t not in ("documents", "embeddings")
+    ]:
         shutil.copy(
             os.path.join(base, f"{name}.parquet"),
             os.path.join(dst, f"{name}.parquet"),
