@@ -4049,6 +4049,57 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit (the standard tokenizer-eval metric):
+    pieces-per-word and chars-per-piece of the fixed BPE table
+    (_BPE_ENCODE_MERGES) by language. The encode runs once on the
+    vocab frame (bpe.apply_merges), folds to pieces-per-word, and
+    BROADCASTS into the doc token stream — the corpus-sized side never
+    shuffles. Ratios are exact integer milli-units (1000x div)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(d, tokens(F.col("text"))).localCheckpoint(
+        eager=True
+    )
+    pieces = bpe.apply_merges(words, _BPE_ENCODE_MERGES).select(
+        "wid", F.size("toks").cast("long").alias("n_pieces")
+    )
+    stream = d.select("lang", F.explode(tokens(F.col("text"))).alias("wid"))
+    agg = (
+        stream.join(F.broadcast(pieces), "wid")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum(F.length("wid")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.expr("(1000 * n_pieces) div n_words").alias("fertility_milli"),
+        F.expr("(1000 * n_chars) div n_pieces").alias(
+            "chars_per_piece_milli"
+        ),
+    ).orderBy("lang")
+
+
+def q_ann_quantized_recall(spark, sf_dir):
+    """Recall@10 of int8-quantized ANN vs the exact float top-10
+    (similarity.quantized_recall) — the accuracy-vs-bandwidth audit
+    before switching a 100 TB retrieval scan to 4-8x-smaller quantized
+    vectors. Both sides are broadcast-query narrow scans; the quantized
+    side scores with EXACT integer dot products (floats only in
+    IEEE-correctly-rounded sqrt/div), so the whole audit is
+    engine-bit-identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_recall(e, k=10, n_queries=10)
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -4884,11 +4935,13 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY step"
 
 
-def _bpe_encode_oracle_sql() -> str:
-    """Unrolled-CTE replay of operators/bpe.apply_merges over
+def _bpe_apply_ctes() -> tuple[list[str], str]:
+    """Shared unrolled-CTE replay of operators/bpe.apply_merges over
     _BPE_ENCODE_MERGES: per rank, lead()-adjacency with the pair fixed
-    as literals, run-parity greedy selection, positional application;
-    finally token frequencies weighted by the vocabulary counts."""
+    as literals, run-parity greedy selection, positional application.
+    Returns (cte_list, final_state_name); consumers aggregate the final
+    positional symbol state their own way (bpe_encode: token
+    frequencies; tokenizer_fertility: pieces-per-word)."""
     ctes = [
         f"""wf AS (SELECT wid, COUNT(*) AS freq
                FROM (SELECT unnest({_TOK}) AS wid FROM documents)
@@ -4929,16 +4982,50 @@ def _bpe_encode_oracle_sql() -> str:
               LEFT JOIN sel{k} sp ON n.wid = sp.wid AND n.rn = sp.rn + 1
               WHERE sp.rn IS NULL)"""
         )
-    last = len(_BPE_ENCODE_MERGES)
+    return ctes, f"s{len(_BPE_ENCODE_MERGES)}"
+
+
+def _bpe_encode_oracle_sql() -> str:
+    ctes, last = _bpe_apply_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
         SELECT s.sym AS token, CAST(SUM(w.freq) AS BIGINT) AS n_occurrences
-        FROM s{last} s JOIN wf w USING (wid)
+        FROM {last} s JOIN wf w USING (wid)
         GROUP BY s.sym
         ORDER BY n_occurrences DESC, token ASC LIMIT 25"""
     )
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    """Fertility (pieces per word) and compression (chars per piece) of
+    the fixed BPE table, by language: the final symbol state folds to
+    pieces-per-word (vocab-sized), the doc token stream joins it, and
+    per-lang ratios are exact integer milli-units."""
+    ctes, last = _bpe_apply_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        pieces AS (
+          SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_pieces
+          FROM {last} GROUP BY wid),
+        tokstream AS (
+          SELECT lang, unnest({{_TOK_PLACEHOLDER}}) AS wid FROM documents),
+        j AS (
+          SELECT t.lang, t.wid, p.n_pieces
+          FROM tokstream t JOIN pieces p USING (wid))
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+               CAST(SUM(length(wid)) AS BIGINT) AS n_chars,
+               CAST((1000 * SUM(n_pieces)) // COUNT(*) AS BIGINT)
+                 AS fertility_milli,
+               CAST((1000 * SUM(length(wid))) // SUM(n_pieces) AS BIGINT)
+                 AS chars_per_piece_milli
+        FROM j GROUP BY lang ORDER BY lang"""
+    ).replace("{_TOK_PLACEHOLDER}", _TOK)
 
 
 def _bm25_ctes_and_terms() -> tuple[str, str]:
@@ -6205,6 +6292,57 @@ def _oracle() -> dict[str, str]:
                    COALESCE(d.n_dup, 0) = 0 AS is_kept
             FROM assign a LEFT JOIN dups d ON a.vec_id = d.vid
             ORDER BY a.vec_id""",
+        "ann_quantized_recall": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            ex AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('c.e', 'q.e')} DESC, c.vec_id ASC)
+                       AS rn
+              FROM v c JOIN q ON c.vec_id <> q.vec_id),
+            exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+            mx AS (SELECT vec_id, e,
+                          list_max(list_transform(e, x -> abs(x))) AS m
+                   FROM v),
+            qn AS (SELECT vec_id,
+                          CASE WHEN m > 0 THEN list_transform(e,
+                            x -> CAST(floor(x * (127.0 / m)) AS BIGINT))
+                          ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                          END AS qvec
+                   FROM mx),
+            qn2 AS (SELECT vec_id, qvec,
+                           list_reduce(list_transform(
+                             generate_series(1, len(qvec)),
+                             i -> qvec[i] * qvec[i]), (x, y) -> x + y)
+                             AS qnorm2
+                    FROM qn),
+            qq AS (SELECT * FROM qn2 WHERE vec_id < 10),
+            sc AS (
+              SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(
+                       generate_series(1, len(c.qvec)),
+                       i -> c.qvec[i] * qq.qvec[i]), (x, y) -> x + y)
+                       AS DOUBLE)
+                     / (sqrt(CAST(c.qnorm2 AS DOUBLE))
+                        * sqrt(CAST(qq.qnorm2 AS DOUBLE))) AS qscore
+              FROM qn2 c JOIN qq ON c.vec_id <> qq.vec_id),
+            qk AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY qscore DESC, neighbor_id ASC) AS rn
+              FROM sc) WHERE rn <= 10),
+            hits AS (
+              SELECT e.query_id, COUNT(*) AS n
+              FROM exk e JOIN qk USING (query_id, neighbor_id)
+              GROUP BY e.query_id),
+            pe AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM exk GROUP BY query_id)
+            SELECT pe.query_id, pe.n_exact,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+            FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
+            ORDER BY pe.query_id""",
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -8074,6 +8212,7 @@ def _oracle() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "rrf_fusion": _rrf_oracle_sql(),
         "frequent_pairs": f"""
             WITH items AS (
@@ -8458,6 +8597,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # guarded by tests/test_oracle_parity.py (full-registry parametrize).
     # --- never driver-checked (new r6 queries + the fifteen r5 entries parked behind the r5 window) ---
     "bpe_encode": q_bpe_encode,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "ann_quantized_recall": q_ann_quantized_recall,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,

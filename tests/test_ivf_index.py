@@ -140,3 +140,52 @@ def test_lsh_topk_contains_query_and_matches_bruteforce_head(spark):
     }
     for r in got:
         assert exact[r["vec_id"]] == r["score"]
+
+
+def test_quantized_knn_matches_python_reference(spark):
+    """int8 quantization + integer-dot kNN vs an exact Python replay."""
+    import math
+
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        quantized_knn_join,
+        quantized_recall,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).round(3)  # round: exact parquet-free doubles
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def quant(v):
+        m = max(abs(x) for x in v)
+        return [math.floor(x * (127.0 / m)) for x in v] if m > 0 else [0] * len(v)
+
+    q = {i: quant(vecs[i]) for i in range(40)}
+
+    def topk(qid, k=3):
+        scored = []
+        for j in range(40):
+            if j == qid:
+                continue
+            dot = sum(a * b for a, b in zip(q[j], q[qid]))
+            n2a = sum(a * a for a in q[j])
+            n2b = sum(b * b for b in q[qid])
+            scored.append((-(dot / (math.sqrt(n2a) * math.sqrt(n2b))), j))
+        scored.sort()
+        return [j for _, j in scored[:k]]
+
+    queries = df.filter("vec_id < 3")
+    got = {}
+    for r in quantized_knn_join(df, queries, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["qscore"], r["neighbor_id"]))
+    for qid in range(3):
+        got_ids = [nid for _, nid in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+        assert got_ids == topk(qid), f"query {qid}"
+
+    # recall output shape: one row per query, n_exact == k
+    rec = quantized_recall(df, k=3, n_queries=3).collect()
+    assert [r["query_id"] for r in rec] == [0, 1, 2]
+    assert all(r["n_exact"] == 3 for r in rec)
+    assert all(0 <= r["n_overlap"] <= 3 for r in rec)
