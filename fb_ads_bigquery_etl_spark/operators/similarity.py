@@ -732,8 +732,10 @@ def quantized_recall(
     quant = quantized_knn_join(
         df, queries, k=k, vec_col=vec_col, id_col=id_col
     )
+    # both sides of the recall joins are k x |queries| top-k frames —
+    # broadcast them so no sort-merge ever touches these bounded sets
     hits = exact.join(
-        quant.select("query_id", "neighbor_id"),
+        F.broadcast(quant.select("query_id", "neighbor_id")),
         ["query_id", "neighbor_id"],
     )
     per_exact = exact.groupBy("query_id").agg(
@@ -743,7 +745,7 @@ def quantized_recall(
         F.count("*").cast("long").alias("n_overlap")
     )
     return (
-        per_exact.join(per_hit, "query_id", "left")
+        per_exact.join(F.broadcast(per_hit), "query_id", "left")
         .select(
             "query_id",
             "n_exact",

@@ -655,3 +655,29 @@ def test_partitioned_join_dynamic_partition_pruning(spark, tmp_path):
         f"expected dynamic partition pruning in scan:\n{plan}"
     )
     assert q.count() > 0
+
+
+def test_round6_plan_shapes(spark):
+    # tokenizer_fertility: the vocab-sized pieces frame must BROADCAST
+    # into the corpus token stream — a shuffle join would move the
+    # corpus-sized side on the word key
+    df = _q(spark, "tokenizer_fertility")
+    assert PI.broadcast_join_count(df) >= 1
+    assert not PI.has_cartesian(df)
+    # quantized recall: both knn sides are broadcast-query nested loops
+    # (a non-equi probe against a 10-row frame); nothing may sort-merge
+    # the corpus
+    df = _q(spark, "ann_quantized_recall")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastNestedLoopJoin"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    # semdedup: centroid assignment broadcasts the centroid table; the
+    # pair join is bucket-blocked (equi on bucket), never cartesian
+    df = _q(spark, "semdedup")
+    assert not PI.has_cartesian(df)
+    assert PI.node_counts(df)["BroadcastNestedLoopJoin"] >= 1
+    # ngram_lm_quality: the shared exploded bigram stream must be CACHED
+    # (one corpus tokenize, three consumers) and the model join must not
+    # re-shuffle raw text
+    plan = PI.explain_str(_q(spark, "ngram_lm_quality"))
+    assert "InMemoryTableScan" in plan
