@@ -3110,6 +3110,36 @@ def q_table_diff(spark, sf_dir):
     )
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifier columns (nation x market
+    segment on customer) — the privacy gate a training-data release
+    runs: how many identity groups (and member rows) fall below each
+    k threshold. One map-side-combined groupBy to the quasi-id group
+    sizes (metadata-sized), then a single conditional aggregate — the
+    quality.duplicate_key_count shape generalized to thresholds; at
+    100 TB the only data-sized stage is the first combine."""
+    c = _t(spark, sf_dir, "customer")
+    sizes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("_n")
+    )
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        *[
+            x
+            for k in (2, 5, 10, 25)
+            for x in (
+                F.count_if(F.col("_n") < k)
+                .cast("long")
+                .alias(f"groups_below_{k}"),
+                F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+                .cast("long")
+                .alias(f"rows_below_{k}"),
+            )
+        ],
+    )
+
+
 def q_profile_columns(spark, sf_dir):
     """Data profiling — per-column min/max/null-count/exact-NDV for the
     orders table in long form, the `DESCRIBE`-on-steroids every
@@ -6270,6 +6300,29 @@ def _oracle() -> dict[str, str]:
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM v, q ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "k_anonymity": """
+            WITH sizes AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+              FROM customer GROUP BY c_nationkey, c_mktsegment)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_2,
+               CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_2,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_5,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_5,
+               CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_10,
+               CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_10,
+               CAST(SUM(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_25,
+               CAST(SUM(CASE WHEN n < 25 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_25
+            FROM sizes""",
         "semdedup": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -8599,6 +8652,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
     "ann_quantized_recall": q_ann_quantized_recall,
+    "k_anonymity": q_k_anonymity,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,
