@@ -1241,6 +1241,42 @@ def _media_from_documents(spark, sf_dir):
     )
 
 
+_MAGIC_BY_TYPE = {
+    "image": "89504E470D0A1A0A",  # png
+    "audio": "52494646AAAA0000",  # riff
+    "video": "0000001866747970",  # mp4: 4-byte box size + 'ftyp'
+}
+
+
+def q_media_format_audit(spark, sf_dir):
+    """Magic-byte format sniffing (multimodal.detect_format) — the one
+    multimodal kernel that needs NO codec, so unlike the decode path it
+    runs for real: payloads are synthesized with true container
+    signatures (png/riff/mp4-ftyp), every 7th doc deliberately carries
+    a jpeg header contradicting its declared type, and the audit counts
+    the (declared, sniffed) matrix with mismatches. Detection reads 12
+    bytes per payload via one narrow substring; the audit groupBy is
+    metadata-keyed."""
+    d = _t(spark, sf_dir, "documents")
+    mtype = F.element_at(
+        F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    hdr = F.when(F.col("doc_id") % 7 == 0, F.lit("FFD8FFE0")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(_MAGIC_BY_TYPE[t]) for t in _MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+    )
+    media = d.select(
+        mtype.alias("media_type"),
+        F.concat(F.unhex(hdr), F.col("text").cast("binary")).alias(
+            "payload"
+        ),
+    )
+    return multimodal.format_mismatch_audit(media)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary columns through the Arrow-batched feature kernel
     (mapInPandas), then aggregate — proves the schema/batch plumbing."""
@@ -6744,6 +6780,34 @@ def _oracle() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "media_format_audit": """
+            WITH m AS (
+              SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                     unhex(CASE WHEN doc_id % 7 = 0 THEN 'FFD8FFE0'
+                                WHEN doc_id % 3 = 0 THEN '89504E470D0A1A0A'
+                                WHEN doc_id % 3 = 1 THEN '52494646AAAA0000'
+                                ELSE '0000001866747970' END)
+                       || encode(text) AS payload
+              FROM documents),
+            det AS (
+              SELECT media_type,
+                     CASE WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                          WHEN substring(h, 1, 8) = '89504E47' THEN 'png'
+                          WHEN substring(h, 1, 6) = '474946' THEN 'gif'
+                          WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+                          WHEN substring(h, 1, 8) = '25504446' THEN 'pdf'
+                          WHEN substring(h, 9, 8) = '66747970' THEN 'mp4'
+                          ELSE 'unknown' END AS detected_format
+              FROM (SELECT media_type, substring(hex(payload), 1, 24) AS h
+                    FROM m))
+            SELECT media_type, detected_format,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN detected_format <>
+                        CASE media_type WHEN 'image' THEN 'png'
+                             WHEN 'audio' THEN 'riff' ELSE 'mp4' END
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+            FROM det GROUP BY 1, 2 ORDER BY 1, 2""",
         "multimodal_features": """
             SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -8653,6 +8717,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "ann_quantized_recall": q_ann_quantized_recall,
     "k_anonymity": q_k_anonymity,
+    "media_format_audit": q_media_format_audit,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,

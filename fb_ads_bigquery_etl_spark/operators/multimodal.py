@@ -152,3 +152,67 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# (format, hex-prefix at byte 1) — detection is pure JVM expressions on
+# the payload's first bytes; no codec needed, so unlike the decode
+# kernels this is NOT stubbed. MP4 is special-cased below: its 'ftyp'
+# brand sits at byte offset 5, after the 4-byte box size.
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("jpeg", "FFD8FF"),
+    ("png", "89504E47"),
+    ("gif", "474946"),
+    ("riff", "52494646"),  # wav/avi/webp container
+    ("pdf", "25504446"),
+)
+
+
+def detect_format(payload) -> "F.Column":
+    """Magic-byte container-format sniffing over a binary column.
+
+    Reads the first 12 payload bytes (one narrow substring — the wide
+    binary column itself is never copied), hexes them, and matches
+    known signatures; 'mp4' matches the ftyp brand at byte offset 5.
+    Returns a lowercase format tag or 'unknown'. The real-data audit
+    this feeds: payloads whose bytes contradict their declared type —
+    the corrupt/mislabeled-media gate a multimodal ingest runs before
+    spending decode time.
+    """
+    h = F.hex(F.substring(payload, 1, 12))
+    expr = F.when(h.startswith("FFD8FF"), F.lit("jpeg"))
+    for name, magic in MAGIC_PREFIXES[1:]:
+        expr = expr.when(h.startswith(magic), F.lit(name))
+    return expr.when(
+        F.substring(h, 9, 8) == "66747970", F.lit("mp4")
+    ).otherwise(F.lit("unknown"))
+
+
+EXPECTED_FORMAT = {"image": "png", "audio": "riff", "video": "mp4"}
+
+
+def format_mismatch_audit(df: DataFrame) -> DataFrame:
+    """(media_type, detected_format) matrix with mismatch counts.
+
+    One narrow projection + one map-side-combined groupBy over
+    metadata-sized keys; `is_mismatch` compares the sniffed format to
+    the EXPECTED_FORMAT for the declared media_type.
+    """
+    expected = F.create_map(
+        *[F.lit(x) for kv in EXPECTED_FORMAT.items() for x in kv]
+    )
+    out = df.select(
+        "media_type",
+        detect_format(F.col("payload")).alias("detected_format"),
+        F.col("payload").isNull().alias("_null"),
+    ).withColumn(
+        "is_mismatch",
+        F.col("detected_format") != expected[F.col("media_type")],
+    )
+    return (
+        out.groupBy("media_type", "detected_format")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if("is_mismatch").cast("long").alias("n_mismatch"),
+        )
+        .orderBy("media_type", "detected_format")
+    )

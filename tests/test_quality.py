@@ -135,3 +135,28 @@ def test_ngram_lm_doc_scores_exact_small_corpus(spark):
     want1 = math.floor(p_ab * 1e6) + math.floor(p_bc * 1e6)
     assert got[0] == (3, want0)
     assert got[1] == (2, want1)
+
+
+def test_detect_format_signatures(spark):
+    """Magic-byte sniffing on real container signatures, incl. the
+    offset-5 mp4 ftyp brand and an unknown fallback."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import detect_format
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, bytes.fromhex("FFD8FFE000104A46") + b"x"),       # jpeg
+        (2, bytes.fromhex("89504E470D0A1A0A") + b"x"),       # png
+        (3, b"GIF89a" + b"x"),                                # gif
+        (4, b"RIFF\x24\x00\x00\x00WAVE"),                    # riff
+        (5, bytes.fromhex("0000001866747970") + b"isom"),     # mp4
+        (6, b"%PDF-1.7"),                                     # pdf
+        (7, b"plain text bytes"),                             # unknown
+        (8, b""),                                             # unknown
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", detect_format(F.col("payload")).alias("f")).collect()
+    }
+    assert got == {1: "jpeg", 2: "png", 3: "gif", 4: "riff",
+                   5: "mp4", 6: "pdf", 7: "unknown", 8: "unknown"}
