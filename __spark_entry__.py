@@ -2776,6 +2776,99 @@ def q_streaming_user_totals(spark, sf_dir):
     )
 
 
+def q_streaming_cdc_upsert(spark, sf_dir):
+    """Streaming CDC -> warehouse table via foreachBatch MERGE — the
+    exactly-once upsert sink a production change stream actually runs:
+    the changelog arrives as version-ordered micro-batches
+    (maxFilesPerTrigger=1 over mtime-ordered files), each batch
+    collapses to its per-key winner INCLUDING tombstones (one max_by
+    hash agg, no window) and MERGEs into the table (sinks.merge_upsert,
+    partition-overwrite engine here; Delta MERGE where available).
+    Because batches are version-range ordered, per-batch
+    last-writer-wins composes to the global argmax, so the drained
+    table must hash-match the one-shot batch collapse — the oracle is
+    cdc_changelog_apply's, tombstones dropped at read."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.sinks import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    changelog = o.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 17 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("amount"),
+        # merge_upsert's partition-overwrite engine needs the partition
+        # column; a bounded hash of the key keeps rewrites bounded
+        (F.col("o_custkey") % 8).cast("string").alias("date_start"),
+    )
+    vmax = changelog.agg(F.max("version")).head()[0]
+    b1, b2 = vmax // 3, 2 * vmax // 3
+    landing = tempfile.mkdtemp(prefix="_q_cdc_stream_")
+    table_tmp = tempfile.mkdtemp(prefix="_q_cdc_tbl_")
+    try:
+        parts = [
+            changelog.filter(F.col("version") <= b1),
+            changelog.filter(
+                (F.col("version") > b1) & (F.col("version") <= b2)
+            ),
+            changelog.filter(F.col("version") > b2),
+        ]
+        for i, p in enumerate(parts):
+            d = os.path.join(landing, f"w{i}")
+            p.coalesce(1).write.parquet(d)
+            f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+            dst = os.path.join(landing, f"b{i}.parquet")
+            shutil.copyfile(os.path.join(d, f), dst)
+            shutil.rmtree(d)
+            base_m = os.path.getmtime(os.path.join(landing, "b0.parquet"))
+            os.utime(dst, (base_m + 10 * i,) * 2)
+        schema = spark.read.parquet(
+            os.path.join(landing, "b0.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        tbl = os.path.join(table_tmp, "t")
+
+        def apply_batch(batch_df, _batch_id):
+            collapsed = (
+                batch_df.groupBy("cust_id")
+                .agg(
+                    F.max_by(
+                        F.struct(*batch_df.columns), F.col("version")
+                    ).alias("_r")
+                )
+                .select("_r.*")
+            )
+            merge_upsert(
+                batch_df.sparkSession, collapsed, tbl, key=("cust_id",)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(tbl)
+            .filter(F.col("op") != "D")
+            .select("cust_id", "version", "op", "amount")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(table_tmp, ignore_errors=True)
+    return out.orderBy("cust_id")
+
+
 def q_cdc_changelog_apply(spark, sf_dir):
     """CDC changelog application (operators/cdc.changelog_latest):
     last-writer-wins collapse of an insert/update/delete changelog to
@@ -7545,6 +7638,20 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                      AS total_value_micros
             FROM events GROUP BY user_id ORDER BY user_id""",
+        "streaming_cdc_upsert": """
+            WITH ch AS (
+              SELECT o_custkey AS cust_id, o_orderkey AS version,
+                     CASE WHEN o_orderkey % 17 = 0 THEN 'D'
+                          WHEN o_orderkey % 3 = 0 THEN 'U'
+                          ELSE 'I' END AS op,
+                     o_totalprice AS amount
+              FROM orders),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cust_id ORDER BY version DESC) AS rn
+              FROM ch)
+            SELECT cust_id, version, op, amount
+            FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust_id""",
         "cdc_changelog_apply": """
             WITH ch AS (
               SELECT o_custkey AS cust_id, o_orderkey AS version,
@@ -8718,6 +8825,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_recall": q_ann_quantized_recall,
     "k_anonymity": q_k_anonymity,
     "media_format_audit": q_media_format_audit,
+    "streaming_cdc_upsert": q_streaming_cdc_upsert,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,
