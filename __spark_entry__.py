@@ -3239,6 +3239,37 @@ def q_table_diff(spark, sf_dir):
     )
 
 
+def q_zorder_stats(spark, sf_dir):
+    """Z-curve (Morton) clustering math under the oracle gate
+    (operators/layout.zvalue): interleave the bits of (l_partkey,
+    l_suppkey) into the one sort key that gives BOTH columns file-level
+    locality — the layout primitive behind Delta OPTIMIZE ZORDER /
+    Iceberg sort orders, and the 100 TB scan-pruning lever (parquet
+    min/max skipping works on every z-ordered column at once). Pure
+    unrolled shift/mask integer arithmetic (no UDF, codegen-friendly);
+    folded into coarse z-buckets whose key ranges the oracle replays
+    exactly. The physical write path (range-repartition + sort, narrow
+    per-file rectangles) is pytest-gated in tests/test_bucketing.py."""
+    from fb_ads_bigquery_etl_spark.operators.layout import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"), bits=16)
+    zb = li.select(z.alias("z"), "l_partkey", "l_suppkey")
+    return (
+        zb.groupBy(F.expr("z div 16777216").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("z").cast("long").alias("min_z"),
+            F.max("z").cast("long").alias("max_z"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit over quasi-identifier columns (nation x market
     segment on customer) — the privacy gate a training-data release
@@ -6429,6 +6460,20 @@ def _oracle() -> dict[str, str]:
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM v, q ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "zorder_stats": """
+            WITH z AS (
+              SELECT (((l_partkey >> 0) & 1) * 2 + ((l_suppkey >> 0) & 1) * 1 + ((l_partkey >> 1) & 1) * 8 + ((l_suppkey >> 1) & 1) * 4 + ((l_partkey >> 2) & 1) * 32 + ((l_suppkey >> 2) & 1) * 16 + ((l_partkey >> 3) & 1) * 128 + ((l_suppkey >> 3) & 1) * 64 + ((l_partkey >> 4) & 1) * 512 + ((l_suppkey >> 4) & 1) * 256 + ((l_partkey >> 5) & 1) * 2048 + ((l_suppkey >> 5) & 1) * 1024 + ((l_partkey >> 6) & 1) * 8192 + ((l_suppkey >> 6) & 1) * 4096 + ((l_partkey >> 7) & 1) * 32768 + ((l_suppkey >> 7) & 1) * 16384 + ((l_partkey >> 8) & 1) * 131072 + ((l_suppkey >> 8) & 1) * 65536 + ((l_partkey >> 9) & 1) * 524288 + ((l_suppkey >> 9) & 1) * 262144 + ((l_partkey >> 10) & 1) * 2097152 + ((l_suppkey >> 10) & 1) * 1048576 + ((l_partkey >> 11) & 1) * 8388608 + ((l_suppkey >> 11) & 1) * 4194304 + ((l_partkey >> 12) & 1) * 33554432 + ((l_suppkey >> 12) & 1) * 16777216 + ((l_partkey >> 13) & 1) * 134217728 + ((l_suppkey >> 13) & 1) * 67108864 + ((l_partkey >> 14) & 1) * 536870912 + ((l_suppkey >> 14) & 1) * 268435456 + ((l_partkey >> 15) & 1) * 2147483648 + ((l_suppkey >> 15) & 1) * 1073741824) AS z,
+                     l_partkey, l_suppkey
+              FROM lineitem)
+            SELECT CAST(z // 16777216 AS BIGINT) AS z_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(z) AS BIGINT) AS min_z,
+                   CAST(MAX(z) AS BIGINT) AS max_z,
+                   CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+                   CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+                   CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+                   CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+            FROM z GROUP BY 1 ORDER BY 1""",
         "k_anonymity": """
             WITH sizes AS (
               SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
@@ -8826,6 +8871,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "media_format_audit": q_media_format_audit,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
+    "zorder_stats": q_zorder_stats,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,

@@ -74,3 +74,54 @@ def test_bucketed_groupby_on_bucket_key_is_shuffle_free(spark, bucketed_tables):
     li = spark.table("lineitem_b")
     agg = li.groupBy("okey").agg(F.sum("l_quantity").alias("q"))
     assert PI.node_counts(agg)["Exchange"] == 0
+
+
+def test_zorder_write_produces_narrow_file_rectangles(spark, tmp_path):
+    """The z-ordered layout must cover a far smaller total (a, b)
+    rectangle area per file than an a-sorted write: that area IS the
+    parquet min/max pruning surface for filters on either column."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.layout import (
+        file_rectangle_stats,
+        zorder_write,
+    )
+
+    # 64x64 grid, shuffled arrival order
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / 64).cast("long").alias("b"),
+            F.xxhash64("id").alias("noise"),
+        )
+        .orderBy("noise")
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "asorted")
+    zorder_write(df, zpath, ("a", "b"), bits=6, num_files=8)
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def files_touched(path):
+        """Expected #files a point filter on each column must read =
+        sum over files of that file's span/domain — THE pruning metric
+        parquet min/max skipping realizes."""
+        rows = file_rectangle_stats(spark, path, ("a", "b")).collect()
+        assert len(rows) >= 4
+        ta = sum((r["max_a"] - r["min_a"] + 1) / 64 for r in rows)
+        tb = sum((r["max_b"] - r["min_b"] + 1) / 64 for r in rows)
+        return ta, tb
+
+    za, zb_ = files_touched(zpath)
+    sa, sb = files_touched(spath)
+    # a-sorted prunes a perfectly (~1 file) but every file spans ALL of
+    # b (~8 files for any b filter); z-order spreads locality across
+    # BOTH columns, so its worst column beats the sorted layout's worst
+    # column by >= 1.5x (measured ~2x)
+    assert max(sa, sb) >= 7.5, (sa, sb)
+    assert max(za, zb_) * 1.5 <= max(sa, sb), (za, zb_, sa, sb)
