@@ -1812,6 +1812,22 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification rerank (similarity.mmr_rerank; Carbonell &
+    Goldstein 1998) — the step between retrieval and the context
+    window: from the cosine top-20 pool for query vec 0, greedily pick
+    5 maximizing 0.7*relevance - 0.3*max_sim_to_selected. One narrow
+    corpus pass reduces to the pool; the pool-bounded similarity
+    matrix and the unrolled greedy steps are metadata-sized (per-step
+    1-row checkpoints, the BPE-fixpoint treatment). The oracle replays
+    every greedy step as unrolled CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.mmr_rerank(
+        e.filter(F.col("vec_id") != 0), list(qvec), k=5, pool=20, lam=0.7
+    ).withColumnRenamed("id", "vec_id")
+
+
 def q_ann_brute_force(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -5218,6 +5234,48 @@ def _tokenizer_fertility_oracle_sql() -> str:
     ).replace("{_TOK_PLACEHOLDER}", _TOK)
 
 
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled-CTE replay of similarity.mmr_rerank's greedy selection.
+    The (1-lam) literal is emitted via repr() so the oracle's double is
+    bit-identical to the engine's F.lit(1.0 - lam)."""
+    ctes = [
+        """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)""",
+        "q AS (SELECT e AS qe FROM v WHERE vec_id = 0)",
+        f"""rel AS (SELECT vec_id, e, {_cos_sql('e', 'qe')} AS rel
+               FROM v, q WHERE vec_id <> 0
+               ORDER BY rel DESC, vec_id ASC LIMIT {pool})""",
+        f"""sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                          {_cos_sql('a.e', 'b.e')} AS sim
+               FROM rel a JOIN rel b ON a.vec_id <> b.vec_id)""",
+        """sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS score
+               FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 1)""",
+    ]
+    prev = "sel1"
+    for step in range(2, k + 1):
+        ctes.append(
+            f"""sel{step} AS (
+              SELECT * FROM {prev}
+              UNION ALL
+              SELECT CAST({step} AS BIGINT) AS rank, vec_id, score FROM (
+                SELECT r.vec_id,
+                       {lam!r} * r.rel - {(1.0 - lam)!r} * mx.max_sim
+                         AS score
+                FROM rel r
+                JOIN (SELECT s.ia AS vec_id, MAX(s.sim) AS max_sim
+                      FROM sims s JOIN {prev} p ON s.ib = p.vec_id
+                      GROUP BY s.ia) mx ON r.vec_id = mx.vec_id
+                WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+                ORDER BY score DESC, r.vec_id ASC LIMIT 1))"""
+        )
+        prev = f"sel{step}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT rank, vec_id, score FROM {prev} ORDER BY rank"
+    )
+
+
 def _bm25_ctes_and_terms() -> tuple[str, str]:
     """Shared BM25 oracle fragments: (CTE body, score expression)."""
     tf_exprs = ", ".join(
@@ -8481,6 +8539,7 @@ def _oracle() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "mmr_rerank": _mmr_oracle_sql(),
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "rrf_fusion": _rrf_oracle_sql(),
         "frequent_pairs": f"""
@@ -8872,6 +8931,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_format_audit": q_media_format_audit,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
     "zorder_stats": q_zorder_stats,
+    "mmr_rerank": q_mmr_rerank,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,

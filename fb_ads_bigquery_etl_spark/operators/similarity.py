@@ -755,3 +755,98 @@ def quantized_recall(
         )
         .orderBy("query_id")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998)
+    — the diversification step between retrieval and the context
+    window: greedily pick k results maximizing
+    lam*relevance - (1-lam)*max_similarity_to_already_selected.
+
+    Scale shape: ONE narrow corpus pass reduces to the top-`pool`
+    relevance candidates (TakeOrdered); everything after — the pool x
+    pool similarity matrix and the k greedy steps — operates on
+    pool-bounded frames (metadata-sized), unrolled lazily like the BPE
+    fixpoint with a per-step 1-row checkpoint. Ties break on id
+    ascending; all scoring is engine-exact double arithmetic. Returns
+    (rank, id, score).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    prep = _prepared(df, id_col, vec_col)
+    rel = (
+        prep.select(
+            "id",
+            "vec",
+            (dot_product(F.col("vec"), q) / (F.col("norm") * l2_norm(q))).alias(
+                "rel"
+            ),
+            "norm",
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    sims = (
+        rel.select(
+            F.col("id").alias("ia"), F.col("vec").alias("va"),
+            F.col("norm").alias("na"),
+        )
+        .join(
+            rel.select(
+                F.col("id").alias("ib"), F.col("vec").alias("vb"),
+                F.col("norm").alias("nb"),
+            ),
+            F.col("ia") != F.col("ib"),
+        )
+        .select(
+            "ia",
+            "ib",
+            (
+                dot_product(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        rel.orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "id",
+            F.col("rel").alias("score"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for step in range(2, k + 1):
+        cand = rel.join(selected.select("id"), "id", "left_anti")
+        worst = (
+            sims.join(selected.select(F.col("id").alias("ib")), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = cand.join(
+            worst, cand["id"] == worst["ia"]
+        ).select(
+            "id",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("max_sim")
+            ).alias("score"),
+        )
+        pick = (
+            scored.orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .select(F.lit(step).cast("long").alias("rank"), "id", "score")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.orderBy("rank")

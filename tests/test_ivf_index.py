@@ -189,3 +189,27 @@ def test_quantized_knn_matches_python_reference(spark):
     assert [r["query_id"] for r in rec] == [0, 1, 2]
     assert all(r["n_exact"] == 3 for r in rec)
     assert all(0 <= r["n_overlap"] <= 3 for r in rec)
+
+
+def test_mmr_rerank_demotes_redundant_results(spark):
+    """Two near-identical top-relevance vectors: pure relevance ranks
+    them 1-2; MMR must demote the duplicate below a diverse result."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, [0.9, 0.1, 0.0]),        # rel ~0.994
+        (2, [0.9, 0.11, 0.0]),       # near-dup of 1 (sim ~0.99995)
+        (3, [0.7, 0.7, 0.0]),        # diverse, rel ~0.707
+        (4, [0.6, 0.0, 0.8]),        # diverse, rel ~0.6
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["id"])
+        for r in mmr_rerank(df, [1.0, 0.0, 0.0], k=3, pool=4, lam=0.5).collect()
+    ]
+    # rank 1 = vec 1 (max rel). rank 2: vec 2's sim to vec 1 exceeds
+    # its relevance (0.99995 > 0.993) so its MMR score goes negative
+    # while vec 4's stays ~0 -> a diverse vector outranks the near-dup
+    assert got[0] == (1, 1)
+    assert got[1][1] in (3, 4)
+    assert got[2][1] != 2 or got[1][1] != 2
