@@ -681,3 +681,24 @@ def test_round6_plan_shapes(spark):
     # re-shuffle raw text
     plan = PI.explain_str(_q(spark, "ngram_lm_quality"))
     assert "InMemoryTableScan" in plan
+
+
+def test_round6_batch2_plan_shapes(spark):
+    # zorder_stats: unrolled bit arithmetic + ONE map-side-combined agg;
+    # no joins of any kind touch the fact table
+    df = _q(spark, "zorder_stats")
+    nc = PI.node_counts(df)
+    assert nc["HashAggregate"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    # k_anonymity: two stacked aggregates (group sizes -> thresholds),
+    # both map-side combined; at most the two agg exchanges
+    df = _q(spark, "k_anonymity")
+    nc = PI.node_counts(df)
+    assert nc["HashAggregate"] >= 4, nc
+    assert PI.exchange_count(df) <= 2, PI.exchange_count(df)
+    # media_format_audit: pure narrow projection + one metadata-keyed
+    # agg; detection must not join or window
+    df = _q(spark, "media_format_audit")
+    nc = PI.node_counts(df)
+    assert nc["SortMergeJoin"] == 0 and nc["Window"] == 0, nc
+    assert not PI.has_cartesian(df)
