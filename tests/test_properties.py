@@ -438,3 +438,53 @@ def test_asof_join_matches_pandas_merge_asof(lrows, rrows, direction):
         for _, r in merged.iterrows()
     }
     assert got == want
+
+
+_bpe_word = st.text(alphabet="abc", min_size=0, max_size=8)
+_bpe_pair = st.tuples(
+    st.sampled_from(["a", "b", "c", "ab", "bc", "aa", "abc"]),
+    st.sampled_from(["a", "b", "c", "ab", "bc", "aa"]),
+)
+
+
+def _seq_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The spec: rank order, one greedy leftmost-nonoverlap pass/rank."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@given(
+    st.lists(_bpe_word, min_size=1, max_size=12, unique=True),
+    st.lists(_bpe_pair, min_size=1, max_size=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_bpe_encode_pandas_twin_matches_sequential(words, merges):
+    """apply_merges_pandas (the production scale path) == the sequential
+    spec on arbitrary words/tables — incl. overlapping-run pairs like
+    (a, a) and multi-char ranks consuming earlier ranks' output."""
+    from fb_ads_bigquery_etl_spark.operators.bpe import apply_merges_pandas
+
+    spark = _get_spark()
+    words = [w for w in words if w]
+    if not words:
+        return
+    df = spark.createDataFrame([(w,) for w in words], ["wid"])
+    got = {
+        r["wid"]: r["toks"]
+        for r in apply_merges_pandas(df, merges).collect()
+    }
+    assert got == {w: _seq_encode(w, merges) for w in words}
