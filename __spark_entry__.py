@@ -3008,6 +3008,61 @@ def q_scd2_state(spark, sf_dir):
     return out.orderBy("k", "state")
 
 
+def q_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view
+    (operators/ivm.py) — the sibling of incremental_rollup's aggregate
+    IVM: build lineitem⋈orders bucket-partitioned on hash(join key),
+    APPEND a fact delta (O(delta), view body untouched), then apply a
+    dim-side price correction by rewriting ONLY the buckets containing
+    updated keys (dynamic partition overwrite; touched-bucket set is
+    metadata-sized). Gate: the maintained view's aggregate equals a
+    from-scratch recompute of the fully-updated join — the bucket hash
+    shapes layout only, never values."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators import ivm
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    dim = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        cents.alias("price_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_ivm_join_")
+    try:
+        path = os.path.join(tmp, "view")
+        base = li.filter(F.col("k") % 10 != 0)
+        delta = li.filter(F.col("k") % 10 == 0)
+        ivm.build_join_view(base, dim, "k", path, buckets=16)
+        ivm.apply_fact_append(spark, delta, dim, "k", path, buckets=16)
+        changed = dim.filter(F.col("k") % 100 == 0).withColumn(
+            "price_cents", F.col("price_cents") * 2
+        )
+        dim_full = dim.filter(F.col("k") % 100 != 0).unionByName(changed)
+        ivm.apply_dim_update(
+            spark, li, changed, dim_full, "k", path, buckets=16
+        )
+        out = (
+            ivm.read_join_view(spark, path)
+            .groupBy("l_returnflag", "o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("qty").cast("long").alias("total_qty"),
+                F.sum("price_cents").cast("long").alias("total_price_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("l_returnflag", "o_orderpriority")
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental rollup maintenance under the oracle gate
     (analytics.incremental_rollup + sinks.overwrite_partitions): write
@@ -6532,6 +6587,23 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "incremental_join_view": """
+            WITH dim AS (
+              SELECT o_orderkey AS k, o_orderpriority,
+                     CASE WHEN o_orderkey % 100 = 0
+                          THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+                          ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     END AS price_cents
+              FROM orders),
+            f AS (SELECT l_orderkey AS k, l_returnflag,
+                         CAST(l_quantity AS BIGINT) AS qty
+                  FROM lineitem)
+            SELECT f.l_returnflag, d.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(f.qty) AS BIGINT) AS total_qty,
+                   CAST(SUM(d.price_cents) AS BIGINT) AS total_price_cents
+            FROM f JOIN dim d ON f.k = d.k
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "k_anonymity": """
             WITH sizes AS (
               SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
@@ -8932,6 +9004,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
     "zorder_stats": q_zorder_stats,
     "mmr_rerank": q_mmr_rerank,
+    "incremental_join_view": q_incremental_join_view,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,
