@@ -3155,6 +3155,63 @@ def q_skew_salted_join(spark, sf_dir):
     )
 
 
+def q_attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution — attribution_linear's decay
+    sibling: a purchase's value splits across the preceding hour's
+    views weighted by recency half-life (15 min). The decay stays
+    FULLY INTEGER (the libm-pow dodge): bucket k = elapsed_seconds div
+    900 ∈ [0,3], weight = 8 >> k via a CASE, share = value_micros * w
+    div sum(w) — exact integer division, so per-view totals hash-match
+    with no float in the pipeline. Same interval-join + per-purchase
+    window shape as the linear variant (groups are tiny and
+    high-cardinality)."""
+    e = _events(spark, sf_dir)
+    p = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1_000_000).alias("value_micros"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("p_ts"))
+        )
+        .withColumn(
+            "_k",
+            F.expr(
+                "(unix_timestamp(p_ts) - unix_timestamp(v_ts)) div 900"
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.expr(
+                "CASE _k WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 "
+                "ELSE 1 END"
+            ).cast("long"),
+        )
+    )
+    shared = j.withColumn(
+        "_sumw", F.sum("_w").over(Window.partitionBy("p_id"))
+    ).withColumn("share", F.expr("(value_micros * _w) div _sumw"))
+    return (
+        shared.groupBy("v_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("share").cast("long").alias("attributed_micros"),
+        )
+        .orderBy("v_id")
+    )
+
+
 def q_attribution_linear(spark, sf_dir):
     """Multi-touch marketing attribution — the ads-domain query the
     reference's BigQuery consumers would write next: each purchase's
@@ -8092,6 +8149,28 @@ def _oracle() -> dict[str, str]:
                    CAST(new_price AS DOUBLE) AS new_price
             FROM j WHERE status <> 'same' ORDER BY key""",
         # Integer-micros value split: DIV per touch, so engines agree bit-for-bit.
+        "attribution_time_decay": """
+            WITH p AS (
+              SELECT event_id AS p_id, user_id, ts AS p_ts,
+                     CAST(floor(value * 1000000) AS BIGINT) AS value_micros
+              FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL),
+            v AS (
+              SELECT event_id AS v_id, user_id, ts AS v_ts
+              FROM events WHERE event_type = 'view'),
+            j AS (
+              SELECT p.p_id, v.v_id, p.value_micros,
+                     CASE (epoch(p.p_ts) - epoch(v.v_ts)) // 900
+                          WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+                          ELSE 1 END AS w
+              FROM p JOIN v ON p.user_id = v.user_id
+               AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts < p.p_ts),
+            sw AS (
+              SELECT *, SUM(w) OVER (PARTITION BY p_id) AS sumw FROM j)
+            SELECT v_id, COUNT(*) AS n_purchases,
+                   CAST(SUM((value_micros * w) // sumw) AS BIGINT)
+                     AS attributed_micros
+            FROM sw GROUP BY v_id ORDER BY v_id""",
         "attribution_linear": """
             WITH p AS (
               SELECT event_id AS p_id, user_id, ts AS p_ts,
@@ -9005,6 +9084,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_stats": q_zorder_stats,
     "mmr_rerank": q_mmr_rerank,
     "incremental_join_view": q_incremental_join_view,
+    "attribution_time_decay": q_attribution_time_decay,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,
