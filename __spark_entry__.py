@@ -4016,6 +4016,74 @@ def q_streaming_sessions_timeout(spark, sf_dir):
     )
 
 
+def q_streaming_stacked_aggs(spark, sf_dir):
+    """CHAINED stateful streaming aggregations (the Spark 3.4+
+    multiple-stateful-operators feature): level 1 counts events per
+    (1h window, type); level 2 re-aggregates per hour ON THE WINDOW
+    COLUMN (F.window over the level-1 window — chained time-window
+    aggregation) into type count / max / total. Both levels run in ONE
+    streaming query in append mode; windows only emit once the
+    watermark passes, so far-future sentinels (+10h/+20h, filtered out
+    of the data path AFTER the watermark operator so they advance it
+    without contributing rows) flush every real window before
+    AvailableNow terminates. Oracle: the two-level batch rollup."""
+    import shutil
+
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_stacked_landing_"
+    )
+    schema = _stage_sentinels(spark, sf_dir, landing)
+    # each stateful level emits one batch AFTER its input passes the
+    # watermark, so a TWO-level pipeline needs one more trailing batch
+    # than the single-level queries: replay the last sentinel as a 4th
+    # file (watermark already final; the batch exists purely to let
+    # level 2 flush what level 1 emitted in the previous batch) and
+    # take files one per trigger
+    files = sorted(
+        (os.path.join(landing, f) for f in os.listdir(landing)),
+        key=os.path.getmtime,
+    )
+    flush = os.path.join(landing, "zz_flush.parquet")
+    shutil.copyfile(files[-1], flush)
+    os.utime(flush, (os.path.getmtime(files[-1]) + 10,) * 2)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    # NO stream-side sentinel filter: Catalyst constraint-pushes it
+    # below withWatermark and the sentinels stop advancing the
+    # watermark (the interval-join trap, documented there). Sentinel
+    # rows flow through both aggregation levels and are dropped on the
+    # BATCH side by hour (they sit >= 10h past the real stream).
+    ev = event_ts_to_timestamp(raw).withWatermark("ts", "2 hours")
+    lvl1 = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.col("window"), "1 hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.max("n").cast("long").alias("max_type_events"),
+            F.sum("n").cast("long").alias("total_events"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "n_types",
+            "max_type_events",
+            "total_events",
+        )
+    )
+    name = f"_stream_stacked_{next(_STREAM_SEQ)}"
+    out = _drain_memory_stream(
+        spark, lvl2, name, "append", landing, state_partitions=8
+    )
+    cut = _events(spark, sf_dir).agg(
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("m")
+    ).head()[0]
+    return out.filter(F.col("hour") <= F.lit(cut)).orderBy("hour")
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-flattened source mixing (alpha=0.5, target 20%):
     per-source keep rates proportional to sqrt(count) rebalance big vs
@@ -6998,6 +7066,16 @@ def _oracle() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         # streaming_hourly drains a Trigger.AvailableNow streaming query
         # into a memory sink; final state must equal the batch aggregate.
+        "streaming_stacked_aggs": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(MAX(n) AS BIGINT) AS max_type_events,
+                   CAST(SUM(n) AS BIGINT) AS total_events
+            FROM h GROUP BY hour ORDER BY hour""",
         "streaming_hourly": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events,
@@ -9085,6 +9163,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "incremental_join_view": q_incremental_join_view,
     "attribution_time_decay": q_attribution_time_decay,
+    "streaming_stacked_aggs": q_streaming_stacked_aggs,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,
