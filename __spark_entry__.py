@@ -3367,6 +3367,55 @@ def q_table_diff(spark, sf_dir):
     )
 
 
+def q_manifest_pruned_scan(spark, sf_dir):
+    """Manifest-driven file pruning (operators/manifest.py — the
+    Iceberg/Delta-manifest pattern): orders lands date-clustered
+    (range-repartition on o_orderdate, 12 files), a file-level stats
+    manifest builds in one scan, and a one-quarter revenue query reads
+    ONLY the files whose [min, max] date envelope intersects the
+    predicate — at 100 TB this plan-time lookup replaces opening
+    millions of parquet footers. Pruning is conservative + the exact
+    filter re-applies, so the gated aggregate equals the full-scan
+    oracle by construction; tests/test_bucketing.py asserts files were
+    actually skipped."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        manifest_pruned_read,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    tmp = tempfile.mkdtemp(prefix="_q_manifest_")
+    try:
+        path = os.path.join(tmp, "orders")
+        (
+            o.select("o_orderkey", "o_orderdate", cents.alias("price_cents"))
+            .repartitionByRange(12, "o_orderdate")
+            .write.parquet(path)
+        )
+        man = build_file_manifest(spark, path, ("o_orderdate",))
+        lo, hi = "1995-01-01", "1995-03-31"
+        pruned = manifest_pruned_read(
+            spark,
+            man,
+            "o_orderdate",
+            F.lit(lo).cast("date"),
+            F.lit(hi).cast("date"),
+        )
+        out = pruned.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("month")
+
+
 def q_zorder_stats(spark, sf_dir):
     """Z-curve (Morton) clustering math under the oracle gate
     (operators/layout.zvalue): interleave the bits of (l_partkey,
@@ -6698,6 +6747,14 @@ def _oracle() -> dict[str, str]:
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM v, q ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "manifest_pruned_scan": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+            GROUP BY 1 ORDER BY 1""",
         "zorder_stats": """
             WITH z AS (
               SELECT (((l_partkey >> 0) & 1) * 2 + ((l_suppkey >> 0) & 1) * 1 + ((l_partkey >> 1) & 1) * 8 + ((l_suppkey >> 1) & 1) * 4 + ((l_partkey >> 2) & 1) * 32 + ((l_suppkey >> 2) & 1) * 16 + ((l_partkey >> 3) & 1) * 128 + ((l_suppkey >> 3) & 1) * 64 + ((l_partkey >> 4) & 1) * 512 + ((l_suppkey >> 4) & 1) * 256 + ((l_partkey >> 5) & 1) * 2048 + ((l_suppkey >> 5) & 1) * 1024 + ((l_partkey >> 6) & 1) * 8192 + ((l_suppkey >> 6) & 1) * 4096 + ((l_partkey >> 7) & 1) * 32768 + ((l_suppkey >> 7) & 1) * 16384 + ((l_partkey >> 8) & 1) * 131072 + ((l_suppkey >> 8) & 1) * 65536 + ((l_partkey >> 9) & 1) * 524288 + ((l_suppkey >> 9) & 1) * 262144 + ((l_partkey >> 10) & 1) * 2097152 + ((l_suppkey >> 10) & 1) * 1048576 + ((l_partkey >> 11) & 1) * 8388608 + ((l_suppkey >> 11) & 1) * 4194304 + ((l_partkey >> 12) & 1) * 33554432 + ((l_suppkey >> 12) & 1) * 16777216 + ((l_partkey >> 13) & 1) * 134217728 + ((l_suppkey >> 13) & 1) * 67108864 + ((l_partkey >> 14) & 1) * 536870912 + ((l_suppkey >> 14) & 1) * 268435456 + ((l_partkey >> 15) & 1) * 2147483648 + ((l_suppkey >> 15) & 1) * 1073741824) AS z,
@@ -9164,6 +9221,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_join_view": q_incremental_join_view,
     "attribution_time_decay": q_attribution_time_decay,
     "streaming_stacked_aggs": q_streaming_stacked_aggs,
+    "manifest_pruned_scan": q_manifest_pruned_scan,
     "semdedup": q_semdedup,
     "ngram_lm_quality": q_ngram_lm_quality,
     "ngram_novelty": q_ngram_novelty,

@@ -125,3 +125,31 @@ def test_zorder_write_produces_narrow_file_rectangles(spark, tmp_path):
     # column by >= 1.5x (measured ~2x)
     assert max(sa, sb) >= 7.5, (sa, sb)
     assert max(za, zb_) * 1.5 <= max(sa, sb), (za, zb_, sa, sb)
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    """The manifest lookup must select a strict subset of files for a
+    selective range, and the pruned read must equal the full scan."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        manifest_pruned_read,
+        pruned_files,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    path = str(tmp_path / "t")
+    df.repartitionByRange(10, "id").write.parquet(path)
+    man = build_file_manifest(spark, path, ("id",))
+    n_files = man.count()
+    assert n_files == 10
+    sel = pruned_files(man, "id", 2000, 2999)
+    assert 1 <= len(sel) <= 3, sel  # ~1k of 10k rows -> 1-2 of 10 files
+    got = manifest_pruned_read(spark, man, "id", 2000, 2999)
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).head()[0] == df.filter(
+        F.col("id").between(2000, 2999)
+    ).agg(F.sum("v")).head()[0]
