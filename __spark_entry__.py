@@ -3063,6 +3063,118 @@ def q_incremental_join_view(spark, sf_dir):
     return out.orderBy("l_returnflag", "o_orderpriority")
 
 
+def q_ivm_dim_delete(spark, sf_dir):
+    """Dim-key DELETE through the JOIN-view maintainer (operators/
+    ivm.py apply_dim_update) — the CDC case round 6 left unspecified:
+    orders rows vanish from the dim (o_orderkey % 50 == 0), the view's
+    touched buckets rebuild against the post-delete dim (the deleted
+    keys' fact rows drop out of the inner join), and any bucket left
+    empty has its partition dropped explicitly (dynamic overwrite
+    can't overwrite with zero rows). Gate: the maintained view's
+    aggregate equals a from-scratch join against the post-delete dim.
+    tests/test_ivm.py pins the empty-bucket drop and the modulus
+    validation the oracle can't see."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators import ivm
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_ivm_del_")
+    try:
+        path = os.path.join(tmp, "view")
+        ivm.build_join_view(li, dim, "k", path, buckets=16)
+        deleted = dim.filter(F.col("k") % 50 == 0)
+        dim_after = dim.filter(F.col("k") % 50 != 0)
+        ivm.apply_dim_update(
+            spark, li, deleted, dim_after, "k", path, buckets=16
+        )
+        out = (
+            ivm.read_join_view(spark, path)
+            .groupBy("l_returnflag", "o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("qty").cast("long").alias("total_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("l_returnflag", "o_orderpriority")
+
+
+def q_manifest_incremental(spark, sf_dir):
+    """Incremental manifest maintenance (operators/manifest.py
+    update_file_manifest): orders lands date-clustered in two batches;
+    the manifest builds on batch one, then refreshes by scanning ONLY
+    batch two's files (directory listing is a metadata op, the stats
+    scan is O(append) — the property that keeps the manifest pattern
+    viable at 100 TB, where a full rebuild is itself a table scan).
+    A one-quarter revenue query then prunes through the UPDATED
+    manifest; conservative envelopes + exact re-filter make the gated
+    aggregate equal the full-scan oracle by construction.
+    tests/test_bucketing.py proves only-new-files-read by deleting an
+    old data file before the update."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        manifest_pruned_read,
+        update_file_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        "o_orderkey", "o_orderdate", cents.alias("price_cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_manifest_inc_")
+    try:
+        path = os.path.join(tmp, "orders")
+        (
+            base.filter(F.year("o_orderdate") < 1996)
+            .repartitionByRange(8, "o_orderdate")
+            .write.parquet(path)
+        )
+        man = build_file_manifest(
+            spark, path, ("o_orderdate",)
+        ).localCheckpoint(eager=True)
+        (
+            base.filter(F.year("o_orderdate") >= 1996)
+            .repartitionByRange(4, "o_orderdate")
+            .write.mode("append").parquet(path)
+        )
+        man2 = update_file_manifest(spark, path, man, ("o_orderdate",))
+        # the probed quarter sits in the APPENDED region: correct rows
+        # prove the refreshed manifest covers the new files
+        lo, hi = "1996-04-01", "1996-06-30"
+        pruned = manifest_pruned_read(
+            spark,
+            man2,
+            "o_orderdate",
+            F.lit(lo).cast("date"),
+            F.lit(hi).cast("date"),
+            path=path,
+        )
+        out = pruned.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("month")
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental rollup maintenance under the oracle gate
     (analytics.incremental_rollup + sinks.overwrite_partitions): write
@@ -6769,6 +6881,22 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "ivm_dim_delete": """
+            SELECT l_returnflag, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderkey % 50 <> 0
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "manifest_incremental": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+            GROUP BY 1 ORDER BY 1""",
         "incremental_join_view": """
             WITH dim AS (
               SELECT o_orderkey AS k, o_orderpriority,
@@ -9209,7 +9337,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # STALENESS: entries with no driver row yet first, then ascending
     # last-driver-green round. Entries behind the window stay regression-
     # guarded by tests/test_oracle_parity.py (full-registry parametrize).
-    # --- never driver-checked (new r6 queries + the fifteen r5 entries parked behind the r5 window) ---
+    # --- never driver-checked (new r7 queries first) ---
+    "ivm_dim_delete": q_ivm_dim_delete,
+    "manifest_incremental": q_manifest_incremental,
+    # --- last driver-green r06 block follows after the r03/r04/r05 groups are rotated (reorder script pass at end of round) ---
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
     "ann_quantized_recall": q_ann_quantized_recall,

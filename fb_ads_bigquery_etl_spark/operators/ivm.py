@@ -7,10 +7,14 @@ fresh without full recompute:
 
 - fact APPEND: the delta joins the dim and appends — O(delta), the view
   body is never touched;
-- dim UPDATE: affected view rows are exactly those whose join key
-  changed — the view is laid out bucket-partitioned on a hash of the
-  join key, so the rewrite is a dynamic partition overwrite of only the
-  buckets containing updated keys, O(touched buckets), not O(view).
+- dim UPDATE / DELETE: affected view rows are exactly those whose join
+  key changed — the view is laid out bucket-partitioned on a hash of
+  the join key, so the rewrite is a dynamic partition overwrite of only
+  the buckets containing changed keys, O(touched buckets), not O(view).
+
+The (key, buckets) layout parameters are persisted beside the view at
+build time and validated by every maintenance entry point — a modulus
+mismatch would silently leave stale rows in old-modulus partitions.
 
 The bucket hash (xxhash64) only determines physical layout, never
 gated values — the correctness contract (gated by the
@@ -25,12 +29,46 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 BUCKET_COL = "_kb"
+META_FILE = "_ivm_meta.json"  # leading _ => invisible to parquet readers
 
 
 def _with_bucket(df: DataFrame, key: str, buckets: int) -> DataFrame:
     return df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
     )
+
+
+def _meta_dir(path: str) -> str:
+    # a _-prefixed SUBDIRECTORY: invisible to spark.read.parquet(path),
+    # writable/readable through Spark itself so the view works on any
+    # Hadoop-compatible filesystem, not just file://
+    return os.path.join(path, "_ivm_meta")
+
+
+def _write_meta(spark: SparkSession, path: str, key: str, buckets: int) -> None:
+    spark.createDataFrame(
+        [(key, buckets)], "key string, buckets int"
+    ).coalesce(1).write.mode("overwrite").json(_meta_dir(path))
+
+
+def _check_meta(spark: SparkSession, path: str, key: str, buckets: int) -> None:
+    """Maintenance under a different modulus than the build silently
+    corrupts the view (dynamic overwrite under the new modulus leaves
+    stale rows in old-modulus partitions) — validate before touching
+    anything. Views built before metadata existed get a best-effort
+    pass (no meta dir -> no check)."""
+    try:
+        meta = spark.read.json(_meta_dir(path)).first()
+    except Exception:
+        return
+    if meta is None:
+        return
+    if meta["buckets"] != buckets or meta["key"] != key:
+        raise ValueError(
+            f"view at {path} was built with key={meta['key']!r} "
+            f"buckets={meta['buckets']}; maintenance called with "
+            f"key={key!r} buckets={buckets}"
+        )
 
 
 def build_join_view(
@@ -45,9 +83,11 @@ def build_join_view(
 
     The dim side broadcasts (it is the small side by definition of this
     view shape); the bucket column rides along so later dim updates can
-    rewrite only affected buckets."""
+    rewrite only affected buckets. (key, buckets) is persisted beside
+    the view and validated by every maintenance entry point."""
     view = _with_bucket(fact, key, buckets).join(F.broadcast(dim), key)
     view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    _write_meta(fact.sparkSession, path, key, buckets)
 
 
 def apply_fact_append(
@@ -60,6 +100,7 @@ def apply_fact_append(
     buckets: int = 16,
 ) -> None:
     """view' = view ∪ (delta ⋈ dim) — O(delta), append-only."""
+    _check_meta(spark, path, key, buckets)
     rows = _with_bucket(delta, key, buckets).join(F.broadcast(dim), key)
     rows.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
 
@@ -74,15 +115,24 @@ def apply_dim_update(
     *,
     buckets: int = 16,
 ) -> None:
-    """Rewrite ONLY the view buckets containing updated dim keys.
+    """Rewrite ONLY the view buckets containing changed dim keys.
 
-    `dim_updated_rows` carries just the changed dim rows (the CDC
-    delta); `dim_full` is the post-update dim (joined when rebuilding
-    the touched buckets, since those buckets also hold rows keyed to
-    unchanged dims). The touched-bucket set is metadata-sized (<=
+    Handles attribute UPDATES and key DELETES uniformly: `dim_full` is
+    the post-change dim (the source of truth the touched buckets are
+    rebuilt against — a deleted key's fact rows simply drop out of the
+    rebuild's inner join), and `dim_updated_rows` carries the changed
+    OR deleted dim rows (their key values locate the buckets to touch;
+    for a key CHANGE — delete+insert — include both the old and new
+    rows so both buckets are touched). `dim_full` is joined when
+    rebuilding because touched buckets also hold rows keyed to
+    unchanged dims. The touched-bucket set is metadata-sized (<=
     `buckets` values, collected like partition values in
     sinks.merge_upsert); the rewrite reads only those fact buckets —
-    bounded IO however large the view is."""
+    bounded IO however large the view is. A touched bucket whose
+    rebuild comes back EMPTY (every fact row in it keyed to a deleted
+    dim) is outside dynamic partition overwrite's reach — no rows means
+    no overwrite — so its partition directory is dropped explicitly."""
+    _check_meta(spark, path, key, buckets)
     touched = [
         r[0]
         for r in _with_bucket(dim_updated_rows, key, buckets)
@@ -98,12 +148,25 @@ def apply_dim_update(
         .join(F.broadcast(dim_full), key)
         .localCheckpoint(eager=True)  # cut lineage: overwrites its own input path's partitions
     )
+    nonempty = {
+        r[0] for r in rebuilt.select(BUCKET_COL).distinct().collect()
+    }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         rebuilt.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    empty = [b for b in touched if b not in nonempty]
+    if empty:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for b in empty:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f"{BUCKET_COL}={b}")
+            )
+            fs = jpath.getFileSystem(conf)
+            fs.delete(jpath, True)
 
 
 def read_join_view(spark: SparkSession, path: str) -> DataFrame:

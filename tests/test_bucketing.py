@@ -153,3 +153,78 @@ def test_manifest_pruning_skips_files(spark, tmp_path):
     assert got.agg(F.sum("v")).head()[0] == df.filter(
         F.col("id").between(2000, 2999)
     ).agg(F.sum("v")).head()[0]
+
+
+def test_manifest_incremental_update_scans_only_new_files(spark, tmp_path):
+    """update_file_manifest must (a) produce pruning identical to a
+    fresh full rebuild after an append, and (b) open ONLY the appended
+    files — proven by deleting an original data file after the initial
+    build: if the update touched old files it would crash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        manifest_pruned_read,
+        pruned_files,
+        update_file_manifest,
+    )
+
+    df = spark.range(6_000).select(F.col("id"), (F.col("id") % 13).alias("v"))
+    path = str(tmp_path / "t")
+    df.repartitionByRange(6, "id").write.parquet(path)
+    original_files = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    man = build_file_manifest(spark, path, ("id",)).localCheckpoint(eager=True)
+
+    extra = spark.range(6_000, 9_000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    extra.repartitionByRange(3, "id").write.mode("append").parquet(path)
+
+    # equality vs a fresh full build (on the intact dataset)
+    man2 = update_file_manifest(spark, path, man, ("id",))
+    fresh = build_file_manifest(spark, path, ("id",))
+    assert sorted(map(tuple, man2.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    assert man2.count() == 9
+    # no-op update: nothing new -> same manifest back
+    assert update_file_manifest(spark, path, man2, ("id",)).count() == 9
+
+    # only-new-files proof: remove an ORIGINAL file; update must not
+    # open it (the stale manifest row for it is untouched metadata)
+    victim = sorted(original_files)[0]
+    os.remove(os.path.join(path, victim))
+    man3 = update_file_manifest(spark, path, man, ("id",))
+    assert man3.count() == 9  # 6 carried rows (1 stale) + 3 new
+
+    # the updated manifest prunes correctly for a range in the APPENDED
+    # region (reads only new files, dodging the deleted one)
+    got = manifest_pruned_read(spark, man3, "id", 7000, 7999)
+    assert got.count() == 1000
+    assert len(pruned_files(man3, "id", 7000, 7999)) <= 2
+
+
+def test_manifest_pruned_read_empty_selection(spark, tmp_path):
+    """Zero matching files: with path= returns an empty frame with the
+    dataset schema; without it raises ValueError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        manifest_pruned_read,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "t")
+    df.write.parquet(path)
+    man = build_file_manifest(spark, path, ("id",))
+    out = manifest_pruned_read(spark, man, "id", 10_000, 20_000, path=path)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+    with pytest.raises(ValueError, match="zero files"):
+        manifest_pruned_read(spark, man, "id", 10_000, 20_000)
