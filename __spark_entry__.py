@@ -3559,6 +3559,37 @@ def q_zorder_stats(spark, sf_dir):
     )
 
 
+def q_zorder_multi(spark, sf_dir):
+    """N-column Z-curve clustering math under the oracle gate
+    (operators/layout.zvalue_n, the generalization of zorder_stats's
+    2-column interleave): (l_partkey, l_suppkey, l_linenumber) braided
+    into one 60-bit Morton key (3 cols x 20 bits — the budget check
+    3*bits <= 62 and the per-column max guard live in zorder_write).
+    Pure unrolled shift/mask arithmetic, no UDF; gated per linenumber
+    as (count, min_z, max_z, modular checksum) so every row's key is
+    exercised while sums stay in BIGINT at any SF. The physical write
+    path is pytest-gated in tests/test_bucketing.py (narrow per-file
+    hyper-rectangles on all three columns)."""
+    from fb_ads_bigquery_etl_spark.operators.layout import zvalue_n
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zvalue_n(
+        (F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")),
+        bits=20,
+    )
+    zb = li.select(z.alias("z"), "l_linenumber")
+    return (
+        zb.groupBy(F.col("l_linenumber").cast("long").alias("linenumber"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("z").cast("long").alias("min_z"),
+            F.max("z").cast("long").alias("max_z"),
+            F.sum(F.col("z") % F.lit(1000003)).cast("long").alias("z_checksum"),
+        )
+        .orderBy("linenumber")
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit over quasi-identifier columns (nation x market
     segment on customer) — the privacy gate a training-data release
@@ -6660,6 +6691,19 @@ def q_median_exact_by_group(spark, sf_dir):
     )
 
 
+def _zn_sql(cols: tuple[str, ...], bits: int) -> str:
+    """N-column Morton interleave as unrolled SQL arithmetic — the
+    DuckDB replay of layout.zvalue_n (col j's bit i lands at position
+    n*i + (n-1-j))."""
+    n = len(cols)
+    terms = [
+        f"(({c} >> {i}) & 1) * {1 << (n * i + (n - 1 - j))}"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _oracle() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN s_{lang} = g THEN '{lang}'" for lang in sorted(LANG_MARKERS)
@@ -6880,6 +6924,18 @@ def _oracle() -> dict[str, str]:
                    CAST(MAX(l_partkey) AS BIGINT) AS max_part,
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+            FROM z GROUP BY 1 ORDER BY 1""",
+        "zorder_multi": f"""
+            WITH z AS (
+              SELECT {_zn_sql(('l_partkey', 'l_suppkey', 'l_linenumber'), 20)}
+                       AS z,
+                     l_linenumber
+              FROM lineitem)
+            SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(z) AS BIGINT) AS min_z,
+                   CAST(MAX(z) AS BIGINT) AS max_z,
+                   CAST(SUM(z % 1000003) AS BIGINT) AS z_checksum
             FROM z GROUP BY 1 ORDER BY 1""",
         "ivm_dim_delete": """
             SELECT l_returnflag, o_orderpriority,
@@ -9340,6 +9396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-checked (new r7 queries first) ---
     "ivm_dim_delete": q_ivm_dim_delete,
     "manifest_incremental": q_manifest_incremental,
+    "zorder_multi": q_zorder_multi,
     # --- last driver-green r06 block follows after the r03/r04/r05 groups are rotated (reorder script pass at end of round) ---
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,

@@ -269,31 +269,68 @@ def apply_merges(
 def apply_merges_pandas(
     words: DataFrame, merges: Sequence[tuple[str, str]]
 ) -> DataFrame:
-    """Scale path for production-size merge tables: a rank-priority
+    """Scale path for production-size merge tables: a PAIR-PRIORITY
     sequential encoder per distinct word, applied as an Arrow-batched
     pandas UDF over the vocabulary frame (O(vocab) work regardless of
     corpus size; the merge table broadcasts inside the UDF closure).
 
+    Encode cost is independent of merge-table size: instead of one
+    pass per RANK (30k passes per word at production table sizes,
+    almost all no-ops), a dict maps each pair to its rank and a
+    min-heap holds the ranks of pairs PRESENT in the word. Ranks pop
+    in ascending order — exactly the sequential per-rank schedule with
+    the absent-rank no-ops skipped — and after each applied pass only
+    pairs with HIGHER rank are (re-)enqueued, because a lower-rank
+    pair materializing later missed its turn in the sequential
+    schedule too. Cost per word: O(len) per APPLIED rank (bounded by
+    len), never O(ranks).
+
     Same per-rank greedy leftmost-nonoverlapping semantics as
-    `apply_merges` (property-tested equal in tests/test_bpe.py); use
-    this when the unrolled per-rank plan would be too deep for
-    Catalyst (beyond a few dozen ranks).
+    `apply_merges` for ARBITRARY tables (property-tested equal in
+    tests/test_bpe.py, including a 30k-rank padded table); use this
+    when the unrolled per-rank plan would be too deep for Catalyst
+    (beyond a few dozen ranks). Measured note in SCALE.md: same vocab,
+    5-rank vs 30k-rank table, ~flat encode time.
     """
+    import heapq
+
     merge_list = [tuple(m) for m in merges]
+    rank_of = {pair: r for r, pair in enumerate(merge_list)}
 
     def encode_word(word: str) -> list[str]:
         syms = list(word)
-        for a, b in merge_list:
+        heap = sorted(
+            {
+                rank_of[p]
+                for p in zip(syms, syms[1:])
+                if p in rank_of
+            }
+        )
+        done: set[int] = set()
+        while heap:
+            r = heapq.heappop(heap)
+            if r in done:
+                continue
+            done.add(r)
+            a, b = merge_list[r]
             out: list[str] = []
             i = 0
+            changed = False
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
                     out.append(a + b)
                     i += 2
+                    changed = True
                 else:
                     out.append(syms[i])
                     i += 1
+            if not changed:
+                continue
             syms = out
+            for p in zip(syms, syms[1:]):
+                rr = rank_of.get(p)
+                if rr is not None and rr > r and rr not in done:
+                    heapq.heappush(heap, rr)
         return syms
 
     @F.pandas_udf("array<string>")

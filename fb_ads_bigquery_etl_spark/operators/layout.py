@@ -23,44 +23,74 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
-    """Interleave the low `bits` bits of two non-negative ints into a
-    Morton (Z-curve) key: a's bit i lands at position 2i+1, b's at 2i.
+def zvalue_n(cols: tuple[Column, ...], bits: int = 16) -> Column:
+    """Interleave the low `bits` bits of N non-negative ints into a
+    Morton (Z-curve) key: column j's bit i lands at position N*i +
+    (N-1-j), so earlier columns take the more significant slot within
+    each bit group.
 
     Unrolled shift/mask arithmetic — whole-stage-codegen-friendly, no
-    UDF. 2*bits <= 62 keeps the result in a signed long.
+    UDF. N*bits <= 62 keeps the result in a signed long. Values with
+    set bits ABOVE `bits` alias in the key and silently destroy the
+    clustering the caller paid for — `zorder_write` checks the actual
+    column maxima and raises; direct `zvalue_n` callers own that check.
     """
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zvalue_n needs at least 2 columns")
+    if not 1 <= bits or n * bits > 62:
+        raise ValueError(
+            f"bits must satisfy 1 <= bits and {n}*bits <= 62, got {bits}"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * i + 1)).cast("long")
-            + F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * i)).cast("long")
-        )
+        for j, c in enumerate(cols):
+            z = z + F.shiftright(c.cast("long"), i).bitwiseAND(
+                F.lit(1)
+            ) * F.lit(1 << (n * i + (n - 1 - j))).cast("long")
     return z
+
+
+def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
+    """Two-column Morton key: a's bit i at position 2i+1, b's at 2i.
+    (The N=2 case of `zvalue_n`; kept as the common-path name.)"""
+    return zvalue_n((a, b), bits=bits)
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     *,
     bits: int = 16,
     num_files: int = 8,
 ) -> None:
-    """Write `df` as parquet clustered on the Z-curve of two columns.
+    """Write `df` as parquet clustered on the Z-curve of N columns.
 
     Range-repartition on the z-value (contiguous z-ranges per output
     file) + sort within partitions: every file's min/max stats over
-    BOTH columns cover a narrow rectangle, so a reader filtering on
-    either column skips most files (parquet file/row-group pruning).
+    EVERY z-ordered column cover a narrow hyper-rectangle, so a reader
+    filtering on any of them skips most files (parquet file/row-group
+    pruning).
+
+    Guards the bit budget with one metadata-sized aggregate: a column
+    whose max exceeds 2^bits - 1 would alias in the Morton key and
+    silently degrade the clustering this write exists to buy — raise
+    instead (callers either widen `bits` or rank/normalize the column
+    into the budget first).
     """
-    a, b = cols
-    z = zvalue(F.col(a), F.col(b), bits=bits)
+    limit = (1 << bits) - 1
+    maxima = df.agg(
+        *[F.max(F.col(c).cast("long")).alias(c) for c in cols]
+    ).first()
+    over = {c: maxima[c] for c in cols if (maxima[c] or 0) > limit}
+    if over:
+        raise ValueError(
+            f"column max exceeds the {bits}-bit z-order budget "
+            f"(limit {limit}): {over}; raise bits= (n_cols*bits <= 62) "
+            "or normalize/rank the columns into the budget"
+        )
+    z = zvalue_n(tuple(F.col(c) for c in cols), bits=bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(num_files, "_z")
@@ -72,20 +102,14 @@ def zorder_write(
 
 
 def file_rectangle_stats(
-    spark, path: str, cols: tuple[str, str]
+    spark, path: str, cols: tuple[str, ...]
 ) -> DataFrame:
     """Per-file (min, max) coverage of `cols` for a parquet dataset —
-    the observable a layout audit reads: narrow rectangles = effective
-    pruning. One scan, grouped by input_file_name (file count rows)."""
-    a, b = cols
+    the observable a layout audit reads: narrow hyper-rectangles =
+    effective pruning. One scan, grouped by input_file_name (file
+    count rows)."""
     df = spark.read.parquet(path)
-    return (
-        df.groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min(a).alias(f"min_{a}"),
-            F.max(a).alias(f"max_{a}"),
-            F.min(b).alias(f"min_{b}"),
-            F.max(b).alias(f"max_{b}"),
-        )
-    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)

@@ -203,7 +203,6 @@ def format_mismatch_audit(df: DataFrame) -> DataFrame:
     out = df.select(
         "media_type",
         detect_format(F.col("payload")).alias("detected_format"),
-        F.col("payload").isNull().alias("_null"),
     ).withColumn(
         "is_mismatch",
         F.col("detected_format") != expected[F.col("media_type")],

@@ -115,14 +115,26 @@ def timeout_sessions(
 
     Out-of-order ACROSS batches (an event >= the watermark but earlier
     than the carried last_us — legal under watermark semantics) is
-    merged against the compressed open-session state exactly as the
-    batch lag() oracle would place it: an event inside [sess_start,
-    last_us] joins the open session (gaps only shrink — count+1, no
-    boundary moves); events before sess_start chain backwards — the
-    suffix whose gaps (including the exact gap to the open session's
-    real first event, sess_start) stay < gap extends the open session
-    earlier, and anything cut off by a >= gap break closes as its own
-    earlier session(s).
+    merged against the compressed OPEN-session state: an event inside
+    [sess_start, last_us] joins the open session (gaps only shrink —
+    count+1, no boundary moves); events before sess_start chain
+    backwards — the suffix whose gaps (including the exact gap to the
+    open session's real first event, sess_start) stay < gap extends
+    the open session earlier, and anything cut off by a >= gap break
+    closes as its own earlier session(s).
+
+    LIMITATION (inherent to append mode): merging happens only against
+    the still-OPEN session. A legal >= watermark arrival that belongs
+    to a session already EMITTED as closed cannot amend that emission
+    — it starts (or extends) a session of its own, so output diverges
+    from the batch lag() replay in exactly that window. Previously
+    emitted rows are final; callers needing full late-event placement
+    must either widen the watermark delay (so sessions stay in state
+    long enough) or reconcile downstream (e.g. the CDC-upsert sink's
+    per-key collapse). The property test
+    tests/test_streaming.py::test_timeout_sessions_random_cross_batch
+    generates arrivals within this contract and pins batch-oracle
+    equality there.
 
     Timeout flushing requires the watermark to ADVANCE past the last
     session's deadline before the query stops — AvailableNow callers

@@ -121,3 +121,56 @@ def test_encode_learn_roundtrip_reproduces_trainer_state(spark):
     ref_merges = [(a, b) for a, b, _ in _reference_bpe(texts, 4)]
     assert learned == ref_merges
     assert got == {w: _reference_encode(w, ref_merges) for w in words}
+
+
+def test_apply_merges_pandas_arbitrary_tables_random(spark):
+    """The priority encoder must equal the sequential per-rank spec on
+    ARBITRARY (not just well-formed learned) merge tables — including
+    tables where a later rank creates a pair an earlier rank would
+    have matched (the sequential schedule does NOT go back)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c"]
+    pieces = alphabet + ["ab", "ba", "aa", "bc", "cc", "abc", "ca"]
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    for trial in range(8):
+        merges = []
+        seen = set()
+        for _ in range(10):
+            p = (rng.choice(pieces), rng.choice(pieces))
+            if p not in seen:
+                seen.add(p)
+                merges.append(p)
+        df = spark.createDataFrame([(w,) for w in set(words)], ["wid"])
+        want = {w: _reference_encode(w, merges) for w in set(words)}
+        got = {
+            r["wid"]: r["toks"]
+            for r in bpe.apply_merges_pandas(df, merges).collect()
+        }
+        assert got == want, (trial, merges)
+
+
+def test_apply_merges_pandas_30k_rank_table(spark):
+    """Production-size table: the 5 live merges buried in 30k ranks of
+    never-matching padding. Semantics unchanged (padding passes are
+    no-ops in the sequential spec too); cost must not scan all ranks
+    per word — the SCALE.md note times this same shape."""
+    live = [("s", "t"), ("a", "a"), ("st", "r"), ("e", "r"), ("aa", "aa")]
+    merges: list[tuple[str, str]] = []
+    for i in range(30_000):
+        merges.append((f"pad{i}", f"pad{i}"))  # can never occur
+        if i % 6000 == 0 and live:
+            merges.append(live.pop(0))
+    merges += live
+    words = ["lower", "lowest", "aaaa", "baab", "strstr", "ststst", "restart"]
+    df = spark.createDataFrame([(w,) for w in words], ["wid"])
+    want = {w: _reference_encode(w, merges) for w in words}
+    got = {
+        r["wid"]: r["toks"]
+        for r in bpe.apply_merges_pandas(df, merges).collect()
+    }
+    assert got == want

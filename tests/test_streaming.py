@@ -345,3 +345,124 @@ def test_timeout_sessions_out_of_order_across_batches(spark, tmp_path):
         (7, ts(0), 1),    # closed in batch 2: detached late event
         (7, ts(40), 4),   # timeout flush: events at 40, 60, 65, 70
     }
+
+
+def test_timeout_sessions_random_cross_batch(spark, tmp_path):
+    """Randomized cross-batch ordering property (round-6 verdict #8):
+    arrivals generated WITHIN the documented contract — a session's
+    events may arrive out of order across batches as long as none
+    lands after a later session of the same key has started arriving
+    (which closes it) — must always reproduce the batch gap-split
+    oracle. Three seeded trials, one streaming query each."""
+    import datetime
+    import os
+    import random
+    import shutil
+
+    from fb_ads_bigquery_etl_spark.streaming.state import timeout_sessions
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    gap_min = 30
+    n_batches = 3
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=float(minutes))
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows_by_batch = [[] for _ in range(n_batches)]
+        expected = set()
+        eid = 0
+        for user in range(1, 5):
+            # distinct minute offsets within 110m (watermark delay 2h
+            # keeps every arrival legal regardless of batch order)
+            times = sorted(rng.sample(range(0, 110), rng.randint(3, 10)))
+            # oracle: gap-split sessions over the full event set
+            sessions = [[times[0]]]
+            for t in times[1:]:
+                if t - sessions[-1][-1] >= gap_min:
+                    sessions.append([])
+                sessions[-1].append(t)
+            for s in sessions:
+                expected.add((user, ts(s[0]), len(s)))
+            # contract-respecting batch assignment, two rules:
+            # (1) session i's events land in batches [c_i, c_{i+1}]
+            #     with c non-decreasing — no event arrives after a
+            #     later session of the same key closed it;
+            # (2) WITHIN a session, the arrival order is a random
+            #     permutation whose every prefix is gap-connected
+            #     (each next event lands within gap of the arrived
+            #     envelope) — a bridge event arriving after both
+            #     sides were seen split is outside the documented
+            #     merge contract.
+            cuts = sorted(
+                rng.randint(0, n_batches - 1) for _ in range(len(sessions))
+            )
+            cuts.append(n_batches - 1)
+            for i, s in enumerate(sessions):
+                remaining = list(s)
+                arrived: list[int] = []
+                order: list[int] = []
+                while remaining:
+                    lo, hi = (
+                        (min(arrived), max(arrived)) if arrived else (None, None)
+                    )
+                    cands = [
+                        t
+                        for t in remaining
+                        if not arrived
+                        or (lo - gap_min < t < hi + gap_min)
+                    ]
+                    t = rng.choice(cands)
+                    remaining.remove(t)
+                    arrived.append(t)
+                    order.append(t)
+                # non-decreasing batch index along the arrival order
+                # keeps every batch-boundary prefix gap-connected
+                b = cuts[i]
+                for t in order:
+                    b = min(max(b, rng.randint(cuts[i], cuts[i + 1])), cuts[i + 1])
+                    eid += 1
+                    rows_by_batch[b].append((eid, ts(t), user))
+        for b in rows_by_batch:
+            rng.shuffle(b)
+
+        sentinels = (
+            [(9998, ts(600), -1)],
+            [(9999, ts(1200), -1)],
+        )
+        landing = str(tmp_path / f"landing{seed}")
+        os.makedirs(landing)
+        batches = [b for b in rows_by_batch if b] + list(sentinels)
+        schema = "event_id long, ts timestamp, user_id long"
+        for i, rows in enumerate(batches):
+            d = str(tmp_path / f"w{seed}_{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+            part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+            p = os.path.join(landing, f"b{i}.parquet")
+            shutil.copyfile(os.path.join(d, part), p)
+            base = os.path.getmtime(os.path.join(landing, "b0.parquet"))
+            os.utime(p, (base + 10 * i,) * 2)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .withWatermark("ts", "2 hours")
+        )
+        q = (
+            timeout_sessions(stream, gap_minutes=gap_min)
+            .writeStream.format("memory")
+            .queryName(f"sto_rand{seed}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["sess_start"], r["n_events"])
+            for r in spark.table(f"sto_rand{seed}").collect()
+            if r["user_id"] >= 0
+        }
+        spark.catalog.dropTempView(f"sto_rand{seed}")
+        assert got == expected, f"seed={seed}"
