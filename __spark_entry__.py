@@ -3590,6 +3590,74 @@ def q_zorder_multi(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/sampling.epoch_shuffle):
+    training loops need a different-but-reproducible global order per
+    epoch, independent of partitioning, cluster size, and engine — so
+    the order key is md5(salt:epoch:doc_id), not rand(). The full-
+    corpus path is a range-repartition + in-partition sort (no single-
+    task global sort; plan-gated in tests/test_sampling.py); the gate
+    here checks the ORDER ITSELF: the first 20 docs of three epochs,
+    taken via TakeOrdered (distributed top-k) with positions assigned
+    on the 20-row result — DuckDB replays the identical md5 keys."""
+    from functools import reduce
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import epoch_shuffle_key
+
+    d = _t(spark, sf_dir, "documents")
+    parts = []
+    for ep in (1, 2, 3):
+        k = epoch_shuffle_key(F.col("doc_id"), ep)
+        parts.append(
+            d.select(
+                F.lit(ep).cast("long").alias("epoch"),
+                "doc_id",
+                k.alias("skey"),
+            )
+            .orderBy("skey")
+            .limit(20)
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy("epoch").orderBy("skey")
+    return u.select(
+        "epoch",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+        "skey",
+    ).orderBy("epoch", "pos")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality filter (operators/classifier.py):
+    word uni+bigrams hashed into 4096 buckets (portable md5 hash32),
+    scored by a broadcast integer-milli weight table, one map-side-
+    combined per-doc sum — the inference shape a 100 TB curation pass
+    runs (the only data-sized stage is the narrow feature explode +
+    doc-keyed partial agg). Weights here derive from a deterministic
+    formula so the DuckDB oracle reproduces them arithmetically;
+    production would load an exported fastText/liblinear table. Gated
+    per (source, prediction): doc count, feature count, exact BIGINT
+    score sum."""
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        synthetic_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weights = synthetic_weights(spark, buckets=4096)
+    scored = score_documents(d, weights, buckets=4096)
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "prediction")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_feats").cast("long").alias("total_feats"),
+            F.sum("score_milli").cast("long").alias("total_score_milli"),
+        )
+        .orderBy("source", "prediction")
+    )
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit over quasi-identifier columns (nation x market
     segment on customer) — the privacy gate a training-data release
@@ -6925,6 +6993,48 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "epoch_shuffle": """
+            WITH e AS (
+              SELECT 1 AS epoch, doc_id,
+                     md5('ep:1:' || CAST(doc_id AS VARCHAR)) AS skey
+              FROM documents
+              UNION ALL
+              SELECT 2, doc_id, md5('ep:2:' || CAST(doc_id AS VARCHAR))
+              FROM documents
+              UNION ALL
+              SELECT 3, doc_id, md5('ep:3:' || CAST(doc_id AS VARCHAR))
+              FROM documents),
+            r AS (SELECT epoch, doc_id, skey,
+                         row_number() OVER (PARTITION BY epoch
+                                            ORDER BY skey) AS pos
+                  FROM e)
+            SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
+                   doc_id, skey
+            FROM r WHERE pos <= 20 ORDER BY epoch, pos""",
+        "quality_classifier": f"""
+            WITH t AS (SELECT doc_id, source, {_TOK} AS tok FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     unnest(tok || CASE WHEN len(tok) >= 2
+                       THEN list_transform(generate_series(1, len(tok) - 1),
+                                           i -> tok[i] || ' ' || tok[i+1])
+                       ELSE [] END) AS feat
+              FROM t),
+            fb AS (SELECT doc_id,
+                          ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+                            AS bucket
+                   FROM feats),
+            ds AS (SELECT t.doc_id, t.source,
+                          COUNT(fb.bucket) AS n_feats,
+                          COALESCE(SUM((fb.bucket * 2654435761) % 2001
+                                       - 1000), 0) AS score_milli
+                   FROM t LEFT JOIN fb ON t.doc_id = fb.doc_id
+                   GROUP BY 1, 2)
+            SELECT source, score_milli > 0 AS prediction,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_feats) AS BIGINT) AS total_feats,
+                   CAST(SUM(score_milli) AS BIGINT) AS total_score_milli
+            FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
         "zorder_multi": f"""
             WITH z AS (
               SELECT {_zn_sql(('l_partkey', 'l_suppkey', 'l_linenumber'), 20)}
@@ -9397,6 +9507,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_dim_delete": q_ivm_dim_delete,
     "manifest_incremental": q_manifest_incremental,
     "zorder_multi": q_zorder_multi,
+    "epoch_shuffle": q_epoch_shuffle,
+    "quality_classifier": q_quality_classifier,
     # --- last driver-green r06 block follows after the r03/r04/r05 groups are rotated (reorder script pass at end of round) ---
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,

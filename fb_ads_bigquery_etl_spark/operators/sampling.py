@@ -245,3 +245,35 @@ def temperature_mix(
     return df.join(F.broadcast(rates), group_col).filter(
         u < F.col("_rate") * F.lit(float(2**32))
     )
+
+
+def epoch_shuffle_key(key: Column, epoch: int, salt: str = "ep:") -> Column:
+    """Deterministic per-epoch global shuffle key: md5 over
+    (salt, epoch, row key). Training loops need a DIFFERENT but
+    REPRODUCIBLE global order each epoch; deriving it from a content
+    hash (not rand()) makes the order independent of partitioning,
+    cluster size, and engine — DuckDB computes the identical key
+    (md5('ep:' || epoch || ':' || key)), which is what the
+    epoch_shuffle oracle gate checks."""
+    return F.md5(
+        F.concat(F.lit(f"{salt}{epoch}:"), key.cast("string"))
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame, key_col: str, epoch: int, *, salt: str = "ep:"
+) -> DataFrame:
+    """Rows in the epoch's global shuffle order, at scale: range-
+    repartition on the shuffle key (contiguous key ranges per
+    partition, so partition i sorts entirely before partition i+1) +
+    sort within partitions — a distributed total order with NO
+    single-task global sort stage. Downstream sequential readers
+    (training-data writers) consume partitions in index order. The
+    `_shuffle_key` column rides along for order verification /
+    resumable readers; drop it if unwanted."""
+    k = epoch_shuffle_key(F.col(key_col), epoch, salt=salt)
+    return (
+        df.withColumn("_shuffle_key", k)
+        .repartitionByRange("_shuffle_key")
+        .sortWithinPartitions("_shuffle_key")
+    )

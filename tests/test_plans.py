@@ -702,3 +702,25 @@ def test_round6_batch2_plan_shapes(spark):
     nc = PI.node_counts(df)
     assert nc["SortMergeJoin"] == 0 and nc["Window"] == 0, nc
     assert not PI.has_cartesian(df)
+
+
+def test_round7_plan_shapes(spark):
+    # quality_classifier: the weight table must BROADCAST (vocab-sized
+    # build side) and the per-doc sum must partially aggregate before
+    # the doc-key shuffle; no cartesian anywhere
+    df = _q(spark, "quality_classifier")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 1, nc
+    assert nc["HashAggregate"] >= 2, nc
+    assert not PI.has_cartesian(df)
+    # zorder_multi: unrolled 3-column interleave is pure arithmetic —
+    # one map-side-combined agg, no joins/windows on the fact scan
+    df = _q(spark, "zorder_multi")
+    nc = PI.node_counts(df)
+    assert nc["HashAggregate"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    # epoch_shuffle gate: three TakeOrdered top-k stages (distributed
+    # limit+sort), never a global Sort of the corpus feeding a Limit
+    df = _q(spark, "epoch_shuffle")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 3, plan

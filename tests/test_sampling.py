@@ -306,3 +306,34 @@ def test_temperature_mix_flattens_skewed_sources(spark):
         .collect()
     )
     assert k1 == k2 and k1
+
+
+def test_epoch_shuffle_deterministic_and_distributed(spark):
+    """epoch_shuffle: same epoch -> identical global order regardless
+    of input partitioning; different epochs -> different order; plan
+    uses RANGE partitioning on the key (distributed total order), not
+    a single-task global sort."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(2_000).select(F.col("id").alias("doc_id"))
+
+    def order_of(frame, epoch):
+        out = epoch_shuffle(frame, "doc_id", epoch)
+        return [r["doc_id"] for r in out.collect()]
+
+    o1 = order_of(df, 1)
+    o1b = order_of(df.repartition(7), 1)
+    o2 = order_of(df, 2)
+    assert o1 == o1b
+    assert o1 != o2
+    assert sorted(o1) == list(range(2_000)) == sorted(o2)
+
+    plan = (
+        epoch_shuffle(df, "doc_id", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower(), plan
