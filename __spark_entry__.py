@@ -3658,6 +3658,43 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history from a changelog (operators/
+    scd.py): per-user event_type observations collapse into version
+    rows with [effective_from, effective_to) validity, consecutive
+    unchanged observations absorbed — the warehouse operator that
+    turns a CDC/event stream into the history table point-in-time
+    joins need. Both windows (lag change-detect, lead validity-close)
+    share one (key, ts, id) sort, so the plan is a single Exchange +
+    Sort however large the changelog; 10%% user slice keeps the gated
+    output modest."""
+    from fb_ads_bigquery_etl_spark.operators.scd import scd2_history
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    hist = scd2_history(
+        e, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    )
+    return hist.orderBy("user_id", "version")
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py): token
+    frequency mining where the full-universe groupBy is replaced by a
+    FIXED 3x1024-cell sketch aggregate + exact re-count of only the
+    sketch-passing rows — the skew-safe shape for 'which keys appear
+    >= T times' over billions of distinct keys. CMS never
+    undercounts, so candidates are a superset and the exact refilter
+    makes the result equal the plain GROUP BY ... HAVING oracle by
+    construction; the sketch buckets are portable md5 hashes, so even
+    the est column is engine-exact."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.sketch import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return cms_heavy_hitters(stream, "token", 150).orderBy("key")
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity audit over quasi-identifier columns (nation x market
     segment on customer) — the privacy gate a training-data release
@@ -6993,6 +7030,60 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "scd2_history": """
+            WITH src AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM events WHERE user_id % 10 = 0),
+            lagd AS (
+              SELECT user_id, ts, event_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM src),
+            starts AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM lagd WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type,
+                   ts AS effective_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS effective_to,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                     AS is_current,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT)
+                     AS version
+            FROM starts ORDER BY user_id, version""",
+        "cms_heavy_hitters": f"""
+            WITH toks AS (SELECT {_TOK} AS tok FROM documents),
+            t AS (SELECT unnest(tok) AS key FROM toks),
+            cms AS (
+              SELECT salt, bucket, COUNT(*) AS cnt FROM (
+                SELECT 0 AS salt,
+                       ('0x' || substr(md5('cms0:' || key), 1, 8))::BIGINT
+                         % 1024 AS bucket
+                FROM t
+                UNION ALL
+                SELECT 1,
+                       ('0x' || substr(md5('cms1:' || key), 1, 8))::BIGINT
+                         % 1024
+                FROM t
+                UNION ALL
+                SELECT 2,
+                       ('0x' || substr(md5('cms2:' || key), 1, 8))::BIGINT
+                         % 1024
+                FROM t)
+              GROUP BY 1, 2),
+            keys AS (SELECT key, COUNT(*) AS exact FROM t GROUP BY 1),
+            est AS (
+              SELECT k.key, k.exact, MIN(c.cnt) AS est
+              FROM keys k JOIN cms c
+                ON c.bucket = ('0x' || substr(md5('cms'
+                     || CAST(c.salt AS VARCHAR) || ':' || k.key), 1, 8))
+                     ::BIGINT % 1024
+              GROUP BY 1, 2)
+            SELECT key, CAST(est AS BIGINT) AS est,
+                   CAST(exact AS BIGINT) AS exact
+            FROM est WHERE exact >= 150 ORDER BY key""",
         "epoch_shuffle": """
             WITH e AS (
               SELECT 1 AS epoch, doc_id,
@@ -9503,6 +9594,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "scd2_history": q_scd2_history,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "ivm_dim_delete": q_ivm_dim_delete,
     "manifest_incremental": q_manifest_incremental,
     "zorder_multi": q_zorder_multi,

@@ -1,0 +1,103 @@
+"""Count-min-sketch heavy hitters — skew-safe frequency mining.
+
+The 100 TB problem: "which tokens appear >= T times" is a groupBy over
+the FULL key universe — billions of distinct keys shuffle even though
+only a handful survive the threshold. The count-min sketch (Cormode &
+Muthukrishnan 2005) fixes the shape: aggregate the stream into a
+FIXED-SIZE counter grid (d rows x w buckets — cardinality d*w no
+matter how many distinct keys exist), then run the exact aggregation
+only over keys whose sketch estimate passes the threshold. CMS
+estimates NEVER undercount (each cell >= the true count of every key
+hashing into it), so the candidate set is a superset of the true heavy
+hitters and the exact re-count makes the final answer EXACTLY equal to
+the plain threshold query — same conservative-prune-plus-exact-refilter
+contract as manifest-based scan pruning, and gated the same way
+(`cms_heavy_hitters` oracle = the plain GROUP BY ... HAVING).
+
+Determinism: bucket hashes are portable.hash32 over salted keys
+(md5-based, bit-identical in DuckDB), so even the intermediate sketch
+is engine-exact, not just the final answer.
+
+Plan shape at scale: one narrow pass explodes each key into d salted
+rows -> map-side-combined groupBy onto d*w cells (a FIXED-size
+shuffle); the d estimate lookups are broadcast joins (the sketch is
+metadata-sized by construction); the exact re-count shuffles ONLY rows
+whose key survives the sketch filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from fb_ads_bigquery_etl_spark.functions.portable import hash32
+
+
+def _bucket(key: Column, salt: int, width: int) -> Column:
+    return (hash32(F.concat(F.lit(f"cms{salt}:"), key)) % F.lit(width)).cast(
+        "long"
+    )
+
+
+def cms_counters(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """The sketch: (salt, bucket, cnt) with exactly depth*width cells
+    populated at most. One pass: the d per-salt projections union
+    narrowly and combine map-side before the fixed-size shuffle."""
+    parts = [
+        stream.select(
+            F.lit(salt).alias("salt"),
+            _bucket(F.col(key_col), salt, width).alias("bucket"),
+        )
+        for salt in range(depth)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("salt", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    threshold: int,
+    *,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact keys with count >= threshold, found the sketch way.
+
+    Returns (key, est, exact) — est is the CMS estimate (min over the
+    d rows), always >= exact; the final filter is on the EXACT count,
+    so the result equals the plain `GROUP BY key HAVING count >=
+    threshold` by construction."""
+    counters = cms_counters(stream, key_col, depth=depth, width=width)
+    # estimate per stream row: d broadcast joins against the sketch
+    est = stream.select(F.col(key_col).alias("key"))
+    for salt in range(depth):
+        c = counters.filter(F.col("salt") == salt).select(
+            F.col("bucket").alias(f"_b{salt}"),
+            F.col("cnt").alias(f"_c{salt}"),
+        )
+        est = est.join(
+            F.broadcast(c),
+            _bucket(F.col("key"), salt, width) == F.col(f"_b{salt}"),
+        ).drop(f"_b{salt}")
+    est = est.withColumn(
+        "est", F.least(*[F.col(f"_c{s}") for s in range(depth)])
+    ).drop(*[f"_c{s}" for s in range(depth)])
+    # exact re-count of ONLY the sketch-passing rows; the groupBy input
+    # is pre-shrunk to candidate keys (the skew-safety payoff)
+    return (
+        est.filter(F.col("est") >= threshold)
+        .groupBy("key")
+        .agg(
+            F.min("est").cast("long").alias("est"),
+            F.count("*").cast("long").alias("exact"),
+        )
+        .filter(F.col("exact") >= threshold)
+    )

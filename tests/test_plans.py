@@ -724,3 +724,22 @@ def test_round7_plan_shapes(spark):
     df = _q(spark, "epoch_shuffle")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_scd2_single_shuffle_and_cms_broadcast(spark):
+    # scd2_history: lag change-detect + lead validity-close share one
+    # (key, ts) sort -> exactly ONE exchange and no join
+    df = _q(spark, "scd2_history")
+    nc = PI.node_counts(df)
+    assert nc["Window"] >= 1, nc
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    # exchanges: one for the keyed window + the final global orderBy
+    assert PI.exchange_count(df) <= 2, PI.exchange_count(df)
+    # cms_heavy_hitters: the sketch is metadata-sized by construction,
+    # so every estimate lookup must be a BROADCAST join (3 salts), and
+    # the exact re-count partially aggregates
+    df = _q(spark, "cms_heavy_hitters")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 3, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)

@@ -160,3 +160,31 @@ def test_detect_format_signatures(spark):
     }
     assert got == {1: "jpeg", 2: "png", 3: "gif", 4: "riff",
                    5: "mp4", 6: "pdf", 7: "unknown", 8: "unknown"}
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """The CMS contract the heavy-hitter prune relies on: est >= exact
+    for EVERY key, at an aggressively small sketch (forcing heavy
+    collisions)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        cms_counters,
+        cms_heavy_hitters,
+    )
+
+    stream = spark.range(5_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 97).cast("string")).alias("key")
+    )
+    # width 16 << 97 distinct keys: collisions guaranteed
+    got = cms_heavy_hitters(stream, "key", 1, depth=3, width=16)
+    rows = got.collect()
+    assert len(rows) == 97
+    assert all(r["est"] >= r["exact"] for r in rows), rows[:5]
+    exact = {
+        r["key"]: r["n"]
+        for r in stream.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["key"]: r["exact"] for r in rows} == exact
+    # the sketch itself is fixed-size regardless of key cardinality
+    assert cms_counters(stream, "key", depth=3, width=16).count() <= 48
