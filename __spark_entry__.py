@@ -3658,6 +3658,57 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_table_profile(spark, sf_dir):
+    """Single-scan column profiling (operators/profile.profile_table —
+    the Deequ/Great-Expectations statistics pass a pipeline runs
+    before publishing a table): five orders columns profile in ONE
+    fused aggregation (count / nulls / exact distinct / min / max per
+    column, no per-column passes), exploded to a metadata-sized
+    (col_name, stats) frame. Doubles profile through a decimal cast so
+    min/max stringification is engine-exact."""
+    from fb_ads_bigquery_etl_spark.operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    cols = (
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return profile_table(o, cols).orderBy("col_name")
+
+
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality constraint suite (operators/profile.
+    check_constraints): five row-level checks fused into ONE
+    conditional-aggregate scan of lineitem, plus the two checks that
+    legitimately shuffle — composite-key uniqueness (one groupBy) and
+    referential integrity l_orderkey -> orders (one anti-join).
+    Passing and FAILING checks both gated (the discount/tax caps are
+    deliberately violated by TPC-H data, so n_violations > 0 rows
+    prove the counting, not just the happy path)."""
+    from fb_ads_bigquery_etl_spark.operators import profile as P
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        P.check_not_null("orderkey_not_null", "l_orderkey"),
+        P.check_range("quantity_1_50", "l_quantity", 1, 50),
+        P.check_range("discount_cap_005", "l_discount", 0, 0.05),
+        P.check_in_set("returnflag_domain", "l_returnflag", ["A", "N", "R"]),
+        P.check_predicate(
+            "unit_price_floor_1000",
+            F.col("l_extendedprice") >= F.col("l_quantity") * 1000,
+        ),
+        P.check_unique("pk_unique", ["l_orderkey", "l_linenumber"]),
+        P.check_references("fk_orders", "l_orderkey", o, "o_orderkey"),
+    ]
+    return P.check_constraints(li, checks).orderBy("check")
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD Type-2 dimension history from a changelog (operators/
     scd.py): per-user event_type observations collapse into version
@@ -7030,6 +7081,91 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "table_profile": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+                              o_orderdate, o_orderpriority
+                       FROM orders)
+            SELECT * FROM (
+              SELECT 'o_custkey' AS col_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                     CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+                     CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+              FROM o
+              UNION ALL
+              SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+                     CAST(MIN(o_orderdate) AS VARCHAR),
+                     CAST(MAX(o_orderdate) AS VARCHAR)
+              FROM o
+              UNION ALL
+              SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+                     CAST(MIN(o_orderkey) AS VARCHAR),
+                     CAST(MAX(o_orderkey) AS VARCHAR)
+              FROM o
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                     CAST(MIN(o_orderpriority) AS VARCHAR),
+                     CAST(MAX(o_orderpriority) AS VARCHAR)
+              FROM o
+              UNION ALL
+              SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                     CAST(MIN(o_totalprice) AS VARCHAR),
+                     CAST(MAX(o_totalprice) AS VARCHAR)
+              FROM o)
+            ORDER BY col_name""",
+        "dq_checks": """
+            SELECT "check", kind, n_violations,
+                   n_violations = 0 AS passed
+            FROM (
+              SELECT 'discount_cap_005' AS "check", 'range' AS kind,
+                     CAST(SUM(CASE WHEN l_discount IS NULL
+                                     OR l_discount < 0 OR l_discount > 0.05
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations
+              FROM lineitem
+              UNION ALL
+              SELECT 'fk_orders', 'references',
+                     CAST(COUNT(*) AS BIGINT)
+              FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'orderkey_not_null', 'not_null',
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'pk_unique', 'unique',
+                     CAST(COALESCE(SUM(n), 0) AS BIGINT)
+              FROM (SELECT COUNT(*) AS n FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+              UNION ALL
+              SELECT 'quantity_1_50', 'range',
+                     CAST(SUM(CASE WHEN l_quantity IS NULL
+                                     OR l_quantity < 1 OR l_quantity > 50
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'returnflag_domain', 'in_set',
+                     CAST(SUM(CASE WHEN l_returnflag IS NULL
+                                     OR l_returnflag NOT IN ('A', 'N', 'R')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'unit_price_floor_1000', 'predicate',
+                     CAST(SUM(CASE WHEN l_extendedprice >= l_quantity * 1000
+                                   THEN 0 ELSE 1 END) AS BIGINT)
+              FROM lineitem)
+            ORDER BY "check" """,
         "scd2_history": """
             WITH src AS (
               SELECT user_id, ts, event_id, event_type
@@ -9594,6 +9730,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "table_profile": q_table_profile,
+    "dq_checks": q_dq_checks,
     "scd2_history": q_scd2_history,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "ivm_dim_delete": q_ivm_dim_delete,

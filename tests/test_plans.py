@@ -743,3 +743,19 @@ def test_scd2_single_shuffle_and_cms_broadcast(spark):
     assert nc["BroadcastHashJoin"] >= 3, nc
     assert nc["SortMergeJoin"] == 0, nc
     assert not PI.has_cartesian(df)
+
+
+def test_profile_and_dq_scan_counts(spark):
+    # table_profile: ALL five columns profile in ONE scan (fused
+    # aggregates), no joins
+    df = _q(spark, "table_profile")
+    nc = PI.node_counts(df)
+    assert nc["Scan"] == 1, nc
+    assert nc["SortMergeJoin"] == 0 and nc["BroadcastHashJoin"] == 0, nc
+    # dq_checks: five row-level checks fuse into one lineitem scan;
+    # uniqueness adds one, referential adds one (+1 orders scan) —
+    # at most 3 lineitem reads total, never one per check
+    df = _q(spark, "dq_checks")
+    nc = PI.node_counts(df)
+    assert nc["Scan"] <= 4, nc  # 3x lineitem + 1x orders
+    assert not PI.has_cartesian(df)
