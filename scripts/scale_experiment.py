@@ -69,6 +69,26 @@ QUERIES = [
     ("vocab_growth", "Heaps curve (min-agg -> 10-row spine window)"),
     ("ngram_lm_quality", "bigram-LM fluency bands (2 vocab aggs + gram join)"),
     ("bpe_encode", "BPE encode: 5 unrolled ranks over the vocab frame"),
+    ("tokenizer_fertility", "vocab-sized encode broadcast into doc stream"),
+    ("incremental_join_view", "bucketed JOIN-view build + append + dim rewrite"),
+    ("quality_classifier", "hashed-feature linear scorer (broadcast weights)"),
+    ("epoch_shuffle", "per-epoch md5 order, distributed top-k gate"),
+    ("zorder_multi", "3-column Morton interleave + one agg"),
+    ("manifest_incremental", "manifest build + O(append) refresh + pruned read"),
+    ("ivm_dim_delete", "JOIN-view dim delete (touched-bucket rebuild)"),
+    ("cms_heavy_hitters", "fixed-size CMS sketch + exact re-count"),
+    ("table_profile", "single-scan fused column profile"),
+    ("dq_checks", "fused row checks + unique groupBy + FK anti-join"),
+    ("streaming_cdc_upsert", "CDC collapse + foreachBatch MERGE (orders changelog)"),
+]
+
+# Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
+# they get their own track: events scaled by (event_id, user_id)-offset
+# copies (per-user history length constant, user count linear — the
+# honest changelog scaling for stateful/SCD operators).
+EVENTS_QUERIES = [
+    ("streaming_stacked_aggs", "chained stateful windowed rollup"),
+    ("scd2_history", "SCD2 versioning (one keyed sort, two windows)"),
 ]
 
 
@@ -90,6 +110,37 @@ def build_scaled(spark, base: str, mult: int, out_dir: str) -> str:
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+    open(os.path.join(dst, "_DONE"), "w").close()
+    return dst
+
+
+def build_events_scaled(spark, base: str, mult: int, out_dir: str) -> str:
+    """events scaled by (event_id, user_id)-offset copies — see
+    EVENTS_QUERIES. Other tables copy through at base size."""
+    dst = os.path.join(out_dir, f"e{mult}")
+    if os.path.exists(os.path.join(dst, "_DONE")):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    for name in list(DIMS) + [t for t in FACTS if t != "events"]:
+        if name == "events":
+            continue
+        shutil.copy(
+            os.path.join(base, f"{name}.parquet"),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(os.path.join(base, "events.parquet"))
+    etop = e.agg(F.max("event_id")).collect()[0][0] + 1
+    utop = e.agg(F.max("user_id")).collect()[0][0] + 1
+    copies = [e] + [
+        e.withColumn("event_id", F.col("event_id") + F.lit(i * etop))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * utop))
+        for i in range(1, mult)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
     open(os.path.join(dst, "_DONE"), "w").close()
     return dst
 
@@ -254,6 +305,29 @@ def main() -> None:
                 flush=True,
             )
 
+    edirs = {1: base}
+    for m in (2, 4, 8):
+        edirs[m] = build_events_scaled(spark, base, m, work)
+    eresults: dict[str, dict[int, float]] = {}
+    for name, _ in EVENTS_QUERIES:
+        eresults[name] = {}
+        for m in sorted(edirs):
+            q = queries[name]
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            q(spark, edirs[m]).count()
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q(spark, edirs[m]).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            eresults[name][m] = round(best, 2)
+            print(f"[events] {name} e{m}: {eresults[name][m]}s", flush=True)
+
     lines = [
         "# SCALE — operator scaling on locally-grown data",
         "",
@@ -332,6 +406,22 @@ def main() -> None:
         "scaling that extrapolates to a real corpus, where near-dup",
         "density stays roughly constant as data grows.",
         "",
+        "## Events-scaled changelog track",
+        "",
+        "The x-dirs hold EVENTS fixed (it is a dim for the TPC-H-shaped",
+        "queries), so stateful/SCD operators get their own track: events",
+        "scaled by (event_id, user_id)-offset copies — per-user history",
+        "length constant, user count linear, the honest changelog growth.",
+        "",
+        "| query | what it exercises | e1 | e2 | e4 | e8 | e8/e1 |",
+        "|---|---|---|---|---|---|---|",
+    ] + [
+        f"| {name} | {why} | {eresults[name][1]} | {eresults[name][2]} "
+        f"| {eresults[name][4]} | {eresults[name][8]} "
+        f"| {round(eresults[name][8] / eresults[name][1], 1) if eresults[name][1] > 0 else float('inf')} |"
+        for name, why in EVENTS_QUERIES
+    ] + [
+        "",
     ]
     # Preserve hand-written analysis sections (e.g. the bench drift
     # audit): everything from the first second-level heading onward in
@@ -343,7 +433,7 @@ def main() -> None:
             # the perturbed-copy section is REGENERATED above — skip it
             # (and anything before it) or re-runs would duplicate it
             if ln.startswith("## ") and not ln.startswith(
-                "## Perturbed-copy"
+                ("## Perturbed-copy", "## Events-scaled")
             ):
                 preserved = [""] + old[i:]
                 break
