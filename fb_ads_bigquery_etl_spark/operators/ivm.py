@@ -38,17 +38,26 @@ def _with_bucket(df: DataFrame, key: str, buckets: int) -> DataFrame:
     )
 
 
-def _meta_dir(path: str) -> str:
-    # a _-prefixed SUBDIRECTORY: invisible to spark.read.parquet(path),
-    # writable/readable through Spark itself so the view works on any
-    # Hadoop-compatible filesystem, not just file://
-    return os.path.join(path, "_ivm_meta")
+def _meta_path(spark: SparkSession, path: str):
+    # a _-prefixed FILE: invisible to spark.read.parquet(path); written
+    # through the Hadoop FileSystem API (a driver-side metadata op — no
+    # Spark job) so the view works on any Hadoop-compatible filesystem,
+    # not just file://
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, META_FILE))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
 
 
 def _write_meta(spark: SparkSession, path: str, key: str, buckets: int) -> None:
-    spark.createDataFrame(
-        [(key, buckets)], "key string, buckets int"
-    ).coalesce(1).write.mode("overwrite").json(_meta_dir(path))
+    import json
+
+    fs, jpath, _ = _meta_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps({"key": key, "buckets": buckets}).encode()))
+    finally:
+        out.close()
 
 
 def _check_meta(spark: SparkSession, path: str, key: str, buckets: int) -> None:
@@ -56,13 +65,20 @@ def _check_meta(spark: SparkSession, path: str, key: str, buckets: int) -> None:
     corrupts the view (dynamic overwrite under the new modulus leaves
     stale rows in old-modulus partitions) — validate before touching
     anything. Views built before metadata existed get a best-effort
-    pass (no meta dir -> no check)."""
+    pass (no meta file -> no check)."""
+    import json
+
+    fs, jpath, jvm = _meta_path(spark, path)
+    if not fs.exists(jpath):
+        return
+    stream = fs.open(jpath)
     try:
-        meta = spark.read.json(_meta_dir(path)).first()
-    except Exception:
-        return
-    if meta is None:
-        return
+        raw = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    meta = json.loads(raw)
     if meta["buckets"] != buckets or meta["key"] != key:
         raise ValueError(
             f"view at {path} was built with key={meta['key']!r} "
