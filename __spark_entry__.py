@@ -3658,6 +3658,48 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi-join (operators/sketch.bloom_bitmap/
+    bloom_prune) — the cross-stage join-reduction a 100 TB plan ships
+    instead of the key set: one-nation suppliers fold into a 8192-bit
+    bitmap (128 longs, ONE bit_or aggregation), the lineitem scan
+    drops non-passing rows via k=3 broadcast bit tests BEFORE the
+    join, and the exact join then removes the Bloom's false
+    positives. Gated on (n_bloom_pass, n_joined, revenue) in one
+    pass: the bitmap is md5-deterministic, so DuckDB replays even the
+    intermediate pass count — and n_joined/revenue prove final
+    equality with the plain semi-join."""
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dim = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+        s["s_nationkey"] == n["n_nationkey"],
+    ).select("s_suppkey")
+    bm = bloom_bitmap(dim, "s_suppkey").localCheckpoint(eager=True)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    fact = li.select("l_suppkey", cents.alias("cents"))
+    pruned = bloom_prune(fact, bm, "l_suppkey")
+    return pruned.join(
+        F.broadcast(dim),
+        pruned["l_suppkey"] == dim["s_suppkey"],
+        "left",
+    ).agg(
+        F.count("*").cast("long").alias("n_bloom_pass"),
+        F.count("s_suppkey").cast("long").alias("n_joined"),
+        F.sum(
+            F.when(F.col("s_suppkey").isNotNull(), F.col("cents"))
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
 def q_table_profile(spark, sf_dir):
     """Single-scan column profiling (operators/profile.profile_table —
     the Deequ/Great-Expectations statistics pass a pipeline runs
@@ -7081,6 +7123,59 @@ def _oracle() -> dict[str, str]:
                    CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
                    CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
             FROM z GROUP BY 1 ORDER BY 1""",
+        "bloom_semi_join": """
+            WITH dimk AS (
+              SELECT s_suppkey FROM supplier JOIN nation
+                ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'),
+            pos AS (
+              SELECT ('0x' || substr(md5('cms1000:'
+                       || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192 AS p
+              FROM dimk
+              UNION ALL
+              SELECT ('0x' || substr(md5('cms1001:'
+                       || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192
+              FROM dimk
+              UNION ALL
+              SELECT ('0x' || substr(md5('cms1002:'
+                       || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192
+              FROM dimk),
+            bm AS (SELECT p // 64 AS word_idx,
+                          bit_or(1::BIGINT << CAST(p % 64 AS INTEGER))
+                            AS word
+                   FROM pos GROUP BY 1),
+            f AS (
+              SELECT l_suppkey,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     ('0x' || substr(md5('cms1000:'
+                       || CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192 AS p0,
+                     ('0x' || substr(md5('cms1001:'
+                       || CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192 AS p1,
+                     ('0x' || substr(md5('cms1002:'
+                       || CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       % 8192 AS p2
+              FROM lineitem),
+            passed AS (
+              SELECT f.l_suppkey, f.cents FROM f
+              JOIN bm b0 ON b0.word_idx = f.p0 // 64
+                AND (b0.word >> CAST(f.p0 % 64 AS INTEGER)) & 1 = 1
+              JOIN bm b1 ON b1.word_idx = f.p1 // 64
+                AND (b1.word >> CAST(f.p1 % 64 AS INTEGER)) & 1 = 1
+              JOIN bm b2 ON b2.word_idx = f.p2 // 64
+                AND (b2.word >> CAST(f.p2 % 64 AS INTEGER)) & 1 = 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+                   CAST(COUNT(d.s_suppkey) AS BIGINT) AS n_joined,
+                   CAST(SUM(CASE WHEN d.s_suppkey IS NOT NULL
+                                 THEN cents END) AS BIGINT)
+                     AS revenue_cents
+            FROM passed LEFT JOIN dimk d
+              ON passed.l_suppkey = d.s_suppkey""",
         "table_profile": """
             WITH o AS (SELECT o_orderkey, o_custkey,
                               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
@@ -9730,6 +9825,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "bloom_semi_join": q_bloom_semi_join,
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,
     "scd2_history": q_scd2_history,

@@ -101,3 +101,79 @@ def cms_heavy_hitters(
         )
         .filter(F.col("exact") >= threshold)
     )
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, *, bits: int = 8192, k: int = 3
+) -> DataFrame:
+    """Bloom filter over a key set as a (word_idx, word) bitmap frame
+    (bits/64 rows — metadata-sized regardless of key count). Built
+    with ONE map-side-combined bit_or aggregation over per-key masks;
+    the k probe positions are portable md5 hashes, so DuckDB replays
+    the exact bitmap (the `bloom_semi_join` oracle does)."""
+    parts = [
+        keys.select(
+            _bucket(F.col(key_col).cast("string"), 1000 + i, bits).alias("_pos")
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.select(
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            # shiftleft with a COLUMN bit count needs the SQL form —
+            # pyspark's F.shiftleft only accepts a python-int numBits
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    *,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Keep only fact rows whose key passes the Bloom filter — a
+    conservative superset of the true semi-join (no false negatives),
+    so `bloom_prune(...).join(dim)` EQUALS `fact.join(dim)` while the
+    join's shuffle input shrinks to near the true match set. This is
+    the cross-stage semi-join reduction a 100 TB plan ships instead of
+    the key set itself: the bitmap is bits/8 bytes however large the
+    dim is. k broadcast joins (the bitmap is metadata-sized) + one
+    narrow bit test per probe; rows whose position hits a missing word
+    are dropped (absent word = all-zero bits)."""
+    out = fact
+    for i in range(k):
+        pos_name = f"_bloom_pos{i}"
+        out = out.withColumn(
+            pos_name, _bucket(F.col(key_col).cast("string"), 1000 + i, bits)
+        )
+        w = bitmap.select(
+            F.col("word_idx").alias(f"_wi{i}"),
+            F.col("word").alias(f"_w{i}"),
+        )
+        out = (
+            out.join(
+                F.broadcast(w),
+                (F.col(pos_name) / 64).cast("long") == F.col(f"_wi{i}"),
+                "left",
+            )
+            # shiftright with a COLUMN bit count needs the SQL form
+            .filter(
+                F.expr(
+                    f"(shiftright(coalesce(_w{i}, CAST(0 AS BIGINT)),"
+                    f" CAST({pos_name} % 64 AS INT)) & 1) = 1"
+                )
+            )
+            .drop(pos_name, f"_wi{i}", f"_w{i}")
+        )
+    return out

@@ -759,3 +759,13 @@ def test_profile_and_dq_scan_counts(spark):
     nc = PI.node_counts(df)
     assert nc["Scan"] <= 4, nc  # 3x lineitem + 1x orders
     assert not PI.has_cartesian(df)
+
+
+def test_bloom_semi_join_broadcasts_bitmap(spark):
+    # every bloom probe joins the metadata-sized bitmap by BROADCAST
+    # (3 probes + the dim join = 4), never a shuffle join
+    df = _q(spark, "bloom_semi_join")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 4, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)

@@ -188,3 +188,30 @@ def test_cms_estimate_never_undercounts(spark):
     assert {r["key"]: r["exact"] for r in rows} == exact
     # the sketch itself is fixed-size regardless of key cardinality
     assert cms_counters(stream, "key", depth=3, width=16).count() <= 48
+
+
+def test_bloom_prune_is_conservative_and_selective(spark):
+    """bloom_prune must (a) never drop a true match — pruned⋈dim equals
+    plain fact⋈dim — and (b) actually shrink the probe side when the
+    dim keys are selective."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    fact = spark.range(20_000).select((F.col("id") % 1000).alias("k"))
+    dim = spark.range(1000).filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("k")
+    )  # 20 of 1000 keys
+    bm = bloom_bitmap(dim, "k", bits=4096, k=3)
+    pruned = bloom_prune(fact, bm, "k", bits=4096, k=3)
+    n_pass = pruned.count()
+    n_true = fact.join(dim, "k").count()
+    assert n_true == 400
+    # conservative: every true match passes
+    assert pruned.join(dim, "k").count() == n_true
+    # selective: false-positive rate at 3 hashes / 4096 bits / 20 keys
+    # is tiny — the pass set is close to the true set, far from 20k
+    assert n_true <= n_pass <= n_true + 200, n_pass
