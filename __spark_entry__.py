@@ -3700,6 +3700,54 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+def q_bloom_file_index(spark, sf_dir):
+    """Per-file Bloom index point lookup (operators/sketch.
+    build_bloom_file_index / bloom_index_read — the Delta/Iceberg
+    bloom-filter-index pattern): lineitem lands hash-clustered on
+    l_suppkey (8 files; every file's [min, max] envelope spans the FULL
+    key domain, so manifest min/max pruning reads all 8), a per-file
+    Bloom builds in one scan, and a point lookup reads ONLY the files
+    whose Bloom passes — at 100 TB this is how a needle query on a
+    non-sort key skips millions of files. Conservative + exact
+    re-filter, so the gated aggregate equals the full-scan oracle by
+    construction; tests/test_bucketing.py asserts files were actually
+    skipped."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_index_read,
+        build_bloom_file_index,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_bloomidx_")
+    try:
+        path = os.path.join(tmp, "lineitem")
+        (
+            li.select(
+                "l_suppkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                cents.alias("price_cents"),
+            )
+            .repartition(8, "l_suppkey")
+            .write.parquet(path)
+        )
+        idx = build_bloom_file_index(spark, path, "l_suppkey")
+        hit = bloom_index_read(spark, idx, "l_suppkey", 7, path=path)
+        out = hit.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_table_profile(spark, sf_dir):
     """Single-scan column profiling (operators/profile.profile_table —
     the Deequ/Great-Expectations statistics pass a pipeline runs
@@ -7176,6 +7224,14 @@ def _oracle() -> dict[str, str]:
                      AS revenue_cents
             FROM passed LEFT JOIN dimk d
               ON passed.l_suppkey = d.s_suppkey""",
+        "bloom_file_index": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem WHERE l_suppkey = 7""",
         "table_profile": """
             WITH o AS (SELECT o_orderkey, o_custkey,
                               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
@@ -9825,6 +9881,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "bloom_file_index": q_bloom_file_index,
     "bloom_semi_join": q_bloom_semi_join,
     "table_profile": q_table_profile,
     "dq_checks": q_dq_checks,

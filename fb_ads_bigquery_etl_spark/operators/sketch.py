@@ -27,7 +27,7 @@ whose key survives the sketch filter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import hash32
 
@@ -177,3 +177,102 @@ def bloom_prune(
             .drop(pos_name, f"_wi{i}", f"_w{i}")
         )
     return out
+
+
+def _py_bucket(key: str, salt: int, width: int) -> int:
+    """Driver-side twin of `_bucket` (same md5 positions) — lets a
+    plan-time lookup compute a probe key's bit positions without a
+    Spark job."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"cms{salt}:{key}".encode()).hexdigest()[:8], 16)
+        % width
+    )
+
+
+def build_bloom_file_index(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    *,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Per-FILE Bloom index: (file, word_idx, word), <= files x bits/64
+    rows — metadata-sized. This is the Delta/Iceberg bloom-filter-index
+    pattern: min/max envelopes prune NOTHING for point lookups on
+    hash-distributed keys (every file's envelope spans the domain), but
+    a per-file Bloom answers "can key X live in file F?" at plan time.
+    One scan: each key explodes into its k probe positions, then ONE
+    map-side-combined bit_or per (file, word)."""
+    df = spark.read.parquet(path)
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.input_file_name().alias("file"),
+            F.explode(
+                F.array(*[_bucket(key, 1000 + i, bits) for i in range(k)])
+            ).alias("_pos"),
+        )
+        .select(
+            "file",
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_index_files(
+    index: DataFrame, key, *, bits: int = 8192, k: int = 3
+) -> list[str]:
+    """Files that may contain `key` — a plan-time lookup over the
+    metadata-sized index (collects <= k rows per file), never a data
+    read. Conservative: a file holding the key ALWAYS passes; files
+    without it pass only at the Bloom false-positive rate."""
+    positions = [_py_bucket(str(key), 1000 + i, bits) for i in range(k)]
+    need = sorted({p // 64 for p in positions})
+    words: dict[tuple[str, int], int] = {}
+    files: set[str] = set()
+    for r in index.filter(F.col("word_idx").isin(need)).collect():
+        words[(r["file"], r["word_idx"])] = r["word"]
+        files.add(r["file"])
+    # a file with no row for a needed word_idx has those bits all-zero
+    return sorted(
+        f
+        for f in files
+        if all(
+            (words.get((f, p // 64), 0) >> (p % 64)) & 1 == 1
+            for p in positions
+        )
+    )
+
+
+def bloom_index_read(
+    spark: SparkSession,
+    index: DataFrame,
+    key_col: str,
+    key,
+    *,
+    path: str | None = None,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Point lookup reading ONLY bloom-selected files, with the exact
+    predicate re-applied (pruning is conservative, so the result equals
+    a full scan by construction). Zero-files semantics match
+    manifest_pruned_read: with `path`, a schema-only empty frame;
+    without, ValueError."""
+    files = bloom_index_files(index, key, bits=bits, k=k)
+    if not files:
+        if path is None:
+            raise ValueError(
+                "bloom index selected zero files and no dataset path "
+                "was provided to recover the schema; pass path="
+            )
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(key_col) == F.lit(key))

@@ -298,3 +298,64 @@ def test_manifest_pruned_read_empty_selection(spark, tmp_path):
     assert set(out.columns) == {"id", "v"}
     with pytest.raises(ValueError, match="zero files"):
         manifest_pruned_read(spark, man, "id", 10_000, 20_000)
+
+
+def test_bloom_file_index_skips_files_where_minmax_cannot(spark, tmp_path):
+    """Hash-clustered keys give every file a full-domain [min, max]
+    envelope — manifest pruning reads all files — but the per-file
+    Bloom must narrow a point lookup to ~1 file, and the pruned read
+    must equal the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        pruned_files,
+    )
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_index_files,
+        bloom_index_read,
+        build_bloom_file_index,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "t")
+    df.repartition(8, "k").write.parquet(path)
+
+    # min/max is useless on this layout: every file spans ~the domain
+    man = build_file_manifest(spark, path, ("k",))
+    assert len(pruned_files(man, "k", 42, 42)) == 8
+
+    idx = build_bloom_file_index(spark, path, "k")
+    sel = bloom_index_files(idx, 42)
+    assert 1 <= len(sel) <= 2, sel  # 1 true file + at most 1 FP
+    got = bloom_index_read(spark, idx, "k", 42, path=path)
+    assert got.count() == 40
+    assert (
+        got.agg(F.sum("v")).head()[0]
+        == df.filter(F.col("k") == 42).agg(F.sum("v")).head()[0]
+    )
+
+
+def test_bloom_index_read_empty_selection(spark, tmp_path):
+    """A key absent from every file's Bloom: with path= a schema-only
+    empty frame; without, a typed error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_index_read,
+        build_bloom_file_index,
+    )
+
+    df = spark.range(1_000).select((F.col("id") % 50).alias("k"))
+    path = str(tmp_path / "t")
+    df.repartition(4, "k").write.parquet(path)
+    idx = build_bloom_file_index(spark, path, "k")
+
+    empty = bloom_index_read(spark, idx, "k", 999_999, path=path)
+    assert empty.count() == 0
+    assert empty.columns == ["k"]
+    with pytest.raises(ValueError, match="zero files"):
+        bloom_index_read(spark, idx, "k", 999_999)
