@@ -1325,6 +1325,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.5)
 
 
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard join
+    (fuzzy_dedup.prefix_jaccard_pairs): index only each doc's
+    `n - ceil(t*n) + 1` globally-rarest shingles — every pair with
+    Jacc >= t still shares a prefix shingle (AllPairs bound), so the
+    answer is exactly the brute-force oracle while candidate volume
+    tracks true-pair volume instead of hot-shingle df^2. The exactness
+    + candidate-reduction properties are pytest-gated against the full
+    inverted-index path (tests/test_fuzzy.py)."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.6)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "text", "doc_id", k=3, threshold=0.5)
@@ -7066,6 +7083,20 @@ def _oracle() -> dict[str, str]:
             JOIN sz sa ON id_a = sa.doc_id
             JOIN sz sb ON id_b = sb.doc_id
             WHERE c / (sa.n + sb.n - c) >= 0.5""",
+        "dedup_prefix_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+            sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+            sz AS (SELECT doc_id, len(shingles) AS n FROM shl),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jaccard
+            FROM common
+            JOIN sz sa ON id_a = sa.doc_id
+            JOIN sz sb ON id_b = sb.doc_id
+            WHERE c / (sa.n + sb.n - c) >= 0.6""",
         "dedup_minhash_lsh": f"""
             WITH {_minhash_pairs_sql()}
             SELECT id_a, id_b, jaccard FROM verified""",
@@ -9881,6 +9912,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "bloom_file_index": q_bloom_file_index,
     "bloom_semi_join": q_bloom_semi_join,
     "table_profile": q_table_profile,

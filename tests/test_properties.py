@@ -488,3 +488,79 @@ def test_bpe_encode_pandas_twin_matches_sequential(words, merges):
         for r in apply_merges_pandas(df, merges).collect()
     }
     assert got == {w: _seq_encode(w, merges) for w in words}
+
+
+# --- prefix-filtered exact Jaccard join (PPJoin bound) ---
+
+_words = st.sampled_from(
+    ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+)
+_doc = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+
+
+@given(st.lists(_doc, min_size=2, max_size=14), st.sampled_from([0.4, 0.5, 0.6, 0.75]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_prefix_jaccard_equals_full_inverted_index(texts, threshold):
+    """The prefix filter must lose NOTHING: pair set and jaccard values
+    equal the full inverted-index join at every threshold."""
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).repartition(3)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=threshold
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(
+            df, "text", "doc_id", k=2, threshold=threshold
+        ).collect()
+    }
+    assert pref == full
+
+
+def test_prefix_jaccard_prunes_candidates():
+    """The point of the bound: prefix postings (hence candidate volume)
+    must be a strict, large reduction vs the full inverted index on a
+    corpus with hot shingles."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import (
+        prefix_jaccard_pairs,
+        with_shingles,
+    )
+
+    spark = _get_spark()
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = prefix_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.6)
+    n_pairs = pairs.count()
+    assert n_pairs >= 1  # the synthetic corpus carries near-dups
+
+    # measure posting reduction: full index postings vs prefix postings
+    sh = with_shingles(df, "text", "doc_id", 3).select(
+        "id", F.size("shingles").alias("n")
+    )
+    full_postings = sh.agg(F.sum("n")).head()[0]
+    # prefix keeps n - ceil(0.6 n) + 1 of n per doc (~40%)
+    prefix_postings = sh.agg(
+        F.sum(
+            F.col("n") - ((F.col("n") * 3 + 4) / 5).cast("long") + 1
+        )
+    ).head()[0]
+    assert prefix_postings * 2 < full_postings, (
+        prefix_postings,
+        full_postings,
+    )
