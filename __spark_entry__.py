@@ -2012,6 +2012,20 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def _jl_signs_sql(in_dim: int = 64, out_dim: int = 16) -> str:
+    """The JL ±1 sign matrix as a VALUES list — the SAME md5-parity
+    literals similarity.jl_project inlines into its Spark expressions,
+    so the oracle replays the projection exactly."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import jl_sign
+
+    rows = ", ".join(
+        f"({i}, {j}, {jl_sign(i, j)})"
+        for i in range(in_dim)
+        for j in range(out_dim)
+    )
+    return f"signs(i, j, s) AS (VALUES {rows})"
+
+
 _MINHASH_SIG = (
     f"list_transform(generate_series(0, 31), i -> coalesce("
     f"list_min(list_transform(hs, h -> (h * (2*i+1) + ((i * {_KNUTH}) % {_P})) % {_P})), "
@@ -4941,6 +4955,24 @@ def q_ann_quantized_recall(spark, sf_dir):
     return similarity.quantized_recall(e, k=10, n_queries=10)
 
 
+def q_ann_jl_recall(spark, sf_dir):
+    """Recall@10 of the Johnson-Lindenstrauss retrieval shape (64 -> 32
+    sign projection -> top-100 candidates -> exact float rerank,
+    similarity.jl_project/jl_recall) vs the exact float top-10 — the
+    DIMENSION lever of vector-scan bandwidth (the dtype lever is
+    `ann_quantized_recall`): the corpus-sized pass reads 2x narrower
+    vectors, full-width vectors are fetched for only 100 rows per
+    query, and this audit prices the distortion before a production
+    corpus switches. Projection inputs are floor-scaled integers and
+    the ±1 matrix is md5-deterministic, so candidate sets are exact
+    int64 / engine-identical — the oracle replays the projection AND
+    rerank relationally from the same inlined sign literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.jl_recall(
+        e, k=10, n_queries=10, in_dim=64, out_dim=32, expand=10
+    )
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -7585,6 +7617,69 @@ def _oracle() -> dict[str, str]:
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
+        "ann_jl_recall": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            ex AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('c.e', 'q.e')} DESC, c.vec_id ASC)
+                       AS rn
+              FROM v c JOIN q ON c.vec_id <> q.vec_id),
+            exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+            {_jl_signs_sql(64, 32)},
+            wv AS (SELECT vec_id,
+                          list_transform(e,
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                   FROM v),
+            proj AS (SELECT vec_id, j,
+                            CAST(SUM(s * w[i + 1]) AS BIGINT) AS p
+                     FROM wv, signs GROUP BY 1, 2),
+            pv AS (SELECT vec_id, list(p ORDER BY j) AS pvec
+                   FROM proj GROUP BY 1),
+            pn AS (SELECT vec_id, pvec,
+                          CAST(list_reduce(list_transform(
+                            generate_series(1, len(pvec)),
+                            i -> pvec[i] * pvec[i]), (x, y) -> x + y)
+                            AS BIGINT) AS pnorm2
+                   FROM pv),
+            pq AS (SELECT * FROM pn WHERE vec_id < 10),
+            sc AS (
+              SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(
+                       generate_series(1, len(c.pvec)),
+                       i -> c.pvec[i] * pq.pvec[i]), (x, y) -> x + y)
+                       AS DOUBLE)
+                     / (sqrt(CAST(c.pnorm2 AS DOUBLE))
+                        * sqrt(CAST(pq.pnorm2 AS DOUBLE))) AS pscore
+              FROM pn c JOIN pq ON c.vec_id <> pq.vec_id),
+            cand AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY pscore DESC, neighbor_id ASC) AS rn
+              FROM sc) WHERE rn <= 100),
+            rer AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql('cv.e', 'qv.e')} AS rscore
+              FROM cand
+              JOIN v cv ON cv.vec_id = cand.neighbor_id
+              JOIN v qv ON qv.vec_id = cand.query_id),
+            pk AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rscore DESC, neighbor_id ASC) AS rn
+              FROM rer) WHERE rn <= 10),
+            hits AS (
+              SELECT e.query_id, COUNT(*) AS n
+              FROM exk e JOIN pk USING (query_id, neighbor_id)
+              GROUP BY e.query_id),
+            pe AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM exk GROUP BY query_id)
+            SELECT pe.query_id, pe.n_exact,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+            FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
+            ORDER BY pe.query_id""",
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -9912,6 +10007,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ann_jl_recall": q_ann_jl_recall,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "bloom_file_index": q_bloom_file_index,
     "bloom_semi_join": q_bloom_semi_join,

@@ -213,3 +213,63 @@ def test_mmr_rerank_demotes_redundant_results(spark):
     assert got[0] == (1, 1)
     assert got[1][1] in (3, 4)
     assert got[2][1] != 2 or got[1][1] != 2
+
+
+def test_jl_projection_matches_python_reference(spark):
+    """JL sign projection + integer-dot kNN vs an exact Python replay,
+    and the recall audit's output contract."""
+    import math
+
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        jl_knn_join,
+        jl_recall,
+        jl_sign,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 8).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    signs = [[jl_sign(i, j) for j in range(4)] for i in range(8)]
+
+    def project(v):
+        w = [math.floor(x * 1_000_000) for x in v]
+        return [sum(signs[i][j] * w[i] for i in range(8)) for j in range(4)]
+
+    p = {i: project(vecs[i]) for i in range(30)}
+
+    def topk(qid, k=3):
+        scored = []
+        for j in range(30):
+            if j == qid:
+                continue
+            dot = sum(a * b for a, b in zip(p[j], p[qid]))
+            n2a = sum(a * a for a in p[j])
+            n2b = sum(b * b for b in p[qid])
+            scored.append((-(dot / (math.sqrt(n2a) * math.sqrt(n2b))), j))
+        scored.sort()
+        return [j for _, j in scored[:k]]
+
+    queries = df.filter("vec_id < 3")
+    got = {}
+    for r in jl_knn_join(df, queries, k=3, in_dim=8, out_dim=4).collect():
+        got.setdefault(r["query_id"], []).append((r["pscore"], r["neighbor_id"]))
+    for qid in range(3):
+        got_ids = [nid for _, nid in sorted(got[qid], key=lambda t: (-t[0], t[1]))]
+        assert got_ids == topk(qid), f"query {qid}"
+
+    rec = jl_recall(
+        df, k=3, n_queries=3, in_dim=8, out_dim=4, expand=3
+    ).collect()
+    assert [r["query_id"] for r in rec] == [0, 1, 2]
+    assert all(r["n_exact"] == 3 for r in rec)
+    assert all(0 <= r["n_overlap"] <= 3 for r in rec)
+    # rerank mode with expand covering the whole corpus must be EXACT
+    # (candidates = everything -> rerank = the exact float top-k)
+    full = jl_recall(
+        df, k=3, n_queries=3, in_dim=8, out_dim=4, expand=10
+    ).collect()
+    assert all(r["n_overlap"] == 3 for r in full), full

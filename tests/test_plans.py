@@ -769,3 +769,13 @@ def test_bloom_semi_join_broadcasts_bitmap(spark):
     assert nc["BroadcastHashJoin"] >= 4, nc
     assert nc["SortMergeJoin"] == 0, nc
     assert not PI.has_cartesian(df)
+
+
+def test_jl_recall_broadcasts_query_side(spark):
+    # both knn sides (exact float and JL-projected) are broadcast-query
+    # nested loops against the 10-row query frame; the corpus never
+    # sort-merges
+    df = _q(spark, "ann_jl_recall")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastNestedLoopJoin"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0, nc
