@@ -80,6 +80,9 @@ QUERIES = [
     ("table_profile", "single-scan fused column profile"),
     ("dq_checks", "fused row checks + unique groupBy + FK anti-join"),
     ("streaming_cdc_upsert", "CDC collapse + foreachBatch MERGE (orders changelog)"),
+    ("bloom_semi_join", "Bloom-pruned semi-join (bitmap agg + k bit tests)"),
+    ("bloom_file_index", "per-file Bloom point-lookup (write + index + read)"),
+    ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
@@ -167,6 +170,10 @@ NEARDUP_QUERIES = [
     # exactly; cross-copy cosines decorrelate) — the rows columns verify
     # how linear the resulting pair set actually is
     ("semdedup", "embedding-cluster semantic dedup (bucketed cosine prune)"),
+    # prefix filtering's candidate volume tracks TRUE-pair volume, so
+    # the verbatim x-track would be output-quadratic like the other
+    # near-dup ops — measured on the linear-output perturbed track
+    ("dedup_prefix_jaccard", "prefix-filtered exact Jaccard join"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
