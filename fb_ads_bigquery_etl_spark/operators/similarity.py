@@ -823,6 +823,54 @@ def jl_project(
     ).withColumn("pnorm2", int_dot(F.col("pvec"), F.col("pvec")))
 
 
+def jl_project_pandas(
+    df: DataFrame,
+    *,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Arrow-batched production twin of `jl_project` — bit-identical
+    output (property-tested, tests/test_ivf_index.py), ~10x faster:
+    the projection is a dense integer matmul, which is numpy's home
+    turf and the interpreted-HOF expression path's worst case (2048
+    multiply-adds per row through Catalyst lambda evaluation). One
+    W @ S per Arrow batch, exact int64 throughout (|products| and
+    row sums both far inside int64 at the documented envelopes);
+    zero shuffle, scales as a pure map stage."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(
+        [[jl_sign(i, j) for j in range(out_dim)] for i in range(in_dim)],
+        dtype=np.int64,
+    )
+
+    def _proj_fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        W = np.floor(
+            np.stack(vecs.to_numpy()).astype(np.float64) * scale
+        ).astype(np.int64)
+        P = W @ S
+        return pd.Series(list(P))
+
+    # real annotation objects (not strings): the module-level
+    # `from __future__ import annotations` would stringify inline hints
+    # and pandas is imported locally, so Spark's hint inference could
+    # not resolve 'pd.Series'
+    _proj_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _proj = pandas_udf(_proj_fn, "array<long>")
+
+    out = df.select(
+        F.col(id_col).alias("id"), _proj(F.col(vec_col)).alias("pvec")
+    )
+    return out.withColumn("pnorm2", int_dot(F.col("pvec"), F.col("pvec")))
+
+
 def jl_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -836,11 +884,13 @@ def jl_knn_join(
     """knn_join in JL-projected space: broadcast-queries / narrow-scan
     / per-query-top-k over out_dim-wide integer vectors. Returns
     (query_id, neighbor_id, pscore) — pscore is projected cosine,
-    floats touched only in IEEE sqrt/div (engine-reproducible)."""
-    pc = jl_project(
+    floats touched only in IEEE sqrt/div (engine-reproducible).
+    Projection runs through the Arrow-batched twin (bit-identical to
+    the `jl_project` expression spec by property test)."""
+    pc = jl_project_pandas(
         corpus, in_dim=in_dim, out_dim=out_dim, vec_col=vec_col, id_col=id_col
     )
-    pq = jl_project(
+    pq = jl_project_pandas(
         queries, in_dim=in_dim, out_dim=out_dim, vec_col=vec_col, id_col=id_col
     ).select(
         F.col("id").alias("qid"),

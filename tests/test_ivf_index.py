@@ -273,3 +273,27 @@ def test_jl_projection_matches_python_reference(spark):
         df, k=3, n_queries=3, in_dim=8, out_dim=4, expand=10
     ).collect()
     assert all(r["n_overlap"] == 3 for r in full), full
+
+
+def test_jl_project_pandas_twin_matches_expression_spec(spark):
+    """The Arrow-batched projection must be BIT-identical to the
+    jl_project expression spec (same floor-scaled integers, same sign
+    literals, same int64 sums)."""
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        jl_project,
+        jl_project_pandas,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(50, 8) * rng.choice([1e-3, 1.0, 3.0], size=(50, 1))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(in_dim=8, out_dim=4)
+    spec = {r["id"]: (r["pvec"], r["pnorm2"])
+            for r in jl_project(df, **kw).collect()}
+    twin = {r["id"]: (r["pvec"], r["pnorm2"])
+            for r in jl_project_pandas(df, **kw).collect()}
+    assert twin == spec
