@@ -3731,6 +3731,67 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+def q_ivm_agg_delete(spark, sf_dir):
+    """Non-invertible-aggregate view maintenance (operators/ivm.
+    build_max_view / apply_max_view_append / apply_max_view_delete):
+    SUM views absorb deletes by subtraction, but deleting the row that
+    held a group's MAX forces re-aggregation — so the base fact is
+    materialized bucket-aligned with the view, and a delete reads ONLY
+    the store buckets holding deleted keys, rewrites them, and
+    re-aggregates ONLY those view buckets. Exercises build -> append
+    (merge-able greatest/sum path, no base re-read) -> delete (the
+    recompute path); the gated view must equal a from-scratch GROUP BY
+    over the surviving rows. Deletes address rows by rid (CDC events
+    carry full rows); the synthetic lineitem holds duplicate rids by
+    design, so delete-by-rid removes every row sharing a deleted rid —
+    which the oracle replays with a NOT IN. Bounded-IO behavior (only
+    touched buckets rewritten) is pytest-gated in tests/test_ivm.py."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators import ivm
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    rows = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_suppkey",
+        cents.alias("cents"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    base = rows.filter(F.col("l_orderkey") % 3 != 0).drop(
+        "l_orderkey", "l_partkey"
+    )
+    delta = rows.filter(F.col("l_orderkey") % 3 == 0).drop(
+        "l_orderkey", "l_partkey"
+    )
+    deletes = (
+        rows.filter(F.col("l_partkey") % 37 == 0)
+        .select("rid", "l_suppkey")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_ivmagg_")
+    try:
+        vp = os.path.join(tmp, "view")
+        sp = os.path.join(tmp, "store")
+        ivm.build_max_view(
+            base, "l_suppkey", "cents", "rid", vp, sp, buckets=8
+        )
+        ivm.apply_max_view_append(
+            spark, delta, "l_suppkey", "cents", "rid", vp, sp, buckets=8
+        )
+        ivm.apply_max_view_delete(
+            spark, deletes, "l_suppkey", "cents", "rid", vp, sp, buckets=8
+        )
+        out = ivm.read_max_view(spark, vp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("l_suppkey")
+
+
 def q_bloom_file_index(spark, sf_dir):
     """Per-file Bloom index point lookup (operators/sketch.
     build_bloom_file_index / bloom_index_read — the Delta/Iceberg
@@ -7287,6 +7348,22 @@ def _oracle() -> dict[str, str]:
                      AS revenue_cents
             FROM passed LEFT JOIN dimk d
               ON passed.l_suppkey = d.s_suppkey""",
+        "ivm_agg_delete": """
+            WITH rows_ AS (
+              SELECT l_orderkey * 10 + l_linenumber AS rid,
+                     l_suppkey,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     l_partkey
+              FROM lineitem),
+            del AS (SELECT DISTINCT rid FROM rows_
+                    WHERE l_partkey % 37 = 0)
+            SELECT l_suppkey,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM rows_
+            WHERE rid NOT IN (SELECT rid FROM del)
+            GROUP BY 1 ORDER BY 1""",
         "bloom_file_index": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -10007,6 +10084,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ivm_agg_delete": q_ivm_agg_delete,
     "ann_jl_recall": q_ann_jl_recall,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "bloom_file_index": q_bloom_file_index,

@@ -187,3 +187,162 @@ def apply_dim_update(
 
 def read_join_view(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+# --- aggregate views with NON-INVERTIBLE aggregates (MAX) -------------
+#
+# SUM/COUNT views absorb deletes by subtraction; MAX cannot — deleting
+# the row that held a group's max forces a re-aggregation of that
+# group's surviving base rows. The scalable shape: materialize the BASE
+# fact bucket-partitioned on the SAME hash(key) layout as the view, so
+# a delete recomputes only the buckets holding deleted keys — reading
+# only those STORE buckets, overwriting only those VIEW buckets.
+# O(touched buckets) however large the table, the same bounded-IO
+# contract as apply_dim_update above.
+
+
+def build_max_view(
+    fact: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Materialize (key, max_<val>, n_rows) plus its bucket-aligned
+    base store. `rid_col` is the row identity deletes are matched on
+    (anti-join key)."""
+    fb = _with_bucket(
+        fact.select(rid_col, key, val_col), key, buckets
+    )
+    fb.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
+    spark = fact.sparkSession
+    _write_meta(spark, store_path, key, buckets)
+    view = fb.groupBy(BUCKET_COL, key).agg(
+        F.max(val_col).alias(f"max_{val_col}"),
+        F.count("*").alias("n_rows"),
+    )
+    view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
+    _write_meta(spark, view_path, key, buckets)
+
+
+def _overwrite_touched(
+    spark: SparkSession, df: DataFrame, touched: list, path: str
+) -> None:
+    """Dynamic-partition-overwrite `df`'s buckets into `path`, dropping
+    touched partition dirs whose rebuild came back empty (dynamic
+    overwrite's no-rows-no-overwrite blind spot — see apply_dim_update)."""
+    out = df.localCheckpoint(eager=True)
+    nonempty = {r[0] for r in out.select(BUCKET_COL).distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    empty = [b for b in touched if b not in nonempty]
+    if empty:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for b in empty:
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f"{BUCKET_COL}={b}")
+            )
+            fs = jpath.getFileSystem(conf)
+            fs.delete(jpath, True)
+
+
+def apply_max_view_append(
+    spark: SparkSession,
+    delta: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Append: delta lands in the store (append-only write), and the
+    view merges greatest(old_max, delta_max) / n_rows sums for ONLY the
+    view buckets the delta touches — MAX is merge-able on append, so no
+    base re-read happens on this path."""
+    _check_meta(spark, store_path, key, buckets)
+    _check_meta(spark, view_path, key, buckets)
+    db = _with_bucket(delta.select(rid_col, key, val_col), key, buckets)
+    db.write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
+    touched = [
+        r[0] for r in db.select(BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return
+    mx = f"max_{val_col}"
+    old = spark.read.parquet(view_path).filter(
+        F.col(BUCKET_COL).isin(touched)
+    )
+    dagg = db.groupBy(BUCKET_COL, key).agg(
+        F.max(val_col).alias(mx), F.count("*").alias("n_rows")
+    )
+    merged = (
+        old.unionByName(dagg)
+        .groupBy(BUCKET_COL, key)
+        .agg(F.max(mx).alias(mx), F.sum("n_rows").alias("n_rows"))
+    )
+    _overwrite_touched(spark, merged, touched, view_path)
+
+
+def apply_max_view_delete(
+    spark: SparkSession,
+    deletes: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Delete: the non-invertible path. `deletes` carries (rid, key) —
+    CDC delete events carry the full row, so the key is free. Touched
+    buckets = hash(deleted keys); ONLY those store buckets are read,
+    anti-joined on rid, rewritten; ONLY those view buckets re-aggregate
+    from the rewritten store. A group whose rows are all deleted
+    disappears from the view (and an emptied bucket's partition dir is
+    dropped explicitly)."""
+    _check_meta(spark, store_path, key, buckets)
+    _check_meta(spark, view_path, key, buckets)
+    touched = [
+        r[0]
+        for r in _with_bucket(deletes, key, buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    surviving = (
+        spark.read.parquet(store_path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .join(
+            F.broadcast(deletes.select(rid_col).distinct()),
+            rid_col,
+            "left_anti",
+        )
+    )
+    _overwrite_touched(spark, surviving, touched, store_path)
+    rebuilt = (
+        spark.read.parquet(store_path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .groupBy(BUCKET_COL, key)
+        .agg(
+            F.max(val_col).alias(f"max_{val_col}"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    _overwrite_touched(spark, rebuilt, touched, view_path)
+
+
+def read_max_view(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(BUCKET_COL)

@@ -119,3 +119,85 @@ def test_dim_key_change_touches_both_buckets(spark, tmp_path):
     assert got.count() == expect.count()
     assert got.filter(F.col("k") == 3).count() == 0
     assert got.filter(F.col("k") == 5).head()["attr"] == 555
+
+
+def test_max_view_delete_recomputes_only_touched_buckets(spark, tmp_path):
+    """The non-invertible path's bounded-IO contract: a delete must
+    rewrite ONLY the store/view buckets holding deleted keys (untouched
+    partition dirs keep their exact file sets), and the maintained view
+    must equal a from-scratch GROUP BY over surviving rows — including
+    dropping a group whose rows were all deleted."""
+    fact = spark.range(400).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    vp, sp = str(tmp_path / "view"), str(tmp_path / "store")
+    ivm.build_max_view(fact, "k", "v", "rid", vp, sp, buckets=8)
+
+    delta = spark.range(400, 500).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    ivm.apply_max_view_append(spark, delta, "k", "v", "rid", vp, sp, buckets=8)
+
+    # delete every row of key 3 (group must vanish) plus one row of key 7
+    full = fact.unionByName(delta)
+    deletes = full.filter((F.col("k") == 3) | (F.col("rid") == 7)).select(
+        "rid", "k"
+    )
+    touched_buckets = {
+        r[0]
+        for r in ivm._with_bucket(deletes, "k", 8)
+        .select(ivm.BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    assert len(touched_buckets) < 8  # the gate below must mean something
+
+    def files_by_bucket(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{ivm.BUCKET_COL}="):
+                b = int(d.split("=")[1])
+                out[b] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    before_s, before_v = files_by_bucket(sp), files_by_bucket(vp)
+    ivm.apply_max_view_delete(
+        spark, deletes, "k", "v", "rid", vp, sp, buckets=8
+    )
+    after_s, after_v = files_by_bucket(sp), files_by_bucket(vp)
+    for b in set(before_s) - touched_buckets:
+        assert after_s[b] == before_s[b], f"store bucket {b} rewritten"
+    for b in set(before_v) - touched_buckets:
+        assert after_v[b] == before_v[b], f"view bucket {b} rewritten"
+
+    got = {
+        r["k"]: (r["max_v"], r["n_rows"])
+        for r in ivm.read_max_view(spark, vp).collect()
+    }
+    surv = full.join(deletes.select("rid"), "rid", "left_anti")
+    want = {
+        r["k"]: (r["mx"], r["n"])
+        for r in surv.groupBy("k")
+        .agg(F.max("v").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert 3 not in got
+
+
+def test_max_view_refuses_layout_mismatch(spark, tmp_path):
+    fact = spark.range(50).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("k"),
+        F.col("id").alias("v"),
+    )
+    vp, sp = str(tmp_path / "v"), str(tmp_path / "s")
+    ivm.build_max_view(fact, "k", "v", "rid", vp, sp, buckets=4)
+    with pytest.raises(ValueError, match="buckets=4"):
+        ivm.apply_max_view_delete(
+            spark, fact.limit(1).select("rid", "k"),
+            "k", "v", "rid", vp, sp, buckets=8,
+        )
