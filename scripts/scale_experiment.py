@@ -83,6 +83,7 @@ QUERIES = [
     ("bloom_semi_join", "Bloom-pruned semi-join (bitmap agg + k bit tests)"),
     ("bloom_file_index", "per-file Bloom point-lookup (write + index + read)"),
     ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
+    ("ivm_agg_delete", "MAX-view build + append merge + bucketed delete recompute"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
