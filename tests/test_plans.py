@@ -779,3 +779,14 @@ def test_jl_recall_broadcasts_query_side(spark):
     nc = PI.node_counts(df)
     assert nc["BroadcastNestedLoopJoin"] >= 2, nc
     assert nc["SortMergeJoin"] == 0, nc
+
+
+def test_prefix_jaccard_reuses_one_corpus_scan(spark):
+    # four consumers of the hashed-shingle frame (df-count, per-doc
+    # ordering, and both verify sides) must all read the shared cache —
+    # exactly ONE parquet scan of documents in the whole plan
+    df = _q(spark, "dedup_prefix_jaccard")
+    nc = PI.node_counts(df)
+    assert nc["Scan"] == 1, nc
+    assert nc["InMemoryTableScan"] >= 4, nc
+    assert not PI.has_cartesian(df)
