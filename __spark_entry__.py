@@ -3731,6 +3731,27 @@ def q_bloom_semi_join(spark, sf_dir):
     )
 
 
+def q_media_decode_features(spark, sf_dir):
+    """REAL multimodal decode under the oracle gate (operators/
+    multimodal.synth_ppm / decode_ppm_features): every doc_id gets an
+    actual P6 PPM image (real header, real RGB buffer) whose pixels
+    follow a closed-form (x, y, id, channel) formula; the decode kernel
+    parses the header, reshapes the byte buffer, nearest-neighbor
+    resizes to 8x8, and emits exact-integer features FROM THE BYTES
+    ALONE — while the DuckDB oracle computes the same features straight
+    from the formula. Hash parity therefore proves the decode chain is
+    byte-correct, upgrading the multimodal family from deterministic
+    stubs to a genuinely decoded format (compressed codecs remain
+    stubbed — their libraries aren't in the container)."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_ppm_features,
+        synth_ppm,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_ppm_features(synth_ppm(d)).orderBy("id")
+
+
 def q_ivm_agg_delete(spark, sf_dir):
     """Non-invertible-aggregate view maintenance (operators/ivm.
     build_max_view / apply_max_view_append / apply_max_view_delete):
@@ -7348,6 +7369,37 @@ def _oracle() -> dict[str, str]:
                      AS revenue_cents
             FROM passed LEFT JOIN dimk d
               ON passed.l_suppkey = d.s_suppkey""",
+        "media_decode_features": """
+            WITH ids AS (SELECT doc_id AS id,
+                                CAST(16 + doc_id % 5 AS INT) AS w,
+                                CAST(12 + doc_id % 3 AS INT) AS h
+                         FROM documents),
+            xs AS (SELECT unnest(generate_series(0, 19)) AS x),
+            ys AS (SELECT unnest(generate_series(0, 13)) AS y),
+            cells AS (SELECT id, w, h, x, y FROM ids, xs, ys
+                      WHERE x < w AND y < h),
+            sums AS (SELECT id,
+                            CAST(SUM((7*x + 13*y + id) % 256) AS BIGINT)
+                              AS sum_r,
+                            CAST(SUM((7*x + 13*y + 2*id) % 256) AS BIGINT)
+                              AS sum_g,
+                            CAST(SUM((7*x + 13*y + 3*id) % 256) AS BIGINT)
+                              AS sum_b
+                     FROM cells GROUP BY id),
+            g AS (SELECT unnest(generate_series(0, 7)) AS gi),
+            grid AS (SELECT id, (gx.gi * w) // 8 AS ix,
+                            (gy.gi * h) // 8 AS iy
+                     FROM ids, g gx, g gy),
+            rc AS (SELECT id,
+                          CAST(SUM(((7*ix + 13*iy + id) % 256)
+                                 + 2 * ((7*ix + 13*iy + 2*id) % 256)
+                                 + 3 * ((7*ix + 13*iy + 3*id) % 256))
+                               AS BIGINT) AS resized_checksum
+                   FROM grid GROUP BY id)
+            SELECT ids.id, ids.w, ids.h, sum_r, sum_g, sum_b,
+                   resized_checksum
+            FROM ids JOIN sums USING (id) JOIN rc USING (id)
+            ORDER BY ids.id""",
         "ivm_agg_delete": """
             WITH rows_ AS (
               SELECT l_orderkey * 10 + l_linenumber AS rid,
@@ -10084,6 +10136,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_decode_features": q_media_decode_features,
     "ivm_agg_delete": q_ivm_agg_delete,
     "ann_jl_recall": q_ann_jl_recall,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,

@@ -5,12 +5,17 @@ all heavy per-item work (decode, resize, frame-sample, feature-extract)
 runs as Arrow-batched pandas iterators (`mapInPandas`) so Python touches
 each batch once, not each row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are stubbed: `decode_stub=True` produces a
-deterministic fake feature vector derived from the payload bytes (so the
-whole distributed pipeline — schema, batching, partitioning, UDF
-signatures — is real and testable), and `decode_stub=False` raises
-NotImplementedError at the point a real codec would be called.
+The compressed codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so those decode kernels are stubbed: `decode_stub=True`
+produces a deterministic fake feature vector derived from the payload
+bytes (so the whole distributed pipeline — schema, batching,
+partitioning, UDF signatures — is real and testable), and
+`decode_stub=False` raises NotImplementedError at the point a real
+codec would be called. Two paths ARE fully real: magic-byte format
+detection (`detect_format`) and the uncompressed-PPM decode ->
+resize -> feature chain at the bottom of this module (`synth_ppm` /
+`decode_ppm_features`, oracle-gated byte-correct as
+`media_decode_features`).
 """
 
 from __future__ import annotations
@@ -215,3 +220,105 @@ def format_mismatch_audit(df: DataFrame) -> DataFrame:
         )
         .orderBy("media_type", "detected_format")
     )
+
+
+# --- REAL decode: uncompressed PPM (P6) ------------------------------
+#
+# The compressed codecs (JPEG/PNG/ffmpeg) stay stubbed above — their
+# libraries are not in this container — but PPM is a full image format
+# a few lines of numpy decode for real: "P6\n<w> <h>\n255\n" + raw RGB
+# bytes. These kernels give the multimodal family a genuinely unstubbed
+# decode -> resize -> feature path: real header parsing, real byte
+# buffers, real nearest-neighbor resampling, Arrow-batched like the
+# production shape above. The `media_decode_features` oracle gate works
+# because the synthesizer draws pixels from a closed-form function of
+# (x, y, id, channel) that SQL can evaluate directly — hash parity of
+# the decoded features against that formula proves the decode chain is
+# byte-correct, not merely deterministic.
+
+
+def synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real P6 PPM per row, w/h varying with id
+    (w = 16 + id%5, h = 12 + id%3), pixel channel c at (x, y) =
+    (7x + 13y + (c+1)*id) % 256."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            w, h = 16 + int(i) % 5, 12 + int(i) % 3
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((7 * x + 13 * y + (c + 1) * int(i)) % 256).astype(
+                np.uint8
+            )
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes())
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload"))
+
+
+_DECODE_SCHEMA = (
+    "id long, w int, h int, sum_r long, sum_g long, sum_b long, "
+    "resized_checksum long"
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL decode over (id, payload): parse the P6 header, reshape the
+    raw buffer to (h, w, 3), and emit exact-integer features — per-
+    channel pixel sums plus a checksum of the nearest-neighbor 8x8
+    resize (r + 2g + 3b over the grid). mapInPandas: the wide binary
+    column dies inside the kernel; only the narrow feature row leaves.
+    Nothing here consults the generator's formula — features come from
+    the decoded bytes alone (the oracle recomputes them from the
+    formula, which is what makes the gate a decode proof)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if not buf.startswith(b"P6"):
+                    raise ValueError("not a P6 PPM payload")
+                # header: magic, dims, maxval — then exactly w*h*3 bytes
+                magic, dims, maxval, rest = buf.split(b"\n", 3)
+                w, h = (int(t) for t in dims.split())
+                if int(maxval) != 255:
+                    raise ValueError("only 8-bit PPM supported")
+                arr = np.frombuffer(rest, dtype=np.uint8, count=w * h * 3)
+                arr = arr.reshape(h, w, 3).astype(np.int64)
+                iy = (np.arange(8) * h) // 8
+                ix = (np.arange(8) * w) // 8
+                small = arr[iy][:, ix]
+                rows.append(
+                    (
+                        int(i),
+                        w,
+                        h,
+                        int(arr[:, :, 0].sum()),
+                        int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()),
+                        int(
+                            (
+                                small[:, :, 0]
+                                + 2 * small[:, :, 1]
+                                + 3 * small[:, :, 2]
+                            ).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "w", "h", "sum_r", "sum_g", "sum_b",
+                    "resized_checksum",
+                ],
+            )
+
+    return media.mapInPandas(kernel, _DECODE_SCHEMA)

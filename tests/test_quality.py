@@ -215,3 +215,50 @@ def test_bloom_prune_is_conservative_and_selective(spark):
     # selective: false-positive rate at 3 hashes / 4096 bits / 20 keys
     # is tiny — the pass set is close to the true set, far from 20k
     assert n_true <= n_pass <= n_true + 200, n_pass
+
+
+def test_ppm_decode_is_byte_correct(spark):
+    """Hand-built P6 payload (including a 0x0A byte INSIDE the pixel
+    data — the header split must not be fooled by it): decoded features
+    must match hand arithmetic."""
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_ppm_features,
+    )
+
+    arr = np.array(
+        [[[10, 0, 255], [1, 2, 3]], [[4, 5, 6], [7, 8, 9]]],
+        dtype=np.uint8,
+    )  # h=2, w=2; first pixel's R is 10 == ord('\n')
+    payload = b"P6\n2 2\n255\n" + arr.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "id long, payload binary"
+    )
+    r = decode_ppm_features(df).collect()[0]
+    assert (r["w"], r["h"]) == (2, 2)
+    assert r["sum_r"] == 10 + 1 + 4 + 7
+    assert r["sum_g"] == 0 + 2 + 5 + 8
+    assert r["sum_b"] == 255 + 3 + 6 + 9
+    # nearest-neighbor 8x8 over a 2x2 source: each source pixel covers a
+    # 4x4 block -> checksum = 16 * sum(r + 2g + 3b) over the 4 pixels
+    want = 16 * sum(
+        int(p[0]) + 2 * int(p[1]) + 3 * int(p[2])
+        for row in arr for p in row
+    )
+    assert r["resized_checksum"] == want
+
+
+def test_ppm_decode_rejects_non_ppm(spark):
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_ppm_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nnotappm"))],
+        "id long, payload binary",
+    )
+    with pytest.raises(Exception, match="P6 PPM"):
+        decode_ppm_features(df).collect()
