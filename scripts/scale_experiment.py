@@ -84,6 +84,7 @@ QUERIES = [
     ("bloom_file_index", "per-file Bloom point-lookup (write + index + read)"),
     ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
     ("ivm_agg_delete", "MAX-view build + append merge + bucketed delete recompute"),
+    ("media_decode_features", "real PPM synth + decode/resize feature map"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
