@@ -3752,6 +3752,26 @@ def q_media_decode_features(spark, sf_dir):
     return decode_ppm_features(synth_ppm(d)).orderBy("id")
 
 
+def q_media_decode_audio(spark, sf_dir):
+    """REAL audio decode under the oracle gate (operators/multimodal.
+    synth_wav / decode_wav_features) — the WAV twin of
+    `media_decode_features`: every doc_id gets an actual RIFF/WAVE
+    PCM16-mono file whose samples follow a closed-form (n, id) formula;
+    the decode kernel walks the RIFF chunk structure (validating fmt,
+    honoring even-byte chunk padding), decodes the int16 LE buffer, and
+    emits exact-integer features (count, sum, |sum|, zero crossings)
+    FROM THE BYTES ALONE, while the oracle recomputes them from the
+    formula — hash parity proves the container parse and sample decode
+    byte-correct."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_features(synth_wav(d)).orderBy("id")
+
+
 def q_ivm_agg_delete(spark, sf_dir):
     """Non-invertible-aggregate view maintenance (operators/ivm.
     build_max_view / apply_max_view_append / apply_max_view_delete):
@@ -7400,6 +7420,33 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "media_decode_audio": """
+            WITH ids AS (SELECT doc_id AS id,
+                                CAST(256 + doc_id % 7 AS INT) AS m
+                         FROM documents),
+            ns AS (SELECT unnest(generate_series(0, 262)) AS n),
+            smp AS (SELECT id, n,
+                           ((n*n + 3*n*id + id*id) % 65536) - 32768 AS v
+                    FROM ids, ns WHERE n < m),
+            agg AS (SELECT id,
+                           CAST(SUM(v) AS BIGINT) AS sum_samples,
+                           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+                    FROM smp GROUP BY id),
+            pairs AS (SELECT id,
+                             ((n*n + 3*n*id + id*id) % 65536) - 32768
+                               AS v1,
+                             (((n+1)*(n+1) + 3*(n+1)*id + id*id) % 65536)
+                               - 32768 AS v2
+                      FROM ids, ns WHERE n < m - 1),
+            zc AS (SELECT id,
+                          CAST(SUM(CASE WHEN (v1 < 0) <> (v2 < 0)
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS zero_crossings
+                   FROM pairs GROUP BY id)
+            SELECT ids.id, ids.m AS n_samples, sum_samples, sum_abs,
+                   zero_crossings
+            FROM ids JOIN agg USING (id) JOIN zc USING (id)
+            ORDER BY ids.id""",
         "ivm_agg_delete": """
             WITH rows_ AS (
               SELECT l_orderkey * 10 + l_linenumber AS rid,
@@ -10136,6 +10183,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_decode_audio": q_media_decode_audio,
     "media_decode_features": q_media_decode_features,
     "ivm_agg_delete": q_ivm_agg_delete,
     "ann_jl_recall": q_ann_jl_recall,

@@ -322,3 +322,114 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+# --- REAL decode #2: uncompressed WAV (PCM16 mono) --------------------
+#
+# Same contract as the PPM chain above, for the AUDIO modality: WAV
+# PCM needs no codec — RIFF/fmt/data chunk parsing plus an int16
+# little-endian buffer. The synthesizer draws samples from a closed-form
+# function of (n, id) that SQL evaluates directly, so the
+# `media_decode_audio` oracle's hash parity proves the RIFF parse and
+# sample decode are byte-correct.
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real RIFF/WAVE PCM16-mono file per row,
+    n_samples = 256 + id%7, sample[n] = ((n*n + 3*n*id + id*id) %
+    65536) - 32768."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            m = 256 + i % 7
+            n = np.arange(m, dtype=np.int64)
+            v = ((n * n + 3 * n * i + i * i) % 65536) - 32768
+            data = v.astype("<i2").tobytes()
+            rate = 16000
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt "
+                + struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+_AUDIO_SCHEMA = (
+    "id long, n_samples int, sum_samples long, sum_abs long, "
+    "zero_crossings long"
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE parse over (id, payload): validate the chunk
+    structure (PCM16 mono only), decode the int16 LE sample buffer, and
+    emit exact-integer features — sample count, sample sum, absolute
+    sum, and zero crossings (sign flips between adjacent samples, zero
+    counted as non-negative). Features come from the decoded bytes
+    alone; the oracle recomputes them from the generator's closed
+    form."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body = buf[pos + 8 : pos + 8 + clen]
+                    if cid == b"fmt ":
+                        afmt, ch, _, _, _, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if (afmt, ch, bits) != (1, 1, 16):
+                            raise ValueError("only PCM16 mono supported")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + clen + (clen & 1)  # RIFF chunks pad to even
+                if data is None:
+                    raise ValueError("no data chunk")
+                v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                neg = v < 0
+                rows.append(
+                    (
+                        int(i),
+                        int(v.size),
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int((neg[:-1] != neg[1:]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_samples", "sum_samples", "sum_abs",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(kernel, _AUDIO_SCHEMA)

@@ -262,3 +262,65 @@ def test_ppm_decode_rejects_non_ppm(spark):
     )
     with pytest.raises(Exception, match="P6 PPM"):
         decode_ppm_features(df).collect()
+
+
+def test_wav_decode_is_byte_correct(spark):
+    """Hand-built RIFF/WAVE with a known int16 sample buffer AND an
+    odd-length LIST chunk before data (the RIFF walk must honor
+    even-byte chunk padding to find it): decoded features must match
+    hand arithmetic."""
+    import struct
+
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    samples = np.array([100, -5, 0, -1, 7], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 3) + b"abc"  # odd -> 1 pad byte
+        + b"\x00"
+        + b"data" + struct.pack("<I", len(samples.tobytes()))
+        + samples.tobytes()
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "id long, payload binary"
+    )
+    r = decode_wav_features(df).collect()[0]
+    assert r["n_samples"] == 5
+    assert r["sum_samples"] == 100 - 5 + 0 - 1 + 7
+    assert r["sum_abs"] == 100 + 5 + 0 + 1 + 7
+    # sign flips with zero counted non-negative:
+    # [+, -, +(0), -, +] -> 4 crossings
+    assert r["zero_crossings"] == 4
+
+
+def test_wav_decode_rejects_non_riff_and_non_pcm16(spark):
+    import struct
+
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"OggS0000000000000000"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_wav_features(df).collect()
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)  # stereo
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df2 = spark.createDataFrame(
+        [(2, bytearray(payload))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PCM16 mono"):
+        decode_wav_features(df2).collect()
