@@ -85,6 +85,7 @@ QUERIES = [
     ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
     ("ivm_agg_delete", "MAX-view build + append merge + bucketed delete recompute"),
     ("media_decode_features", "real PPM synth + decode/resize feature map"),
+    ("media_decode_audio", "real WAV synth + RIFF parse/PCM16 feature map"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
