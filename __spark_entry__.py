@@ -3752,6 +3752,27 @@ def q_media_decode_features(spark, sf_dir):
     return decode_ppm_features(synth_ppm(d)).orderBy("id")
 
 
+def q_media_decode_video(spark, sf_dir):
+    """REAL video decode + frame sampling under the oracle gate
+    (operators/multimodal.synth_y4m / decode_y4m_features) — completes
+    the modality triple with image (`media_decode_features`) and audio
+    (`media_decode_audio`): every doc_id gets an actual YUV4MPEG2 C420
+    clip (real stream header, real FRAME markers, real planar YUV
+    buffers; pixels from closed-form (x, y, frame, id, plane)
+    formulas); the decode kernel parses the header, walks the frame
+    markers, decodes ONLY every 2nd frame (the frame-sampling shape),
+    and emits exact-integer per-plane sums FROM THE BYTES ALONE, while
+    the oracle recomputes them from the formulas — hash parity proves
+    the stream walk, plane slicing, and sampling stride byte-correct."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_y4m_features,
+        synth_y4m,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_y4m_features(synth_y4m(d), stride=2).orderBy("id")
+
+
 def q_media_decode_audio(spark, sf_dir):
     """REAL audio decode under the oracle gate (operators/multimodal.
     synth_wav / decode_wav_features) — the WAV twin of
@@ -7420,6 +7441,41 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "media_decode_video": """
+            WITH ids AS (SELECT doc_id AS id,
+                                CAST(8 + 2*(doc_id % 3) AS INT) AS w,
+                                CAST(6 + 2*(doc_id % 2) AS INT) AS h,
+                                CAST(3 + doc_id % 3 AS INT) AS nf
+                         FROM documents),
+            xs AS (SELECT unnest(generate_series(0, 11)) AS x),
+            ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+            fs AS (SELECT unnest(generate_series(0, 4)) AS f),
+            yc AS (SELECT id,
+                          CAST(SUM((5*x + 11*y + 17*f + id) % 256)
+                               AS BIGINT) AS sum_y
+                   FROM ids, xs, ys, fs
+                   WHERE x < w AND y < h AND f < nf AND f % 2 = 0
+                   GROUP BY id),
+            uc AS (SELECT id,
+                          CAST(SUM((3*x + 7*y + 13*f + 2*id) % 256)
+                               AS BIGINT) AS sum_u
+                   FROM ids, xs, ys, fs
+                   WHERE x < w // 2 AND y < h // 2 AND f < nf
+                     AND f % 2 = 0
+                   GROUP BY id),
+            vc AS (SELECT id,
+                          CAST(SUM((2*x + 9*y + 19*f + 3*id) % 256)
+                               AS BIGINT) AS sum_v
+                   FROM ids, xs, ys, fs
+                   WHERE x < w // 2 AND y < h // 2 AND f < nf
+                     AND f % 2 = 0
+                   GROUP BY id)
+            SELECT ids.id, ids.w, ids.h, ids.nf AS n_frames,
+                   CAST((ids.nf + 1) // 2 AS INT) AS n_sampled,
+                   sum_y, sum_u, sum_v
+            FROM ids JOIN yc USING (id) JOIN uc USING (id)
+                 JOIN vc USING (id)
+            ORDER BY ids.id""",
         "media_decode_audio": """
             WITH ids AS (SELECT doc_id AS id,
                                 CAST(256 + doc_id % 7 AS INT) AS m
@@ -10183,6 +10239,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_decode_video": q_media_decode_video,
     "media_decode_audio": q_media_decode_audio,
     "media_decode_features": q_media_decode_features,
     "ivm_agg_delete": q_ivm_agg_delete,

@@ -433,3 +433,116 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _AUDIO_SCHEMA)
+
+
+# --- REAL decode #3: uncompressed Y4M video (YUV4MPEG2, C420) ---------
+#
+# Completes the modality triple: image (PPM), audio (WAV), and now
+# VIDEO via yuv4mpeg — the uncompressed interchange format ffmpeg
+# itself uses for raw pipes. A Y4M stream is a text header
+# ("YUV4MPEG2 W.. H.. F.. C420\n") followed by "FRAME\n" + planar
+# YUV420 bytes per frame, so parsing it exercises real container
+# iteration AND the frame-sampling operator (every 2nd frame here)
+# the stubbed `sample_frames` models. Same closed-form-pixel oracle
+# contract as the PPM/WAV chains.
+
+
+def synth_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real YUV4MPEG2 C420 clip per row.
+    w = 8 + 2*(id%3), h = 6 + 2*(id%2), frames = 3 + id%3;
+    Y(x,y,f) = (5x + 11y + 17f + id) % 256,
+    U(x,y,f) = (3x + 7y + 13f + 2id) % 256 (quarter-res plane),
+    V(x,y,f) = (2x + 9y + 19f + 3id) % 256 (quarter-res plane)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, nf = 8 + 2 * (i % 3), 6 + 2 * (i % 2), 3 + i % 3
+            buf = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            cxs = np.arange(w // 2)[None, :]
+            cys = np.arange(h // 2)[:, None]
+            for f in range(nf):
+                y = ((5 * xs + 11 * ys + 17 * f + i) % 256).astype(np.uint8)
+                u = ((3 * cxs + 7 * cys + 13 * f + 2 * i) % 256).astype(
+                    np.uint8
+                )
+                v = ((2 * cxs + 9 * cys + 19 * f + 3 * i) % 256).astype(
+                    np.uint8
+                )
+                buf.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+            out.append(b"".join(buf))
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+_VIDEO_SCHEMA = (
+    "id long, w int, h int, n_frames int, n_sampled int, "
+    "sum_y long, sum_u long, sum_v long"
+)
+
+
+def decode_y4m_features(media: DataFrame, *, stride: int = 2) -> DataFrame:
+    """REAL Y4M parse over (id, payload): read the stream header
+    (C420 only), walk the FRAME markers, and decode every `stride`-th
+    frame's planar YUV420 buffers — the frame-sampling shape a video
+    ingest runs so it never decodes frames it won't featurize. Emits
+    exact-integer features (dims, total/sampled frame counts, per-plane
+    pixel sums over SAMPLED frames) from the bytes alone."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                nl = buf.index(b"\n")
+                header = buf[:nl].split(b" ")
+                if header[0] != b"YUV4MPEG2":
+                    raise ValueError("not a YUV4MPEG2 payload")
+                params = {t[:1]: t[1:] for t in header[1:]}
+                w, h = int(params[b"W"]), int(params[b"H"])
+                if params.get(b"C", b"420") not in (b"420", b"420jpeg"):
+                    raise ValueError("only C420 supported")
+                ylen, clen = w * h, (w // 2) * (h // 2)
+                pos, fidx = nl + 1, 0
+                sum_y = sum_u = sum_v = 0
+                n_sampled = 0
+                while pos < len(buf):
+                    fnl = buf.index(b"\n", pos)
+                    if buf[pos : pos + 5] != b"FRAME":
+                        raise ValueError("bad FRAME marker")
+                    data = buf[fnl + 1 : fnl + 1 + ylen + 2 * clen]
+                    if fidx % stride == 0:
+                        y = np.frombuffer(data[:ylen], dtype=np.uint8)
+                        u = np.frombuffer(
+                            data[ylen : ylen + clen], dtype=np.uint8
+                        )
+                        v = np.frombuffer(data[ylen + clen :], dtype=np.uint8)
+                        sum_y += int(y.astype(np.int64).sum())
+                        sum_u += int(u.astype(np.int64).sum())
+                        sum_v += int(v.astype(np.int64).sum())
+                        n_sampled += 1
+                    pos = fnl + 1 + ylen + 2 * clen
+                    fidx += 1
+                rows.append(
+                    (int(i), w, h, fidx, n_sampled, sum_y, sum_u, sum_v)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "w", "h", "n_frames", "n_sampled",
+                    "sum_y", "sum_u", "sum_v",
+                ],
+            )
+
+    return media.mapInPandas(kernel, _VIDEO_SCHEMA)

@@ -324,3 +324,53 @@ def test_wav_decode_rejects_non_riff_and_non_pcm16(spark):
     )
     with pytest.raises(Exception, match="PCM16 mono"):
         decode_wav_features(df2).collect()
+
+
+def test_y4m_decode_samples_correct_frames(spark):
+    """Hand-built 2-frame 2x2 C420 clip: stride-2 sampling must decode
+    ONLY frame 0, and per-plane sums must match hand arithmetic."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_y4m_features,
+    )
+
+    # frame 0: Y = [1,2,3,4], U = [5], V = [6]; frame 1: Y = [9]*4,
+    # U = [9], V = [9] (must NOT be counted at stride 2)
+    payload = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"
+        + b"FRAME\n" + bytes([1, 2, 3, 4]) + bytes([5]) + bytes([6])
+        + b"FRAME\n" + bytes([9, 9, 9, 9]) + bytes([9]) + bytes([9])
+    )
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "id long, payload binary"
+    )
+    r = decode_y4m_features(df, stride=2).collect()[0]
+    assert (r["w"], r["h"]) == (2, 2)
+    assert (r["n_frames"], r["n_sampled"]) == (2, 1)
+    assert r["sum_y"] == 1 + 2 + 3 + 4
+    assert r["sum_u"] == 5
+    assert r["sum_v"] == 6
+    # stride 1 counts both frames
+    r1 = decode_y4m_features(df, stride=1).collect()[0]
+    assert r1["n_sampled"] == 2
+    assert r1["sum_y"] == 10 + 36
+
+
+def test_y4m_decode_rejects_bad_streams(spark):
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_y4m_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"NOTAY4M W2 H2\nxxxx"))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        decode_y4m_features(df).collect()
+
+    df2 = spark.createDataFrame(
+        [(2, bytearray(b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + b"x" * 12))],
+        "id long, payload binary",
+    )
+    with pytest.raises(Exception, match="C420"):
+        decode_y4m_features(df2).collect()
