@@ -86,6 +86,7 @@ QUERIES = [
     ("ivm_agg_delete", "MAX-view build + append merge + bucketed delete recompute"),
     ("media_decode_features", "real PPM synth + decode/resize feature map"),
     ("media_decode_audio", "real WAV synth + RIFF parse/PCM16 feature map"),
+    ("media_decode_video", "real Y4M synth + frame-sampled YUV420 decode"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
