@@ -3752,6 +3752,27 @@ def q_media_decode_features(spark, sf_dir):
     return decode_ppm_features(synth_ppm(d)).orderBy("id")
 
 
+def q_media_decode_png(spark, sf_dir):
+    """REAL decode of a genuinely COMPRESSED format (operators/
+    multimodal.synth_png / decode_png_features): PNG's DEFLATE ships in
+    the Python stdlib, so this needs no external codec — the kernel
+    validates the signature, checks every chunk's CRC32, inflates the
+    IDAT stream with zlib, and inverts the per-row scanline filter; the
+    synthesizer varies the filter type per row ((row + id) % 5), so
+    None/Sub/Up/Average/Paeth ALL execute on every image. Features
+    (per-channel sums + 8x8 nearest-neighbor resize checksum) come from
+    the decoded pixels alone; the oracle recomputes them from the
+    closed-form pixel formula, so hash parity proves compression,
+    filtering, and reconstruction round-trip byte-correct."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_features(synth_png(d)).orderBy("id")
+
+
 def q_media_decode_video(spark, sf_dir):
     """REAL video decode + frame sampling under the oracle gate
     (operators/multimodal.synth_y4m / decode_y4m_features) — completes
@@ -7441,6 +7462,37 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "media_decode_png": """
+            WITH ids AS (SELECT doc_id AS id,
+                                CAST(12 + doc_id % 5 AS INT) AS w,
+                                CAST(9 + doc_id % 3 AS INT) AS h
+                         FROM documents),
+            xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+            ys AS (SELECT unnest(generate_series(0, 11)) AS y),
+            cells AS (SELECT id, w, h, x, y FROM ids, xs, ys
+                      WHERE x < w AND y < h),
+            sums AS (SELECT id,
+                            CAST(SUM((11*x + 5*y + 2*id) % 256) AS BIGINT)
+                              AS sum_r,
+                            CAST(SUM((11*x + 5*y + 3*id) % 256) AS BIGINT)
+                              AS sum_g,
+                            CAST(SUM((11*x + 5*y + 4*id) % 256) AS BIGINT)
+                              AS sum_b
+                     FROM cells GROUP BY id),
+            g AS (SELECT unnest(generate_series(0, 7)) AS gi),
+            grid AS (SELECT id, (gx.gi * w) // 8 AS ix,
+                            (gy.gi * h) // 8 AS iy
+                     FROM ids, g gx, g gy),
+            rc AS (SELECT id,
+                          CAST(SUM(((11*ix + 5*iy + 2*id) % 256)
+                                 + 2 * ((11*ix + 5*iy + 3*id) % 256)
+                                 + 3 * ((11*ix + 5*iy + 4*id) % 256))
+                               AS BIGINT) AS resized_checksum
+                   FROM grid GROUP BY id)
+            SELECT ids.id, ids.w, ids.h, sum_r, sum_g, sum_b,
+                   resized_checksum
+            FROM ids JOIN sums USING (id) JOIN rc USING (id)
+            ORDER BY ids.id""",
         "media_decode_video": """
             WITH ids AS (SELECT doc_id AS id,
                                 CAST(8 + 2*(doc_id % 3) AS INT) AS w,
@@ -10239,6 +10291,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_decode_png": q_media_decode_png,
     "media_decode_video": q_media_decode_video,
     "media_decode_audio": q_media_decode_audio,
     "media_decode_features": q_media_decode_features,

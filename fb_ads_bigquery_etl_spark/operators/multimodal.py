@@ -546,3 +546,220 @@ def decode_y4m_features(media: DataFrame, *, stride: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _VIDEO_SCHEMA)
+
+
+# --- REAL decode #4: PNG (a genuinely COMPRESSED format) --------------
+#
+# PNG's compression is DEFLATE, which ships in the Python stdlib
+# (zlib) — so unlike JPEG/ffmpeg, a real PNG codec needs no external
+# library: chunk walk with CRC32 validation, IDAT inflation, and the
+# five scanline filters (None/Sub/Up/Average/Paeth) inverted per row.
+# The synthesizer VARIES the filter type per row ((row + id) % 5), so
+# the decoder's unfiltering logic — including Paeth prediction — is
+# genuinely exercised on every image, and the same closed-form-pixel
+# oracle contract as the PPM/WAV/Y4M chains proves it byte-correct.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real 8-bit truecolor PNG per row
+    (w = 12 + id%5, h = 9 + id%3, pixel channel c at (x, y) =
+    (11x + 5y + (c+2)*id) % 256), scanline filter type (row + id) % 5
+    — every image exercises all five PNG filters across its rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 12 + i % 5, 9 + i % 3
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((11 * x + 5 * y + (c + 2) * i) % 256).astype(np.uint8)
+            bpp = 3
+            raw = bytearray()
+            prior = np.zeros(w * bpp, dtype=np.int64)
+            for row in range(h):
+                line = arr[row].reshape(-1).astype(np.int64)
+                left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+                upleft = np.concatenate(
+                    [np.zeros(bpp, np.int64), prior[:-bpp]]
+                )
+                f = (row + i) % 5
+                raw.append(f)
+                # ENCODE filters depend only on the RAW line/prior, so
+                # every type vectorizes (Paeth via where-chains)
+                if f == 0:
+                    enc = line
+                elif f == 1:  # Sub
+                    enc = line - left
+                elif f == 2:  # Up
+                    enc = line - prior
+                elif f == 3:  # Average
+                    enc = line - (left + prior) // 2
+                else:  # Paeth
+                    p = left + prior - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - prior),
+                        np.abs(p - upleft),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, prior, upleft),
+                    )
+                    enc = line - pred
+                raw += (enc % 256).astype(np.uint8).tobytes()
+                prior = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL PNG decode over (id, payload): validate the signature, walk
+    the chunks CHECKING EVERY CRC32, require 8-bit truecolor, inflate
+    the concatenated IDAT stream with zlib, invert the per-row scanline
+    filter (all five types, including Paeth prediction), and emit the
+    same exact-integer features as the PPM chain — per-channel sums and
+    the nearest-neighbor 8x8 resize checksum — from the decoded pixels
+    alone."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG payload")
+                pos, idat, dims = 8, bytearray(), None
+                while pos + 12 <= len(buf):
+                    (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+                    ctype = buf[pos + 4 : pos + 8]
+                    data = buf[pos + 8 : pos + 8 + clen]
+                    (crc,) = struct.unpack(
+                        ">I", buf[pos + 8 + clen : pos + 12 + clen]
+                    )
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"CRC mismatch in {ctype!r}")
+                    if ctype == b"IHDR":
+                        w, h, depth, ctyp = struct.unpack(">IIBB", data[:10])
+                        if (depth, ctyp) != (8, 2):
+                            raise ValueError(
+                                "only 8-bit truecolor supported"
+                            )
+                        dims = (w, h)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + clen
+                if dims is None:
+                    raise ValueError("no IHDR")
+                w, h = dims
+                raw = zlib.decompress(bytes(idat))
+                bpp, stride = 3, w * 3
+                arr = np.zeros((h, stride), dtype=np.int64)
+                prior = np.zeros(stride, dtype=np.int64)
+                for row in range(h):
+                    f = raw[row * (stride + 1)]
+                    line = np.frombuffer(
+                        raw,
+                        dtype=np.uint8,
+                        count=stride,
+                        offset=row * (stride + 1) + 1,
+                    ).astype(np.int64)
+                    # None/Up have no left-dependency (vector add); Sub
+                    # is a per-channel running sum (cumsum mod 256);
+                    # only Average/Paeth need the sequential walk
+                    if f == 0:
+                        out = line
+                    elif f == 2:
+                        out = (line + prior) % 256
+                    elif f == 1:
+                        out = (
+                            np.cumsum(line.reshape(-1, bpp), axis=0) % 256
+                        ).reshape(-1)
+                    elif f in (3, 4):
+                        out = np.zeros(stride, dtype=np.int64)
+                        for k in range(stride):
+                            a = out[k - bpp] if k >= bpp else 0
+                            b_ = prior[k]
+                            if f == 3:
+                                v = line[k] + (a + b_) // 2
+                            else:
+                                c_ = prior[k - bpp] if k >= bpp else 0
+                                v = line[k] + _paeth(
+                                    int(a), int(b_), int(c_)
+                                )
+                            out[k] = v % 256
+                    else:
+                        raise ValueError(f"bad filter {f}")
+                    arr[row] = out
+                    prior = out
+                px = arr.reshape(h, w, 3)
+                iy = (np.arange(8) * h) // 8
+                ix = (np.arange(8) * w) // 8
+                small = px[iy][:, ix]
+                rows.append(
+                    (
+                        int(i),
+                        int(w),
+                        int(h),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(
+                            (
+                                small[:, :, 0]
+                                + 2 * small[:, :, 1]
+                                + 3 * small[:, :, 2]
+                            ).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "w", "h", "sum_r", "sum_g", "sum_b",
+                    "resized_checksum",
+                ],
+            )
+
+    return media.mapInPandas(kernel, _DECODE_SCHEMA)

@@ -374,3 +374,55 @@ def test_y4m_decode_rejects_bad_streams(spark):
     )
     with pytest.raises(Exception, match="C420"):
         decode_y4m_features(df2).collect()
+
+
+def test_png_decode_validates_crc_and_signature(spark):
+    """A single flipped IDAT byte must fail the CRC check — the decode
+    actually verifies integrity, not just structure."""
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png,
+    )
+
+    good = synth_png(
+        spark.createDataFrame([(5,)], "doc_id long")
+    ).collect()[0]["payload"]
+    blob = bytearray(good)
+    blob[60] ^= 0xFF  # inside IDAT (IHDR ends at byte 33 + 12)
+    bad = spark.createDataFrame(
+        [(5, blob)], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_png_features(bad).collect()
+
+    notpng = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a" + b"x" * 30))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_png_features(notpng).collect()
+
+
+def test_png_filters_all_exercised_and_roundtrip(spark):
+    """Images are >= 9 rows with filter (row+id)%5, so every filter
+    type 0-4 executes; the decoded pixels must equal the generator's
+    formula exactly (independent of the PPM chain's constants)."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_png_features,
+        synth_png,
+    )
+
+    df = spark.createDataFrame([(0,), (7,)], "doc_id long")
+    got = {
+        r["id"]: r for r in decode_png_features(synth_png(df)).collect()
+    }
+    for i in (0, 7):
+        w, h = 12 + i % 5, 9 + i % 3
+        for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            want = sum(
+                (11 * x + 5 * y + (ci + 2) * i) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            assert got[i][col] == want, (i, col)
