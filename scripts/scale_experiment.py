@@ -87,6 +87,7 @@ QUERIES = [
     ("media_decode_features", "real PPM synth + decode/resize feature map"),
     ("media_decode_audio", "real WAV synth + RIFF parse/PCM16 feature map"),
     ("media_decode_video", "real Y4M synth + frame-sampled YUV420 decode"),
+    ("media_decode_png", "real PNG codec round trip (zlib + 5 filters + CRC)"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
