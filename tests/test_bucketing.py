@@ -275,7 +275,12 @@ def test_manifest_incremental_update_scans_only_new_files(spark, tmp_path):
     # region (reads only new files, dodging the deleted one)
     got = manifest_pruned_read(spark, man3, "id", 7000, 7999)
     assert got.count() == 1000
-    assert len(pruned_files(man3, "id", 7000, 7999)) <= 2
+    # the 6 original files (including the deleted one, whose stale
+    # manifest row would CRASH the read if selected) must all prune
+    # away; the RangePartitioner's sampled boundaries decide whether
+    # the range touches 1, 2, or all 3 appended files, so 3 is the
+    # honest bound (a <= 2 assertion flaked on sampling luck)
+    assert len(pruned_files(man3, "id", 7000, 7999)) <= 3
 
 
 def test_manifest_pruned_read_empty_selection(spark, tmp_path):
