@@ -3752,6 +3752,73 @@ def q_media_decode_features(spark, sf_dir):
     return decode_ppm_features(synth_ppm(d)).orderBy("id")
 
 
+def q_zorder_manifest_scan(spark, sf_dir):
+    """The layout stack composed end-to-end (operators/layout.
+    zorder_write + operators/manifest.build_file_manifest): lineitem
+    lands Z-ORDER-clustered on (l_partkey, l_suppkey), a min/max
+    manifest builds over BOTH columns in one scan, and a two-predicate
+    query reads only the files whose hyper-rectangle intersects BOTH
+    ranges — the 100 TB read path where neither column is the sort key
+    but both prune, which neither a single-column sort (second column
+    spans every file) nor a manifest alone (needs the clustered layout
+    to have narrow envelopes) can deliver. Conservative prune + exact
+    re-filter ⇒ equality with the full-scan oracle by construction;
+    the file-skip outcome is pytest-gated in tests/test_bucketing.py."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.layout import zorder_write
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="_q_zman_")
+    try:
+        path = os.path.join(tmp, "li")
+        zorder_write(
+            li.select(
+                "l_partkey",
+                "l_suppkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+            ),
+            path,
+            ("l_partkey", "l_suppkey"),
+            bits=16,
+            num_files=12,
+        )
+        man = build_file_manifest(spark, path, ("l_partkey", "l_suppkey"))
+        files = [
+            r["file"]
+            for r in man.filter(
+                (F.col("max_l_partkey") >= 20)
+                & (F.col("min_l_partkey") <= 120)
+                & (F.col("max_l_suppkey") >= 2)
+                & (F.col("min_l_suppkey") <= 7)
+            )
+            .select("file")
+            .collect()
+        ]
+        if not files:
+            raise ValueError("z-order manifest pruned every file")
+        out = (
+            spark.read.parquet(*files)
+            .filter(
+                F.col("l_partkey").between(20, 120)
+                & F.col("l_suppkey").between(2, 7)
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("qty").cast("long").alias("sum_qty"),
+                F.sum("l_partkey").cast("long").alias("sum_partkey"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_media_decode_png(spark, sf_dir):
     """REAL decode of a genuinely COMPRESSED format (operators/
     multimodal.synth_png / decode_png_features): PNG's DEFLATE ships in
@@ -7462,6 +7529,14 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "zorder_manifest_scan": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey
+            FROM lineitem
+            WHERE l_partkey BETWEEN 20 AND 120
+              AND l_suppkey BETWEEN 2 AND 7""",
         "media_decode_png": """
             WITH ids AS (SELECT doc_id AS id,
                                 CAST(12 + doc_id % 5 AS INT) AS w,
@@ -10291,6 +10366,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,
     "media_decode_video": q_media_decode_video,
     "media_decode_audio": q_media_decode_audio,

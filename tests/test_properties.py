@@ -564,3 +564,35 @@ def test_prefix_jaccard_prunes_candidates():
         prefix_postings,
         full_postings,
     )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_bloom_prune_never_drops_matches(dim_keys, fact_keys):
+    """Property: for ANY key sets, bloom_prune(fact) ⋈ dim equals
+    fact ⋈ dim — the filter may pass false positives, never drop a
+    true match."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    spark = _get_spark()
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)], ["k"])
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], ["k", "v"]
+    ).repartition(3)
+    bm = bloom_bitmap(dim, "k", bits=512, k=2)
+    pruned = bloom_prune(fact, bm, "k", bits=512, k=2)
+    got = sorted((r["k"], r["v"]) for r in pruned.join(dim, "k").collect())
+    want = sorted((r["k"], r["v"]) for r in fact.join(dim, "k").collect())
+    assert got == want
