@@ -3752,6 +3752,84 @@ def q_media_decode_features(spark, sf_dir):
     return decode_ppm_features(synth_ppm(d)).orderBy("id")
 
 
+def q_streaming_restart_recovery(spark, sf_dir):
+    """Exactly-once ACROSS A QUERY RESTART — the fault-tolerance claim
+    the other streaming gates assume: phase-1 events stream through
+    query #1 (checkpointed aggregation), the query STOPS, the phase-1
+    file is DELETED from the landing zone (so any attempt to reprocess
+    it would crash, proving the restarted query answers from RECOVERED
+    STATE, not re-reads), phase-2 events land, and query #2 — a brand
+    new query object over the SAME checkpoint — drains them. The final
+    per-user totals must equal one batch aggregate over BOTH phases:
+    state lost on restart would drop phase-1 contributions; source-log
+    loss would double-count or crash. This is the recovery semantics a
+    100 TB pipeline leans on every time an executor or driver dies
+    mid-stream."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    raw = spark.read.parquet(src)
+
+    landing = tempfile.mkdtemp(prefix="_stream_restart_landing_")
+    ckpt = tempfile.mkdtemp(prefix="_stream_restart_ckpt_")
+    stage = tempfile.mkdtemp(prefix="_stream_restart_stage_")
+
+    def land(df, name):
+        tmp = os.path.join(stage, name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(landing, name))
+
+    def agg_stream():
+        s = event_ts_to_timestamp(
+            spark.readStream.schema(raw_schema).parquet(landing)
+        )
+        return s.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("total_value_micros"),
+        )
+
+    def drain(name):
+        q = (
+            agg_stream()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        land(raw.filter(F.col("event_id") % 2 == 0), "phase0.parquet")
+        n1 = f"_restart_p1_{next(_STREAM_SEQ)}"
+        drain(n1)
+        # the restart-proof: phase-1 bytes are GONE before query #2
+        os.remove(os.path.join(landing, "phase0.parquet"))
+        land(raw.filter(F.col("event_id") % 2 == 1), "phase1.parquet")
+        n2 = f"_restart_p2_{next(_STREAM_SEQ)}"
+        drain(n2)
+        out = spark.table(n2).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(n1)
+        spark.catalog.dropTempView(n2)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
 def q_zorder_manifest_scan(spark, sf_dir):
     """The layout stack composed end-to-end (operators/layout.
     zorder_write + operators/manifest.build_file_manifest): lineitem
@@ -7529,6 +7607,11 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "streaming_restart_recovery": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS total_value_micros
+            FROM events GROUP BY user_id ORDER BY user_id""",
         "zorder_manifest_scan": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -10366,6 +10449,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,
     "media_decode_video": q_media_decode_video,

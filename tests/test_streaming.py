@@ -466,3 +466,90 @@ def test_timeout_sessions_random_cross_batch(spark, tmp_path):
         }
         spark.catalog.dropTempView(f"sto_rand{seed}")
         assert got == expected, f"seed={seed}"
+
+
+def test_restart_recovery_checkpoint_carries_the_state(spark):
+    """Positive: the registry query (same checkpoint across restart,
+    phase-1 file deleted) equals the batch aggregate — recovery, not
+    reprocessing. Negative control: the same two-phase run with a FRESH
+    checkpoint for query #2 must see ONLY phase-2 rows — proving the
+    checkpoint, not the landing zone, is what carries phase-1 state."""
+    import os
+    import shutil
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    from fb_ads_bigquery_etl_spark.schema import event_ts_to_timestamp
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value_micros"])
+        for r in entry_mod.queries()["streaming_restart_recovery"](
+            spark, SF_DIR
+        ).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = event_ts_to_timestamp(raw)
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # negative control: fresh checkpoint -> phase-1 contributions LOST
+    landing = tempfile.mkdtemp(prefix="_restart_neg_landing_")
+    stage = tempfile.mkdtemp(prefix="_restart_neg_stage_")
+    ck1 = tempfile.mkdtemp(prefix="_restart_neg_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="_restart_neg_ck2_")
+    schema = raw.schema
+
+    def land(df, name):
+        tmp = os.path.join(stage, name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        os.replace(os.path.join(tmp, part), os.path.join(landing, name))
+
+    def drain(name, ckpt):
+        s = event_ts_to_timestamp(
+            spark.readStream.schema(schema).parquet(landing)
+        )
+        q = (
+            s.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        land(raw.filter(F.col("event_id") % 2 == 0), "p0.parquet")
+        drain("_neg_p1", ck1)
+        os.remove(os.path.join(landing, "p0.parquet"))
+        land(raw.filter(F.col("event_id") % 2 == 1), "p1.parquet")
+        drain("_neg_p2", ck2)  # FRESH checkpoint: no recovered state
+        phase2_only = {
+            r["user_id"]: r["n"] for r in spark.table("_neg_p2").collect()
+        }
+        spark.catalog.dropTempView("_neg_p1")
+        spark.catalog.dropTempView("_neg_p2")
+    finally:
+        for d in (landing, stage, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)
+    total_phase2 = raw.filter(F.col("event_id") % 2 == 1).count()
+    assert sum(phase2_only.values()) == total_phase2
+    assert sum(n for n, _ in want.values()) > total_phase2
