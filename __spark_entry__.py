@@ -3598,12 +3598,30 @@ def q_zorder_multi(spark, sf_dir):
     3*bits <= 62 and the per-column max guard live in zorder_write).
     Pure unrolled shift/mask arithmetic, no UDF; gated per linenumber
     as (count, min_z, max_z, modular checksum) so every row's key is
-    exercised while sums stay in BIGINT at any SF. The physical write
-    path is pytest-gated in tests/test_bucketing.py (narrow per-file
-    hyper-rectangles on all three columns)."""
+    exercised while sums stay in BIGINT at any SF. Guards the 20-bit
+    budget the same way zorder_write does (one narrow min/max agg) so
+    an SF where l_partkey outgrows 2^20 raises instead of silently
+    aliasing the curve. The physical write path is pytest-gated in
+    tests/test_bucketing.py (narrow per-file hyper-rectangles on all
+    three columns)."""
     from fb_ads_bigquery_etl_spark.operators.layout import zvalue_n
 
     li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.max("l_partkey").alias("mx_p"),
+        F.max("l_suppkey").alias("mx_s"),
+        F.max("l_linenumber").alias("mx_l"),
+        F.min("l_partkey").alias("mn_p"),
+        F.min("l_suppkey").alias("mn_s"),
+        F.min("l_linenumber").alias("mn_l"),
+    ).first()
+    if max(bounds["mx_p"], bounds["mx_s"], bounds["mx_l"]) > (1 << 20) - 1:
+        raise ValueError(
+            "z-order column max exceeds the 20-bit budget at this SF; "
+            "raise bits (3*bits <= 62) or rank the column first"
+        )
+    if min(bounds["mn_p"], bounds["mn_s"], bounds["mn_l"]) < 0:
+        raise ValueError("negative z-order column would sign-extend")
     z = zvalue_n(
         (F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber")),
         bits=20,
@@ -3969,11 +3987,14 @@ def q_ivm_agg_delete(spark, sf_dir):
     re-aggregates ONLY those view buckets. Exercises build -> append
     (merge-able greatest/sum path, no base re-read) -> delete (the
     recompute path); the gated view must equal a from-scratch GROUP BY
-    over the surviving rows. Deletes address rows by rid (CDC events
-    carry full rows); the synthetic lineitem holds duplicate rids by
-    design, so delete-by-rid removes every row sharing a deleted rid —
-    which the oracle replays with a NOT IN. Bounded-IO behavior (only
-    touched buckets rewritten) is pytest-gated in tests/test_ivm.py."""
+    over the surviving rows. Deletes address rows by (rid, key) PAIR
+    (CDC events carry full rows, so the key is free) — rid alone is
+    ambiguous when the synthetic lineitem repeats an rid under another
+    suppkey, and pair addressing is what makes the operator's
+    key-derived bucket scoping provably complete. The oracle replays
+    the same pair anti-join with a NOT EXISTS. Bounded-IO behavior
+    (only touched buckets rewritten) is pytest-gated in
+    tests/test_ivm.py."""
     import shutil
     import tempfile
 
@@ -7721,13 +7742,15 @@ def _oracle() -> dict[str, str]:
                           AS BIGINT) AS cents,
                      l_partkey
               FROM lineitem),
-            del AS (SELECT DISTINCT rid FROM rows_
+            del AS (SELECT DISTINCT rid, l_suppkey FROM rows_
                     WHERE l_partkey % 37 = 0)
-            SELECT l_suppkey,
-                   CAST(MAX(cents) AS BIGINT) AS max_cents,
+            SELECT r.l_suppkey,
+                   CAST(MAX(r.cents) AS BIGINT) AS max_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
-            FROM rows_
-            WHERE rid NOT IN (SELECT rid FROM del)
+            FROM rows_ r
+            WHERE NOT EXISTS (SELECT 1 FROM del d
+                              WHERE d.rid = r.rid
+                                AND d.l_suppkey = r.l_suppkey)
             GROUP BY 1 ORDER BY 1""",
         "bloom_file_index": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

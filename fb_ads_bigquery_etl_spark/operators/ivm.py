@@ -305,12 +305,16 @@ def apply_max_view_delete(
     buckets: int = 16,
 ) -> None:
     """Delete: the non-invertible path. `deletes` carries (rid, key) —
-    CDC delete events carry the full row, so the key is free. Touched
-    buckets = hash(deleted keys); ONLY those store buckets are read,
-    anti-joined on rid, rewritten; ONLY those view buckets re-aggregate
-    from the rewritten store. A group whose rows are all deleted
-    disappears from the view (and an emptied bucket's partition dir is
-    dropped explicitly)."""
+    CDC delete events carry the full row, so the key is free — and
+    deletes are addressed by the PAIR, not rid alone: every deleted
+    row's key appears in `deletes`, so key-derived bucket scoping is
+    provably sufficient (an rid that happens to repeat under a key
+    absent from `deletes` is untouched, matching the pair semantics).
+    Touched buckets = hash(deleted keys); ONLY those store buckets are
+    read, anti-joined on (rid, key), rewritten; ONLY those view buckets
+    re-aggregate from the rewritten store. A group whose rows are all
+    deleted disappears from the view (and an emptied bucket's partition
+    dir is dropped explicitly)."""
     _check_meta(spark, store_path, key, buckets)
     _check_meta(spark, view_path, key, buckets)
     touched = [
@@ -326,8 +330,8 @@ def apply_max_view_delete(
         spark.read.parquet(store_path)
         .filter(F.col(BUCKET_COL).isin(touched))
         .join(
-            F.broadcast(deletes.select(rid_col).distinct()),
-            rid_col,
+            F.broadcast(deletes.select(rid_col, key).distinct()),
+            [rid_col, key],
             "left_anti",
         )
     )

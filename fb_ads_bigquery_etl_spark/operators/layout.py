@@ -73,22 +73,40 @@ def zorder_write(
     filtering on any of them skips most files (parquet file/row-group
     pruning).
 
-    Guards the bit budget with one metadata-sized aggregate: a column
-    whose max exceeds 2^bits - 1 would alias in the Morton key and
-    silently degrade the clustering this write exists to buy — raise
-    instead (callers either widen `bits` or rank/normalize the column
-    into the budget first).
+    Guards the bit budget with one full-table min/max aggregate (a
+    scan, but a cheap narrow one — and it runs once per layout write,
+    not per query): a column whose max exceeds 2^bits - 1 would alias
+    in the Morton key, and a NEGATIVE value would sign-extend through
+    shiftright and corrupt the key outright — raise on either
+    (callers either widen `bits` or rank/normalize the column into
+    the [0, 2^bits) budget first).
     """
     limit = (1 << bits) - 1
-    maxima = df.agg(
-        *[F.max(F.col(c).cast("long")).alias(c) for c in cols]
+    bounds = df.agg(
+        *[F.max(F.col(c).cast("long")).alias(f"mx_{c}") for c in cols],
+        *[F.min(F.col(c).cast("long")).alias(f"mn_{c}") for c in cols],
     ).first()
-    over = {c: maxima[c] for c in cols if (maxima[c] or 0) > limit}
+    over = {
+        c: bounds[f"mx_{c}"]
+        for c in cols
+        if (bounds[f"mx_{c}"] or 0) > limit
+    }
     if over:
         raise ValueError(
             f"column max exceeds the {bits}-bit z-order budget "
             f"(limit {limit}): {over}; raise bits= (n_cols*bits <= 62) "
             "or normalize/rank the columns into the budget"
+        )
+    neg = {
+        c: bounds[f"mn_{c}"]
+        for c in cols
+        if (bounds[f"mn_{c}"] or 0) < 0
+    }
+    if neg:
+        raise ValueError(
+            "negative values would sign-extend through the Morton "
+            f"interleave: {neg}; shift/normalize the columns into "
+            "[0, 2^bits) first"
         )
     z = zvalue_n(tuple(F.col(c) for c in cols), bits=bits)
     (

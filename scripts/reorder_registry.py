@@ -45,10 +45,24 @@ def last_green_by_key() -> dict[str, int]:
 
 def registry_keys(src: str) -> list[tuple[str, str]]:
     """(key, callable_name) pairs from the _QUERIES dict literal, in
-    current order."""
+    current order. Refuses to proceed if ANY non-comment body line
+    fails to match the entry pattern — a line-wrapped or otherwise
+    odd entry must be fixed, not silently dropped from the rewrite."""
     m = re.search(r"_QUERIES: dict\[.*?\] = \{\n(.*?)\n\}\n", src, re.S)
     body = m.group(1)
-    return re.findall(r'^    "([^"]+)": (\w+),$', body, re.M)
+    entry_re = re.compile(r'^    "([^"]+)": (\w+),$')
+    pairs = []
+    for line in body.split("\n"):
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        em = entry_re.match(line)
+        if not em:
+            raise SystemExit(
+                f"registry line does not match the one-entry-per-line "
+                f"pattern (would be dropped by the rewrite): {line!r}"
+            )
+        pairs.append((em.group(1), em.group(2)))
+    return pairs
 
 
 def main() -> int:
@@ -100,6 +114,12 @@ def main() -> int:
     src2 = re.sub(
         r"_QUERIES: dict\[.*?\] = \{\n.*?\n\}\n", new_block, src, count=1, flags=re.S
     )
+    reparsed = registry_keys(src2)
+    if len(reparsed) != len(pairs) or {k for k, _ in reparsed} != set(keys):
+        raise SystemExit(
+            f"rewrite would change the registry: {len(pairs)} entries in, "
+            f"{len(reparsed)} out — aborting without writing"
+        )
     with open(ENTRY, "w") as f:
         f.write(src2)
     print(f"rewrote {len(ordered)} entries")

@@ -144,6 +144,22 @@ def test_zorder_write_rejects_values_over_bit_budget(spark, tmp_path):
     zorder_write(df, str(tmp_path / "z2"), ("a", "b"), bits=14, num_files=2)
 
 
+def test_zorder_write_rejects_negative_values(spark, tmp_path):
+    """Negative values pass a max-only check but sign-extend through
+    shiftright, corrupting the Morton key — zorder_write must refuse
+    them too (the min-side of the budget guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.layout import zorder_write
+
+    df = spark.range(100).select(
+        (F.col("id") - 50).alias("a"), F.col("id").alias("b")
+    )
+    with pytest.raises(ValueError, match="sign-extend"):
+        zorder_write(df, str(tmp_path / "z"), ("a", "b"), bits=6)
+
+
 def test_zorder_three_column_write_clusters_all_columns(spark, tmp_path):
     """N=3 z-order: every file's (min, max) hyper-rectangle must be
     narrow on ALL three columns vs a single-column sort, where two of

@@ -178,7 +178,7 @@ def test_max_view_delete_recomputes_only_touched_buckets(spark, tmp_path):
         r["k"]: (r["max_v"], r["n_rows"])
         for r in ivm.read_max_view(spark, vp).collect()
     }
-    surv = full.join(deletes.select("rid"), "rid", "left_anti")
+    surv = full.join(deletes, ["rid", "k"], "left_anti")
     want = {
         r["k"]: (r["mx"], r["n"])
         for r in surv.groupBy("k")
@@ -187,6 +187,36 @@ def test_max_view_delete_recomputes_only_touched_buckets(spark, tmp_path):
     }
     assert got == want
     assert 3 not in got
+
+
+def test_max_view_delete_is_pair_addressed(spark, tmp_path):
+    """Deletes address (rid, key) PAIRS: an rid that repeats under a
+    key absent from the deletes must survive — including when that
+    twin row lives in a bucket the delete never touches. (rid-only
+    anti-joins scoped to the deleted keys' buckets would leave stale
+    rows whenever the twin's bucket happened to be touched, and drop
+    live rows when it wasn't — this pins the pair contract.)"""
+    rows = [
+        # rid 100 appears under k=0 (deleted) AND k=1 (must survive);
+        # with buckets=8 the two keys hash to different buckets.
+        (100, 0, 50),
+        (100, 1, 60),
+        (101, 0, 70),
+        (102, 1, 80),
+        (103, 2, 90),
+    ]
+    fact = spark.createDataFrame(rows, "rid long, k long, v long")
+    vp, sp = str(tmp_path / "view"), str(tmp_path / "store")
+    ivm.build_max_view(fact, "k", "v", "rid", vp, sp, buckets=8)
+    deletes = spark.createDataFrame([(100, 0)], "rid long, k long")
+    ivm.apply_max_view_delete(
+        spark, deletes, "k", "v", "rid", vp, sp, buckets=8
+    )
+    got = {
+        r["k"]: (r["max_v"], r["n_rows"])
+        for r in ivm.read_max_view(spark, vp).collect()
+    }
+    assert got == {0: (70, 1), 1: (80, 2), 2: (90, 1)}
 
 
 def test_max_view_refuses_layout_mismatch(spark, tmp_path):
