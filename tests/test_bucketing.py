@@ -157,7 +157,7 @@ def test_zorder_write_rejects_negative_values(spark, tmp_path):
         (F.col("id") - 50).alias("a"), F.col("id").alias("b")
     )
     with pytest.raises(ValueError, match="sign-extend"):
-        zorder_write(df, str(tmp_path / "z"), ("a", "b"), bits=6)
+        zorder_write(df, str(tmp_path / "z"), ("a", "b"), bits=8)
 
 
 def test_zorder_three_column_write_clusters_all_columns(spark, tmp_path):
