@@ -3694,10 +3694,11 @@ def q_quality_classifier(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     weights = synthetic_weights(spark, buckets=4096)
-    scored = score_documents(d, weights, buckets=4096)
+    scored = score_documents(
+        d, weights, buckets=4096, extra_cols=("source",)
+    )
     return (
-        scored.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "prediction")
+        scored.groupBy("source", "prediction")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_feats").cast("long").alias("total_feats"),

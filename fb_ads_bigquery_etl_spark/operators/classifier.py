@@ -75,28 +75,38 @@ def score_documents(
     buckets: int = 1 << 18,
     bias_milli: int = 0,
     include_bigrams: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document linear score over hashed features.
 
     `weights` is (bucket: long, weight_milli: long) — vocab-sized, it
     BROADCASTS (plan-pinned by tests/test_plans.py); missing buckets
     weigh 0 (feature hashing leaves most of the table implicit). Output
-    one row per input doc: (id, n_feats, score_milli, prediction) with
-    score_milli = bias + sum of feature weights (BIGINT-exact) and
-    prediction = score_milli > 0. Docs with no features score at bias.
+    one row per input doc: (id, *extra_cols, n_feats, score_milli,
+    prediction) with score_milli = bias + sum of feature weights
+    (BIGINT-exact) and prediction = score_milli > 0. Docs with no
+    features score at bias.
+
+    `extra_cols` are doc-level passthrough columns (functionally
+    dependent on the id) carried THROUGH the doc-keyed groupBy — the
+    alternative is a second doc-count-sized shuffle join back to the
+    corpus just to recover them, a full extra corpus-keyset shuffle at
+    100 TB.
     """
     feats = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.explode_outer(
             hashed_text_features(F.col(text_col), include_bigrams=include_bigrams)
         ).alias("_feat"),
     ).select(
         id_col,
+        *extra_cols,
         feature_bucket(F.col("_feat"), buckets).alias("_bucket"),
     )
     scored = (
         feats.join(F.broadcast(weights), feats["_bucket"] == weights["bucket"], "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *extra_cols)
         .agg(
             F.count("_bucket").cast("long").alias("n_feats"),
             (

@@ -707,11 +707,16 @@ def test_round6_batch2_plan_shapes(spark):
 def test_round7_plan_shapes(spark):
     # quality_classifier: the weight table must BROADCAST (vocab-sized
     # build side) and the per-doc sum must partially aggregate before
-    # the doc-key shuffle; no cartesian anywhere
+    # the doc-key shuffle; no cartesian anywhere. `source` rides
+    # THROUGH the doc-keyed groupBy (extra_cols), so there is no
+    # SortMergeJoin back to documents and exchanges stay at the two
+    # agg shuffles + the final orderBy
     df = _q(spark, "quality_classifier")
     nc = PI.node_counts(df)
     assert nc["BroadcastHashJoin"] >= 1, nc
     assert nc["HashAggregate"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert PI.exchange_count(df) <= 3, PI.exchange_count(df)
     assert not PI.has_cartesian(df)
     # zorder_multi: unrolled 3-column interleave is pure arithmetic —
     # one map-side-combined agg, no joins/windows on the fact scan
