@@ -5284,6 +5284,26 @@ def q_ann_jl_recall(spark, sf_dir):
     )
 
 
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@10 of product-quantized retrieval (operators/pq.py —
+    Jégou et al. 2011): 64-dim vectors -> 4 subspaces x 8 codewords
+    (codes are 4 small ints per vector, a 64x scan-bandwidth cut — the
+    CODEBOOK lever beside int8's dtype lever and JL's dimension
+    lever), asymmetric-distance top-100 candidates via a broadcast
+    integer LUT, exact float rerank of only those, audited against the
+    exact float top-10. Codebooks are genuinely TRAINED (seed rows +
+    one exact-integer Lloyd step over the corpus, one mapInPandas
+    partial-sum pass) and every trained codeword, code assignment, and
+    ADC score is pure int64 arithmetic — so the DuckDB oracle replays
+    the ENTIRE pipeline including training, relationally."""
+    from fb_ads_bigquery_etl_spark.operators.pq import pq_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_recall(
+        e, k=10, n_queries=10, in_dim=64, m=4, ksub=8, expand=10
+    )
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -8146,6 +8166,97 @@ def _oracle() -> dict[str, str]:
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
+        "ann_pq_recall": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            ex AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('c.e', 'q.e')} DESC, c.vec_id ASC)
+                       AS rn
+              FROM v c JOIN q ON c.vec_id <> q.vec_id),
+            exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+            wv AS (SELECT vec_id,
+                          list_transform(e,
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                   FROM v),
+            ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+            seeds AS (
+              SELECT ms.m, wv.vec_id AS c,
+                     list_transform(generate_series(1, 16),
+                       d -> wv.w[ms.m * 16 + d]) AS cw
+              FROM wv, ms WHERE wv.vec_id < 8),
+            asg AS (
+              SELECT vec_id, m, c FROM (
+                SELECT wv.vec_id, s.m, s.c,
+                       ROW_NUMBER() OVER (PARTITION BY wv.vec_id, s.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (wv.w[s.m * 16 + d] - s.cw[d])
+                                * (wv.w[s.m * 16 + d] - s.cw[d])),
+                           (x, y) -> x + y) ASC, s.c ASC) AS rn
+                FROM wv, seeds s) WHERE rn = 1),
+            upd AS (
+              SELECT a.m, a.c, u.d,
+                     CAST(SUM(wv.w[a.m * 16 + u.d]) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM asg a JOIN wv USING (vec_id),
+                   UNNEST(generate_series(1, 16)) AS u(d)
+              GROUP BY a.m, a.c, u.d),
+            cw1 AS (
+              SELECT m, c,
+                     list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+              FROM upd GROUP BY m, c),
+            cb1 AS (
+              SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
+              FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+            enc AS (
+              SELECT vec_id, m, c FROM (
+                SELECT wv.vec_id, b.m, b.c,
+                       ROW_NUMBER() OVER (PARTITION BY wv.vec_id, b.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (wv.w[b.m * 16 + d] - b.cw[d])
+                                * (wv.w[b.m * 16 + d] - b.cw[d])),
+                           (x, y) -> x + y) ASC, b.c ASC) AS rn
+                FROM wv, cb1 b) WHERE rn = 1),
+            qw AS (SELECT vec_id AS qid, w FROM wv WHERE vec_id < 10),
+            sc AS (
+              SELECT qw.qid AS query_id, e2.vec_id AS neighbor_id,
+                     CAST(SUM(list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> qw.w[e2.m * 16 + d] * b.cw[d]),
+                       (x, y) -> x + y)) AS BIGINT) AS adc
+              FROM enc e2 JOIN cb1 b ON e2.m = b.m AND e2.c = b.c, qw
+              WHERE e2.vec_id <> qw.qid
+              GROUP BY 1, 2),
+            cand AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id ASC) AS rn
+              FROM sc) WHERE rn <= 100),
+            rer AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql('cv.e', 'qv.e')} AS rscore
+              FROM cand
+              JOIN v cv ON cv.vec_id = cand.neighbor_id
+              JOIN v qv ON qv.vec_id = cand.query_id),
+            pk AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rscore DESC, neighbor_id ASC) AS rn
+              FROM rer) WHERE rn <= 10),
+            hits AS (
+              SELECT e.query_id, COUNT(*) AS n
+              FROM exk e JOIN pk USING (query_id, neighbor_id)
+              GROUP BY e.query_id),
+            pe AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM exk GROUP BY query_id)
+            SELECT pe.query_id, pe.n_exact,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+            FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
+            ORDER BY pe.query_id""",
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -10473,6 +10584,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ann_pq_recall": q_ann_pq_recall,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,

@@ -1,0 +1,317 @@
+"""Product quantization (PQ) retrieval — the CODEBOOK lever of
+vector-scan bandwidth (Jégou, Douze, Schmid 2011, "Product
+Quantization for Nearest Neighbor Search"), completing the trio beside
+int8's dtype lever (similarity.quantize_int8) and JL's dimension lever
+(similarity.jl_project).
+
+Shape at 100 TB: the corpus-sized artifact is the CODE table — M small
+integers per vector (here 4 bytes/vec vs 256 for float32x64, a 64x
+scan-bandwidth cut). Queries never decode: an asymmetric-distance
+lookup table (LUT[m][c] = exact integer dot of the query's m-th
+subvector with codeword c) is metadata-sized and BROADCASTS, so the
+scoring scan is M array lookups + adds per row. Training is one
+mapInPandas pass emitting (m, cluster, dim) partial sums — per-batch
+output is M*ksub*sub_dim rows regardless of data size — plus a
+metadata-sized driver reduce, exactly the kmeans_quantized scale shape
+(clustering.py). Candidates then rerank through full-width vectors for
+only k*expand rows per query (the jl_recall pattern).
+
+Engine-exactness (what lets the DuckDB oracle replay the WHOLE
+pipeline, training included): vectors enter as floor(x * PQ_SCALE)
+int64s; seeds are the first `ksub` rows by id; ONE Lloyd step runs in
+exact integer arithmetic with ties to the lowest codeword; the
+codeword update is floor(sum / n), computed as pure integer floor
+division on BOTH engines (Python // floors; the oracle first
+subtracts the non-negative mod so DuckDB's truncating // divides
+exactly). Every downstream LUT entry and ADC score is a pure int64
+sum.
+
+No reference counterpart (north-star extension, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PQ_SCALE = 1_000_000
+
+
+def _floor_ints(col, scale: int = PQ_SCALE):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    *,
+    in_dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Train per-subspace codebooks: seeds = the sub-vectors of the
+    first `ksub` rows by id, refined by ONE exact-integer Lloyd step
+    over the corpus (assign every subvector to its nearest codeword by
+    integer squared distance, ties to the lowest index; new codeword =
+    elementwise floor(sum/count); an emptied codeword keeps its seed).
+
+    Returns codebooks[m][c] = sub_dim ints. One corpus pass; the
+    shuffle carries only (m, cluster, dim)-keyed partials
+    (M*ksub*sub_dim rows per batch, map-side combined); the collect is
+    metadata-sized.
+    """
+    if in_dim % m:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    sub = in_dim // m
+    seed_rows = (
+        df.select(id_col, _floor_ints(F.col(vec_col)).alias("w"))
+        .orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= {ksub} rows to seed codebooks")
+    cb = [
+        [list(r["w"][mm * sub : (mm + 1) * sub]) for r in seed_rows]
+        for mm in range(m)
+    ]
+
+    import numpy as np
+
+    C = np.asarray(cb, dtype=np.int64)  # m x ksub x sub
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xs = np.floor(X * PQ_SCALE).astype(np.int64)
+            out_m, out_c, out_d, out_s, out_n = [], [], [], [], []
+            for mm in range(m):
+                Xm = Xs[:, mm * sub : (mm + 1) * sub]
+                d2 = np.empty((len(Xm), ksub), dtype=np.int64)
+                for j in range(ksub):
+                    diff = Xm - C[mm, j]
+                    d2[:, j] = (diff * diff).sum(axis=1)
+                a = d2.argmin(axis=1)  # ties -> lowest index
+                for j in range(ksub):
+                    mask = a == j
+                    if not mask.any():
+                        continue
+                    s = Xm[mask].sum(axis=0)
+                    n = int(mask.sum())
+                    out_m.extend([mm] * sub)
+                    out_c.extend([j] * sub)
+                    out_d.extend(range(sub))
+                    out_s.extend(int(v) for v in s)
+                    out_n.extend([n] * sub)
+            yield pd.DataFrame(
+                {"m": out_m, "cluster": out_c, "dim": out_d,
+                 "s": out_s, "n": out_n}
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(
+            _partials, schema="m int, cluster int, dim int, s long, n long"
+        )
+        .groupBy("m", "cluster", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    new_cb = [[list(cw) for cw in cb_m] for cb_m in cb]  # default: seeds
+    sums: dict[tuple[int, int], list[int]] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for r in parts:
+        key = (r["m"], r["cluster"])
+        sums.setdefault(key, [0] * sub)[r["dim"]] = r["s"]
+        counts[key] = r["n"]
+    for (mm, j), svec in sums.items():
+        n = counts[(mm, j)]
+        # exact integer floor division (Python // floors); the oracle
+        # states the same value as (s - ((s%n)+n)%n) // n, which makes
+        # the numerator divisible so DuckDB's truncating // is exact —
+        # no double arithmetic anywhere in the update
+        new_cb[mm][j] = [sv // n for sv in svec]
+    return new_cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — codes[m] = argmin codeword of subspace
+    m by exact integer squared distance, ties to the lowest index.
+    Arrow-batched narrow map (the corpus-sized pass that makes the
+    64x-smaller code table); zero shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.int64)  # m x ksub x sub
+    m, ksub, sub = C.shape
+
+    def _enc_fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        Xs = np.floor(X * PQ_SCALE).astype(np.int64)
+        codes = np.empty((len(Xs), m), dtype=np.int32)
+        for mm in range(m):
+            Xm = Xs[:, mm * sub : (mm + 1) * sub]
+            d2 = np.empty((len(Xm), ksub), dtype=np.int64)
+            for j in range(ksub):
+                diff = Xm - C[mm, j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+            codes[:, mm] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _enc_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _enc = pandas_udf(_enc_fn, "array<int>")
+    return df.select(
+        F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k candidates: the query side collapses
+    to a LUT column (lut[m][c] = exact int64 dot of the query's m-th
+    floor-scaled subvector with codeword c — computed driver-side from
+    the metadata-sized query batch) that BROADCASTS; the corpus-sized
+    scan reads only `codes` and scores with M element_at lookups + adds.
+    Returns (query_id, neighbor_id, adc_score) with score ordered DESC
+    (approximate dot), ties to lowest neighbor_id."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), _floor_ints(F.col(vec_col)).alias("w")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        w = [int(v) for v in r["w"]]
+        lut = [
+            [
+                sum(
+                    w[mm * sub + d] * cw[d] for d in range(sub)
+                )
+                for cw in codebooks[mm]
+            ]
+            for mm in range(m)
+        ]
+        lut_rows.append((int(r["qid"]), lut))
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "qid long, lut array<array<long>>"
+    )
+    codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.join(
+        F.broadcast(luts), F.col("id") != F.col("qid")
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        score.alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pq_recall(
+    df: DataFrame,
+    *,
+    k: int = 10,
+    n_queries: int = 10,
+    in_dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    expand: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the production PQ retrieval shape — ADC top-
+    (k*expand) candidates over the code table, exact float rerank of
+    only those — vs the exact float top-k (the jl_recall audit harness
+    with PQ as the candidate stage). One row per query:
+    (query_id, n_exact, n_overlap)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import (
+        cosine_similarity,
+    )
+    from fb_ads_bigquery_etl_spark.operators.similarity import knn_join
+
+    queries = df.filter(F.col(id_col) < n_queries)
+    exact = knn_join(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+    cb = pq_train_codebooks(
+        df, in_dim=in_dim, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col
+    )
+    cand = pq_adc_topk(
+        df, queries, cb, k=k * expand, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cvecs = df.select(F.col(id_col).alias("neighbor_id"), vec_d.alias("_cv"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"), vec_d.alias("_qv"))
+    reranked = (
+        cvecs.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("rscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rscore").desc(), F.col("neighbor_id").asc()
+    )
+    picked = (
+        reranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        F.broadcast(picked), ["query_id", "neighbor_id"]
+    )
+    per_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    per_hit = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        per_exact.join(F.broadcast(per_hit), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .orderBy("query_id")
+    )

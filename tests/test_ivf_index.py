@@ -297,3 +297,83 @@ def test_jl_project_pandas_twin_matches_expression_spec(spark):
     twin = {r["id"]: (r["pvec"], r["pnorm2"])
             for r in jl_project_pandas(df, **kw).collect()}
     assert twin == spec
+
+
+def test_pq_training_and_encode_match_python_reference(spark):
+    """PQ codebook training (seeds + one exact-integer Lloyd step) and
+    code assignment must equal a pure-Python replay — the same
+    determinism contract the DuckDB oracle relies on, pinned here on a
+    tiny corpus where the replay is obvious. Includes the emptied-
+    codeword rule: a duplicate seed's cluster keeps its seed codeword
+    (ties assign to the LOWEST codeword index)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        PQ_SCALE,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    # 8 vectors of dim 4 -> m=2 subspaces of 2 dims, ksub=2 codewords.
+    # Rows 0 and 1 are IDENTICAL: seed codeword 1 duplicates seed 0, so
+    # every vector ties to codeword 0 first and cluster 1 stays empty.
+    vecs = [
+        [0.1, 0.2, -0.3, 0.4],
+        [0.1, 0.2, -0.3, 0.4],
+        [0.5, -0.1, 0.2, 0.0],
+        [-0.2, 0.3, 0.1, -0.4],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.9, 0.9, -0.9, 0.9],
+        [-0.5, -0.5, 0.5, 0.5],
+        [0.3, 0.1, 0.2, 0.1],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train_codebooks(df, in_dim=4, m=2, ksub=2)
+
+    # pure-Python replay (floats enter through float32 like the table)
+    import numpy as np
+
+    W = [
+        [int(math.floor(float(np.float32(x)) * PQ_SCALE)) for x in v]
+        for v in vecs
+    ]
+    seeds = [[W[c][mm * 2 : mm * 2 + 2] for c in range(2)] for mm in range(2)]
+    want = [[list(c) for c in s] for s in seeds]
+    for mm in range(2):
+        assign = []
+        for w in W:
+            sub = w[mm * 2 : mm * 2 + 2]
+            d = [
+                sum((a - b) ** 2 for a, b in zip(sub, seeds[mm][c]))
+                for c in range(2)
+            ]
+            assign.append(d.index(min(d)))  # ties -> lowest
+        for c in range(2):
+            members = [W[i][mm * 2 : mm * 2 + 2]
+                       for i, a in enumerate(assign) if a == c]
+            if members:
+                n = len(members)
+                want[mm][c] = [
+                    sum(col) // n for col in zip(*members)
+                ]
+    assert cb == want
+    # duplicate seed -> cluster 1 empty in every subspace -> keeps seed
+    assert cb[0][1] == seeds[0][1] and cb[1][1] == seeds[1][1]
+
+    codes = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(df, cb).collect()
+    }
+    for i, w in enumerate(W):
+        for mm in range(2):
+            sub = w[mm * 2 : mm * 2 + 2]
+            d = [
+                sum((a - b) ** 2 for a, b in zip(sub, cb[mm][c]))
+                for c in range(2)
+            ]
+            assert codes[i][mm] == d.index(min(d))
