@@ -3206,6 +3206,83 @@ def q_manifest_incremental(spark, sf_dir):
     return out.orderBy("month")
 
 
+def q_manifest_unified(spark, sf_dir):
+    """Unified per-file stats manifest (operators/manifest.py
+    build_unified_manifest / update_unified_manifest /
+    unified_point_read): ONE metadata row per file carries min/max
+    envelopes AND a Bloom bitmap — the shape real table formats keep,
+    so range predicates prune on envelopes and point predicates on the
+    bitmap from the SAME table, instead of a caller hand-composing the
+    min/max manifest with a separate Bloom index. Orders lands
+    date-clustered in two batches (manifest built on batch one,
+    O(append)-refreshed for batch two — both stats passes touch only
+    new files); then a date-range revenue query prunes via envelopes
+    and a point lookup on an APPENDED order's key prunes via the
+    refreshed bitmap. Conservative pruning + exact re-filters make
+    both gated aggregates equal the full-scan oracle by construction;
+    tests/test_bucketing.py pins the IO outcomes (point lookup skips
+    files; range query still prunes; refresh scans only new files)."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_unified_manifest,
+        manifest_pruned_read,
+        unified_point_read,
+        update_unified_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate", cents.alias("price_cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_manifest_uni_")
+    try:
+        path = os.path.join(tmp, "orders")
+        (
+            base.filter(F.col("o_orderkey") % 4 != 0)
+            .repartitionByRange(6, "o_orderdate")
+            .write.parquet(path)
+        )
+        man = build_unified_manifest(
+            spark, path, ("o_orderdate",), "o_orderkey"
+        ).localCheckpoint(eager=True)
+        (
+            base.filter(F.col("o_orderkey") % 4 == 0)
+            .repartitionByRange(2, "o_orderdate")
+            .write.mode("append").parquet(path)
+        )
+        man2 = update_unified_manifest(
+            spark, path, man, ("o_orderdate",), "o_orderkey"
+        ).localCheckpoint(eager=True)
+        lo, hi = "1996-04-01", "1996-06-30"
+        ranged = manifest_pruned_read(
+            spark,
+            man2,
+            "o_orderdate",
+            F.lit(lo).cast("date"),
+            F.lit(hi).cast("date"),
+            path=path,
+        ).agg(
+            F.count("*").cast("long").alias("n_range_orders"),
+            F.sum("price_cents").cast("long").alias("range_revenue_cents"),
+        )
+        # key 8 is in the APPENDED batch (8 % 4 == 0): the lookup only
+        # finds it if the refreshed bitmap covers the new files
+        point = unified_point_read(
+            spark, man2, "o_orderkey", 8, path=path
+        ).agg(
+            F.count("*").cast("long").alias("n_point_rows"),
+            F.sum("o_custkey").cast("long").alias("point_custkey"),
+            F.sum("price_cents").cast("long").alias("point_cents"),
+        )
+        out = ranged.crossJoin(point).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental rollup maintenance under the oracle gate
     (analytics.incremental_rollup + sinks.overwrite_partitions): write
@@ -7990,6 +8067,25 @@ def _oracle() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
             GROUP BY 1 ORDER BY 1""",
+        "manifest_unified": """
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+               WHERE o_orderdate BETWEEN DATE '1996-04-01'
+                                     AND DATE '1996-06-30')
+                AS n_range_orders,
+              (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)) AS BIGINT)
+               FROM orders
+               WHERE o_orderdate BETWEEN DATE '1996-04-01'
+                                     AND DATE '1996-06-30')
+                AS range_revenue_cents,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+               WHERE o_orderkey = 8) AS n_point_rows,
+              (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+               WHERE o_orderkey = 8) AS point_custkey,
+              (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)) AS BIGINT)
+               FROM orders WHERE o_orderkey = 8) AS point_cents""",
         "incremental_join_view": """
             WITH dim AS (
               SELECT o_orderkey AS k, o_orderpriority,
@@ -10585,6 +10681,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
     "ann_pq_recall": q_ann_pq_recall,
+    "manifest_unified": q_manifest_unified,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,

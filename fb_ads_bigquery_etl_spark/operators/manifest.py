@@ -133,3 +133,167 @@ def manifest_pruned_read(
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(*files)
     return df.filter(F.col(col).between(lo, hi))
+
+
+# --- Unified manifest: min/max envelopes AND a per-file Bloom bitmap
+# in ONE stats row per file (the shape real table formats keep — one
+# metadata table answering both range and point predicates, instead of
+# a caller hand-composing the min/max manifest with a separate Bloom
+# index). ---
+
+
+def _bloom_words_per_file(
+    df: DataFrame, key_col: str, *, bits: int, k: int
+) -> DataFrame:
+    """(file, bloom array<long>[bits/64]) — each key explodes to its k
+    probe positions, ONE map-side-combined bit_or per (file, word),
+    then the file-count-sized word rows fold into a dense array (absent
+    words are all-zero). Metadata-sized output; the scan reads only
+    `key_col` (column-pruned)."""
+    from fb_ads_bigquery_etl_spark.operators.sketch import _bucket
+
+    words = bits // 64
+    key = F.col(key_col).cast("string")
+    per_word = (
+        df.select(
+            F.input_file_name().alias("file"),
+            F.explode(
+                F.array(*[_bucket(key, 1000 + i, bits) for i in range(k)])
+            ).alias("_pos"),
+        )
+        .select(
+            "file",
+            (F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+    wmap = F.map_from_entries(
+        F.collect_list(F.struct("word_idx", "word"))
+    )
+    return per_word.groupBy("file").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words - 1)),
+            lambda w: F.coalesce(
+                F.element_at(wmap, w.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def _unified_stats(
+    df: DataFrame,
+    stat_cols: tuple[str, ...],
+    bloom_col: str,
+    *,
+    bits: int,
+    k: int,
+) -> DataFrame:
+    mm = df.groupBy(F.input_file_name().alias("file")).agg(
+        *_stat_aggs(stat_cols)
+    )
+    bl = _bloom_words_per_file(df, bloom_col, bits=bits, k=k)
+    # two column-pruned passes over the same files, joined file-keyed —
+    # both sides are metadata-sized (file-count rows)
+    return mm.join(bl, "file")
+
+
+def build_unified_manifest(
+    spark: SparkSession,
+    path: str,
+    stat_cols: tuple[str, ...],
+    bloom_col: str,
+    *,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """One stats row per file: (file, n_rows, min_<c>/max_<c> per stat
+    col, bloom array<long> over `bloom_col`). Range predicates prune on
+    the envelopes, point predicates on the bitmap — from the SAME
+    metadata table. Build cost: two narrow column-pruned scans."""
+    return _unified_stats(
+        spark.read.parquet(path), stat_cols, bloom_col, bits=bits, k=k
+    )
+
+
+def update_unified_manifest(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    stat_cols: tuple[str, ...],
+    bloom_col: str,
+    *,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """O(append) refresh: list the directory (one metadata RPC), stat
+    ONLY files absent from `manifest` — both the envelope and bloom
+    passes touch just the new files — and union. Same basename-keyed
+    identity as `update_file_manifest`."""
+    known = {
+        r["file"].rsplit("/", 1)[-1]
+        for r in manifest.select("file").collect()
+    }
+    new = [
+        f
+        for f in _list_data_files(spark, path)
+        if f.rsplit("/", 1)[-1] not in known
+    ]
+    if not new:
+        return manifest
+    fresh = _unified_stats(
+        spark.read.parquet(*new), stat_cols, bloom_col, bits=bits, k=k
+    )
+    return manifest.unionByName(fresh)
+
+
+def unified_point_files(
+    manifest: DataFrame, key, *, bits: int = 8192, k: int = 3
+) -> list[str]:
+    """Files whose Bloom bitmap passes all k probes for `key` — a
+    plan-time lookup collecting (file, k words) from the metadata-sized
+    manifest. Conservative: a file holding the key always passes."""
+    from fb_ads_bigquery_etl_spark.operators.sketch import _py_bucket
+
+    positions = [_py_bucket(str(key), 1000 + i, bits) for i in range(k)]
+    rows = manifest.select(
+        "file",
+        *[
+            F.element_at(F.col("bloom"), p // 64 + 1).alias(f"_w{i}")
+            for i, p in enumerate(positions)
+        ],
+    ).collect()
+    return sorted(
+        r["file"]
+        for r in rows
+        if all(
+            ((r[f"_w{i}"] or 0) >> (p % 64)) & 1 == 1
+            for i, p in enumerate(positions)
+        )
+    )
+
+
+def unified_point_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    key,
+    *,
+    path: str | None = None,
+    bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Point lookup reading ONLY bloom-passing files, exact predicate
+    re-applied. Zero-files semantics match manifest_pruned_read."""
+    files = unified_point_files(manifest, key, bits=bits, k=k)
+    if not files:
+        if path is None:
+            raise ValueError(
+                "bloom pruning selected zero files and no dataset "
+                "path was provided to recover the schema; pass path="
+            )
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == key)

@@ -443,3 +443,66 @@ def test_zorder_manifest_two_predicate_pruning(spark, tmp_path):
         .head()[0]
     )
     assert got == want
+
+
+def test_unified_manifest_point_and_range_pruning_after_refresh(spark, tmp_path):
+    """The unified manifest (one per-file stats row: min/max envelopes
+    + Bloom bitmap) must serve BOTH predicate shapes after an
+    O(append) refresh: a point lookup on a hash-spread unique key
+    skips the non-holding files via the bitmap (envelopes are useless
+    for it — every range file passes a key-domain check only where
+    the key was the range column; here the key is unique so exactly
+    the holding file plus Bloom false positives pass), and a range
+    query on the clustered column still prunes via envelopes. The
+    refresh must open ONLY appended files — proven by deleting an
+    original data file first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_unified_manifest,
+        manifest_pruned_read,
+        pruned_files,
+        unified_point_files,
+        unified_point_read,
+        update_unified_manifest,
+    )
+
+    df = spark.range(6_000).select(
+        F.col("id"), (F.col("id") * 37 % 6000).alias("k")
+    )
+    path = str(tmp_path / "t")
+    df.repartitionByRange(6, "id").write.parquet(path)
+    original_files = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    man = build_unified_manifest(
+        spark, path, ("id",), "k"
+    ).localCheckpoint(eager=True)
+
+    extra = spark.range(6_000, 9_000).select(
+        F.col("id"), (F.col("id") * 37 % 6000 + 6000).alias("k")
+    )
+    extra.repartitionByRange(3, "id").write.mode("append").parquet(path)
+
+    # only-new-files proof: remove an ORIGINAL file; the refresh must
+    # not open it
+    victim = sorted(original_files)[0]
+    os.remove(os.path.join(path, victim))
+    man2 = update_unified_manifest(spark, path, man, ("id",), "k")
+    assert man2.count() == 9
+
+    # point pruning: k is unique, so its holding file passes and
+    # others pass only at the Bloom fp rate — structurally, far fewer
+    # than all 9; the k below lives in the APPENDED region so the
+    # lookup only works if the refresh indexed the new files
+    key = 6000 + (7500 * 37 % 6000)  # k of appended id=7500
+    files = unified_point_files(man2, key)
+    assert len(files) <= 3, files  # 1 holder + generous fp allowance
+    got = unified_point_read(spark, man2, "k", key, path=path)
+    assert got.count() == 1
+
+    # range pruning on the clustered column still works from the SAME
+    # manifest (bound structurally: the 6 original files cannot hold
+    # appended ids, so at most the 3 appended files are selected)
+    assert len(pruned_files(man2, "id", 7000, 7999)) <= 3
+    assert manifest_pruned_read(spark, man2, "id", 7000, 7999).count() == 1000
