@@ -4014,6 +4014,29 @@ def q_media_decode_png(spark, sf_dir):
     return decode_png_features(synth_png(d)).orderBy("id")
 
 
+def q_media_decode_gif(spark, sf_dir):
+    """REAL decode of a second compressed image format (operators/
+    multimodal.synth_gif / decode_gif_features): GIF's LZW is
+    stdlib-feasible pure Python exactly as PNG's zlib was — the
+    synthesizer compresses closed-form palette indices with REAL
+    variable-width LZW (dictionary growth, CLEAR/EOI, LSB-first
+    packing, 255-byte sub-blocks) and the kernel decodes from the
+    bytes alone: signature, logical screen descriptor, global color
+    table, sub-block walk, full LZW decode (no-early-change width
+    rule, KwKwK self-reference), palette mapping. Features match the
+    other image chains (per-channel sums + 8x8 resize checksum); the
+    oracle recomputes them from the pixel formula, so hash parity
+    proves the whole compression chain byte-correct. Shrinks the stub
+    boundary to genuinely-unavailable codecs (JPEG/ffmpeg)."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_gif_features,
+        synth_gif,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_gif_features(synth_gif(d)).orderBy("id")
+
+
 def q_media_decode_video(spark, sf_dir):
     """REAL video decode + frame sampling under the oracle gate
     (operators/multimodal.synth_y4m / decode_y4m_features) — completes
@@ -7770,6 +7793,40 @@ def _oracle() -> dict[str, str]:
                    resized_checksum
             FROM ids JOIN sums USING (id) JOIN rc USING (id)
             ORDER BY ids.id""",
+        "media_decode_gif": """
+            WITH ids AS (SELECT doc_id AS id,
+                                CAST(10 + doc_id % 5 AS INT) AS w,
+                                CAST(8 + doc_id % 3 AS INT) AS h
+                         FROM documents),
+            xs AS (SELECT unnest(generate_series(0, 14)) AS x),
+            ys AS (SELECT unnest(generate_series(0, 10)) AS y),
+            cells AS (SELECT id, w, h, x, y,
+                             (7*x + 13*y + id) % 8 AS p
+                      FROM ids, xs, ys
+                      WHERE x < w AND y < h),
+            sums AS (SELECT id,
+                            CAST(SUM((37*p + id) % 256) AS BIGINT)
+                              AS sum_r,
+                            CAST(SUM((59*p + 2*id) % 256) AS BIGINT)
+                              AS sum_g,
+                            CAST(SUM((83*p + 3*id) % 256) AS BIGINT)
+                              AS sum_b
+                     FROM cells GROUP BY id),
+            g AS (SELECT unnest(generate_series(0, 7)) AS gi),
+            grid AS (SELECT id,
+                            (7*((gx.gi * w) // 8)
+                             + 13*((gy.gi * h) // 8) + id) % 8 AS p
+                     FROM ids, g gx, g gy),
+            rc AS (SELECT id,
+                          CAST(SUM(((37*p + id) % 256)
+                                 + 2 * ((59*p + 2*id) % 256)
+                                 + 3 * ((83*p + 3*id) % 256))
+                               AS BIGINT) AS resized_checksum
+                   FROM grid GROUP BY id)
+            SELECT ids.id, ids.w, ids.h, sum_r, sum_g, sum_b,
+                   resized_checksum
+            FROM ids JOIN sums USING (id) JOIN rc USING (id)
+            ORDER BY ids.id""",
         "media_decode_video": """
             WITH ids AS (SELECT doc_id AS id,
                                 CAST(8 + 2*(doc_id % 3) AS INT) AS w,
@@ -10682,6 +10739,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-checked (new queries first) ---
     "ann_pq_recall": q_ann_pq_recall,
     "manifest_unified": q_manifest_unified,
+    "media_decode_gif": q_media_decode_gif,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,

@@ -763,3 +763,244 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """Real GIF-variant LZW: variable code width starting at mcs+1,
+    CLEAR/EOI codes, dictionary growth with the GIF (no-early-change)
+    width rule, codes packed LSB-first. The encoder's width bump fires
+    when its post-add next_code reaches 2^width + 1 — one ahead of the
+    decoder's 2^width rule, because the encoder adds each entry one
+    code earlier than the decoder learns it."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix: tuple[int, ...] = ()
+    for k in indices:
+        cand = prefix + (int(k),)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prefix = (int(k),)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real GIF89a per row — logical screen
+    descriptor, 8-color global palette (color c = ((37c + id) % 256,
+    (59c + 2id) % 256, (83c + 3id) % 256)), image descriptor, and the
+    pixel indices p(x, y) = (7x + 13y + id) % 8 (w = 10 + id%5,
+    h = 8 + id%3) compressed with REAL variable-width LZW (dictionary
+    growth, CLEAR/EOI, LSB-first packing, 255-byte sub-blocks)."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 10 + i % 5, 8 + i % 3
+            pal = bytearray()
+            for c in range(8):
+                pal += bytes(
+                    ((37 * c + i) % 256, (59 * c + 2 * i) % 256,
+                     (83 * c + 3 * i) % 256)
+                )
+            idx = [
+                (7 * x + 13 * y + i) % 8
+                for y in range(h)
+                for x in range(w)
+            ]
+            lzw = _gif_lzw_encode(idx, 3)
+            blocks = bytearray()
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off : off + 255]
+                blocks.append(len(chunk))
+                blocks += chunk
+            blocks.append(0)
+            payload = (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0xF2, 0, 0)
+                + bytes(pal)
+                + b"\x2c"
+                + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([3])
+                + bytes(blocks)
+                + b"\x3b"
+            )
+            out.append(payload)
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over (id, payload): validate the signature,
+    parse the logical screen descriptor and global color table, walk
+    the image descriptor and data sub-blocks, run a FULL LZW decode
+    (variable code width with the GIF no-early-change rule, CLEAR
+    resets, the KwKwK self-reference case), map indices through the
+    palette, and emit the same exact-integer features as the other
+    image chains (per-channel sums + 8x8 nearest-neighbor resize
+    checksum) from the decoded pixels alone. Pure stdlib — LZW is
+    stdlib-feasible the way PNG's zlib was; the remaining stub
+    boundary is genuinely-unavailable codecs (JPEG/ffmpeg)."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise ValueError("not a GIF payload")
+                sw, sh, packed, _bg, _ar = struct.unpack(
+                    "<HHBBB", buf[6:13]
+                )
+                pos = 13
+                if not packed & 0x80:
+                    raise ValueError("global color table required")
+                n_colors = 2 << (packed & 0x07)
+                pal = np.frombuffer(
+                    buf, dtype=np.uint8, count=3 * n_colors, offset=pos
+                ).reshape(n_colors, 3).astype(np.int64)
+                pos += 3 * n_colors
+                if buf[pos] != 0x2C:
+                    raise ValueError("expected image descriptor")
+                _l, _t, w, h, ipacked = struct.unpack(
+                    "<HHHHB", buf[pos + 1 : pos + 10]
+                )
+                if ipacked & 0xC0:
+                    raise ValueError(
+                        "local color table / interlace unsupported"
+                    )
+                pos += 10
+                mcs = buf[pos]
+                pos += 1
+                data = bytearray()
+                while True:
+                    blen = buf[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    data += buf[pos : pos + blen]
+                    pos += blen
+                if buf[pos] != 0x3B:
+                    raise ValueError("missing trailer")
+
+                clear, eoi = 1 << mcs, (1 << mcs) + 1
+                width = mcs + 1
+                table: list[bytes] = [bytes([c]) for c in range(clear)]
+                table += [b"", b""]  # CLEAR / EOI placeholders
+                bitpos = 0
+                total_bits = len(data) * 8
+                out_idx = bytearray()
+                prev: bytes | None = None
+
+                def read_code(wd: int) -> int:
+                    nonlocal bitpos
+                    if bitpos + wd > total_bits:
+                        raise ValueError("truncated LZW stream")
+                    byte0 = bitpos // 8
+                    shift = bitpos % 8
+                    val = int.from_bytes(
+                        data[byte0 : byte0 + 3], "little"
+                    )
+                    bitpos += wd
+                    return (val >> shift) & ((1 << wd) - 1)
+
+                while True:
+                    code = read_code(width)
+                    if code == clear:
+                        table = [bytes([c]) for c in range(clear)]
+                        table += [b"", b""]
+                        width = mcs + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        break
+                    if prev is None:
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        if len(table) < 4096:  # deferred-clear mirror
+                            table.append(prev + entry[:1])
+                    elif code == len(table) and len(table) < 4096:
+                        entry = prev + prev[:1]  # KwKwK
+                        table.append(entry)
+                    else:
+                        raise ValueError("corrupt LZW code")
+                    if prev is not None and len(table) == (1 << width) \
+                            and width < 12:
+                        width += 1
+                    out_idx += entry
+                    prev = entry
+                if len(out_idx) != w * h:
+                    raise ValueError(
+                        f"decoded {len(out_idx)} indices for {w}x{h}"
+                    )
+                idx = np.frombuffer(bytes(out_idx), dtype=np.uint8)
+                if int(idx.max()) >= n_colors:
+                    raise ValueError("palette index out of range")
+                px = pal[idx].reshape(h, w, 3)
+                iy = (np.arange(8) * h) // 8
+                ix = (np.arange(8) * w) // 8
+                small = px[iy][:, ix]
+                rows.append(
+                    (
+                        int(i),
+                        int(w),
+                        int(h),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(
+                            (
+                                small[:, :, 0]
+                                + 2 * small[:, :, 1]
+                                + 3 * small[:, :, 2]
+                            ).sum()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "w", "h", "sum_r", "sum_g", "sum_b",
+                    "resized_checksum",
+                ],
+            )
+
+    return media.mapInPandas(kernel, _DECODE_SCHEMA)

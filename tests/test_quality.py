@@ -426,3 +426,105 @@ def test_png_filters_all_exercised_and_roundtrip(spark):
                 for y in range(h)
             )
             assert got[i][col] == want, (i, col)
+
+
+def test_gif_lzw_roundtrip_property():
+    """The LZW encoder/decoder pair must round-trip arbitrary index
+    streams — including sorted runs (forces the KwKwK self-reference
+    case), long streams (forces multiple width growths), and every
+    palette depth — using the decoder's exact table/width rules."""
+    import random
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        _gif_lzw_encode,
+    )
+
+    def decode(data: bytes, mcs: int) -> list[int]:
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        table = [bytes([c]) for c in range(clear)] + [b"", b""]
+        bitpos, total = 0, len(data) * 8
+        out = bytearray()
+        prev = None
+        while True:
+            assert bitpos + width <= total
+            b0, sh = bitpos // 8, bitpos % 8
+            code = (
+                int.from_bytes(data[b0 : b0 + 3], "little") >> sh
+            ) & ((1 << width) - 1)
+            bitpos += width
+            if code == clear:
+                table = [bytes([c]) for c in range(clear)] + [b"", b""]
+                width, prev = mcs + 1, None
+                continue
+            if code == eoi:
+                return list(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            else:
+                assert code == len(table) < 4096
+                entry = prev + prev[:1]
+                table.append(entry)
+            if prev is not None and len(table) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+
+    rng = random.Random(42)
+    for trial in range(60):
+        mcs = rng.choice([2, 3, 4, 8])
+        n = rng.randint(1, 3000)
+        seq = [rng.randint(0, (1 << mcs) - 1) for _ in range(n)]
+        if trial % 3 == 0:
+            seq = sorted(seq)  # runs -> KwKwK
+        assert decode(_gif_lzw_encode(seq, mcs), mcs) == seq
+
+
+def test_gif_decode_roundtrip_and_validation(spark):
+    """decode_gif_features must reproduce the generator's pixel
+    formula exactly from the compressed bytes, and refuse corrupt
+    payloads (bad signature; truncated LZW stream)."""
+    import pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_gif_features,
+        synth_gif,
+    )
+
+    df = spark.createDataFrame([(0,), (7,)], "doc_id long")
+    got = {
+        r["id"]: r for r in decode_gif_features(synth_gif(df)).collect()
+    }
+    for i in (0, 7):
+        w, h = 10 + i % 5, 8 + i % 3
+        assert (got[i]["w"], got[i]["h"]) == (w, h)
+        mults = {"sum_r": (37, 1), "sum_g": (59, 2), "sum_b": (83, 3)}
+        for col, (cm, im) in mults.items():
+            want = sum(
+                (cm * ((7 * x + 13 * y + i) % 8) + im * i) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            assert got[i][col] == want, (i, col)
+
+    notgif = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG" + b"x" * 40))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a GIF"):
+        decode_gif_features(notgif).collect()
+
+    good = synth_gif(
+        spark.createDataFrame([(3,)], "doc_id long")
+    ).collect()[0]["payload"]
+    truncated = spark.createDataFrame(
+        # chop mid-sub-block: the length byte now promises more data
+        # than exists, so the sub-block walk / LZW read must fail
+        [(3, bytearray(good[: len(good) // 2]))],
+        "id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        decode_gif_features(truncated).collect()
