@@ -4142,6 +4142,59 @@ def q_ivm_agg_delete(spark, sf_dir):
     return out.orderBy("l_suppkey")
 
 
+def q_ivm_distinct_delete(spark, sf_dir):
+    """COUNT(DISTINCT) view maintenance (operators/ivm.
+    build_distinct_view / apply_distinct_view_append /
+    apply_distinct_view_delete) — the other canonical non-invertible
+    aggregate, completing the family beside MAX (`ivm_agg_delete`):
+    neither appends nor deletes merge from the aggregate alone (a new
+    value may already be present; a deleted one may survive in another
+    row), so maintenance re-distincts from the bucket-aligned base —
+    but ONLY the buckets the change touches. Deletes are (rid, key)
+    pair-addressed like the MAX path. Exercises build -> append ->
+    delete; the gated view must equal a from-scratch COUNT(DISTINCT)
+    over surviving rows. Bounded IO (untouched partition file sets
+    unchanged) is pytest-gated in tests/test_ivm.py."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators import ivm
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_suppkey",
+        "l_partkey",
+        "l_orderkey",
+    )
+    base = rows.filter(F.col("l_orderkey") % 3 != 0).drop("l_orderkey")
+    delta = rows.filter(F.col("l_orderkey") % 3 == 0).drop("l_orderkey")
+    deletes = (
+        rows.filter(F.col("l_partkey") % 37 == 0)
+        .select("rid", "l_suppkey")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="_q_ivmdist_")
+    try:
+        vp = os.path.join(tmp, "view")
+        sp = os.path.join(tmp, "store")
+        ivm.build_distinct_view(
+            base, "l_suppkey", "l_partkey", "rid", vp, sp, buckets=8
+        )
+        ivm.apply_distinct_view_append(
+            spark, delta, "l_suppkey", "l_partkey", "rid", vp, sp,
+            buckets=8,
+        )
+        ivm.apply_distinct_view_delete(
+            spark, deletes, "l_suppkey", "l_partkey", "rid", vp, sp,
+            buckets=8,
+        )
+        out = ivm.read_distinct_view(spark, vp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("l_suppkey")
+
+
 def q_bloom_file_index(spark, sf_dir):
     """Per-file Bloom index point lookup (operators/sketch.
     build_bloom_file_index / bloom_index_read — the Delta/Iceberg
@@ -7907,6 +7960,22 @@ def _oracle() -> dict[str, str]:
                               WHERE d.rid = r.rid
                                 AND d.l_suppkey = r.l_suppkey)
             GROUP BY 1 ORDER BY 1""",
+        "ivm_distinct_delete": """
+            WITH rows_ AS (
+              SELECT l_orderkey * 10 + l_linenumber AS rid,
+                     l_suppkey, l_partkey
+              FROM lineitem),
+            del AS (SELECT DISTINCT rid, l_suppkey FROM rows_
+                    WHERE l_partkey % 37 = 0)
+            SELECT r.l_suppkey,
+                   CAST(COUNT(DISTINCT r.l_partkey) AS BIGINT)
+                     AS n_distinct_l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM rows_ r
+            WHERE NOT EXISTS (SELECT 1 FROM del d
+                              WHERE d.rid = r.rid
+                                AND d.l_suppkey = r.l_suppkey)
+            GROUP BY 1 ORDER BY 1""",
         "bloom_file_index": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -10740,6 +10809,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_recall": q_ann_pq_recall,
     "manifest_unified": q_manifest_unified,
     "media_decode_gif": q_media_decode_gif,
+    "ivm_distinct_delete": q_ivm_distinct_delete,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,

@@ -350,3 +350,123 @@ def apply_max_view_delete(
 
 def read_max_view(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def build_distinct_view(
+    fact: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Materialize (key, n_distinct_<val>, n_rows) plus its
+    bucket-aligned base store — the OTHER canonical non-invertible
+    aggregate (COUNT(DISTINCT) absorbs neither appends nor deletes
+    from the aggregate alone: an arriving value may already be
+    present, a deleted one may survive in another row). Maintenance
+    therefore re-distincts from the store — but ONLY the buckets a
+    change touches, which bucket-aligning the store with the view
+    makes O(touched), never O(view)."""
+    fb = _with_bucket(fact.select(rid_col, key, val_col), key, buckets)
+    fb.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
+    spark = fact.sparkSession
+    _write_meta(spark, store_path, key, buckets)
+    view = fb.groupBy(BUCKET_COL, key).agg(
+        F.countDistinct(val_col).alias(f"n_distinct_{val_col}"),
+        F.count("*").alias("n_rows"),
+    )
+    view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
+    _write_meta(spark, view_path, key, buckets)
+
+
+def _redistinct_touched(
+    spark: SparkSession,
+    key: str,
+    val_col: str,
+    touched: list,
+    view_path: str,
+    store_path: str,
+) -> None:
+    rebuilt = (
+        spark.read.parquet(store_path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .groupBy(BUCKET_COL, key)
+        .agg(
+            F.countDistinct(val_col).alias(f"n_distinct_{val_col}"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    _overwrite_touched(spark, rebuilt, touched, view_path)
+
+
+def apply_distinct_view_append(
+    spark: SparkSession,
+    delta: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Append: delta lands in the store (append-only write); touched
+    view buckets re-distinct from the store (an arriving value may
+    already exist under its key, so no aggregate-only merge is
+    possible). IO = O(delta) write + O(touched buckets) read."""
+    _check_meta(spark, store_path, key, buckets)
+    _check_meta(spark, view_path, key, buckets)
+    db = _with_bucket(delta.select(rid_col, key, val_col), key, buckets)
+    db.write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
+    touched = [r[0] for r in db.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return
+    _redistinct_touched(spark, key, val_col, touched, view_path, store_path)
+
+
+def apply_distinct_view_delete(
+    spark: SparkSession,
+    deletes: DataFrame,
+    key: str,
+    val_col: str,
+    rid_col: str,
+    view_path: str,
+    store_path: str,
+    *,
+    buckets: int = 16,
+) -> None:
+    """Delete: (rid, key) pair-addressed exactly like
+    apply_max_view_delete (every deleted row's key is in `deletes`, so
+    key-derived bucket scoping is provably complete); touched store
+    buckets rewrite via the pair anti-join, touched view buckets
+    re-distinct from the surviving rows. A fully-deleted group
+    disappears (emptied bucket dirs are dropped)."""
+    _check_meta(spark, store_path, key, buckets)
+    _check_meta(spark, view_path, key, buckets)
+    touched = [
+        r[0]
+        for r in _with_bucket(deletes, key, buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    surviving = (
+        spark.read.parquet(store_path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .join(
+            F.broadcast(deletes.select(rid_col, key).distinct()),
+            [rid_col, key],
+            "left_anti",
+        )
+    )
+    _overwrite_touched(spark, surviving, touched, store_path)
+    _redistinct_touched(spark, key, val_col, touched, view_path, store_path)
+
+
+def read_distinct_view(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(BUCKET_COL)

@@ -231,3 +231,92 @@ def test_max_view_refuses_layout_mismatch(spark, tmp_path):
             spark, fact.limit(1).select("rid", "k"),
             "k", "v", "rid", vp, sp, buckets=8,
         )
+
+
+def test_distinct_view_bounded_io_and_correctness(spark, tmp_path):
+    """COUNT(DISTINCT) maintenance must (a) keep untouched partition
+    dirs' exact file sets through BOTH an append and a delete (the
+    O(touched)-not-O(view) contract), and (b) end equal to a
+    from-scratch COUNT(DISTINCT) over surviving rows — including
+    dropping a fully-deleted group and NOT dropping the distinct count
+    when a deleted value survives in another row (the non-invertible
+    case that forces the re-distinct)."""
+    fact = spark.range(400).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    vp, sp = str(tmp_path / "view"), str(tmp_path / "store")
+    ivm.build_distinct_view(fact, "k", "v", "rid", vp, sp, buckets=8)
+
+    def files_by_bucket(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{ivm.BUCKET_COL}="):
+                b = int(d.split("=")[1])
+                out[b] = sorted(os.listdir(os.path.join(path, d)))
+        return out
+
+    # append touching ONLY key 5's bucket
+    delta = spark.createDataFrame(
+        [(1000, 5, 6), (1001, 5, 6)], "rid long, k long, v long"
+    )
+    t_append = {
+        r[0]
+        for r in ivm._with_bucket(delta, "k", 8)
+        .select(ivm.BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    before_s, before_v = files_by_bucket(sp), files_by_bucket(vp)
+    ivm.apply_distinct_view_append(
+        spark, delta, "k", "v", "rid", vp, sp, buckets=8
+    )
+    after_v = files_by_bucket(vp)
+    for b in set(before_v) - t_append:
+        assert after_v[b] == before_v[b], f"append rewrote view bucket {b}"
+
+    # delete: all of key 3 (group vanishes) + ONE row of (k=7, v=0);
+    # k=7 keeps other v=0 rows, so n_distinct must NOT decrement
+    full = fact.unionByName(delta)
+    first_k7_v0 = (
+        full.filter((F.col("k") == 7) & (F.col("v") == 0))
+        .agg(F.min("rid"))
+        .first()[0]
+    )
+    deletes = (
+        full.filter((F.col("k") == 3) | (F.col("rid") == first_k7_v0))
+        .select("rid", "k")
+    )
+    touched = {
+        r[0]
+        for r in ivm._with_bucket(deletes, "k", 8)
+        .select(ivm.BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    assert len(touched) < 8
+    before_s, before_v = files_by_bucket(sp), files_by_bucket(vp)
+    ivm.apply_distinct_view_delete(
+        spark, deletes, "k", "v", "rid", vp, sp, buckets=8
+    )
+    after_s, after_v = files_by_bucket(sp), files_by_bucket(vp)
+    for b in set(before_s) - touched:
+        assert after_s[b] == before_s[b], f"store bucket {b} rewritten"
+    for b in set(before_v) - touched:
+        assert after_v[b] == before_v[b], f"view bucket {b} rewritten"
+
+    got = {
+        r["k"]: (r["n_distinct_v"], r["n_rows"])
+        for r in ivm.read_distinct_view(spark, vp).collect()
+    }
+    surv = full.join(deletes, ["rid", "k"], "left_anti")
+    want = {
+        r["k"]: (r["nd"], r["n"])
+        for r in surv.groupBy("k")
+        .agg(F.countDistinct("v").alias("nd"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert 3 not in got
+    assert got[7][0] == 7  # deleted value survives in another row
