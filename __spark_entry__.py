@@ -6228,6 +6228,118 @@ def q_rrf_fusion(spark, sf_dir):
     )
 
 
+def q_ndcg_mrr_eval(spark, sf_dir):
+    """Retrieval-quality eval (operators/retrieval_eval.ndcg_mrr):
+    nDCG@10 and reciprocal rank for five query vectors' cosine top-10
+    against graded label-affinity relevance (rel = 3 - |label_q -
+    label_d|, floored at 0, from the embeddings' own label column) —
+    the eval harness a retrieval stack ships with. Position discounts
+    1/log2(r+1) are precomputed micro-unit INTEGER literals (the
+    libm-log dodge BM25's idf uses), DCG is pure BIGINT accumulation,
+    and IDCG derives arithmetically from the corpus LABEL HISTOGRAM +
+    a cumulative-discount table — no ideal-ranking sort, no
+    corpus-sized window or shuffle anywhere on the ideal side; floats
+    appear only in the final ndcg and rr divisions (IEEE-identical on
+    both engines)."""
+    from pyspark.sql import Window as W
+
+    from fb_ads_bigquery_etl_spark.operators.retrieval_eval import ndcg_mrr
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ranked = similarity.knn_join(e, q, k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("neighbor_id").asc()
+            )
+        ),
+    )
+    return ndcg_mrr(
+        ranked, e.select("vec_id", "label"), k=10
+    ).orderBy("query_id")
+
+
+def _ndcg_oracle_sql() -> str:
+    """Replays ndcg_mrr relationally: cosine top-10 per query, the
+    graded label formula, BIGINT DCG against the same inlined
+    discount-micro literals, and the counts-based IDCG arithmetic."""
+    from fb_ads_bigquery_etl_spark.operators.retrieval_eval import (
+        CUM_DISC_MICRO,
+        DISC_MICRO,
+    )
+
+    disc = "[" + ", ".join(str(d) for d in DISC_MICRO) + "]"
+    cum = "[" + ", ".join(str(c) for c in CUM_DISC_MICRO) + "]"
+    return f"""
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 5),
+        ex AS (
+          SELECT q.vec_id AS query_id, q.label AS qlab,
+                 c.vec_id AS neighbor_id, c.label AS clab,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('c.e', 'q.e')} DESC, c.vec_id ASC)
+                   AS rnk
+          FROM v c JOIN q ON c.vec_id <> q.vec_id),
+        rels AS (
+          SELECT query_id, rnk,
+                 GREATEST(0, 3 - ABS(qlab - clab)) AS rel
+          FROM ex WHERE rnk <= 10),
+        perq AS (
+          SELECT query_id,
+                 CAST(SUM(rel * ({disc}::BIGINT[])[rnk]) AS BIGINT)
+                   AS dcg_micro,
+                 MIN(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+                 CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rel_in_k
+          FROM rels GROUP BY 1),
+        hist AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM v GROUP BY 1),
+        counts AS (
+          SELECT q.vec_id AS query_id,
+                 CAST(SUM(CASE WHEN GREATEST(0, 3 - ABS(q.label
+                               - h.label)) = 3
+                          THEN h.n - CASE WHEN h.label = q.label
+                                          THEN 1 ELSE 0 END
+                          ELSE 0 END) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN GREATEST(0, 3 - ABS(q.label
+                               - h.label)) = 2
+                          THEN h.n ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN GREATEST(0, 3 - ABS(q.label
+                               - h.label)) = 1
+                          THEN h.n ELSE 0 END) AS BIGINT) AS c1
+          FROM q, hist h GROUP BY 1),
+        ideal AS (
+          SELECT query_id, n3, n2,
+                 LEAST(c1, 10 - n3 - n2) AS n1
+          FROM (SELECT query_id, c1,
+                       LEAST(c3, 10) AS n3,
+                       LEAST(c2, 10 - LEAST(c3, 10)) AS n2
+                FROM counts)),
+        idcg AS (
+          SELECT query_id,
+                 CAST(3 * ({cum}::BIGINT[])[n3 + 1]
+                      + 2 * (({cum}::BIGINT[])[n3 + n2 + 1]
+                             - ({cum}::BIGINT[])[n3 + 1])
+                      + (({cum}::BIGINT[])[n3 + n2 + n1 + 1]
+                         - ({cum}::BIGINT[])[n3 + n2 + 1])
+                   AS BIGINT) AS idcg_micro
+          FROM ideal)
+        SELECT p.query_id, p.dcg_micro, i.idcg_micro,
+               CASE WHEN i.idcg_micro > 0
+                    THEN CAST(p.dcg_micro AS DOUBLE)
+                         / CAST(i.idcg_micro AS DOUBLE)
+                    ELSE 0.0 END AS ndcg,
+               CASE WHEN p.first_rel IS NOT NULL
+                    THEN 1.0 / CAST(p.first_rel AS DOUBLE)
+                    ELSE 0.0 END AS rr,
+               p.n_rel_in_k
+        FROM perq p JOIN idcg i USING (query_id)
+        ORDER BY p.query_id"""
+
+
 def _bpe_oracle_sql(iters: int = 3) -> str:
     """Unrolled-CTE replay of operators/bpe.learn_merges: per iteration,
     lead()-adjacency pair counts weighted by word frequency, a
@@ -10425,6 +10537,7 @@ def _oracle() -> dict[str, str]:
         "mmr_rerank": _mmr_oracle_sql(),
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "rrf_fusion": _rrf_oracle_sql(),
+        "ndcg_mrr_eval": _ndcg_oracle_sql(),
         "frequent_pairs": f"""
             WITH items AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
@@ -10810,6 +10923,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_unified": q_manifest_unified,
     "media_decode_gif": q_media_decode_gif,
     "ivm_distinct_delete": q_ivm_distinct_delete,
+    "ndcg_mrr_eval": q_ndcg_mrr_eval,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,
