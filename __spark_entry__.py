@@ -2708,6 +2708,55 @@ def q_streaming_interval_left_join(spark, sf_dir):
     )
 
 
+def q_streaming_interval_full_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the left-outer
+    sentinel/watermark machinery generalized to BOTH sides: an
+    unmatched purchase emits its null-view row once the watermark
+    proves no late view can match, and an unmatched view emits its
+    null-purchase row once the watermark passes view.ts + lookback (no
+    future purchase's window can reach back to it). The same per-side
+    far-future sentinels (+10h/+20h, one user_id=-1 row PER event
+    type) drive both flushes: batch 0 packs [events, sentinel_0] so
+    the post-batch-0 watermark is already past every real row on BOTH
+    withWatermark operators, and batch 1 flushes the tails before
+    AvailableNow terminates. Sentinel rows are excluded on the batch
+    side AFTER the sink (a filter inside the streaming plan would be
+    constraint-pushed below the watermarks — see the left-join note);
+    null-safe guards keep the outer null-match rows. Oracle: the
+    batch FULL interval join."""
+    open_stream, landing = _stage_events_landing(
+        spark, sf_dir, "stream_ifj_landing_"
+    )
+    schema = _stage_sentinels(spark, sf_dir, landing)
+
+    def side(event_type: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+        )
+        return event_ts_to_timestamp(raw).filter(
+            F.col("event_type") == event_type
+        )
+
+    from fb_ads_bigquery_etl_spark.streaming.joins import (
+        purchases_with_recent_views,
+    )
+
+    joined = purchases_with_recent_views(
+        side("purchase"), side("view"), how="fullOuter"
+    )
+    name = f"_stream_ifj_{next(_STREAM_SEQ)}"
+    out = _drain_memory_stream(
+        spark, joined, name, "append", landing, state_partitions=8
+    )
+    return out.filter(
+        F.coalesce(F.col("p_user_id"), F.lit(0)) >= 0
+    ).filter(
+        F.coalesce(F.col("v_user_id"), F.lit(0)) >= 0
+    ).orderBy("p_event_id", "v_event_id")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (concat-then-chunk): per source, docs
     concatenate in doc_id order and cut every 512 tokens; each doc
@@ -9704,6 +9753,16 @@ def _oracle() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
             ORDER BY p_event_id, v_event_id""",
+        "streaming_interval_full_join": """
+            SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+                   p.ts AS p_ts, p.value AS p_value,
+                   v.event_id AS v_event_id, v.user_id AS v_user_id,
+                   v.ts AS v_ts, v.value AS v_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+            ORDER BY p_event_id, v_event_id""",
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
         "kmeans_clusters": _kmeans_oracle_sql(),
@@ -10924,6 +10983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_gif": q_media_decode_gif,
     "ivm_distinct_delete": q_ivm_distinct_delete,
     "ndcg_mrr_eval": q_ndcg_mrr_eval,
+    "streaming_interval_full_join": q_streaming_interval_full_join,
     "streaming_restart_recovery": q_streaming_restart_recovery,
     "zorder_manifest_scan": q_zorder_manifest_scan,
     "media_decode_png": q_media_decode_png,
