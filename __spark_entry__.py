@@ -10984,58 +10984,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_distinct_delete": q_ivm_distinct_delete,
     "ndcg_mrr_eval": q_ndcg_mrr_eval,
     "streaming_interval_full_join": q_streaming_interval_full_join,
-    "streaming_restart_recovery": q_streaming_restart_recovery,
-    "zorder_manifest_scan": q_zorder_manifest_scan,
-    "media_decode_png": q_media_decode_png,
-    "media_decode_video": q_media_decode_video,
-    "media_decode_audio": q_media_decode_audio,
-    "media_decode_features": q_media_decode_features,
-    "ivm_agg_delete": q_ivm_agg_delete,
-    "ann_jl_recall": q_ann_jl_recall,
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "bloom_file_index": q_bloom_file_index,
-    "bloom_semi_join": q_bloom_semi_join,
-    "table_profile": q_table_profile,
-    "dq_checks": q_dq_checks,
-    "scd2_history": q_scd2_history,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "ivm_dim_delete": q_ivm_dim_delete,
-    "manifest_incremental": q_manifest_incremental,
-    "zorder_multi": q_zorder_multi,
-    "epoch_shuffle": q_epoch_shuffle,
-    "quality_classifier": q_quality_classifier,
-    # --- last driver-green r02 ---
-    "excess_shippers": q_excess_shippers,
-    "knn_join": q_knn_join,
-    "quartile_bucket": q_quartile_bucket,
-    "conversion_funnel": q_conversion_funnel,
-    "cohort_retention": q_cohort_retention,
-    "lang_distribution": q_lang_distribution,
-    "null_safe_join": q_null_safe_join,
-    "corr_price_qty": q_corr_price_qty,
-    "sliding_windows": q_sliding_windows,
-    "pivot_source_lang": q_pivot_source_lang,
     # --- last driver-green r03 ---
-    "streaming_sessions": q_streaming_sessions,
-    "gap_fill_daily": q_gap_fill_daily,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "weighted_sample": q_weighted_sample,
-    "trend_by_nation": q_trend_by_nation,
-    "anomaly_zscore": q_anomaly_zscore,
-    "lang_gini_by_source": q_lang_gini_by_source,
-    "streaming_interval_join": q_streaming_interval_join,
-    "dedup_apply": q_dedup_apply,
-    "streaming_dedup": q_streaming_dedup,
-    "reservoir_per_group": q_reservoir_per_group,
-    "pack_sequences": q_pack_sequences,
-    "streaming_user_totals": q_streaming_user_totals,
-    "cdc_changelog_apply": q_cdc_changelog_apply,
-    "skew_salted_join": q_skew_salted_join,
-    "dedup_url_canonical": q_dedup_url_canonical,
-    "attribution_linear": q_attribution_linear,
-    "inverted_index": q_inverted_index,
-    "pagerank": q_pagerank,
-    "table_diff": q_table_diff,
     "profile_columns": q_profile_columns,
     "topk_per_group_agg": q_topk_per_group_agg,
     "global_rank": q_global_rank,
@@ -11211,6 +11160,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_count": q_priority_count,
     "local_supplier_volume": q_local_supplier_volume,
     "shipping_delay_priority": q_shipping_delay_priority,
+    # --- last driver-green r07 ---
+    "streaming_restart_recovery": q_streaming_restart_recovery,
+    "zorder_manifest_scan": q_zorder_manifest_scan,
+    "media_decode_png": q_media_decode_png,
+    "media_decode_video": q_media_decode_video,
+    "media_decode_audio": q_media_decode_audio,
+    "media_decode_features": q_media_decode_features,
+    "ivm_agg_delete": q_ivm_agg_delete,
+    "ann_jl_recall": q_ann_jl_recall,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "bloom_file_index": q_bloom_file_index,
+    "bloom_semi_join": q_bloom_semi_join,
+    "table_profile": q_table_profile,
+    "dq_checks": q_dq_checks,
+    "scd2_history": q_scd2_history,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "ivm_dim_delete": q_ivm_dim_delete,
+    "manifest_incremental": q_manifest_incremental,
+    "zorder_multi": q_zorder_multi,
+    "epoch_shuffle": q_epoch_shuffle,
+    "quality_classifier": q_quality_classifier,
+    "excess_shippers": q_excess_shippers,
+    "knn_join": q_knn_join,
+    "quartile_bucket": q_quartile_bucket,
+    "conversion_funnel": q_conversion_funnel,
+    "cohort_retention": q_cohort_retention,
+    "lang_distribution": q_lang_distribution,
+    "null_safe_join": q_null_safe_join,
+    "corr_price_qty": q_corr_price_qty,
+    "sliding_windows": q_sliding_windows,
+    "pivot_source_lang": q_pivot_source_lang,
+    "streaming_sessions": q_streaming_sessions,
+    "gap_fill_daily": q_gap_fill_daily,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "weighted_sample": q_weighted_sample,
+    "trend_by_nation": q_trend_by_nation,
+    "anomaly_zscore": q_anomaly_zscore,
+    "lang_gini_by_source": q_lang_gini_by_source,
+    "streaming_interval_join": q_streaming_interval_join,
+    "dedup_apply": q_dedup_apply,
+    "streaming_dedup": q_streaming_dedup,
+    "reservoir_per_group": q_reservoir_per_group,
+    "pack_sequences": q_pack_sequences,
+    "streaming_user_totals": q_streaming_user_totals,
+    "cdc_changelog_apply": q_cdc_changelog_apply,
+    "skew_salted_join": q_skew_salted_join,
+    "dedup_url_canonical": q_dedup_url_canonical,
+    "attribution_linear": q_attribution_linear,
+    "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
+    "table_diff": q_table_diff,
 }
 
 
