@@ -81,8 +81,12 @@ QUERIES = [
     ("dq_checks", "fused row checks + unique groupBy + FK anti-join"),
     ("streaming_cdc_upsert", "CDC collapse + foreachBatch MERGE (orders changelog)"),
     ("bloom_semi_join", "Bloom-pruned semi-join (bitmap agg + k bit tests)"),
-    ("bloom_file_index", "per-file Bloom point-lookup (write + index + read)"),
     ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
+    ("ann_pq_recall", "PQ codebook train + ADC scan + rerank recall audit"),
+    ("manifest_unified", "unified min/max+Bloom manifest build/refresh/prune"),
+    ("media_decode_gif", "real GIF codec round trip (LZW + palette)"),
+    ("ivm_distinct_delete", "COUNT(DISTINCT) view build + append + delete"),
+    ("ndcg_mrr_eval", "cosine top-10 + histogram-IDCG retrieval eval"),
     ("ivm_agg_delete", "MAX-view build + append merge + bucketed delete recompute"),
     ("media_decode_features", "real PPM synth + decode/resize feature map"),
     ("media_decode_audio", "real WAV synth + RIFF parse/PCM16 feature map"),
@@ -97,6 +101,7 @@ QUERIES = [
 EVENTS_QUERIES = [
     ("streaming_stacked_aggs", "chained stateful windowed rollup"),
     ("scd2_history", "SCD2 versioning (one keyed sort, two windows)"),
+    ("streaming_interval_full_join", "stream-stream FULL OUTER interval join"),
 ]
 
 
@@ -288,6 +293,65 @@ def main() -> None:
             results[name][m] = round(best, 2)
             print(f"{name} x{m}: {results[name][m]}s", flush=True)
 
+    # bloom_file_index on a PRE-WRITTEN clustered table (r7 verdict:
+    # the registry query re-writes the fact inside its harness, so its
+    # x-track row measured the xN rewrite, not the operator). Here the
+    # hash-clustered table is written once per scale dir (8*m files —
+    # file count grows with data, as a real table's would) and the
+    # timed section is index build + bloom-pruned point read only.
+    from fb_ads_bigquery_etl_spark.operators.sketch import (
+        bloom_index_read,
+        build_bloom_file_index,
+    )
+
+    bresults: dict[int, float] = {}
+    for m in sorted(dirs):
+        tbl = os.path.join(work, f"bloomidx_x{m}")
+        path = os.path.join(tbl, "lineitem")
+        if not os.path.exists(os.path.join(tbl, "_DONE")):
+            li = spark.read.parquet(
+                os.path.join(dirs[m], "lineitem.parquet")
+            )
+            cents = (
+                F.col("l_extendedprice").cast("decimal(18,2)") * 100
+            ).cast("long")
+            (
+                li.select(
+                    "l_suppkey",
+                    F.col("l_quantity").cast("long").alias("qty"),
+                    cents.alias("price_cents"),
+                )
+                .repartition(8 * m, "l_suppkey")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            open(os.path.join(tbl, "_DONE"), "w").close()
+
+        def _bloom_run():
+            idx = build_bloom_file_index(spark, path, "l_suppkey")
+            bloom_index_read(
+                spark, idx, "l_suppkey", 7, path=path
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum("qty").alias("q"),
+                F.sum("price_cents").alias("p"),
+            ).collect()
+
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        _bloom_run()  # warm
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _bloom_run()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        bresults[m] = round(best, 2)
+        print(f"[prewritten] bloom_file_index x{m}: {bresults[m]}s", flush=True)
+
     # perturbed-copy near-dup experiment: linear-output scaling
     pdirs = {1: base}
     for m in (2, 4, 8):
@@ -357,6 +421,13 @@ def main() -> None:
         lines.append(
             f"| {name} | {why} | {r[1]} | {r[2]} | {r[4]} | {r[8]} | {ratio} |"
         )
+    br = bresults
+    bratio = round(br[8] / br[1], 1) if br[1] > 0 else float("inf")
+    lines.append(
+        "| bloom_file_index (pre-written table) | index build + bloom-pruned "
+        "point read only (8m files; the registry harness's xN rewrite "
+        f"excluded) | {br[1]} | {br[2]} | {br[4]} | {br[8]} | {bratio} |"
+    )
     lines += [
         "",
         f"Fact rows at x8: lineitem {spark.read.parquet(os.path.join(dirs[8], 'lineitem.parquet')).count():,}, "
