@@ -295,7 +295,14 @@ def apply_merges_pandas(
     import heapq
 
     merge_list = [tuple(m) for m in merges]
-    rank_of = {pair: r for r, pair in enumerate(merge_list)}
+    # FIRST occurrence wins on a duplicated pair: in the sequential
+    # per-rank schedule the lower rank fires first and the duplicate is
+    # a no-op forever after (real tables never repeat a pair, but the
+    # property test feeds arbitrary ones — a last-wins dict would rank
+    # the pair BEHIND merges the sequential schedule runs later)
+    rank_of: dict[tuple[str, str], int] = {}
+    for r, pair in enumerate(merge_list):
+        rank_of.setdefault(pair, r)
 
     def encode_word(word: str) -> list[str]:
         syms = list(word)
