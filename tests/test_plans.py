@@ -795,3 +795,51 @@ def test_prefix_jaccard_reuses_one_corpus_scan(spark):
     assert nc["Scan"] == 1, nc
     assert nc["InMemoryTableScan"] >= 4, nc
     assert not PI.has_cartesian(df)
+
+
+def test_round8_plan_shapes(spark):
+    # ann_pq_recall: the ADC scan joins corpus CODES against the
+    # broadcast query-LUT frame; the rerank fetches full vectors for
+    # only k*expand rows per query (broadcast candidate frame). No
+    # sort-merge join and no cartesian anywhere in the gated plan.
+    df = _q(spark, "ann_pq_recall")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)
+    # ndcg_mrr_eval: the bounded ranking frame and the label-histogram
+    # ideal side must all broadcast — nothing corpus-sized shuffles
+    # for a join, and no window touches the corpus (the only window in
+    # the whole query ranks the <= k*n_queries candidate frame)
+    df = _q(spark, "ndcg_mrr_eval")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 2, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)
+
+
+def test_unified_manifest_prune_is_metadata_lookup(spark, tmp_path):
+    """unified_point_read must plan a scan over ONLY the bloom-passing
+    files: the resulting parquet relation's input files are a strict
+    subset of the dataset (the pruning happened at PLAN time from the
+    manifest, not as a runtime filter)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_unified_manifest,
+        unified_point_read,
+    )
+
+    df = spark.range(4_000).select(
+        F.col("id"), (F.col("id") * 13 % 4000).alias("k")
+    )
+    path = str(tmp_path / "t")
+    df.repartition(8, "id").write.parquet(path)
+    man = build_unified_manifest(spark, path, ("id",), "k")
+    got = unified_point_read(spark, man, "k", 26, path=path)
+    read_files = got.inputFiles()
+    all_files = spark.read.parquet(path).inputFiles()
+    assert len(read_files) < len(all_files), (
+        len(read_files), len(all_files),
+    )
+    assert got.count() == 1
