@@ -5506,6 +5506,30 @@ def q_ann_pq_recall(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ retrieval recall audit (operators/pq.ivfpq_recall) —
+    the architecture production 100 TB vector indexes actually ship
+    (FAISS IVFPQ): the coarse cosine quantizer routes vectors to
+    inverted lists, PQ codes encode the RESIDUAL (vector minus its
+    coarse centroid — tighter than raw vectors at the same code
+    budget), and each query scans only its nprobe=2 closest lists,
+    scoring candidates as dot(q, c_bucket) + ADC over residual codes
+    — one integer per (query, bucket) plus 4 lookups per candidate.
+    Composes the `ann_ivf` probe lever with the `ann_pq_recall`
+    codebook lever; exact float rerank of the top-100, recall@10 vs
+    the exact top-10. Coarse steps use the same IEEE cosine with
+    deterministic ties as ann_ivf; residuals/training/codes/scores
+    are pure int64 — the oracle replays the whole pipeline,
+    training included."""
+    from fb_ads_bigquery_etl_spark.operators.pq import ivfpq_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_recall(
+        e, k=10, n_queries=10, in_dim=64, m=4, ksub=8,
+        nprobe=2, expand=10, centroid_mod=50,
+    )
+
+
 def q_user_paths(spark, sf_dir):
     """Common event-journey prefixes: each user's first three event
     types (ts then event_id ordered — fully deterministic) folded into
@@ -8640,6 +8664,136 @@ def _oracle() -> dict[str, str]:
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
+        "ann_ivfpq_recall": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT * FROM v WHERE vec_id < 10),
+            ex AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('c.e', 'q.e')} DESC, c.vec_id ASC)
+                       AS rn
+              FROM v c JOIN q ON c.vec_id <> q.vec_id),
+            exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+                      WHERE vec_id % 50 = 0),
+            asn AS (
+              SELECT vec_id, bucket FROM (
+                SELECT v.vec_id, c.centroid_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            wv AS (SELECT vec_id,
+                          list_transform(e,
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                   FROM v),
+            wcn AS (SELECT centroid_id,
+                           list_transform(ce,
+                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                    FROM cents),
+            rv AS (
+              SELECT a.vec_id, a.bucket,
+                     list_transform(generate_series(1, 64),
+                       i -> wv.w[i] - wcn.w[i]) AS r
+              FROM asn a JOIN wv USING (vec_id)
+              JOIN wcn ON a.bucket = wcn.centroid_id),
+            ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+            seeds AS (
+              SELECT ms.m, rv.vec_id AS c,
+                     list_transform(generate_series(1, 16),
+                       d -> rv.r[ms.m * 16 + d]) AS cw
+              FROM rv, ms WHERE rv.vec_id < 8),
+            asg AS (
+              SELECT vec_id, m, c FROM (
+                SELECT rv.vec_id, s.m, s.c,
+                       ROW_NUMBER() OVER (PARTITION BY rv.vec_id, s.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (rv.r[s.m * 16 + d] - s.cw[d])
+                                * (rv.r[s.m * 16 + d] - s.cw[d])),
+                           (x, y) -> x + y) ASC, s.c ASC) AS rn
+                FROM rv, seeds s) WHERE rn = 1),
+            upd AS (
+              SELECT a.m, a.c, u.d,
+                     CAST(SUM(rv.r[a.m * 16 + u.d]) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM asg a JOIN rv USING (vec_id),
+                   UNNEST(generate_series(1, 16)) AS u(d)
+              GROUP BY a.m, a.c, u.d),
+            cw1 AS (
+              SELECT m, c,
+                     list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+              FROM upd GROUP BY m, c),
+            cb1 AS (
+              SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
+              FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+            enc AS (
+              SELECT vec_id, m, c FROM (
+                SELECT rv.vec_id, b.m, b.c,
+                       ROW_NUMBER() OVER (PARTITION BY rv.vec_id, b.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (rv.r[b.m * 16 + d] - b.cw[d])
+                                * (rv.r[b.m * 16 + d] - b.cw[d])),
+                           (x, y) -> x + y) ASC, b.c ASC) AS rn
+                FROM rv, cb1 b) WHERE rn = 1),
+            probed AS (
+              SELECT qid, centroid_id FROM (
+                SELECT q.vec_id AS qid, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {_cos_sql('q.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM q, cents c) WHERE rn <= 2),
+            qw AS (SELECT vec_id AS qid, w FROM wv WHERE vec_id < 10),
+            t1 AS (
+              SELECT p.qid, p.centroid_id,
+                     CAST(list_reduce(list_transform(
+                       generate_series(1, 64),
+                       i -> qw.w[i] * wcn.w[i]), (x, y) -> x + y)
+                       AS BIGINT) AS term1
+              FROM probed p JOIN qw ON p.qid = qw.qid
+              JOIN wcn ON p.centroid_id = wcn.centroid_id),
+            sc AS (
+              SELECT t1.qid AS query_id, e2.vec_id AS neighbor_id,
+                     CAST(MAX(t1.term1)
+                          + SUM(list_reduce(list_transform(
+                              generate_series(1, 16),
+                              d -> qw.w[e2.m * 16 + d] * b.cw[d]),
+                              (x, y) -> x + y)) AS BIGINT) AS adc
+              FROM enc e2
+              JOIN asn a ON e2.vec_id = a.vec_id
+              JOIN t1 ON t1.centroid_id = a.bucket
+              JOIN qw ON qw.qid = t1.qid
+              JOIN cb1 b ON e2.m = b.m AND e2.c = b.c
+              WHERE e2.vec_id <> t1.qid
+              GROUP BY 1, 2),
+            cand AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id ASC) AS rn
+              FROM sc) WHERE rn <= 100),
+            rer AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_cos_sql('cv.e', 'qv.e')} AS rscore
+              FROM cand
+              JOIN v cv ON cv.vec_id = cand.neighbor_id
+              JOIN v qv ON qv.vec_id = cand.query_id),
+            pk AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rscore DESC, neighbor_id ASC) AS rn
+              FROM rer) WHERE rn <= 10),
+            hits AS (
+              SELECT e.query_id, COUNT(*) AS n
+              FROM exk e JOIN pk USING (query_id, neighbor_id)
+              GROUP BY e.query_id),
+            pe AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                   FROM exk GROUP BY query_id)
+            SELECT pe.query_id, pe.n_exact,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+            FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
+            ORDER BY pe.query_id""",
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -10978,6 +11132,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ann_pq_recall": q_ann_pq_recall,
     "manifest_unified": q_manifest_unified,
     "media_decode_gif": q_media_decode_gif,

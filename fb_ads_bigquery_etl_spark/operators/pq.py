@@ -64,9 +64,26 @@ def pq_train_codebooks(
     """
     if in_dim % m:
         raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
-    sub = in_dim // m
+    ints = df.select(id_col, _floor_ints(F.col(vec_col)).alias("_w"))
+    return train_codebooks_ints(
+        ints, dim=in_dim, m=m, ksub=ksub, int_col="_w", id_col=id_col
+    )
+
+
+def train_codebooks_ints(
+    df: DataFrame,
+    *,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    int_col: str = "_w",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """`pq_train_codebooks` over PRE-SCALED int64 arrays — the entry
+    point residual-domain callers (IVF-PQ) use directly."""
+    sub = dim // m
     seed_rows = (
-        df.select(id_col, _floor_ints(F.col(vec_col)).alias("w"))
+        df.select(id_col, int_col)
         .orderBy(F.col(id_col).asc())
         .limit(ksub)
         .collect()
@@ -74,7 +91,7 @@ def pq_train_codebooks(
     if len(seed_rows) < ksub:
         raise ValueError(f"need >= {ksub} rows to seed codebooks")
     cb = [
-        [list(r["w"][mm * sub : (mm + 1) * sub]) for r in seed_rows]
+        [list(r[int_col][mm * sub : (mm + 1) * sub]) for r in seed_rows]
         for mm in range(m)
     ]
 
@@ -88,8 +105,7 @@ def pq_train_codebooks(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xs = np.floor(X * PQ_SCALE).astype(np.int64)
+            Xs = np.vstack(pdf[int_col].to_numpy()).astype(np.int64)
             out_m, out_c, out_d, out_s, out_n = [], [], [], [], []
             for mm in range(m):
                 Xm = Xs[:, mm * sub : (mm + 1) * sub]
@@ -115,7 +131,7 @@ def pq_train_codebooks(
             )
 
     parts = (
-        df.select(vec_col)
+        df.select(int_col)
         .mapInPandas(
             _partials, schema="m int, cluster int, dim int, s long, n long"
         )
@@ -151,6 +167,23 @@ def pq_encode(
     m by exact integer squared distance, ties to the lowest index.
     Arrow-batched narrow map (the corpus-sized pass that makes the
     64x-smaller code table); zero shuffle."""
+    ints = df.select(
+        F.col(id_col), _floor_ints(F.col(vec_col)).alias("_w")
+    )
+    return encode_ints(ints, codebooks, int_col="_w", id_col=id_col)
+
+
+def encode_ints(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    int_col: str = "_w",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """`pq_encode` over PRE-SCALED int64 arrays, optionally carrying
+    passthrough columns (e.g. the IVF bucket) through the narrow map —
+    no join back to recover them."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -161,8 +194,7 @@ def pq_encode(
     def _enc_fn(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        X = np.vstack(vecs.to_numpy()).astype(np.float64)
-        Xs = np.floor(X * PQ_SCALE).astype(np.int64)
+        Xs = np.vstack(vecs.to_numpy()).astype(np.int64)
         codes = np.empty((len(Xs), m), dtype=np.int32)
         for mm in range(m):
             Xm = Xs[:, mm * sub : (mm + 1) * sub]
@@ -176,7 +208,9 @@ def pq_encode(
     _enc_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     _enc = pandas_udf(_enc_fn, "array<int>")
     return df.select(
-        F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        _enc(F.col(int_col)).alias("codes"),
     )
 
 
@@ -298,6 +332,201 @@ def pq_recall(
     hits = exact.join(
         F.broadcast(picked), ["query_id", "neighbor_id"]
     )
+    per_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    per_hit = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    return (
+        per_exact.join(F.broadcast(per_hit), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivfpq_recall(
+    df: DataFrame,
+    *,
+    k: int = 10,
+    n_queries: int = 10,
+    in_dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    nprobe: int = 2,
+    expand: int = 10,
+    centroid_mod: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the IVF-PQ retrieval shape — the architecture
+    production 100 TB vector indexes actually ship (FAISS IVFPQ,
+    Jégou et al. 2011 §V): a coarse quantizer routes each vector to an
+    inverted list (the existing IVF cosine buckets), PQ codes encode
+    the RESIDUAL (vector minus its coarse centroid — residuals are
+    tighter than raw vectors, so the same code budget quantizes
+    finer), and a query scans ONLY its nprobe closest lists, scoring
+    each candidate as dot(q, c_bucket) + ADC(q, residual codes) — one
+    integer per (query, bucket) plus M table lookups per candidate.
+    At scale the code table is bucket-partitioned, so the probed scan
+    is nprobe/nlist of the corpus and 64x narrower than float rows:
+    BOTH levers compose. Exact float rerank of the top k*expand, then
+    recall@k vs the exact float top-k.
+
+    Engine-exactness: coarse assignment/probing use the same IEEE
+    float cosine with deterministic ties as `ann_ivf` (sequential
+    accumulation — identical in Spark expressions and DuckDB
+    list_reduce); residuals, the one-Lloyd-step training, codes,
+    term1, and every ADC score are pure int64 — the oracle replays
+    the whole pipeline, training included."""
+    from fb_ads_bigquery_etl_spark.functions.portable import (
+        cosine_similarity,
+    )
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+        knn_join,
+    )
+
+    queries = df.filter(F.col(id_col) < n_queries)
+    exact = knn_join(df, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+    cents, assigned = assign_ivf_buckets(
+        df, vec_col=vec_col, id_col=id_col, centroid_mod=centroid_mod
+    )
+    to_ints = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x * PQ_SCALE).cast("long")
+    )
+    centint = cents.select(
+        "centroid_id", to_ints(F.col("cvec")).alias("_wc")
+    )
+    resid = (
+        assigned.select("id", "bucket", to_ints(F.col("vec")).alias("_w"))
+        .join(
+            F.broadcast(centint),
+            F.col("bucket") == F.col("centroid_id"),
+        )
+        .select(
+            "id",
+            "bucket",
+            F.zip_with(
+                F.col("_w"), F.col("_wc"), lambda a, b: a - b
+            ).alias("_r"),
+        )
+    )
+    cb = train_codebooks_ints(
+        resid, dim=in_dim, m=m, ksub=ksub, int_col="_r", id_col="id"
+    )
+    codes = encode_ints(
+        resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
+    )
+
+    # metadata-sized driver work: query ints, centroid ints, probed
+    # lists, and the per-(query, bucket) LUT + dot(q, c) correction
+    sub = in_dim // m
+    qints = {
+        int(r["qid"]): [int(v) for v in r["w"]]
+        for r in queries.select(
+            F.col(id_col).alias("qid"),
+            to_ints(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("w"),
+        ).collect()
+    }
+    wcs = {
+        int(r["centroid_id"]): [int(v) for v in r["_wc"]]
+        for r in centint.collect()
+    }
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvecs = queries.select(F.col(id_col).alias("qid"), vec_d.alias("_qv"))
+    probed = (
+        qvecs.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "centroid_id",
+            cosine_similarity(F.col("_qv"), F.col("cvec")).alias("_cs"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("_cs").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "centroid_id")
+        .collect()
+    )
+    lut_rows = []
+    for r in probed:
+        qid, b = int(r["qid"]), int(r["centroid_id"])
+        wq, wc = qints[qid], wcs[b]
+        term1 = sum(a * c for a, c in zip(wq, wc))
+        lut = [
+            [
+                sum(wq[mm * sub + d] * cw[d] for d in range(sub))
+                for cw in cb[mm]
+            ]
+            for mm in range(m)
+        ]
+        lut_rows.append((qid, b, term1, lut))
+    spark = df.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
+    )
+    adc = F.col("term1") + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.join(
+        F.broadcast(luts),
+        (F.col("bucket") == F.col("b")) & (F.col("id") != F.col("qid")),
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        adc.alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * expand)
+        .select("query_id", "neighbor_id")
+    )
+    cvecs = df.select(F.col(id_col).alias("neighbor_id"), vec_d.alias("_cv"))
+    reranked = (
+        cvecs.join(F.broadcast(cand), "neighbor_id")
+        .join(
+            F.broadcast(qvecs.withColumnRenamed("qid", "query_id")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("rscore"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("rscore").desc(), F.col("neighbor_id").asc()
+    )
+    picked = (
+        reranked.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(F.broadcast(picked), ["query_id", "neighbor_id"])
     per_exact = exact.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_exact")
     )

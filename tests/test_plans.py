@@ -807,6 +807,15 @@ def test_round8_plan_shapes(spark):
     assert nc["BroadcastHashJoin"] >= 2, nc
     assert nc["SortMergeJoin"] == 0, nc
     assert not PI.has_cartesian(df)
+    # ann_ivfpq_recall: coarse assignment broadcasts the centroid
+    # frame; codes join the broadcast per-(query, bucket) LUT frame;
+    # rerank broadcasts the candidate frame — nothing corpus-sized on
+    # a shuffle-join build side, no cartesian
+    df = _q(spark, "ann_ivfpq_recall")
+    nc = PI.node_counts(df)
+    assert nc["BroadcastHashJoin"] >= 1, nc
+    assert nc["SortMergeJoin"] == 0, nc
+    assert not PI.has_cartesian(df)
     # ndcg_mrr_eval: the bounded ranking frame and the label-histogram
     # ideal side must all broadcast — nothing corpus-sized shuffles
     # for a join, and no window touches the corpus (the only window in
