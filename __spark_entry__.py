@@ -5506,6 +5506,38 @@ def q_ann_pq_recall(spark, sf_dir):
     )
 
 
+def q_ivf_index_append(spark, sf_dir):
+    """O(batch) IVF index maintenance (similarity.append_ivf_index):
+    the index builds on two-thirds of the corpus, the remaining third
+    APPENDS — assigned against the index's frozen centroid table in
+    one narrow pass over the batch, files added only to touched
+    bucket partitions, nothing existing read or rewritten
+    (pytest-pinned file sets in tests/test_ivf_index.py) — and a
+    probed query over the maintained index must equal the oracle's
+    full-corpus replay against the same centroids. The vector-index
+    sibling of `manifest_incremental`'s O(append) discipline: at
+    100 TB a rebuild is a full re-assignment; an append is one pass
+    over the new batch."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfappend_")
+    try:
+        path = os.path.join(tmp, "index")
+        similarity.build_ivf_index(base, path, centroid_mod=50)
+        similarity.append_ivf_index(spark, delta, path)
+        out = similarity.query_ivf_index(
+            spark, path, list(qvec), k=10, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_ann_ivfpq_recall(spark, sf_dir):
     """IVF-PQ retrieval recall audit (operators/pq.ivfpq_recall) —
     the architecture production 100 TB vector indexes actually ship
@@ -8664,6 +8696,26 @@ def _oracle() -> dict[str, str]:
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
+        "ivf_index_append": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
+            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+                      WHERE vec_id % 50 = 0 AND vec_id % 3 <> 0),
+            assign AS (
+              SELECT vec_id, e, centroid_id AS bucket FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            probed AS (
+              SELECT centroid_id FROM cents, q
+              ORDER BY {_cos_sql('ce', 'qe')} DESC, centroid_id ASC
+              LIMIT 2)
+            SELECT vec_id, {_cos_sql('e', 'qe')} AS score
+            FROM assign JOIN probed ON bucket = centroid_id, q
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_ivfpq_recall": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -11132,6 +11184,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ivf_index_append": q_ivf_index_append,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ann_pq_recall": q_ann_pq_recall,
     "manifest_unified": q_manifest_unified,

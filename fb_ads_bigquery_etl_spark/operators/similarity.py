@@ -262,6 +262,31 @@ def build_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}_centroids")
 
 
+def append_ivf_index(
+    spark,
+    delta: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """O(batch) IVF index maintenance: assign ONLY the new vectors
+    against the index's FROZEN centroid table (the standard IVF
+    append discipline — centroids retrain offline, appends route into
+    the existing lists) and append them to their bucket partitions.
+    Nothing existing is read or rewritten: the only data pass is over
+    `delta`, and the parquet append adds files to touched bucket dirs
+    without touching prior files (pytest-pinned). At 100 TB this is
+    what keeps a vector index maintainable — a rebuild is a full
+    corpus re-assignment; an append is one narrow pass over the new
+    batch."""
+    centroids = spark.read.parquet(f"{path}_centroids")
+    _, assigned = assign_ivf_buckets(
+        delta, vec_col=vec_col, id_col=id_col, centroids=centroids
+    )
+    assigned.write.mode("append").partitionBy("bucket").parquet(path)
+
+
 def query_ivf_index(
     spark,
     path: str,

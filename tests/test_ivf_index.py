@@ -377,3 +377,68 @@ def test_pq_training_and_encode_match_python_reference(spark):
                 for c in range(2)
             ]
             assert codes[i][mm] == d.index(min(d))
+
+
+def test_ivf_index_append_is_append_only_and_matches_rebuild(spark, tmp_path):
+    """append_ivf_index must (a) never touch existing data files (the
+    pre-append file set of EVERY bucket dir is a subset of the
+    post-append set — nothing rewritten or deleted, proven per file),
+    (b) only add files to buckets the batch actually routes to, and
+    (c) leave the index probe-equal to a from-scratch rebuild over the
+    union (same frozen centroids)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "index")
+    similarity.build_ivf_index(base, path, centroid_mod=50)
+
+    def files_by_bucket(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("bucket="):
+                out[d] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(p, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_by_bucket(path)
+    similarity.append_ivf_index(spark, delta, path)
+    after = files_by_bucket(path)
+
+    # (a) append-only: every pre-existing file survives untouched
+    for d, files in before.items():
+        assert set(files) <= set(after.get(d, [])), d
+    # (b) files were added only to buckets the delta routes to
+    cents = spark.read.parquet(f"{path}_centroids")
+    _, dassigned = similarity.assign_ivf_buckets(delta, centroids=cents)
+    touched = {
+        f"bucket={r[0]}"
+        for r in dassigned.select("bucket").distinct().collect()
+    }
+    grew = {
+        d
+        for d in after
+        if set(after[d]) - set(before.get(d, set()))
+    }
+    assert grew == touched, (grew, touched)
+
+    # (c) probe equality vs a full rebuild over the union with the
+    # SAME centroid source (base's mod-sample)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    )
+    got = similarity.query_ivf_index(spark, path, qvec, k=10, nprobe=2)
+    rebuilt = str(tmp_path / "rebuilt")
+    similarity.build_ivf_index(
+        emb, rebuilt, centroids=cents
+    )
+    want = similarity.query_ivf_index(spark, rebuilt, qvec, k=10, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
