@@ -84,6 +84,7 @@ QUERIES = [
     ("ann_jl_recall", "JL projected scan + exact rerank recall audit"),
     ("ann_pq_recall", "PQ codebook train + ADC scan + rerank recall audit"),
     ("ann_ivfpq_recall", "IVF-PQ: coarse route + residual ADC in probed lists"),
+    ("ivf_index_append", "IVF build + O(batch) append + probed query"),
     ("manifest_unified", "unified min/max+Bloom manifest build/refresh/prune"),
     ("media_decode_gif", "real GIF codec round trip (LZW + palette)"),
     ("ivm_distinct_delete", "COUNT(DISTINCT) view build + append + delete"),
