@@ -54,14 +54,16 @@ def assign_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     worker). O(k*dim) interpreted work per row — fine for small k*dim or
     one-shot assignment; the kmeans loop uses the numpy path instead."""
     vec = F.col(vec_col)
-    best = F.lit(0)
-    best_d = _sq_dist(vec, centroids[0])
-    for j, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(vec, c)
-        closer = d < best_d
-        best = F.when(closer, F.lit(j)).otherwise(best)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best
+    # one `least` over (distance, index) structs: lexicographic struct
+    # ordering = min distance, ties to the lowest index — each distance
+    # expression appears once (a sequential WHEN fold would nest every
+    # prior step inside the next, doubling the tree per centroid)
+    return F.least(
+        *[
+            F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )["j"]
 
 
 def _assign_batches(id_col: str, vec_col: str, centroids: list[list[float]]):
