@@ -5506,6 +5506,45 @@ def q_ann_pq_recall(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional-index phrase search (operators/phrase.py): the
+    token -> (doc, positions[]) inverted index builds once (one
+    posexplode + token-keyed agg, cached across the three probes) and
+    each phrase query reads ONLY its tokens' postings, counting exact
+    adjacent matches via the shifted positional intersection
+    |P(t0) ∩ (P(t1)-1) ∩ ...| — no per-term self-join, no window.
+    Three phrases exercise the distinct shapes: a common 2-gram, a
+    DUPLICATE-token 2-gram ("batch batch" — the same postings array
+    intersects its own shift), and a rare 3-gram. The oracle counts
+    the same phrases by direct token-array scan, so parity proves the
+    index path reproduces scan semantics. Gated per phrase:
+    (n_docs, n_occurrences)."""
+    from fb_ads_bigquery_etl_spark.operators.phrase import (
+        build_positional_index,
+        phrase_match,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_positional_index(d).cache()
+    parts = []
+    for phrase in (["sort", "merge"], ["batch", "batch"],
+                   ["data", "line", "join"]):
+        hits = phrase_match(idx, phrase)
+        parts.append(
+            hits.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            ).select(
+                F.lit(" ".join(phrase)).alias("phrase"),
+                "n_docs",
+                "n_occurrences",
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("phrase")
+
+
 def q_ivf_index_append(spark, sf_dir):
     """O(batch) IVF index maintenance (similarity.append_ivf_index):
     the index builds on two-thirds of the corpus, the remaining third
@@ -8696,6 +8735,29 @@ def _oracle() -> dict[str, str]:
                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
+        "phrase_search": f"""
+            WITH tokd AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            counts AS (
+              SELECT doc_id, 'sort merge' AS phrase,
+                     len(list_filter(generate_series(1, len(t) - 1),
+                         i -> t[i] = 'sort' AND t[i+1] = 'merge')) AS n
+              FROM tokd
+              UNION ALL
+              SELECT doc_id, 'batch batch',
+                     len(list_filter(generate_series(1, len(t) - 1),
+                         i -> t[i] = 'batch' AND t[i+1] = 'batch'))
+              FROM tokd
+              UNION ALL
+              SELECT doc_id, 'data line join',
+                     len(list_filter(generate_series(1, len(t) - 2),
+                         i -> t[i] = 'data' AND t[i+1] = 'line'
+                              AND t[i+2] = 'join'))
+              FROM tokd)
+            SELECT phrase,
+                   CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_occurrences
+            FROM counts GROUP BY phrase ORDER BY phrase""",
         "ivf_index_append": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
@@ -11184,6 +11246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "phrase_search": q_phrase_search,
     "ivf_index_append": q_ivf_index_append,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "ann_pq_recall": q_ann_pq_recall,

@@ -85,6 +85,7 @@ QUERIES = [
     ("ann_pq_recall", "PQ codebook train + ADC scan + rerank recall audit"),
     ("ann_ivfpq_recall", "IVF-PQ: coarse route + residual ADC in probed lists"),
     ("ivf_index_append", "IVF build + O(batch) append + probed query"),
+    ("phrase_search", "positional index build + 3 shifted-intersection probes"),
     ("manifest_unified", "unified min/max+Bloom manifest build/refresh/prune"),
     ("media_decode_gif", "real GIF codec round trip (LZW + palette)"),
     ("ivm_distinct_delete", "COUNT(DISTINCT) view build + append + delete"),
