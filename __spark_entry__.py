@@ -5526,23 +5526,34 @@ def q_phrase_search(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     idx = build_positional_index(d).cache()
-    parts = []
-    for phrase in (["sort", "merge"], ["batch", "batch"],
-                   ["data", "line", "join"]):
-        hits = phrase_match(idx, phrase)
-        parts.append(
-            hits.agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
-            ).select(
-                F.lit(" ".join(phrase)).alias("phrase"),
-                "n_docs",
-                "n_occurrences",
+    try:
+        parts = []
+        for phrase in (["sort", "merge"], ["batch", "batch"],
+                       ["data", "line", "join"]):
+            hits = phrase_match(idx, phrase)
+            parts.append(
+                hits.agg(
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.sum("n_occurrences").cast("long")
+                    .alias("n_occurrences"),
+                ).select(
+                    F.lit(" ".join(phrase)).alias("phrase"),
+                    "n_docs",
+                    "n_occurrences",
+                )
             )
-        )
-    from functools import reduce
+        from functools import reduce
 
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("phrase")
+        # materialize the 3-row result while the cache is live, then
+        # release it — a leaked cached index would sit in executor
+        # memory for the rest of the bench session
+        return (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .orderBy("phrase")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        idx.unpersist()
 
 
 def q_ivf_index_append(spark, sf_dir):
@@ -8661,10 +8672,15 @@ def _oracle() -> dict[str, str]:
                    FROM v),
             ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
             seeds AS (
-              SELECT ms.m, wv.vec_id AS c,
+              -- the operator seeds from the first ksub rows ORDERED BY
+              -- id (pq.train_codebooks_ints), codeword label = POSITION
+              -- in that order — stated the same way here so the gate
+              -- holds even for non-contiguous / non-zero-based ids
+              SELECT ms.m, sr.c,
                      list_transform(generate_series(1, 16),
-                       d -> wv.w[ms.m * 16 + d]) AS cw
-              FROM wv, ms WHERE wv.vec_id < 8),
+                       d -> sr.w[ms.m * 16 + d]) AS cw
+              FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, w
+                    FROM wv ORDER BY vec_id LIMIT 8) sr, ms),
             asg AS (
               SELECT vec_id, m, c FROM (
                 SELECT wv.vec_id, s.m, s.c,
@@ -8814,10 +8830,13 @@ def _oracle() -> dict[str, str]:
               JOIN wcn ON a.bucket = wcn.centroid_id),
             ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
             seeds AS (
-              SELECT ms.m, rv.vec_id AS c,
+              -- seeds = first ksub rows ORDERED BY id, label = position
+              -- (matches pq.train_codebooks_ints for any id domain)
+              SELECT ms.m, sr.c,
                      list_transform(generate_series(1, 16),
-                       d -> rv.r[ms.m * 16 + d]) AS cw
-              FROM rv, ms WHERE rv.vec_id < 8),
+                       d -> sr.r[ms.m * 16 + d]) AS cw
+              FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, r
+                    FROM rv ORDER BY vec_id LIMIT 8) sr, ms),
             asg AS (
               SELECT vec_id, m, c FROM (
                 SELECT rv.vec_id, s.m, s.c,

@@ -70,23 +70,37 @@ def update_file_manifest(
     globally unique), which makes the match robust to URI-scheme
     differences between input_file_name() ('file:///...') and the
     FileSystem listing ('file:/...')."""
-    known = {
-        r["file"].rsplit("/", 1)[-1]
-        for r in manifest.select("file").collect()
-    }
-    new = [
-        f
-        for f in _list_data_files(spark, path)
-        if f.rsplit("/", 1)[-1] not in known
-    ]
+    live, new = _live_and_new(spark, path, manifest)
     if not new:
-        return manifest
+        return live
     fresh = (
         spark.read.parquet(*new)
         .groupBy(F.input_file_name().alias("file"))
         .agg(*_stat_aggs(stat_cols))
     )
-    return manifest.unionByName(fresh)
+    return live.unionByName(fresh)
+
+
+def _live_and_new(
+    spark: SparkSession, path: str, manifest: DataFrame
+) -> tuple[DataFrame, list[str]]:
+    """(manifest rows whose file still exists, listed files absent from
+    the manifest). Dropping rows for deleted files matters as much as
+    adding rows for new ones: a stale row would send a later pruned
+    read to a missing path (spark.read.parquet(*files) fails on the
+    first absent file). One directory listing serves both sides."""
+    known = {
+        r["file"].rsplit("/", 1)[-1]
+        for r in manifest.select("file").collect()
+    }
+    listed = _list_data_files(spark, path)
+    names = [f.rsplit("/", 1)[-1] for f in listed]
+    live = manifest.filter(
+        F.substring_index(F.col("file"), "/", -1).isin(names)
+        if names
+        else F.lit(False)
+    )
+    return live, [f for f in listed if f.rsplit("/", 1)[-1] not in known]
 
 
 def pruned_files(
@@ -232,22 +246,15 @@ def update_unified_manifest(
     """O(append) refresh: list the directory (one metadata RPC), stat
     ONLY files absent from `manifest` — both the envelope and bloom
     passes touch just the new files — and union. Same basename-keyed
-    identity as `update_file_manifest`."""
-    known = {
-        r["file"].rsplit("/", 1)[-1]
-        for r in manifest.select("file").collect()
-    }
-    new = [
-        f
-        for f in _list_data_files(spark, path)
-        if f.rsplit("/", 1)[-1] not in known
-    ]
+    identity as `update_file_manifest`; rows for since-deleted files
+    drop out (see `_live_and_new`)."""
+    live, new = _live_and_new(spark, path, manifest)
     if not new:
-        return manifest
+        return live
     fresh = _unified_stats(
         spark.read.parquet(*new), stat_cols, bloom_col, bits=bits, k=k
     )
-    return manifest.unionByName(fresh)
+    return live.unionByName(fresh)
 
 
 def unified_point_files(

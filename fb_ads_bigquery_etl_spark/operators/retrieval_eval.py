@@ -67,6 +67,15 @@ def ndcg_mrr(
     n_rel_in_k) from a (query, doc, rank<=k) frame plus the corpus
     (id, label) table.
 
+    CONTRACT: every query id and every ranked doc id MUST be a corpus
+    id. The label joins are inner (the only shape that lets the
+    bounded ranking frame broadcast into one corpus scan — a fail-loud
+    outer join would force a corpus-sized shuffle just to validate),
+    so an id absent from the corpus silently contributes no rel_rows:
+    its ranked positions score 0 relevance and a fully-unlabeled query
+    disappears from the output. Callers joining rankings produced
+    OUTSIDE the corpus must pre-filter to corpus ids.
+
     IDCG@k of a graded labeling needs only HOW MANY docs of each grade
     exist: the ideal list takes min(c3, k) grade-3 docs first, then
     grade-2 into the remaining slots, then grade-1 — so

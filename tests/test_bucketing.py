@@ -281,11 +281,13 @@ def test_manifest_incremental_update_scans_only_new_files(spark, tmp_path):
     assert update_file_manifest(spark, path, man2, ("id",)).count() == 9
 
     # only-new-files proof: remove an ORIGINAL file; update must not
-    # open it (the stale manifest row for it is untouched metadata)
+    # open it, and its now-stale manifest row must DROP (a stale row
+    # would send a later pruned read to a missing path)
     victim = sorted(original_files)[0]
     os.remove(os.path.join(path, victim))
     man3 = update_file_manifest(spark, path, man, ("id",))
-    assert man3.count() == 9  # 6 carried rows (1 stale) + 3 new
+    assert man3.count() == 8  # 5 surviving originals + 3 new
+    assert not any(victim in r["file"] for r in man3.select("file").collect())
 
     # the updated manifest prunes correctly for a range in the APPENDED
     # region (reads only new files, dodging the deleted one)
@@ -489,7 +491,10 @@ def test_unified_manifest_point_and_range_pruning_after_refresh(spark, tmp_path)
     victim = sorted(original_files)[0]
     os.remove(os.path.join(path, victim))
     man2 = update_unified_manifest(spark, path, man, ("id",), "k")
-    assert man2.count() == 9
+    # 5 surviving originals + 3 appended; the deleted file's stale row
+    # drops so no later pruned read can select a missing path
+    assert man2.count() == 8
+    assert not any(victim in r["file"] for r in man2.select("file").collect())
 
     # point pruning: k is unique, so its holding file passes and
     # others pass only at the Bloom fp rate — structurally, far fewer
