@@ -1814,16 +1814,27 @@ def q_dedup_embedding(spark, sf_dir):
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (similarity.semdedup; Abbas et al. 2023): embedding-
-    cluster semantic dedup — deterministic mod-50 IVF buckets, pairwise
+    cluster semantic dedup — TRAINED integer-exact k-means buckets
+    (nlist = floor(sqrt(N)), oracle replays the training), pairwise
     cosine ONLY within a bucket, remove any vector with a >= 0.4
     neighbor of smaller id in its bucket. One verdict row per vector;
     integer/boolean columns only (bucket, n_dup_neighbors, is_kept), so
     the gate never compares float formatting. The quadratic step is
     bounded by the largest cluster — the property that lets SemDeDup
     run at corpus scale where all-pairs cosine cannot."""
+    import math
+
     e = _t(spark, sf_dir, "embeddings")
+    # nlist = floor(sqrt(N)): both SemDeDup cost terms balance at
+    # O(N^1.5) — assignment is N*nlist, the in-cluster pair step is
+    # N^2/nlist — so neither goes quadratic as the corpus grows (the
+    # production cluster-count-scales-with-N discipline; with the old
+    # fixed-mod rule nothing capped cluster size). The oracle replays
+    # the same dynamic k via LIMIT (SELECT floor(sqrt(COUNT(*)))).
+    k = int(math.floor(math.sqrt(e.count())))
+    cents = similarity.train_centroids_exact(e, k=k, iters=2)
     return (
-        similarity.semdedup(e, threshold=0.4, centroid_mod=50)
+        similarity.semdedup(e, threshold=0.4, centroids=cents)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     )
@@ -1852,9 +1863,18 @@ def q_ann_brute_force(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
+    """IVF probed top-k over TRAINED centroids: the coarse quantizer
+    is integer-exact quantized k-means (similarity.train_centroids_exact,
+    nlist=16 FIXED, 2 Lloyd iterations) — the production shape, where
+    nlist is independent of corpus size so bucket assignment stays
+    O(N * nlist) (the previous id-mod sample's nlist grew with N and
+    assignment went quadratic). The oracle REPLAYS THE TRAINING
+    (unrolled integer CTEs, _trained_cents_cte) before replaying the
+    probe, so the certified query is the trained-index path."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.ivf_topk(e, list(qvec), k=10, nprobe=2, centroid_mod=50)
+    cents = similarity.train_centroids_exact(e, k=16, iters=2)
+    return similarity.ivf_topk(e, list(qvec), k=10, nprobe=2, centroids=cents)
 
 
 def q_knn_join(spark, sf_dir):
@@ -5175,6 +5195,72 @@ def _kmeans_oracle_sql(
         FROM af GROUP BY cluster ORDER BY cluster"""
 
 
+def _trained_cents_cte(
+    k: int | str,
+    iters: int,
+    *,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    src_where: str = "",
+) -> str:
+    """CTE chain (no leading WITH) replaying
+    clustering.kmeans_quantized_train over `embeddings` and ending in
+    `cents(centroid_id BIGINT, ce DOUBLE[])` — the trained IVF coarse
+    quantizer as similarity.train_centroids_exact emits it (cvec =
+    integer centroid / 1e6, one IEEE division per coordinate, so every
+    downstream cosine replays bit-for-bit). Same integer machinery as
+    _kmeans_oracle_sql: exact quantize / argmin / floor-div update,
+    iterations unrolled; `src_where` restricts the TRAINING set (e.g.
+    the index-build base of ivf_index_append). CTE names are
+    t-prefixed so the chain composes into oracles that already use
+    x/c0/a1-style names. `k` may be a SQL subexpression (e.g.
+    "(SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM tx)") for
+    data-dependent nlist — DuckDB accepts subqueries in LIMIT."""
+
+    def dist(xi: str, c: str) -> str:
+        return (
+            f"(SELECT SUM(({xi}[i]-{c}[i])*({xi}[i]-{c}[i]))"
+            f" FROM range(1,{dim + 1}) t(i))"
+        )
+
+    parts = [
+        f"""tx AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   e -> CAST(floor(CAST(e AS DOUBLE)*{scale}) AS BIGINT)) AS xi
+          FROM embeddings {src_where}),
+        tc0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 xi AS c
+          FROM (SELECT vec_id, xi FROM tx ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"tc{i - 1}"
+        parts.append(f"""ta{i} AS (
+          SELECT tx.xi, best.cluster
+          FROM tx, LATERAL (
+            SELECT c.cluster, {dist("tx.xi", "c.c")} AS dist
+            FROM {prev} c ORDER BY 2 ASC, 1 ASC LIMIT 1) best)""")
+        parts.append(f"""ts{i} AS (
+          SELECT cluster, i AS d, CAST(SUM(xi[i]) AS BIGINT) AS s, COUNT(*) AS n
+          FROM ta{i} CROSS JOIN range(1,{dim + 1}) t(i) GROUP BY 1, 2)""")
+        # exact floor division (DuckDB // truncates toward zero)
+        parts.append(f"""tn{i} AS (
+          SELECT cluster, list(cd ORDER BY d) AS c FROM (
+            SELECT cluster, d,
+                   CASE WHEN s >= 0 THEN s // n
+                        ELSE -((-s + n - 1) // n) END AS cd
+            FROM ts{i}) GROUP BY 1)""")
+        parts.append(f"""tc{i} AS (
+          SELECT p.cluster, COALESCE(q.c, p.c) AS c
+          FROM {prev} p LEFT JOIN tn{i} q USING (cluster))""")
+    parts.append(f"""cents AS (
+          SELECT CAST(cluster AS BIGINT) AS centroid_id,
+                 list_transform(c, v -> v / {scale}.0) AS ce
+          FROM tc{iters})""")
+    return ",\n        ".join(parts)
+
+
 _FK_EDGES = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -5578,7 +5664,13 @@ def q_ivf_index_append(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="_q_ivfappend_")
     try:
         path = os.path.join(tmp, "index")
-        similarity.build_ivf_index(base, path, centroid_mod=50)
+        # the index's coarse quantizer is TRAINED on the base corpus
+        # (fixed nlist=16, integer-exact k-means — oracle replays the
+        # training) and FROZEN for the append, exactly the production
+        # discipline: centroids retrain offline, appends route into
+        # the existing lists
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        similarity.build_ivf_index(base, path, centroids=cents)
         similarity.append_ivf_index(spark, delta, path)
         out = similarity.query_ivf_index(
             spark, path, list(qvec), k=10, nprobe=2
@@ -5606,9 +5698,14 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     from fb_ads_bigquery_etl_spark.operators.pq import ivfpq_recall
 
     e = _t(spark, sf_dir, "embeddings")
+    # TRAINED fixed-nlist coarse quantizer (16 lists, 2 integer Lloyd
+    # iterations, oracle-replayed): coarse assignment is O(N * 16) —
+    # linear in the corpus — where the old id-mod rule's nlist grew
+    # with N and the gated query carried an O(N^2/50) term
+    cents = similarity.train_centroids_exact(e, k=16, iters=2)
     return ivfpq_recall(
         e, k=10, n_queries=10, in_dim=64, m=4, ksub=8,
-        nprobe=2, expand=10, centroid_mod=50,
+        nprobe=2, expand=10, centroids=cents,
     )
 
 
@@ -8520,10 +8617,11 @@ def _oracle() -> dict[str, str]:
                  AS rows_below_25
             FROM sizes""",
         "semdedup": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            WITH {_trained_cents_cte(
+                "(SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM tx)", 2
+            )},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
-            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                      WHERE vec_id % 50 = 0),
             assign AS (
               SELECT vec_id, e, centroid_id AS bucket FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,
@@ -8775,11 +8873,12 @@ def _oracle() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n_occurrences
             FROM counts GROUP BY phrase ORDER BY phrase""",
         "ivf_index_append": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            WITH {_trained_cents_cte(
+                16, 2, src_where="WHERE vec_id % 3 <> 0"
+            )},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
             q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
-            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                      WHERE vec_id % 50 = 0 AND vec_id % 3 <> 0),
             assign AS (
               SELECT vec_id, e, centroid_id AS bucket FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,
@@ -8795,7 +8894,8 @@ def _oracle() -> dict[str, str]:
             FROM assign JOIN probed ON bucket = centroid_id, q
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_ivfpq_recall": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            WITH {_trained_cents_cte(16, 2)},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
             q AS (SELECT * FROM v WHERE vec_id < 10),
             ex AS (
@@ -8805,8 +8905,6 @@ def _oracle() -> dict[str, str]:
                        AS rn
               FROM v c JOIN q ON c.vec_id <> q.vec_id),
             exk AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
-            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                      WHERE vec_id % 50 = 0),
             asn AS (
               SELECT vec_id, bucket FROM (
                 SELECT v.vec_id, c.centroid_id AS bucket,
@@ -8928,11 +9026,10 @@ def _oracle() -> dict[str, str]:
             FROM pe LEFT JOIN hits h ON pe.query_id = h.query_id
             ORDER BY pe.query_id""",
         "ann_ivf": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            WITH {_trained_cents_cte(16, 2)},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                      WHERE vec_id % 50 = 0),
             assign AS (
               SELECT vec_id, e, centroid_id AS bucket FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,

@@ -206,6 +206,55 @@ def _quantized_cluster_stats(vec_col: str, centroids: list[list[int]]):
     return fn
 
 
+def kmeans_quantized_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[int]]:
+    """The training loop of `kmeans_quantized`, returning the FINAL
+    integer centroids (scaled by QSCALE) — the piece IVF coarse
+    quantizers consume (similarity.train_centroids_exact). Every
+    quantity is exact int64 (quantize / argmin / floor-div update), so
+    an independent engine unrolling the same `iters` reproduces these
+    centroids bit-for-bit — which is what lets the oracle gate queries
+    whose index was TRAINED, not just mod-sampled. Init = the k
+    smallest ids; empty clusters keep their previous centroid."""
+    first = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [
+        [int(__import__("math").floor(float(v) * QSCALE)) for v in r[vec_col]]
+        for r in first
+    ]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(
+                _quantized_assign_partials(vec_col, centroids),
+                schema="cluster int, dim int, s long, n long",
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in parts:
+            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        centroids = [
+            [sums[j][d] // counts[j] for d in range(dim)]  # exact floor div
+            if j in sums
+            else centroids[j]  # empty cluster keeps its old centroid
+            for j in range(k)
+        ]
+    return centroids
+
+
 def kmeans_quantized(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -237,36 +286,9 @@ def kmeans_quantized(
     Returns DataFrame(cluster, n_members, inertia_scaled) — the gateable
     derived result (sizes + integer inertia).
     """
-    first = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    centroids = kmeans_quantized_train(
+        df, vec_col, id_col, k=k, iters=iters
     )
-    centroids = [
-        [int(__import__("math").floor(float(v) * QSCALE)) for v in r[vec_col]]
-        for r in first
-    ]
-    dim = len(centroids[0])
-    for _ in range(iters):
-        parts = (
-            df.select(vec_col)
-            .mapInPandas(
-                _quantized_assign_partials(vec_col, centroids),
-                schema="cluster int, dim int, s long, n long",
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
-        sums: dict[int, list[int]] = {}
-        counts: dict[int, int] = {}
-        for r in parts:
-            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        centroids = [
-            [sums[j][d] // counts[j] for d in range(dim)]  # exact floor div
-            if j in sums
-            else centroids[j]  # empty cluster keeps its old centroid
-            for j in range(k)
-        ]
     return (
         df.select(vec_col)
         .mapInPandas(

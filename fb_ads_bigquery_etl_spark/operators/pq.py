@@ -364,6 +364,7 @@ def ivfpq_recall(
     centroid_mod: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF-PQ retrieval shape — the architecture
     production 100 TB vector indexes actually ship (FAISS IVFPQ,
@@ -397,7 +398,11 @@ def ivfpq_recall(
     exact = knn_join(df, queries, k=k, vec_col=vec_col, id_col=id_col)
 
     cents, assigned = assign_ivf_buckets(
-        df, vec_col=vec_col, id_col=id_col, centroid_mod=centroid_mod
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        centroid_mod=centroid_mod,
+        centroids=centroids,
     )
     to_ints = lambda col: F.transform(  # noqa: E731
         col, lambda x: F.floor(x * PQ_SCALE).cast("long")

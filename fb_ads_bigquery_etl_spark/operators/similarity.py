@@ -139,6 +139,45 @@ def train_centroids(
     )
 
 
+def train_centroids_exact(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Engine-exact TRAINED IVF centroids: integer-quantized Lloyd's
+    (clustering.kmeans_quantized_train — quantize floor(x*1e6), exact
+    int64 argmin with ties to the lowest index, floor-division update,
+    a fixed iteration count) emitted in the (centroid_id, cvec, cnorm)
+    shape every IVF entry point accepts; cvec = qc/1e6 — one IEEE
+    division per coordinate, so an oracle unrolling the same training
+    derives bit-identical doubles and every downstream cosine /
+    tie-break replays exactly.
+
+    This is the production IVF coarse-quantizer shape: nlist is FIXED
+    (independent of corpus size, retrained offline as the corpus
+    drifts), so bucket assignment is O(N * nlist) — linear in the
+    corpus — where the deterministic id-mod sample's nlist grows with
+    N and assignment goes quadratic. Training itself is also linear:
+    one Arrow-batched partial-sum pass per iteration with k*dim-sized
+    shuffle/collect traffic."""
+    from fb_ads_bigquery_etl_spark.operators.clustering import (
+        QSCALE,
+        kmeans_quantized_train,
+    )
+
+    cents = kmeans_quantized_train(df, vec_col, id_col, k=k, iters=iters)
+    rows = [(j, [c / float(QSCALE) for c in cv]) for j, cv in enumerate(cents)]
+    cdf = df.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, cvec array<double>"
+    )
+    return cdf.select(
+        "centroid_id", "cvec", l2_norm(F.col("cvec")).alias("cnorm")
+    )
+
+
 def assign_ivf_buckets(
     df: DataFrame,
     *,

@@ -442,3 +442,37 @@ def test_ivf_index_append_is_append_only_and_matches_rebuild(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_train_centroids_exact_fixed_nlist_and_deterministic(spark):
+    """The trained coarse quantizer (integer-exact quantized Lloyd's)
+    must (a) emit exactly k centroids regardless of corpus size — the
+    fixed-nlist property that keeps bucket assignment O(N * nlist)
+    where the id-mod sample's nlist grew with N — (b) be bit-identical
+    across input partitionings (integer partial sums are associative),
+    and (c) drive ivf_topk to the same head as exact brute force for a
+    query that is itself a corpus vector."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 16  # fixed nlist, not |corpus|/mod
+    assert all(len(r["cvec"]) == 64 for r in rows)
+
+    again = similarity.train_centroids_exact(
+        emb.repartition(13), k=16, iters=2
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    qvec = list(
+        emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    )
+    got = similarity.ivf_topk(
+        emb, qvec, k=5, nprobe=2, centroids=cents
+    ).collect()
+    assert len(got) == 5
+    # the query vector lives in one of its own probed buckets, so the
+    # exact-match head must survive the probe
+    assert got[0]["vec_id"] == 7 and got[0]["score"] == 1.0
