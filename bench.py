@@ -22,9 +22,28 @@ import sys
 import time
 
 
+def _speed_probe() -> float:
+    """Fixed single-core work unit (30M integer adds), in seconds — the
+    box-noise probe from SCALE.md's round-8 audit. On this class of
+    shared box the same loop has measured 1.33 s (healthy, <~1.6 s)
+    to 2.96 s (heavily stolen window); recording it before and after
+    the suite makes a slow-window bench run detectable FROM THE
+    ARTIFACT ALONE instead of by forensic per-query comparison against
+    prior rounds."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(30_000_000):
+        acc += i
+    # keep `acc` observable so the loop cannot be optimized away
+    assert acc == 30_000_000 * (30_000_000 - 1) // 2
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    probe_before = _speed_probe()
 
     from fb_ads_bigquery_etl_spark.session import get_spark
 
@@ -74,6 +93,8 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    probe_after = _speed_probe()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     full = {
         "metric": "headline_query_suite_total",
@@ -81,6 +102,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # single-core speed probe (seconds for a fixed 30M-add loop),
+        # sampled before warmup and after the timed suite: <~1.6 s is
+        # a healthy box; ~2x that means the run landed in a stolen
+        # window and the suite total is inflated by box noise
+        "probe_before_s": probe_before,
+        "probe_after_s": probe_after,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
@@ -96,6 +123,8 @@ def main() -> None:
         "queries": slowest,
         "queries_file": "bench_full.json",
         "sf": full["sf"],
+        "probe_before_s": probe_before,
+        "probe_after_s": probe_after,
     }
     # Final line = the compact summary (must stay well under the driver's
     # output-tail capture window).
