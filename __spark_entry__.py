@@ -3854,6 +3854,49 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_quality_classifier_train(spark, sf_dir):
+    """TRAINED quality classifier, end to end (operators/classifier.py
+    train_classifier -> score_documents): integer pocket-perceptron
+    training (Gallant 1990) over hashed word uni+bigram features —
+    per fixed iteration, one broadcast-weight scoring pass, one scalar
+    mistake count, one mistake-filtered bucket-keyed update reduce
+    (vocab-sized driver traffic; no learning rate, no division —
+    pure int64 sums, so the oracle REPLAYS ALL 12 TRAINING ITERATIONS
+    as unrolled CTEs including the pocket argmin), then the standard
+    inference pass scores the corpus with the pocket weights.
+    Deterministic label: doc contains the token 'data' (~78% positive
+    at every SF); the pocket iterate reaches ~92% training accuracy
+    vs the 78% always-positive baseline, so the gate certifies real
+    learning, not a mean predictor. Gated per (label, prediction):
+    doc count, feature count, exact BIGINT score sum."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        train_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lab = d.withColumn(
+        "label",
+        F.array_contains(tokens(F.col("text")), "data").cast("long"),
+    )
+    weights, _ = train_classifier(
+        lab, label_col="label", buckets=4096, iters=12
+    )
+    scored = score_documents(
+        lab, weights, buckets=4096, bias_milli=0, extra_cols=("label",)
+    )
+    return (
+        scored.groupBy("label", "prediction")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_feats").cast("long").alias("total_feats"),
+            F.sum("score_milli").cast("long").alias("total_score_milli"),
+        )
+        .orderBy("label", "prediction")
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-pruned semi-join (operators/sketch.bloom_bitmap/
     bloom_prune) — the cross-stage join-reduction a 100 TB plan ships
@@ -5259,6 +5302,94 @@ def _trained_cents_cte(
                  list_transform(c, v -> v / {scale}.0) AS ce
           FROM tc{iters})""")
     return ",\n        ".join(parts)
+
+
+def _classifier_train_oracle_sql(buckets: int = 4096, iters: int = 12) -> str:
+    """DuckDB replay of classifier.train_classifier (integer pocket
+    perceptron) composed with score_documents: identical tokenize /
+    bigram / md5-hash bucketing, `iters` batch-perceptron updates
+    unrolled as CTE blocks (score -> mistake count -> mistake-filtered
+    update -> FULL-JOIN weight merge; every quantity int64 — the
+    perceptron needs no learning rate or division), the pocket argmin
+    over all iterate mistake counts (earliest minimum wins), and the
+    final corpus scoring with the pocket weights."""
+    parts = [
+        r"""t AS MATERIALIZED (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '') AS tok
+            FROM documents),
+        lab AS MATERIALIZED (SELECT doc_id,
+                       CASE WHEN list_contains(tok, 'data')
+                            THEN 1 ELSE -1 END AS y
+                FROM t),
+        featx AS (
+          SELECT doc_id,
+                 unnest(tok || CASE WHEN len(tok) >= 2
+                   THEN list_transform(generate_series(1, len(tok) - 1),
+                                       i -> tok[i] || ' ' || tok[i+1])
+                   ELSE [] END) AS feat
+          FROM t),"""
+        + f"""
+        fc AS MATERIALIZED (SELECT doc_id,
+                      ('0x' || substr(md5(feat), 1, 8))::BIGINT % {buckets}
+                        AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM featx GROUP BY 1, 2),
+        w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                      CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
+    ]
+    for i in range(iters):
+        if i == 0:
+            parts.append("""s0 AS MATERIALIZED (
+          SELECT lab.doc_id, lab.y, CAST(0 AS BIGINT) AS s FROM lab)""")
+        else:
+            parts.append(f"""s{i} AS MATERIALIZED (
+          SELECT lab.doc_id, lab.y, CAST(COALESCE(sc.s, 0) AS BIGINT) AS s
+          FROM lab LEFT JOIN (
+            SELECT fc.doc_id, CAST(SUM(fc.c * w{i}.w) AS BIGINT) AS s
+            FROM fc JOIN w{i} ON fc.bucket = w{i}.bucket
+            GROUP BY 1) sc USING (doc_id))""")
+        parts.append(f"""m{i} AS (
+          SELECT COUNT(*) AS m FROM s{i} WHERE y * s <= 0)""")
+        parts.append(f"""u{i} AS (
+          SELECT fc.bucket, CAST(SUM(fc.c * sd.y) AS BIGINT) AS u
+          FROM fc JOIN s{i} sd USING (doc_id)
+          WHERE sd.y * sd.s <= 0 GROUP BY 1)""")
+        parts.append(f"""w{i + 1} AS MATERIALIZED (
+          SELECT COALESCE(w{i}.bucket, u{i}.bucket) AS bucket,
+                 COALESCE(w{i}.w, 0) + COALESCE(u{i}.u, 0) AS w
+          FROM w{i} FULL JOIN u{i} ON w{i}.bucket = u{i}.bucket)""")
+    mall = " UNION ALL ".join(
+        f"SELECT {i} AS it, m FROM m{i}" for i in range(iters)
+    )
+    wall = " UNION ALL ".join(
+        f"SELECT {i} AS it, bucket, w FROM w{i}" for i in range(iters)
+    )
+    parts.append(f"""mall AS ({mall})""")
+    parts.append("""best AS (SELECT it FROM mall ORDER BY m ASC, it ASC
+                             LIMIT 1)""")
+    parts.append(f"""wall AS ({wall})""")
+    parts.append("""wbest AS (SELECT bucket, w FROM wall
+                              JOIN best USING (it))""")
+    parts.append("""ds AS (
+          SELECT lab.doc_id, CAST((lab.y + 1) // 2 AS BIGINT) AS label,
+                 COALESCE(nf.n, 0) AS n_feats,
+                 COALESCE(sc.s, 0) AS score_milli
+          FROM lab
+          LEFT JOIN (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+                     FROM fc GROUP BY 1) nf USING (doc_id)
+          LEFT JOIN (SELECT fc.doc_id,
+                            CAST(SUM(fc.c * wbest.w) AS BIGINT) AS s
+                     FROM fc JOIN wbest ON fc.bucket = wbest.bucket
+                     GROUP BY 1) sc USING (doc_id))""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT label, score_milli > 0 AS prediction,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_feats) AS BIGINT) AS total_feats,
+               CAST(SUM(score_milli) AS BIGINT) AS total_score_milli
+        FROM ds GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 _FK_EDGES = [
@@ -10150,6 +10281,7 @@ def _oracle() -> dict[str, str]:
         # generate_series yields TIMESTAMPs with a DATE+INTERVAL step; cast
         # back to DATE to match Spark's sequence(date, date).
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "quality_classifier_train": _classifier_train_oracle_sql(),
         # Final stateful emission == one-line batch aggregate: the whole
         # point of the integer-micros state accumulator.
         "streaming_user_totals": """
@@ -11362,6 +11494,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "quality_classifier_train": q_quality_classifier_train,
     "phrase_search": q_phrase_search,
     "ivf_index_append": q_ivf_index_append,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,

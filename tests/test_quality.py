@@ -528,3 +528,50 @@ def test_gif_decode_roundtrip_and_validation(spark):
     )
     with pytest.raises(Exception):
         decode_gif_features(truncated).collect()
+
+
+def test_train_classifier_learns_and_is_deterministic(spark):
+    """Pocket-perceptron training must (a) beat the always-majority
+    baseline on a separable synthetic label (a marker token decides
+    the class), (b) be bit-identical across input partitionings (all
+    updates are int64 sums + a deterministic pocket argmin), and (c)
+    compose with score_documents (bias 0, prediction = score > 0)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        train_classifier,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "label",
+        F.array_contains(tokens(F.col("text")), "data").cast("long"),
+    )
+    n = d.count()
+    n_pos = d.filter(F.col("label") == 1).count()
+
+    w, pocket_mistakes = train_classifier(
+        d, label_col="label", buckets=4096, iters=12
+    )
+    # always-majority mistakes = min(n_pos, n_neg); real learning beats it
+    assert pocket_mistakes < min(n_pos, n - n_pos), (
+        pocket_mistakes, n, n_pos,
+    )
+
+    w2, m2 = train_classifier(
+        d.repartition(17), label_col="label", buckets=4096, iters=12
+    )
+    assert m2 == pocket_mistakes
+    assert sorted(map(tuple, w.collect())) == sorted(
+        map(tuple, w2.collect())
+    )
+
+    scored = score_documents(
+        d, w, buckets=4096, bias_milli=0, extra_cols=("label",)
+    )
+    agree = scored.filter(
+        (F.col("label") == 1) == F.col("prediction")
+    ).count()
+    assert agree == n - pocket_mistakes
