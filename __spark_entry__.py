@@ -3854,6 +3854,35 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_media_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup (operators/multimodal.py
+    synth_ppm_groups -> phash_from_ppm -> phash_dedup): REAL P6 decode
+    feeding the dedup stack — grayscale, nearest-neighbor 16x16
+    resize, Q14 fixed-point 8x8 DCT-II block, 63-bit median-threshold
+    pHash, then the LSH-banded candidate join (8 bands x 8 bits) with
+    exact bit_count(xor) verify. Images are near-duplicate BY
+    CONSTRUCTION within id//5 groups (same base pattern + ~1% sparse
+    pixel noise; measured within-group Hamming <= 2 vs cross-group
+    >= 18), so the pair set is the group structure rediscovered from
+    pixels. The oracle re-derives every pHash arithmetically from the
+    generator formula and states BRUTE-FORCE all-pairs <= 7 semantics
+    — parity proves both the byte decode and that 8-band pruning
+    loses no qualifying pair (pigeonhole at Hamming <= 7). This is
+    the multimodal near-dup pass a 100 TB image corpus runs: band
+    bucket = shuffle key, candidate volume = sum of per-bucket
+    squares, never N^2."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dedup,
+        phash_from_ppm,
+        synth_ppm_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synth_ppm_groups(d)
+    hashes = phash_from_ppm(media)
+    return phash_dedup(hashes, max_hamming=7).orderBy("id_a", "id_b")
+
+
 def q_quality_classifier_train(spark, sf_dir):
     """TRAINED quality classifier, end to end (operators/classifier.py
     train_classifier -> score_documents): integer pocket-perceptron
@@ -5302,6 +5331,68 @@ def _trained_cents_cte(
                  list_transform(c, v -> v / {scale}.0) AS ce
           FROM tc{iters})""")
     return ",\n        ".join(parts)
+
+
+def _phash_dedup_oracle_sql(group_size: int = 5, max_hamming: int = 7) -> str:
+    """DuckDB replay of the pHash dedup chain from the GENERATOR
+    FORMULA (the engine works from decoded bytes): per-image gray
+    16x16 sample grid, integer DCT via the same Q14 table literals
+    (multimodal.phash_dct_table), 32nd-order-statistic median, 63-bit
+    hash, then brute-force all-pairs Hamming — the semantics the
+    engine's 8-band LSH plan must reproduce exactly."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dct_table,
+    )
+
+    qvals = ", ".join(
+        f"({u}, {i}, {q})"
+        for u, row in enumerate(phash_dct_table())
+        for i, q in enumerate(row)
+    )
+    return f"""
+        WITH qtab AS (SELECT * FROM (VALUES {qvals}) AS q(u, i, qv)),
+        ids AS (SELECT doc_id AS id, doc_id // {group_size} AS g
+                FROM documents),
+        coords AS (
+          SELECT id, g, jj.j AS py, ii.i AS px,
+                 (ii.i * (16 + g % 5)) // 16 AS sx,
+                 (jj.j * (12 + g % 3)) // 16 AS sy
+          FROM ids, range(16) ii(i), range(16) jj(j)),
+        pix AS MATERIALIZED (
+          SELECT id, py, px,
+                 ((7 + g % 6) * sx + (13 + g % 8) * sy
+                  + (11 * g + 3)) % 251
+                 + CASE WHEN (31 * sx + 17 * sy + 7 * id) % 89 = 0
+                        THEN 1 ELSE 0 END
+                 + 2 * (((7 + g % 6) * sx + (13 + g % 8) * sy
+                         + 2 * (11 * g + 3)) % 251)
+                 + (((7 + g % 6) * sx + (13 + g % 8) * sy
+                     + 3 * (11 * g + 3)) % 251) AS gray
+          FROM coords),
+        dct AS MATERIALIZED (
+          SELECT p.id, qu.u AS u, qv.u AS v,
+                 CAST(SUM(p.gray * qu.qv * qv.qv) AS BIGINT) AS coef
+          FROM pix p JOIN qtab qu ON qu.i = p.py
+                     JOIN qtab qv ON qv.i = p.px
+          GROUP BY 1, 2, 3),
+        ac AS (SELECT id, u * 8 + v - 1 AS pos, coef FROM dct
+               WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT id, coef AS m FROM (
+                  SELECT id, coef,
+                         ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY coef ASC) AS rn
+                  FROM ac) WHERE rn = 32),
+        ph AS MATERIALIZED (
+          SELECT ac.id,
+                 CAST(SUM(CASE WHEN ac.coef > med.m
+                               THEN (CAST(1 AS BIGINT) << ac.pos)
+                               ELSE 0 END) AS BIGINT) AS phash
+          FROM ac JOIN med USING (id) GROUP BY 1)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY 1, 2"""
 
 
 def _classifier_train_oracle_sql(buckets: int = 4096, iters: int = 12) -> str:
@@ -10282,6 +10373,7 @@ def _oracle() -> dict[str, str]:
         # back to DATE to match Spark's sequence(date, date).
         "kmeans_clusters": _kmeans_oracle_sql(),
         "quality_classifier_train": _classifier_train_oracle_sql(),
+        "media_phash_dedup": _phash_dedup_oracle_sql(),
         # Final stateful emission == one-line batch aggregate: the whole
         # point of the integer-micros state accumulator.
         "streaming_user_totals": """
@@ -11494,6 +11586,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_phash_dedup": q_media_phash_dedup,
     "quality_classifier_train": q_quality_classifier_train,
     "phrase_search": q_phrase_search,
     "ivf_index_append": q_ivf_index_append,

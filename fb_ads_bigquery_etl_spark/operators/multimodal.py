@@ -1004,3 +1004,180 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _DECODE_SCHEMA)
+
+
+# --- Perceptual-hash image dedup ---------------------------------------
+#
+# The multimodal dedup a 100 TB image corpus actually runs: decode ->
+# grayscale -> fixed-size resize -> low-frequency DCT block -> 63-bit
+# pHash -> Hamming-banded candidate join -> exact Hamming verify.
+# Everything integer fixed-point, so the hash — and therefore the final
+# pair set — is bit-identical on any engine: the oracle re-derives each
+# image's pHash arithmetically from the generator formula and states
+# the BRUTE-FORCE all-pairs semantics, while the engine runs the banded
+# plan; hash parity proves both the decode chain and the claim that
+# 8-bit banding loses no pair at Hamming <= 7 (pigeonhole: 8 bands, >7
+# differing bits needed to break all 8).
+
+PHASH_DCT_SCALE = 16384  # Q14 fixed-point cosine table
+
+
+def phash_dct_table() -> list[list[int]]:
+    """Q14-quantized DCT-II basis rows u=0..7 over 16 samples:
+    Q[u][i] = round(cos((2i+1) * u * pi / 32) * 16384). Computed once
+    in Python and inlined as literals into BOTH the numpy kernel and
+    the SQL oracle, so the two replay identical integers (the
+    hyperplane_coeffs / jl_sign pattern)."""
+    import math
+
+    return [
+        [
+            round(math.cos((2 * i + 1) * u * math.pi / 32) * PHASH_DCT_SCALE)
+            for i in range(16)
+        ]
+        for u in range(8)
+    ]
+
+
+def synth_ppm_groups(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 5
+) -> DataFrame:
+    """(id, payload binary): P6 PPMs where ids in the same
+    id//group_size group are NEAR-DUPLICATES by construction — the
+    group fixes dimensions (w = 16 + g%5, h = 12 + g%3) and the base
+    pattern (channel c at (x, y) = ((7 + g%6)x + (13 + g%8)y +
+    (c+1)(11g+3)) % 251 — per-group spatial frequencies, so DISTINCT
+    groups have far-apart pHashes), and each id adds sparse +1 noise
+    on the red channel where (31x + 17y + 7*id) % 89 == 0 (~1% of
+    pixels — perceptually invisible, bytes differ). Closed-form in
+    (id, x, y, c), so SQL replays every pixel."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _mk_fn(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            g = i // group_size
+            w, h = 16 + g % 5, 12 + g % 3
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            a, b = 7 + g % 6, 13 + g % 8
+            chans = [
+                ((a * x + b * y + (c + 1) * (11 * g + 3)) % 251).astype(
+                    np.int64
+                )
+                for c in range(3)
+            ]
+            chans[0] = chans[0] + (
+                (31 * x + 17 * y + 7 * i) % 89 == 0
+            ).astype(np.int64)
+            arr = np.stack(chans, axis=2).astype(np.uint8)
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes())
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+def phash_from_ppm(media: DataFrame) -> DataFrame:
+    """(id, phash long) from DECODED P6 bytes alone — nothing here
+    consults the generator formula (the decode-proof contract of the
+    other media chains): parse the header, gray = r + 2g + b,
+    nearest-neighbor 16x16 resize (iy = floor(j*h/16)), top-left 8x8
+    block of the Q14 integer 2D DCT-II (T = Q G Q^T — exact int64:
+    |gray| <= 1004, |q| <= 16384, 256 terms < 2^54), bit p = 1 iff AC
+    coefficient p exceeds the median AC coefficient (the 32nd smallest
+    of 63) — 63 bits, positions 0..62, DC excluded. Arrow-batched
+    mapInPandas; the wide payload dies inside the kernel."""
+    import numpy as np
+
+    Q = np.array(phash_dct_table(), dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if not buf.startswith(b"P6"):
+                    raise ValueError("not a P6 PPM payload")
+                magic, dims, maxval, rest = buf.split(b"\n", 3)
+                w, h = (int(t) for t in dims.split())
+                arr = np.frombuffer(rest, dtype=np.uint8, count=w * h * 3)
+                arr = arr.reshape(h, w, 3).astype(np.int64)
+                gray = arr[:, :, 0] + 2 * arr[:, :, 1] + arr[:, :, 2]
+                iy = (np.arange(16) * h) // 16
+                ix = (np.arange(16) * w) // 16
+                G = gray[iy][:, ix]
+                T_ = Q @ G @ Q.T
+                ac = [int(v) for v in T_.flatten()[1:]]
+                med = sorted(ac)[31]
+                ph = 0
+                for p, v in enumerate(ac):
+                    if v > med:
+                        ph |= 1 << p
+                rows.append((int(i), ph))
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    return media.mapInPandas(kernel, "id long, phash long")
+
+
+def phash_dedup(
+    hashes: DataFrame, *, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming) for every pair
+    with Hamming distance <= max_hamming, found WITHOUT an all-pairs
+    join — the 63-bit hash splits into `bands` 8-bit bands; a pair is
+    a candidate iff it collides in at least one band (pigeonhole: any
+    pair within Hamming <= bands-1 must agree on some band, so with
+    the defaults the banded plan is provably COMPLETE for <= 7), then
+    exact bit_count(xor) verifies. At corpus scale the band bucket is
+    the shuffle key — candidate volume is sum of per-bucket squares,
+    never N^2; widen bands to 16 bits for lower collision at a
+    tighter guarantee (<= 3), the standard LSH dial."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees completeness "
+            f"up to Hamming {bands - 1}, got max_hamming={max_hamming}"
+        )
+    bexpr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright(F.col("phash"), 8 * k)
+                    .bitwiseAND(F.lit(255))
+                    .alias("val"),
+                )
+                for k in range(bands)
+            ]
+        )
+    )
+    banded = hashes.select("id", "phash", bexpr.alias("b")).select(
+        "id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("pa"), "band", "val"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("pb"), "band", "val"
+    )
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -575,3 +575,56 @@ def test_train_classifier_learns_and_is_deterministic(spark):
         (F.col("label") == 1) == F.col("prediction")
     ).count()
     assert agree == n - pocket_mistakes
+
+
+def test_phash_dedup_banding_complete_and_separates_groups(spark):
+    """The banded pHash plan must equal brute-force all-pairs Hamming
+    <= 7 (pigeonhole completeness of 8x8-bit bands), rediscover the
+    generator's near-duplicate groups from DECODED BYTES, and keep
+    distinct groups apart."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dedup,
+        phash_from_ppm,
+        synth_ppm_groups,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    hashes = phash_from_ppm(synth_ppm_groups(ids)).localCheckpoint(
+        eager=True
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_dedup(hashes, max_hamming=7).collect()
+    }
+
+    # brute force over the collected 60 hashes
+    hs = {r["id"]: r["phash"] for r in hashes.collect()}
+    want = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+
+    within = {(a, b) for a in range(60) for b in range(a + 1, 60)
+              if a // 5 == b // 5}
+    assert within <= set(got)  # every constructed near-dup pair found
+    # distinct groups stay far apart at this scale (measured >= 18)
+    assert not (set(got) - within)
+
+
+def test_phash_rejects_non_ppm(spark):
+    import pytest as _pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_from_ppm,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a..."))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="not a P6 PPM"):
+        phash_from_ppm(bad).collect()
