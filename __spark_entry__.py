@@ -3854,6 +3854,60 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+_PROXIMITY_PROBES = (
+    (["sort", "merge"], 2),
+    (["batch", "batch"], 1),
+    (["data", "line", "join"], 1),
+)
+
+
+def q_proximity_search(spark, sf_dir):
+    """Proximity search over the positional index (operators/phrase.py
+    proximity_match): "a b"~k — every later term within [p0+j,
+    p0+j+slop] of the anchor — computed as the SAME shifted positional
+    intersection as phrase_search with a slop-window UNION of shifts
+    per term: still one posexplode index build (cached across probes),
+    probe reads only the query terms' postings, one doc-keyed pivot,
+    pure array arithmetic — no per-term self-join, no window function.
+    Probes cover the distinct shapes: 2-gram with slop 2, a
+    DUPLICATE-token 2-gram with slop (the postings array intersects
+    its own shifted windows), and a 3-gram with slop 1. The oracle
+    counts the same anchors by direct token-array scan, so parity
+    proves the index path reproduces scan semantics. slop=0 equals
+    phrase_match (pytest-pinned)."""
+    from fb_ads_bigquery_etl_spark.operators.phrase import (
+        build_positional_index,
+        proximity_match,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_positional_index(d).cache()
+    try:
+        parts = []
+        for phrase, slop in _PROXIMITY_PROBES:
+            hits = proximity_match(idx, phrase, slop=slop)
+            parts.append(
+                hits.agg(
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.sum("n_occurrences").cast("long")
+                    .alias("n_occurrences"),
+                ).select(
+                    F.lit(" ".join(phrase) + f"~{slop}").alias("phrase"),
+                    "n_docs",
+                    "n_occurrences",
+                )
+            )
+        from functools import reduce
+
+        return (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .orderBy("phrase")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        idx.unpersist()
+
+
 def q_media_phash_dedup(spark, sf_dir):
     """Perceptual-hash image dedup (operators/multimodal.py
     synth_ppm_groups -> phash_from_ppm -> phash_dedup): REAL P6 decode
@@ -5331,6 +5385,38 @@ def _trained_cents_cte(
                  list_transform(c, v -> v / {scale}.0) AS ce
           FROM tc{iters})""")
     return ",\n        ".join(parts)
+
+
+def _proximity_oracle_sql() -> str:
+    """Direct token-array scan replay of proximity_match for the
+    probes in _PROXIMITY_PROBES: anchor positions of the first term
+    where every later term j appears in the 1-based slice
+    t[i+j : i+j+slop] (inclusive DuckDB slice == the engine's 0-based
+    window [p0+j, p0+j+slop]) — an obviously-correct formulation that
+    never touches the index, so parity proves the index path."""
+    selects = []
+    for phrase, slop in _PROXIMITY_PROBES:
+        conds = " AND ".join(
+            f"list_contains(t[u.i + {j} : u.i + {j + slop}], '{t}')"
+            for j, t in enumerate(phrase[1:], start=1)
+        )
+        label = " ".join(phrase) + f"~{slop}"
+        selects.append(f"""
+          SELECT '{label}' AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_occurrences
+          FROM (
+            SELECT doc_id, COUNT(*) AS n FROM (
+              SELECT doc_id
+              FROM tokd, UNNEST(generate_series(1, len(t))) u(i)
+              WHERE t[u.i] = '{phrase[0]}' AND {conds})
+            GROUP BY doc_id)""")
+        # (anchor rows need no dedup: one row per qualifying anchor)
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH tokd AS MATERIALIZED (SELECT doc_id, {_TOK} AS t
+                                   FROM documents)
+        SELECT * FROM ({body}) ORDER BY phrase"""
 
 
 def _phash_dedup_oracle_sql(group_size: int = 5, max_hamming: int = 7) -> str:
@@ -10374,6 +10460,7 @@ def _oracle() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "quality_classifier_train": _classifier_train_oracle_sql(),
         "media_phash_dedup": _phash_dedup_oracle_sql(),
+        "proximity_search": _proximity_oracle_sql(),
         # Final stateful emission == one-line batch aggregate: the whole
         # point of the integer-micros state accumulator.
         "streaming_user_totals": """
@@ -11586,6 +11673,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "proximity_search": q_proximity_search,
     "media_phash_dedup": q_media_phash_dedup,
     "quality_classifier_train": q_quality_classifier_train,
     "phrase_search": q_phrase_search,

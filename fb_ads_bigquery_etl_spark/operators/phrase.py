@@ -47,6 +47,71 @@ def build_positional_index(
     )
 
 
+def proximity_match(
+    index: DataFrame,
+    phrase: list[str],
+    *,
+    slop: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search ("a b"~k): (doc_id, n_occurrences) counting
+    anchor positions p0 of the first term such that EVERY later term
+    j sits within its slop window [p0 + j, p0 + j + slop] — in-order
+    matching with up to `slop` extra displacement per term (the
+    k-envelope proximity variant; slop=0 degenerates to the exact
+    phrase and equals `phrase_match`).
+
+    Same plan shape as phrase_match — read only the query terms'
+    postings, ONE doc-keyed pivot, then pure array arithmetic: the
+    slop window is a union of shifted position arrays, so the count
+    is |P(t0) ∩ ⋂_j ∪_{d=0..slop} (P(t_j) - j - d)| — still no
+    per-term self-join, no window function, and duplicate query
+    tokens intersect an array against its own shifted windows."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    uniq = list(dict.fromkeys(phrase))
+    filt = index.filter(F.col("token").isin(uniq))
+    per_doc = filt.groupBy(id_col).agg(
+        *[
+            F.first(
+                F.when(F.col("token") == t, F.col("positions")),
+                ignorenulls=True,
+            ).alias(f"_p{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    slot = {t: f"_p{i}" for i, t in enumerate(uniq)}
+
+    def _shift(offset: int):
+        # closure factory (see phrase_match: defaulted lambda args
+        # become the (element, index) HOF form)
+        return lambda x: x - F.lit(offset)
+
+    def _window(col, base: int):
+        if slop == 0:
+            return F.transform(col, _shift(base))
+        return F.array_distinct(
+            F.concat(
+                *[F.transform(col, _shift(base + d)) for d in range(slop + 1)]
+            )
+        )
+
+    matched = F.col(slot[phrase[0]])
+    for j, t in enumerate(phrase[1:], start=1):
+        matched = F.array_intersect(matched, _window(F.col(slot[t]), j))
+    have_all = None
+    for t in uniq:
+        cond = F.col(slot[t]).isNotNull()
+        have_all = cond if have_all is None else (have_all & cond)
+    n = F.when(have_all, F.size(matched)).otherwise(F.lit(0))
+    return (
+        per_doc.select(F.col(id_col), n.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def phrase_match(
     index: DataFrame, phrase: list[str], *, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -628,3 +628,44 @@ def test_phash_rejects_non_ppm(spark):
     )
     with _pytest.raises(Exception, match="not a P6 PPM"):
         phash_from_ppm(bad).collect()
+
+
+def test_proximity_match_windows_and_duplicate_terms(spark):
+    """Hand-built docs: slop windows are inclusive per-term envelopes
+    [p0+j, p0+j+slop], order is enforced, duplicate query terms
+    intersect their own shifted windows, and slop=0 equals
+    phrase_match exactly."""
+    from fb_ads_bigquery_etl_spark.operators.phrase import (
+        build_positional_index,
+        phrase_match,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b"),      # b at +2: needs slop >= 1
+            (2, "a b"),        # exact
+            (3, "a x x b"),    # b at +3: needs slop >= 2
+            (4, "b a"),        # wrong order: never matches
+            (5, "c c x c"),    # dup-term probe
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+
+    def got(phrase, slop):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in proximity_match(idx, phrase, slop=slop).collect()
+        }
+
+    assert got(["a", "b"], 0) == {2: 1}
+    assert got(["a", "b"], 1) == {1: 1, 2: 1}
+    assert got(["a", "b"], 2) == {1: 1, 2: 1, 3: 1}
+    # duplicate term: anchors 0 and 1 of "c c x c" see another c in
+    # their [p0+1, p0+2] window; anchor 3 does not
+    assert got(["c", "c"], 1) == {5: 2}
+    # slop=0 == phrase_match on every doc
+    a = sorted(map(tuple, phrase_match(idx, ["a", "b"]).collect()))
+    b = sorted(map(tuple, proximity_match(idx, ["a", "b"], slop=0).collect()))
+    assert a == b
