@@ -3854,6 +3854,71 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_streaming_ivf_ingest(spark, sf_dir):
+    """Streaming vector-index ingest (streaming/ingest.py
+    stream_ivf_ingest): the composition of the two maintenance
+    primitives — a landing-zone stream of new vectors drains via
+    foreachBatch into a persisted IVF index, each micro-batch assigned
+    against the FROZEN trained centroids (train_centroids_exact on the
+    index base, nlist=16) and published into its bucket partitions
+    through the stage-and-rename exactly-once protocol (appends are
+    not idempotent, so each batch owns a b<id>- file prefix it can
+    always clean and republish; marker commits last). The gate: a
+    probe of the DRAINED index must equal the oracle's one-shot
+    full-corpus replay against the same trained centroids — batch
+    order is irrelevant because the final index is the same row set
+    however the stream slices it. At 100 TB this is how a vector
+    index stays probe-ready under continuous ingest: O(batch) work
+    per trigger, nothing existing rewritten, centroids retrain
+    offline on their own cadence."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.streaming.ingest import (
+        stream_ivf_ingest,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    vmax = delta.agg(F.max("vec_id")).head()[0]
+    b1, b2 = vmax // 3, 2 * vmax // 3
+    tmp = tempfile.mkdtemp(prefix="_q_ivf_stream_")
+    try:
+        path = os.path.join(tmp, "index")
+        landing = os.path.join(tmp, "landing")
+        os.makedirs(landing)
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        similarity.build_ivf_index(base, path, centroids=cents)
+        parts = [
+            delta.filter(F.col("vec_id") <= b1),
+            delta.filter((F.col("vec_id") > b1) & (F.col("vec_id") <= b2)),
+            delta.filter(F.col("vec_id") > b2),
+        ]
+        for i, p in enumerate(parts):
+            d = os.path.join(tmp, f"w{i}")
+            p.coalesce(1).write.parquet(d)
+            f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+            shutil.copyfile(
+                os.path.join(d, f), os.path.join(landing, f"b{i}.parquet")
+            )
+            shutil.rmtree(d)
+        stream_ivf_ingest(
+            spark,
+            landing,
+            path,
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        out = similarity.query_ivf_index(
+            spark, path, list(qvec), k=10, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PROXIMITY_PROBES = (
     (["sort", "merge"], 2),
     (["batch", "batch"], 1),
@@ -9201,6 +9266,27 @@ def _oracle() -> dict[str, str]:
             SELECT vec_id, {_cos_sql('e', 'qe')} AS score
             FROM assign JOIN probed ON bucket = centroid_id, q
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "streaming_ivf_ingest": f"""
+            WITH {_trained_cents_cte(
+                16, 2, src_where="WHERE vec_id % 3 <> 0"
+            )},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 2),
+            assign AS (
+              SELECT vec_id, e, centroid_id AS bucket FROM (
+                SELECT v.vec_id, v.e, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            probed AS (
+              SELECT centroid_id FROM cents, q
+              ORDER BY {_cos_sql('ce', 'qe')} DESC, centroid_id ASC
+              LIMIT 2)
+            SELECT vec_id, {_cos_sql('e', 'qe')} AS score
+            FROM assign JOIN probed ON bucket = centroid_id, q
+            ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_ivfpq_recall": f"""
             WITH {_trained_cents_cte(16, 2)},
             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -11673,6 +11759,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "streaming_ivf_ingest": q_streaming_ivf_ingest,
     "proximity_search": q_proximity_search,
     "media_phash_dedup": q_media_phash_dedup,
     "quality_classifier_train": q_quality_classifier_train,

@@ -58,3 +58,112 @@ def stream_merge_ingest(
     )
     q.awaitTermination()
     return batches["n"]
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    index_path: str,
+    *,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drain a landing zone of NEW VECTORS into a persisted IVF index
+    (Trigger.AvailableNow): each micro-batch assigns against the
+    index's FROZEN centroid table and lands in its bucket partitions —
+    similarity.append_ivf_index's O(batch) maintenance discipline,
+    driven by a stream. Returns micro-batches processed.
+
+    Exactly-once, without MERGE: a parquet APPEND is not idempotent,
+    so each batch publishes through a stage-and-rename protocol —
+    (1) a batch whose commit marker exists is skipped outright
+    (post-commit replays); (2) the assigned batch writes to a staging
+    dir in overwrite mode (retry-safe); (3) any previous partial
+    publish of THIS batch id is removed (files carry a b<id>- prefix,
+    so a batch can always find and clean its own leftovers); (4) each
+    staged file renames atomically into its bucket dir under a
+    deterministic b<id>-<bucket>-<seq> name; (5) the marker commits
+    last. A crash anywhere replays into steps that are all idempotent,
+    so the drained index is file-for-file the index every successful
+    history produces. (os.rename is atomic on a real filesystem; an
+    object store needs its committer here, same caveat as every
+    rename-based Spark sink.) The ledger is keyed by the CHECKPOINT'S
+    batch ids — discard them together (a fresh checkpoint restarts at
+    batch 0; since names are deterministic a full re-drain then simply
+    overwrites itself, pytest-pinned).
+
+    The composition this enables at 100 TB: vectors land continuously,
+    the index stays probe-ready, and NOTHING existing is rewritten —
+    appends touch only the buckets the batch routes to; centroids
+    retrain offline (train_centroids_exact) on their own cadence.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+    )
+
+    schema = spark.read.parquet(landing_path).schema  # driver-side peek
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(landing_path)
+
+    centroids = spark.read.parquet(f"{index_path}_centroids")
+    ledger = f"{index_path}_ingested"
+    staging = f"{index_path}_staging"
+    os.makedirs(ledger, exist_ok=True)
+    batches = {"n": 0}
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batches["n"] += 1
+        marker = os.path.join(ledger, f"batch-{batch_id}")
+        if os.path.exists(marker):  # replay after a successful commit
+            return
+        _, assigned = assign_ivf_buckets(
+            batch_df, vec_col=vec_col, id_col=id_col, centroids=centroids
+        )
+        stage = os.path.join(staging, f"batch={batch_id}")
+        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+            stage
+        )
+        prefix = f"b{batch_id}-"
+        for bdir in sorted(os.listdir(stage)):
+            if not bdir.startswith("bucket="):
+                continue
+            dst_dir = os.path.join(index_path, bdir)
+            os.makedirs(dst_dir, exist_ok=True)
+            # clean any partial publish of THIS batch, then rename the
+            # staged files in under deterministic names
+            for old in os.listdir(dst_dir):
+                if old.startswith(prefix):
+                    os.remove(os.path.join(dst_dir, old))
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(stage, bdir))
+                if f.endswith(".parquet")
+            )
+            for seq, f in enumerate(files):
+                os.rename(
+                    os.path.join(stage, bdir, f),
+                    os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]

@@ -553,3 +553,85 @@ def test_restart_recovery_checkpoint_carries_the_state(spark):
     total_phase2 = raw.filter(F.col("event_id") % 2 == 1).count()
     assert sum(phase2_only.values()) == total_phase2
     assert sum(n for n, _ in want.values()) > total_phase2
+
+
+def test_stream_ivf_ingest_exactly_once_and_probe_equal(spark, tmp_path):
+    """stream_ivf_ingest must (a) leave the drained index row-equal to
+    a one-shot rebuild over the union (same frozen centroids) with
+    every pre-existing file untouched, (b) be a no-op on restart with
+    the same checkpoint (commit markers + file log), and (c) converge
+    to the IDENTICAL file set on a full re-drain with fresh
+    checkpoint+ledger — the stage-and-rename protocol republishes
+    deterministic b<id>- names, so re-delivery overwrites itself."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import similarity
+    from fb_ads_bigquery_etl_spark.streaming.ingest import stream_ivf_ingest
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    similarity.build_ivf_index(base, path, centroid_mod=50)
+
+    # two landing files -> two micro-batches at maxFilesPerTrigger=1
+    for i, p in enumerate(
+        (delta.filter(F.col("vec_id") % 2 == 0),
+         delta.filter(F.col("vec_id") % 2 == 1))
+    ):
+        d = str(tmp_path / f"w{i}")
+        p.coalesce(1).write.parquet(d)
+        f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+        shutil.copyfile(os.path.join(d, f),
+                        os.path.join(landing, f"b{i}.parquet"))
+
+    def files_of(p):
+        out = set()
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), p))
+        return out
+
+    before = files_of(path)
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_ivf_ingest(spark, landing, path,
+                          checkpoint_path=ckpt, max_files_per_trigger=1)
+    assert n >= 2
+    after = files_of(path)
+    assert before <= after  # nothing pre-existing touched
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # (b) restart with the same checkpoint: no new files, index unchanged
+    stream_ivf_ingest(spark, landing, path,
+                      checkpoint_path=ckpt, max_files_per_trigger=1)
+    assert files_of(path) == after
+
+    # probe equality vs one-shot rebuild over the union (same centroids)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    )
+    cents = spark.read.parquet(f"{path}_centroids")
+    rebuilt = str(tmp_path / "rebuilt")
+    similarity.build_ivf_index(emb, rebuilt, centroids=cents)
+    got = similarity.query_ivf_index(spark, path, qvec, k=10, nprobe=2)
+    want = similarity.query_ivf_index(spark, rebuilt, qvec, k=10, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    # (c) full re-drain with fresh checkpoint + ledger: deterministic
+    # names make the republish overwrite itself — identical file set
+    shutil.rmtree(ckpt)
+    shutil.rmtree(f"{path}_ingested")
+    stream_ivf_ingest(spark, landing, path,
+                      checkpoint_path=str(tmp_path / "ckpt2"),
+                      max_files_per_trigger=1)
+    assert files_of(path) == after
+    assert spark.read.parquet(path).count() == emb.count()
