@@ -3854,6 +3854,31 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode (operators/multimodal.synth_jpeg /
+    decode_jpeg_features): the synthesizer picks QUANTIZED DCT
+    COEFFICIENTS from a closed form (JPEG is lossy — a pixel-first
+    roundtrip could never gate exactly) and emits fully standard
+    grayscale baseline JFIF (DQT, SOF0, canonical-Huffman DHTs,
+    byte-stuffed differential-DC scan with runs/EOB/ZRL); the kernel
+    decodes from BYTES ALONE — marker walk, general ISO C.2 canonical
+    code construction from DHT, bit-unstuffing, EXTEND, dezigzag,
+    dequant, Q14 integer IDCT (p = floor(S/2^30) + 128, clamped; a
+    decoder's IDCT choice is free within conformance, and an integer
+    one makes every pixel engine-exact). The oracle re-derives each
+    pixel arithmetically from the coefficient formula via the same
+    D-table literals, so hash parity proves the entire entropy-coding
+    and transform chain byte-correct. Shrinks the stub boundary to
+    ffmpeg-class codecs only."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_features(synth_jpeg(d)).orderBy("id")
+
+
 def q_streaming_ivf_ingest(spark, sf_dir):
     """Streaming vector-index ingest (streaming/ingest.py
     stream_ivf_ingest): the composition of the two maintenance
@@ -5450,6 +5475,56 @@ def _trained_cents_cte(
                  list_transform(c, v -> v / {scale}.0) AS ce
           FROM tc{iters})""")
     return ",\n        ".join(parts)
+
+
+def _jpeg_oracle_sql() -> str:
+    """Arithmetic replay of decode_jpeg_features from the coefficient
+    formula (multimodal.jpeg_coef), never touching bytes: dq = coef *
+    (2 + u + 2v); S(y, x) = sum_uv dq * D[u][y] * D[v][x] over the
+    same Q14 D-table literals; p = floor(S / 2^30) + 128 clamped
+    (floor via the make-divisible trick — S can be negative and
+    DuckDB's // truncates); features summed over global coords."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        jpeg_idct_table,
+    )
+
+    dvals = ", ".join(
+        f"({u}, {x}, {d})"
+        for u, row in enumerate(jpeg_idct_table())
+        for x, d in enumerate(row)
+    )
+    two30 = 1 << 30
+    return f"""
+        WITH dtab AS (SELECT * FROM (VALUES {dvals}) AS d(u, x, dv)),
+        ids AS (SELECT doc_id AS id FROM documents),
+        coefs AS MATERIALIZED (
+          SELECT id, b.b AS b, uu.u AS u, vv.v AS v,
+                 CASE WHEN uu.u = 0 AND vv.v = 0
+                      THEN (7 * id + 5 * b.b) % 200 - 100
+                      WHEN (uu.u + vv.v + id + b.b) % 7 = 0
+                      THEN (id + 3 * uu.u + 5 * vv.v + b.b) % 15 - 7
+                      ELSE 0 END
+                 * (2 + uu.u + 2 * vv.v) AS dq
+          FROM ids, range(4) b(b), range(8) uu(u), range(8) vv(v)),
+        px AS MATERIALIZED (
+          SELECT c.id, c.b, dy.x AS y, dx.x AS x,
+                 CAST(SUM(c.dq * dy.dv * dx.dv) AS BIGINT) AS s
+          FROM coefs c
+          JOIN dtab dy ON dy.u = c.u
+          JOIN dtab dx ON dx.u = c.v
+          GROUP BY 1, 2, 3, 4),
+        pixels AS (
+          SELECT id,
+                 (b % 2) * 8 + x AS xg,
+                 (b // 2) * 8 + y AS yg,
+                 LEAST(255, GREATEST(0,
+                   (s - ((s % {two30}) + {two30}) % {two30}) // {two30}
+                   + 128)) AS p
+          FROM px)
+        SELECT id, 16 AS w, 16 AS h,
+               CAST(SUM(p) AS BIGINT) AS sum_pix,
+               CAST(SUM(p * (1 + xg + 2 * yg)) AS BIGINT) AS checksum
+        FROM pixels GROUP BY id ORDER BY id"""
 
 
 def _proximity_oracle_sql() -> str:
@@ -10547,6 +10622,7 @@ def _oracle() -> dict[str, str]:
         "quality_classifier_train": _classifier_train_oracle_sql(),
         "media_phash_dedup": _phash_dedup_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
+        "media_decode_jpeg": _jpeg_oracle_sql(),
         # Final stateful emission == one-line batch aggregate: the whole
         # point of the integer-micros state accumulator.
         "streaming_user_totals": """
@@ -11759,6 +11835,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "media_decode_jpeg": q_media_decode_jpeg,
     "streaming_ivf_ingest": q_streaming_ivf_ingest,
     "proximity_search": q_proximity_search,
     "media_phash_dedup": q_media_phash_dedup,

@@ -669,3 +669,74 @@ def test_proximity_match_windows_and_duplicate_terms(spark):
     a = sorted(map(tuple, phrase_match(idx, ["a", "b"]).collect()))
     b = sorted(map(tuple, proximity_match(idx, ["a", "b"], slop=0).collect()))
     assert a == b
+
+
+def test_jpeg_decode_matches_formula_replay(spark):
+    """The byte-decoded pixels (full Huffman + dezigzag + dequant +
+    integer IDCT) must equal an independent numpy replay straight from
+    the coefficient formula — the decode-proof for every stage of the
+    entropy chain, incl. differential DC across blocks, EOB, ZRL and
+    byte stuffing."""
+    import numpy as np
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    D = np.array(M.jpeg_idct_table(), dtype=np.int64)
+    Q = np.array(M.jpeg_qtab(), dtype=np.int64)
+
+    def replay(i):
+        pix = np.zeros((16, 16), dtype=np.int64)
+        for b in range(4):
+            by, bx = b // 2, b % 2
+            coef = np.array(
+                [[M.jpeg_coef(i, b, u, v) for v in range(8)]
+                 for u in range(8)],
+                dtype=np.int64,
+            )
+            S = D.T @ (coef * Q) @ D
+            pix[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                S // (1 << 30) + 128, 0, 255
+            )
+        xg = np.arange(16)[None, :]
+        yg = np.arange(16)[:, None]
+        return (int(pix.sum()), int((pix * (1 + xg + 2 * yg)).sum()))
+
+    from pyspark.sql import functions as F
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {
+        r["id"]: (r["sum_pix"], r["checksum"])
+        for r in M.decode_jpeg_features(M.synth_jpeg(ids)).collect()
+    }
+    assert got == {i: replay(i) for i in range(40)}
+
+
+def test_jpeg_decode_rejects_malformed(spark):
+    import pytest as _pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg,
+    )
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(Exception, match="missing SOI"):
+        decode_jpeg_features(
+            spark.createDataFrame(
+                [(1, bytearray(b"P6\n1 1\n255\nxyz"))],
+                "id long, payload binary",
+            )
+        ).collect()
+
+    # truncate a real payload mid-scan: the bit reader runs off the end
+    payload = bytes(
+        synth_jpeg(spark.range(1).select(F.col("id").alias("doc_id")))
+        .collect()[0]["payload"]
+    )
+    with _pytest.raises(Exception):
+        decode_jpeg_features(
+            spark.createDataFrame(
+                [(1, bytearray(payload[: len(payload) // 2]))],
+                "id long, payload binary",
+            )
+        ).collect()
