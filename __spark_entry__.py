@@ -7363,15 +7363,22 @@ def q_ann_recall(spark, sf_dir):
         lsh_topk,
     )
 
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        train_centroids_exact,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
     bf = brute_force_topk(e, qvec, k=10).select("vec_id")
+    # trained fixed-nlist coarse quantizer (same as ann_ivf: the id-mod
+    # sample's nlist grew with N — an O(N^2) term in a certified query)
+    cents = train_centroids_exact(e, k=16, iters=2)
     parts = []
     for method, cand in (
-        ("ivf", ivf_topk(e, qvec, k=10, nprobe=2, centroid_mod=50)),
+        ("ivf", ivf_topk(e, qvec, k=10, nprobe=2, centroids=cents)),
         ("lsh", lsh_topk(e, 0, k=10, num_planes=8, dim=64, max_hamming=1)),
     ):
         hits = bf.join(cand.select("vec_id"), "vec_id").agg(
@@ -11336,13 +11343,12 @@ def _oracle() -> dict[str, str]:
             WHERE bit_count(xor(bucket, qb)) <= 1
             ORDER BY score DESC, vec_id ASC LIMIT 10""",
         "ann_recall": f"""
-            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            WITH {_trained_cents_cte(16, 2)},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),
             q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
             bf AS (SELECT vec_id FROM v, q
                    ORDER BY {_cos_sql('e', 'qe')} DESC, vec_id ASC LIMIT 10),
-            cents AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-                      WHERE vec_id % 50 = 0),
             assign AS (
               SELECT vec_id, e, centroid_id AS bucket FROM (
                 SELECT v.vec_id, v.e, c.centroid_id,
@@ -11840,58 +11846,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "proximity_search": q_proximity_search,
     "media_phash_dedup": q_media_phash_dedup,
     "quality_classifier_train": q_quality_classifier_train,
-    "phrase_search": q_phrase_search,
-    "ivf_index_append": q_ivf_index_append,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    "ann_pq_recall": q_ann_pq_recall,
-    "manifest_unified": q_manifest_unified,
-    "media_decode_gif": q_media_decode_gif,
-    "ivm_distinct_delete": q_ivm_distinct_delete,
-    "ndcg_mrr_eval": q_ndcg_mrr_eval,
-    "streaming_interval_full_join": q_streaming_interval_full_join,
-    # --- last driver-green r03 ---
-    "profile_columns": q_profile_columns,
-    "topk_per_group_agg": q_topk_per_group_agg,
-    "global_rank": q_global_rank,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
-    "array_hof_suite": q_array_hof_suite,
-    "datetime_suite": q_datetime_suite,
-    "fk_integrity": q_fk_integrity,
-    "reachability": q_reachability,
-    "balanced_mix": q_balanced_mix,
-    "truncation_stats": q_truncation_stats,
-    "full_schema_join": q_full_schema_join,
-    "embedding_centroids": q_embedding_centroids,
-    "top_terms": q_top_terms,
-    "bigram_counts": q_bigram_counts,
-    "tfidf_top": q_tfidf_top,
-    "unpivot_metrics": q_unpivot_metrics,
-    "kmeans_clusters": q_kmeans_clusters,
-    "array_ops": q_array_ops,
-    "weekday_revenue": q_weekday_revenue,
-    "waiting_suppliers": q_waiting_suppliers,
-    "value_concentration": q_value_concentration,
-    "overlap_pairs": q_overlap_pairs,
-    "dq_audit": q_dq_audit,
-    "join_full_outer": q_join_full_outer,
-    "set_except_all": q_set_except_all,
-    "window_funcs": q_window_funcs,
-    "contamination_check": q_contamination_check,
-    "price_histogram": q_price_histogram,
     # --- last driver-green r04 ---
-    "frequent_pairs": q_frequent_pairs,
-    "mode_brand": q_mode_brand,
-    "ewma_daily": q_ewma_daily,
-    "triangle_count": q_triangle_count,
-    "embedding_outliers": q_embedding_outliers,
-    "distinctive_terms": q_distinctive_terms,
-    "centroid_distances": q_centroid_distances,
-    "degree_histogram": q_degree_histogram,
-    "intersect_all": q_intersect_all,
-    "rolling_distinct_users": q_rolling_distinct_users,
-    "share_of_nation": q_share_of_nation,
-    "time_to_convert": q_time_to_convert,
-    "top_parts_per_nation": q_top_parts_per_nation,
     "histogram_2d": q_histogram_2d,
     "term_pmi_pairs": q_term_pmi_pairs,
     "dedup_keep_best": q_dedup_keep_best,
@@ -12076,6 +12031,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "pagerank": q_pagerank,
     "table_diff": q_table_diff,
+    # --- last driver-green r08 ---
+    "phrase_search": q_phrase_search,
+    "ivf_index_append": q_ivf_index_append,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_pq_recall": q_ann_pq_recall,
+    "manifest_unified": q_manifest_unified,
+    "media_decode_gif": q_media_decode_gif,
+    "ivm_distinct_delete": q_ivm_distinct_delete,
+    "ndcg_mrr_eval": q_ndcg_mrr_eval,
+    "streaming_interval_full_join": q_streaming_interval_full_join,
+    "profile_columns": q_profile_columns,
+    "topk_per_group_agg": q_topk_per_group_agg,
+    "global_rank": q_global_rank,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "array_hof_suite": q_array_hof_suite,
+    "datetime_suite": q_datetime_suite,
+    "fk_integrity": q_fk_integrity,
+    "reachability": q_reachability,
+    "balanced_mix": q_balanced_mix,
+    "truncation_stats": q_truncation_stats,
+    "full_schema_join": q_full_schema_join,
+    "embedding_centroids": q_embedding_centroids,
+    "top_terms": q_top_terms,
+    "bigram_counts": q_bigram_counts,
+    "tfidf_top": q_tfidf_top,
+    "unpivot_metrics": q_unpivot_metrics,
+    "kmeans_clusters": q_kmeans_clusters,
+    "array_ops": q_array_ops,
+    "weekday_revenue": q_weekday_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "value_concentration": q_value_concentration,
+    "overlap_pairs": q_overlap_pairs,
+    "dq_audit": q_dq_audit,
+    "join_full_outer": q_join_full_outer,
+    "set_except_all": q_set_except_all,
+    "window_funcs": q_window_funcs,
+    "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
+    "frequent_pairs": q_frequent_pairs,
+    "mode_brand": q_mode_brand,
+    "ewma_daily": q_ewma_daily,
+    "triangle_count": q_triangle_count,
+    "embedding_outliers": q_embedding_outliers,
+    "distinctive_terms": q_distinctive_terms,
+    "centroid_distances": q_centroid_distances,
+    "degree_histogram": q_degree_histogram,
+    "intersect_all": q_intersect_all,
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "share_of_nation": q_share_of_nation,
+    "time_to_convert": q_time_to_convert,
+    "top_parts_per_nation": q_top_parts_per_nation,
 }
 
 

@@ -95,6 +95,12 @@ QUERIES = [
     ("media_decode_audio", "real WAV synth + RIFF parse/PCM16 feature map"),
     ("media_decode_video", "real Y4M synth + frame-sampled YUV420 decode"),
     ("media_decode_png", "real PNG codec round trip (zlib + 5 filters + CRC)"),
+    # --- round 9 additions ---
+    ("media_decode_jpeg", "real baseline-JPEG round trip (Huffman + IDCT)"),
+    ("media_phash_dedup", "pHash image dedup (decode + DCT + banded join)"),
+    ("proximity_search", "slop-window positional intersection probes"),
+    ("quality_classifier_train", "12 batch-perceptron passes + pocket + score"),
+    ("streaming_ivf_ingest", "trained IVF build + streamed exactly-once appends"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
