@@ -3854,6 +3854,53 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_centroid_refresh(spark, sf_dir):
+    """Offline coarse-quantizer refresh (similarity.train_centroids_exact
+    with init=): the retrain every IVF docstring in this engine
+    promises — the serving centroids (trained on the index base)
+    WARM-START two more integer Lloyd iterations over the grown corpus,
+    so the refreshed quantizer tracks drift without re-deriving
+    structure from scratch (and without moving every vector: the gate
+    counts how many vectors STAY in their bucket). Oracle chains TWO
+    unrolled training blocks — the warm start resumes from the first
+    chain's integer centroids; the qc -> qc/1e6 -> round(ce*1e6) round
+    trip is exact, so both engines resume from identical state. Gated
+    per centroid: assignment counts under old and refreshed centroids
+    plus the stayed count (all integers)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    cents_old = similarity.train_centroids_exact(base, k=16, iters=2)
+    cents_new = similarity.train_centroids_exact(
+        e, k=16, iters=2, init=cents_old
+    )
+    _, a_old = similarity.assign_ivf_buckets(e, centroids=cents_old)
+    _, a_new = similarity.assign_ivf_buckets(e, centroids=cents_new)
+    j = a_old.select("id", F.col("bucket").alias("b_old")).join(
+        a_new.select("id", F.col("bucket").alias("b_new")), "id"
+    )
+    per_new = j.groupBy(F.col("b_new").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum((F.col("b_old") == F.col("b_new")).cast("long"))
+        .cast("long")
+        .alias("n_stayed"),
+    )
+    per_old = a_old.groupBy(F.col("bucket").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n_old")
+    )
+    return (
+        per_old.join(per_new, "centroid_id", "full")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce(F.col("n_stayed"), F.lit(0))
+            .cast("long")
+            .alias("n_stayed"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def q_media_decode_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode (operators/multimodal.synth_jpeg /
     decode_jpeg_features): the synthesizer picks QUANTIZED DCT
@@ -5418,18 +5465,24 @@ def _trained_cents_cte(
     dim: int = 64,
     scale: int = 1_000_000,
     src_where: str = "",
+    prefix: str = "t",
+    cents_name: str = "cents",
+    init_from: str | None = None,
 ) -> str:
     """CTE chain (no leading WITH) replaying
     clustering.kmeans_quantized_train over `embeddings` and ending in
-    `cents(centroid_id BIGINT, ce DOUBLE[])` — the trained IVF coarse
-    quantizer as similarity.train_centroids_exact emits it (cvec =
-    integer centroid / 1e6, one IEEE division per coordinate, so every
-    downstream cosine replays bit-for-bit). Same integer machinery as
-    _kmeans_oracle_sql: exact quantize / argmin / floor-div update,
-    iterations unrolled; `src_where` restricts the TRAINING set (e.g.
-    the index-build base of ivf_index_append). CTE names are
-    t-prefixed so the chain composes into oracles that already use
-    x/c0/a1-style names. `k` may be a SQL subexpression (e.g.
+    `<cents_name>(centroid_id BIGINT, ce DOUBLE[])` — the trained IVF
+    coarse quantizer as similarity.train_centroids_exact emits it
+    (cvec = integer centroid / 1e6, one IEEE division per coordinate,
+    so every downstream cosine replays bit-for-bit). Same integer
+    machinery as _kmeans_oracle_sql: exact quantize / argmin /
+    floor-div update, iterations unrolled; `src_where` restricts the
+    TRAINING set (e.g. the index-build base of ivf_index_append). CTE
+    names carry `prefix` so two chains compose into one oracle —
+    `init_from` names a prior chain's final (cluster, c) CTE to
+    WARM-START from (the train_centroids_exact(init=...) replay; the
+    qc -> qc/1e6 -> round trip is exact, so chaining on the INT form
+    is identical). `k` may be a SQL subexpression (e.g.
     "(SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM tx)") for
     data-dependent nlist — DuckDB accepts subqueries in LIMIT."""
 
@@ -5439,41 +5492,47 @@ def _trained_cents_cte(
             f" FROM range(1,{dim + 1}) t(i))"
         )
 
+    P = prefix
     parts = [
-        f"""tx AS (
+        f"""{P}x AS (
           SELECT vec_id,
                  list_transform(embedding,
                    e -> CAST(floor(CAST(e AS DOUBLE)*{scale}) AS BIGINT)) AS xi
-          FROM embeddings {src_where}),
-        tc0 AS (
+          FROM embeddings {src_where})"""
+    ]
+    if init_from is not None:
+        parts.append(
+            f"{P}c0 AS (SELECT cluster, c FROM {init_from})"
+        )
+    else:
+        parts.append(f"""{P}c0 AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                  xi AS c
-          FROM (SELECT vec_id, xi FROM tx ORDER BY vec_id LIMIT {k}))"""
-    ]
+          FROM (SELECT vec_id, xi FROM {P}x ORDER BY vec_id LIMIT {k}))""")
     for i in range(1, iters + 1):
-        prev = f"tc{i - 1}"
-        parts.append(f"""ta{i} AS (
-          SELECT tx.xi, best.cluster
-          FROM tx, LATERAL (
-            SELECT c.cluster, {dist("tx.xi", "c.c")} AS dist
+        prev = f"{P}c{i - 1}"
+        parts.append(f"""{P}a{i} AS (
+          SELECT {P}x.xi, best.cluster
+          FROM {P}x, LATERAL (
+            SELECT c.cluster, {dist(f"{P}x.xi", "c.c")} AS dist
             FROM {prev} c ORDER BY 2 ASC, 1 ASC LIMIT 1) best)""")
-        parts.append(f"""ts{i} AS (
+        parts.append(f"""{P}s{i} AS (
           SELECT cluster, i AS d, CAST(SUM(xi[i]) AS BIGINT) AS s, COUNT(*) AS n
-          FROM ta{i} CROSS JOIN range(1,{dim + 1}) t(i) GROUP BY 1, 2)""")
+          FROM {P}a{i} CROSS JOIN range(1,{dim + 1}) t(i) GROUP BY 1, 2)""")
         # exact floor division (DuckDB // truncates toward zero)
-        parts.append(f"""tn{i} AS (
+        parts.append(f"""{P}n{i} AS (
           SELECT cluster, list(cd ORDER BY d) AS c FROM (
             SELECT cluster, d,
                    CASE WHEN s >= 0 THEN s // n
                         ELSE -((-s + n - 1) // n) END AS cd
-            FROM ts{i}) GROUP BY 1)""")
-        parts.append(f"""tc{i} AS (
+            FROM {P}s{i}) GROUP BY 1)""")
+        parts.append(f"""{P}c{i} AS (
           SELECT p.cluster, COALESCE(q.c, p.c) AS c
-          FROM {prev} p LEFT JOIN tn{i} q USING (cluster))""")
-    parts.append(f"""cents AS (
+          FROM {prev} p LEFT JOIN {P}n{i} q USING (cluster))""")
+    parts.append(f"""{cents_name} AS (
           SELECT CAST(cluster AS BIGINT) AS centroid_id,
                  list_transform(c, v -> v / {scale}.0) AS ce
-          FROM tc{iters})""")
+          FROM {P}c{iters})""")
     return ",\n        ".join(parts)
 
 
@@ -10630,6 +10689,51 @@ def _oracle() -> dict[str, str]:
         "media_phash_dedup": _phash_dedup_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
+        "centroid_refresh": f"""
+            WITH {_trained_cents_cte(
+                16, 2, src_where="WHERE vec_id % 3 <> 0",
+                prefix="o", cents_name="cents_old",
+            )},
+            {_trained_cents_cte(
+                16, 2, prefix="w", cents_name="cents_new",
+                init_from="oc2",
+            )},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            a_old AS (
+              SELECT vec_id, centroid_id AS bucket FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents_old c) WHERE rn = 1),
+            a_new AS (
+              SELECT vec_id, centroid_id AS bucket FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents_new c) WHERE rn = 1),
+            j AS (SELECT a_new.vec_id, a_new.bucket AS b_new,
+                         a_old.bucket AS b_old
+                  FROM a_new JOIN a_old USING (vec_id)),
+            per_new AS (
+              SELECT b_new AS centroid_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_new,
+                     CAST(SUM(CASE WHEN b_old = b_new THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_stayed
+              FROM j GROUP BY 1),
+            per_old AS (
+              SELECT bucket AS centroid_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_old
+              FROM a_old GROUP BY 1)
+            SELECT COALESCE(per_old.centroid_id, per_new.centroid_id)
+                     AS centroid_id,
+                   CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+                   CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(n_stayed, 0) AS BIGINT) AS n_stayed
+            FROM per_old FULL JOIN per_new USING (centroid_id)
+            ORDER BY 1""",
         # Final stateful emission == one-line batch aggregate: the whole
         # point of the integer-micros state accumulator.
         "streaming_user_totals": """
@@ -11841,6 +11945,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "centroid_refresh": q_centroid_refresh,
     "media_decode_jpeg": q_media_decode_jpeg,
     "streaming_ivf_ingest": q_streaming_ivf_ingest,
     "proximity_search": q_proximity_search,

@@ -213,6 +213,7 @@ def kmeans_quantized_train(
     *,
     k: int = 8,
     iters: int = 3,
+    init: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """The training loop of `kmeans_quantized`, returning the FINAL
     integer centroids (scaled by QSCALE) — the piece IVF coarse
@@ -221,14 +222,31 @@ def kmeans_quantized_train(
     an independent engine unrolling the same `iters` reproduces these
     centroids bit-for-bit — which is what lets the oracle gate queries
     whose index was TRAINED, not just mod-sampled. Init = the k
-    smallest ids; empty clusters keep their previous centroid."""
-    first = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-    )
-    centroids = [
-        [int(__import__("math").floor(float(v) * QSCALE)) for v in r[vec_col]]
-        for r in first
-    ]
+    smallest ids, or `init` (scaled-int centroids — the WARM START a
+    periodic offline retrain uses: resume from the serving centroids
+    so the refreshed quantizer tracks data drift without re-deriving
+    structure from scratch); empty clusters keep their previous
+    centroid."""
+    if init is not None:
+        centroids = [[int(v) for v in c] for c in init]
+        if len(centroids) != k:
+            raise ValueError(
+                f"init has {len(centroids)} centroids, expected k={k}"
+            )
+    else:
+        first = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
+        centroids = [
+            [
+                int(__import__("math").floor(float(v) * QSCALE))
+                for v in r[vec_col]
+            ]
+            for r in first
+        ]
     dim = len(centroids[0])
     for _ in range(iters):
         parts = (

@@ -146,6 +146,7 @@ def train_centroids_exact(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-exact TRAINED IVF centroids: integer-quantized Lloyd's
     (clustering.kmeans_quantized_train — quantize floor(x*1e6), exact
@@ -162,13 +163,32 @@ def train_centroids_exact(
     corpus — where the deterministic id-mod sample's nlist grows with
     N and assignment goes quadratic. Training itself is also linear:
     one Arrow-batched partial-sum pass per iteration with k*dim-sized
-    shuffle/collect traffic."""
+    shuffle/collect traffic.
+
+    Pass `init` (a previous train_centroids_exact result) to WARM-START
+    the retrain — the periodic offline refresh this module's IVF
+    docstrings promise: resume Lloyd's from the serving centroids over
+    the grown corpus. cvec = qc/1e6 inverts EXACTLY via round(cvec*1e6)
+    (the product is within 1 ulp of the integer), so a warm start
+    round-trips bit-identically and the oracle chains two unrolled
+    training blocks."""
     from fb_ads_bigquery_etl_spark.operators.clustering import (
         QSCALE,
         kmeans_quantized_train,
     )
 
-    cents = kmeans_quantized_train(df, vec_col, id_col, k=k, iters=iters)
+    init_ints = None
+    if init is not None:
+        rows = sorted(
+            init.select("centroid_id", "cvec").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        init_ints = [
+            [round(v * QSCALE) for v in r["cvec"]] for r in rows
+        ]
+    cents = kmeans_quantized_train(
+        df, vec_col, id_col, k=k, iters=iters, init=init_ints
+    )
     rows = [(j, [c / float(QSCALE) for c in cv]) for j, cv in enumerate(cents)]
     cdf = df.sparkSession.createDataFrame(
         rows, "centroid_id bigint, cvec array<double>"
