@@ -3854,6 +3854,51 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_ivfpq_index_query(spark, sf_dir):
+    """Persisted IVF-PQ index probe (operators/pq.build_ivfpq_index /
+    query_ivfpq_index): the at-rest composition of every vector lever
+    this engine ships — trained fixed-nlist coarse centroids route
+    residual PQ codes into BUCKET-PARTITIONED parquet (a probe
+    partition-prunes to nprobe/nlist of the files AND each row is m=4
+    small ints, 64x narrower than the float vectors), the centroid and
+    codebook sidecars are metadata-sized, ADC scores the pruned scan
+    against a broadcast integer LUT, and the exact float rerank
+    fetches ONLY the top k*expand candidate ids from the source table
+    (raw vectors are never duplicated into the index — the standard
+    two-tier layout). The oracle replays the ENTIRE pipeline from the
+    tables: coarse training, assignment, residual codebook training,
+    encoding, probe, ADC, rerank."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_idx_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(e, k=16, iters=2)
+        build_ivfpq_index(
+            e, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_centroid_refresh(spark, sf_dir):
     """Offline coarse-quantizer refresh (similarity.train_centroids_exact
     with init=): the retrain every IVF docstring in this engine
@@ -10689,6 +10734,102 @@ def _oracle() -> dict[str, str]:
         "media_phash_dedup": _phash_dedup_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
+        "ivfpq_index_query": f"""
+            WITH {_trained_cents_cte(16, 2)},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = 3),
+            asn AS (
+              SELECT vec_id, bucket FROM (
+                SELECT v.vec_id, c.centroid_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1),
+            wv AS (SELECT vec_id,
+                          list_transform(e,
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                   FROM v),
+            wcn AS (SELECT centroid_id,
+                           list_transform(ce,
+                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                    FROM cents),
+            rv AS (
+              SELECT a.vec_id, a.bucket,
+                     list_transform(generate_series(1, 64),
+                       i -> wv.w[i] - wcn.w[i]) AS r
+              FROM asn a JOIN wv USING (vec_id)
+              JOIN wcn ON a.bucket = wcn.centroid_id),
+            ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+            seeds AS (
+              SELECT ms.m, sr.c,
+                     list_transform(generate_series(1, 16),
+                       d -> sr.r[ms.m * 16 + d]) AS cw
+              FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, r
+                    FROM rv ORDER BY vec_id LIMIT 8) sr, ms),
+            asg AS (
+              SELECT vec_id, m, c FROM (
+                SELECT rv.vec_id, s.m, s.c,
+                       ROW_NUMBER() OVER (PARTITION BY rv.vec_id, s.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (rv.r[s.m * 16 + d] - s.cw[d])
+                                * (rv.r[s.m * 16 + d] - s.cw[d])),
+                           (x, y) -> x + y) ASC, s.c ASC) AS rn
+                FROM rv, seeds s) WHERE rn = 1),
+            upd AS (
+              SELECT a.m, a.c, u.d,
+                     CAST(SUM(rv.r[a.m * 16 + u.d]) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM asg a JOIN rv USING (vec_id),
+                   UNNEST(generate_series(1, 16)) AS u(d)
+              GROUP BY a.m, a.c, u.d),
+            cw1 AS (
+              SELECT m, c,
+                     list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+              FROM upd GROUP BY m, c),
+            cb1 AS (
+              SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
+              FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+            enc AS (
+              SELECT vec_id, m, c FROM (
+                SELECT rv.vec_id, b.m, b.c,
+                       ROW_NUMBER() OVER (PARTITION BY rv.vec_id, b.m
+                         ORDER BY list_reduce(list_transform(
+                           generate_series(1, 16),
+                           d -> (rv.r[b.m * 16 + d] - b.cw[d])
+                                * (rv.r[b.m * 16 + d] - b.cw[d])),
+                           (x, y) -> x + y) ASC, b.c ASC) AS rn
+                FROM rv, cb1 b) WHERE rn = 1),
+            probed AS (
+              SELECT centroid_id FROM cents, q
+              ORDER BY {_cos_sql('ce', 'qe')} DESC, centroid_id ASC
+              LIMIT 2),
+            qw AS (SELECT w FROM wv WHERE vec_id = 3),
+            t1 AS (
+              SELECT p.centroid_id,
+                     CAST(list_reduce(list_transform(
+                       generate_series(1, 64),
+                       i -> qw.w[i] * wcn.w[i]), (x, y) -> x + y)
+                       AS BIGINT) AS term1
+              FROM probed p JOIN wcn USING (centroid_id), qw),
+            sc AS (
+              SELECT e2.vec_id,
+                     CAST(MAX(t1.term1)
+                          + SUM(list_reduce(list_transform(
+                              generate_series(1, 16),
+                              d -> qw.w[e2.m * 16 + d] * b.cw[d]),
+                              (x, y) -> x + y)) AS BIGINT) AS adc
+              FROM enc e2
+              JOIN asn a ON e2.vec_id = a.vec_id
+              JOIN t1 ON t1.centroid_id = a.bucket
+              JOIN cb1 b ON e2.m = b.m AND e2.c = b.c, qw
+              GROUP BY 1),
+            cand AS (SELECT vec_id FROM sc
+                     ORDER BY adc DESC, vec_id ASC LIMIT 100)
+            SELECT cand.vec_id, {_cos_sql('cv.e', 'q.qe')} AS score
+            FROM cand JOIN v cv USING (vec_id), q
+            ORDER BY score DESC, cand.vec_id ASC LIMIT 10""",
         "centroid_refresh": f"""
             WITH {_trained_cents_cte(
                 16, 2, src_where="WHERE vec_id % 3 <> 0",
@@ -11945,6 +12086,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ivfpq_index_query": q_ivfpq_index_query,
     "centroid_refresh": q_centroid_refresh,
     "media_decode_jpeg": q_media_decode_jpeg,
     "streaming_ivf_ingest": q_streaming_ivf_ingest,

@@ -549,3 +549,149 @@ def ivfpq_recall(
         )
         .orderBy("query_id")
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    in_dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the FAISS-style IVF-PQ index on disk — the at-rest
+    shape a production 100 TB vector store actually keeps: residual PQ
+    CODES parquet-partitioned BY COARSE BUCKET (a probe partition-
+    prunes to nprobe/nlist of the files AND each row is m small ints,
+    64x narrower than float vectors — both bandwidth levers persist),
+    with the centroid table and the trained codebooks as metadata-
+    sized sidecars. Raw vectors are NOT duplicated into the index:
+    the exact rerank fetches candidates by id from the source table,
+    the standard two-tier layout."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+    )
+
+    to_ints = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x * PQ_SCALE).cast("long")
+    )
+    cents, assigned = assign_ivf_buckets(
+        df, vec_col=vec_col, id_col=id_col, centroids=centroids
+    )
+    centint = cents.select("centroid_id", to_ints(F.col("cvec")).alias("_wc"))
+    resid = (
+        assigned.select("id", "bucket", to_ints(F.col("vec")).alias("_w"))
+        .join(F.broadcast(centint), F.col("bucket") == F.col("centroid_id"))
+        .select(
+            "id",
+            "bucket",
+            F.zip_with(F.col("_w"), F.col("_wc"), lambda a, b: a - b).alias(
+                "_r"
+            ),
+        )
+    )
+    cb = train_codebooks_ints(
+        resid, dim=in_dim, m=m, ksub=ksub, int_col="_r", id_col="id"
+    )
+    codes = encode_ints(resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",))
+    codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}_centroids")
+    spark = df.sparkSession
+    cb_rows = [
+        (mm, c, [int(x) for x in cw])
+        for mm, cb_m in enumerate(cb)
+        for c, cw in enumerate(cb_m)
+    ]
+    spark.createDataFrame(
+        cb_rows, "m int, c int, cw array<long>"
+    ).write.mode("overwrite").parquet(f"{path}_codebooks")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 10,
+    rerank_src: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: nprobe nearest centroids picked
+    driver-side over the tiny centroid table, a PARTITION-PRUNED scan
+    of only those buckets' code files, ADC scoring against a broadcast
+    per-bucket integer LUT (term1 = dot(q, c_bucket) + m table lookups
+    per candidate — no vector math touches the corpus), top k*expand
+    candidates, then the exact float rerank fetches ONLY those ids'
+    full vectors from `rerank_src`. Returns (id_col, score) top-k."""
+    from fb_ads_bigquery_etl_spark.functions.portable import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    cents = spark.read.parquet(f"{path}_centroids").collect()
+    cb_rows = spark.read.parquet(f"{path}_codebooks").collect()
+    m = 1 + max(r["m"] for r in cb_rows)
+    ksub = 1 + max(r["c"] for r in cb_rows)
+    cb = [[None] * ksub for _ in range(m)]
+    for r in cb_rows:
+        cb[r["m"]][r["c"]] = [int(x) for x in r["cw"]]
+    sub = len(cb[0][0])
+
+    import math
+
+    wq = [math.floor(float(x) * PQ_SCALE) for x in query_vec]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def cos(row):
+        dot = sum(float(a) * float(b) for a, b in zip(row["cvec"], query_vec))
+        return dot / (row["cnorm"] * qnorm)
+
+    probed = sorted(cents, key=lambda r: (-cos(r), r["centroid_id"]))[:nprobe]
+    lut_rows = []
+    for r in probed:
+        wc = [math.floor(float(x) * PQ_SCALE) for x in r["cvec"]]
+        term1 = sum(a * c for a, c in zip(wq, wc))
+        lut = [
+            [sum(wq[mm * sub + d] * cw[d] for d in range(sub)) for cw in cb[mm]]
+            for mm in range(m)
+        ]
+        lut_rows.append((int(r["centroid_id"]), term1, lut))
+    luts = spark.createDataFrame(
+        lut_rows, "b long, term1 long, lut array<array<long>>"
+    )
+    codes = spark.read.parquet(path).filter(
+        F.col("bucket").isin([b for b, _, _ in lut_rows])
+    )
+    adc = F.col("term1") + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        codes.join(F.broadcast(luts), F.col("bucket") == F.col("b"))
+        .select(F.col("id"), adc.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("id").asc())
+        .limit(k * expand)
+        .select("id")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    reranked = (
+        rerank_src.select(F.col(id_col).alias("id"), vec_d.alias("_cv"))
+        .join(F.broadcast(cand), "id")
+        .select(
+            F.col("id").alias(id_col),
+            cosine_similarity(F.col("_cv"), q).alias("score"),
+        )
+    )
+    return reranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -476,3 +476,48 @@ def test_train_centroids_exact_fixed_nlist_and_deterministic(spark):
     # the query vector lives in one of its own probed buckets, so the
     # exact-match head must survive the probe
     assert got[0]["vec_id"] == 7 and got[0]["score"] == 1.0
+
+
+def test_ivfpq_index_probe_is_partition_pruned_and_matches_rebuild(
+    spark, tmp_path
+):
+    """The persisted IVF-PQ probe must (a) push its bucket filter into
+    PartitionFilters (directory pruning — only probed buckets' code
+    files are even listed), and (b) return the same reranked top-k as
+    re-running the probe against a freshly rebuilt index (same trained
+    centroids -> same codes)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    )
+    out = query_ivfpq_index(
+        spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    plan = PI.explain_str(out)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    got = [tuple(r) for r in out.collect()]
+    assert len(got) == 10
+    # self is its own nearest (cosine 1 up to one rounding step of
+    # dot/(norm*norm))
+    assert got[0][0] == 3 and abs(got[0][1] - 1.0) < 1e-12
+
+    path2 = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(emb, path2, in_dim=64, m=4, ksub=8, centroids=cents)
+    again = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path2, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    assert got == again
