@@ -101,6 +101,8 @@ QUERIES = [
     ("proximity_search", "slop-window positional intersection probes"),
     ("quality_classifier_train", "12 batch-perceptron passes + pocket + score"),
     ("streaming_ivf_ingest", "trained IVF build + streamed exactly-once appends"),
+    ("centroid_refresh", "warm-start integer Lloyd retrain + dual assignment"),
+    ("ivfpq_index_query", "persisted IVF-PQ build + partition-pruned ADC probe"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
