@@ -3854,6 +3854,65 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_dedup_aware_split(spark, sf_dir):
+    """Leakage-safe train/val/test splits (operators/sampling.py
+    dedup_aware_split): the unit of assignment is the NEAR-DUP CLUSTER
+    (connected component of the MinHash-LSH pair graph), so no
+    qualifying near-dup pair can straddle splits — the eval-
+    contamination guarantee a real curation pipeline needs, with
+    append-stable hash assignment (no global ordering). The gate
+    verifies the claim INDEPENDENTLY of the construction: it joins the
+    verified pair list against the assignment twice and counts
+    straddling pairs (must be 0) — and, as the control that shows why
+    cluster-aware splitting matters, counts the pairs the NAIVE
+    per-doc hash split of the very same documents would have leaked
+    (expected ~1 - sum(frac^2) of pairs, measurably > 0). Isolated
+    docs skip the component shuffle and assign as singleton clusters.
+    Gated per split: doc count, cluster count, plus both global
+    crossing counts."""
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        assign_split,
+        dedup_aware_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    assigned = dedup_aware_split(d, pairs).localCheckpoint(eager=True)
+    splits = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    withn = assigned.withColumn(
+        "nsplit", assign_split(F.col("id"), splits, salt="cl:")
+    )
+    pj = withn.select(
+        F.col("id").alias("id_a"),
+        F.col("split").alias("sa"),
+        F.col("nsplit").alias("na"),
+    ).join(F.broadcast(pairs.select("id_a", "id_b")), "id_a")
+    pj = withn.select(
+        F.col("id").alias("id_b"),
+        F.col("split").alias("sb"),
+        F.col("nsplit").alias("nb"),
+    ).join(F.broadcast(pj), "id_b")
+    checks = pj.agg(
+        F.coalesce(
+            F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_crossing_pairs"),
+        F.coalesce(
+            F.sum((F.col("na") != F.col("nb")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_naive_crossing_pairs"),
+    )
+    per = assigned.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+    )
+    return per.crossJoin(F.broadcast(checks)).orderBy("split")
+
+
 def q_ivfpq_index_query(spark, sf_dir):
     """Persisted IVF-PQ index probe (operators/pq.build_ivfpq_index /
     query_ivfpq_index): the at-rest composition of every vector lever
@@ -8539,6 +8598,50 @@ def _oracle() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_minhash_pairs_sql()}
             SELECT id_a, id_b, jaccard FROM verified""",
+        "dedup_aware_split": f"""
+            WITH RECURSIVE {_minhash_pairs_sql()},
+            edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                      UNION SELECT id_b, id_a FROM verified),
+            walk(node, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+            cc AS (SELECT node, MIN(label) AS component FROM walk
+                   GROUP BY node),
+            lab AS (SELECT d.doc_id AS id,
+                           COALESCE(cc.component, d.doc_id) AS cluster
+                    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+            asg AS (
+              SELECT id, cluster,
+                     CASE WHEN cb < 8000 THEN 'train'
+                          WHEN cb < 9000 THEN 'val'
+                          WHEN cb < 10000 THEN 'test'
+                          ELSE 'holdout' END AS split,
+                     CASE WHEN nb < 8000 THEN 'train'
+                          WHEN nb < 9000 THEN 'val'
+                          WHEN nb < 10000 THEN 'test'
+                          ELSE 'holdout' END AS nsplit
+              FROM (SELECT id, cluster,
+                      ('0x' || substr(md5('cl:' || CAST(cluster AS VARCHAR)),
+                                      1, 8))::BIGINT % 10000 AS cb,
+                      ('0x' || substr(md5('cl:' || CAST(id AS VARCHAR)),
+                                      1, 8))::BIGINT % 10000 AS nb
+                    FROM lab)),
+            chk AS (SELECT
+              CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS n_crossing_pairs,
+              CAST(COALESCE(SUM(CASE WHEN a.nsplit <> b.nsplit
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                AS n_naive_crossing_pairs
+              FROM verified v JOIN asg a ON v.id_a = a.id
+                              JOIN asg b ON v.id_b = b.id)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+                   n_crossing_pairs, n_naive_crossing_pairs
+            FROM asg, chk
+            GROUP BY split, n_crossing_pairs, n_naive_crossing_pairs
+            ORDER BY split""",
         "dedup_clusters": f"""
             WITH RECURSIVE {_minhash_pairs_sql()},
             edges AS (SELECT id_a AS u, id_b AS v FROM verified
@@ -12086,6 +12189,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,
     "centroid_refresh": q_centroid_refresh,
     "media_decode_jpeg": q_media_decode_jpeg,

@@ -39,11 +39,38 @@ def _speed_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _io_probe() -> float:
+    """Fixed disk work unit (write 64 MB to the temp filesystem, fsync,
+    read it back), in seconds. The CPU probe misses IO-slow windows —
+    round 9 measured a run where trivial CPU queries were flat but
+    every write-harness query (IVM/streaming/merge tempdir work) drifted
+    +25-70% while the CPU probe read healthy; this probe makes that
+    failure mode artifact-detectable too."""
+    import tempfile
+
+    buf = bytes(range(256)) * (64 * 1024 * 1024 // 256)
+    t0 = time.perf_counter()
+    with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as fh:
+        fh.write(buf)
+        fh.flush()
+        os.fsync(fh.fileno())
+        fh.seek(0)
+        n = 0
+        while True:
+            chunk = fh.read(8 * 1024 * 1024)
+            if not chunk:
+                break
+            n += len(chunk)
+    assert n == len(buf)
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     probe_before = _speed_probe()
+    io_before = _io_probe()
 
     from fb_ads_bigquery_etl_spark.session import get_spark
 
@@ -94,6 +121,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     probe_after = _speed_probe()
+    io_after = _io_probe()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     full = {
@@ -108,6 +136,11 @@ def main() -> None:
         # window and the suite total is inflated by box noise
         "probe_before_s": probe_before,
         "probe_after_s": probe_after,
+        # disk probe (64 MB write+fsync+read on /tmp): catches IO-slow
+        # windows the CPU probe misses (write-harness queries drift
+        # while trivial CPU queries stay flat)
+        "io_probe_before_s": io_before,
+        "io_probe_after_s": io_after,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
@@ -125,6 +158,8 @@ def main() -> None:
         "sf": full["sf"],
         "probe_before_s": probe_before,
         "probe_after_s": probe_after,
+        "io_probe_before_s": io_before,
+        "io_probe_after_s": io_after,
     }
     # Final line = the compact summary (must stay well under the driver's
     # output-tail capture window).

@@ -277,3 +277,54 @@ def epoch_shuffle(
         .repartitionByRange("_shuffle_key")
         .sortWithinPartitions("_shuffle_key")
     )
+
+
+def dedup_aware_split(
+    docs,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "cl:",
+):
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP
+    CLUSTER, not by document. Hashing each doc independently leaks —
+    two near-duplicates land in different splits with probability
+    1 - sum(frac^2) (~34% per pair at 80/10/10), and eval contamination
+    by train near-dups is exactly what dedup pipelines exist to
+    prevent. Here the unit of assignment is the connected component of
+    the near-dup graph (`pairs` from minhash_lsh_pairs or any pair
+    source): every member inherits the cluster's hash bucket, so NO
+    qualifying pair can straddle splits, by construction — and the
+    assignment stays append-stable (hash of the cluster's min id, no
+    global ordering).
+
+    Scale shape: the component fixpoint touches only PAIRED docs
+    (isolated docs skip the shuffle entirely and become their own
+    singleton cluster via the left join + coalesce); assignment is a
+    narrow hash expression. Returns (id, cluster, split)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges).withColumnRenamed("node", "id")
+    labeled = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+    return labeled.withColumn(
+        "split", assign_split(F.col("cluster"), splits, salt=salt)
+    )

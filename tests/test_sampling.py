@@ -337,3 +337,46 @@ def test_epoch_shuffle_deterministic_and_distributed(spark):
         .toString()
     )
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_dedup_aware_split_no_cluster_straddles(spark):
+    """Every near-dup pair lands in ONE split (the leakage guarantee);
+    isolated docs become singleton clusters; the naive per-doc hash
+    split over the same docs DOES straddle some pair (the control that
+    motivates cluster-aware splitting)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        assign_split,
+        dedup_aware_split,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # chains {3k, 3k+1, 3k+2} for k < 20: 60 paired docs, 140 isolated
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(20)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(20)],
+        "id_a long, id_b long",
+    )
+    out = dedup_aware_split(docs, pairs).collect()
+    split_of = {r["id"]: r["split"] for r in out}
+    cluster_of = {r["id"]: r["cluster"] for r in out}
+    assert len(out) == 200
+    for k in range(20):
+        trio = [3 * k, 3 * k + 1, 3 * k + 2]
+        assert len({split_of[i] for i in trio}) == 1, trio
+        assert {cluster_of[i] for i in trio} == {3 * k}
+    # isolated docs are their own cluster
+    assert cluster_of[199] == 199
+    # the naive split straddles at least one chained pair
+    naive = {
+        r["doc_id"]: r["ns"]
+        for r in docs.select(
+            "doc_id", assign_split(F.col("doc_id"), salt="cl:").alias("ns")
+        ).collect()
+    }
+    assert any(
+        naive[a] != naive[b]
+        for a, b in [(3 * k, 3 * k + 1) for k in range(20)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(20)]
+    )
