@@ -3854,6 +3854,63 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_manifest_snapshot_read(spark, sf_dir):
+    """Snapshot-isolated time-travel reads (operators/manifest.py
+    read_snapshot): a manifest IS a snapshot — writers append files
+    and publish a refreshed manifest, readers pin their version, so a
+    v1 read issued AFTER the append still sees exactly the v1 file
+    set (the Iceberg/Delta discipline over plain parquet, and the
+    missing piece between this engine's O(append) manifest refresh
+    and real concurrent readers). The harness lands orders in two
+    batches, retains manifest v1, refreshes to v2 after the append,
+    then reads BOTH snapshots post-append; the gate proves v1 ==
+    batch-1 rows only and v2 == everything — from the same directory
+    whose listing now holds all files. The snapshot file-list collect
+    is metadata-sized."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        read_snapshot,
+        update_file_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select("o_orderkey", "o_orderdate", cents.alias("price_cents"))
+    tmp = tempfile.mkdtemp(prefix="_q_manifest_snap_")
+    try:
+        path = os.path.join(tmp, "orders")
+        (
+            base.filter(F.col("o_orderkey") % 4 != 0)
+            .repartitionByRange(6, "o_orderdate")
+            .write.parquet(path)
+        )
+        v1 = build_file_manifest(
+            spark, path, ("o_orderdate",)
+        ).localCheckpoint(eager=True)
+        (
+            base.filter(F.col("o_orderkey") % 4 == 0)
+            .repartitionByRange(2, "o_orderdate")
+            .write.mode("append").parquet(path)
+        )
+        v2 = update_file_manifest(spark, path, v1, ("o_orderdate",))
+        parts = []
+        for tag, man in (("v1", v1), ("v2", v2)):
+            parts.append(
+                read_snapshot(spark, man).agg(
+                    F.count("*").cast("long").alias("n_orders"),
+                    F.sum("price_cents").cast("long").alias("revenue_cents"),
+                ).select(F.lit(tag).alias("snapshot"), "n_orders",
+                         "revenue_cents")
+            )
+        out = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("snapshot")
+
+
 def q_dedup_aware_split(spark, sf_dir):
     """Leakage-safe train/val/test splits (operators/sampling.py
     dedup_aware_split): the unit of assignment is the NEAR-DUP CLUSTER
@@ -8598,6 +8655,19 @@ def _oracle() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_minhash_pairs_sql()}
             SELECT id_a, id_b, jaccard FROM verified""",
+        "manifest_snapshot_read": """
+            SELECT 'v1' AS snapshot,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders WHERE o_orderkey % 4 <> 0
+            UNION ALL
+            SELECT 'v2',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+            FROM orders
+            ORDER BY snapshot""",
         "dedup_aware_split": f"""
             WITH RECURSIVE {_minhash_pairs_sql()},
             edges AS (SELECT id_a AS u, id_b AS v FROM verified
@@ -12189,6 +12259,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,
     "centroid_refresh": q_centroid_refresh,

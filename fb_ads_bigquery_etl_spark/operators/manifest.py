@@ -304,3 +304,20 @@ def unified_point_read(
             )
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col) == key)
+
+
+def read_snapshot(spark: SparkSession, manifest: DataFrame) -> DataFrame:
+    """Snapshot-isolated read: scan EXACTLY the files a retained
+    manifest version lists — the Iceberg/Delta time-travel discipline
+    over plain parquet. A manifest IS a snapshot: writers append data
+    files and publish a refreshed manifest (update_file_manifest /
+    update_unified_manifest), readers pin whichever version they
+    started with, so concurrent appends never change a running query's
+    input set and historical versions stay queryable as long as their
+    manifests (and files) are retained. The file-list collect is
+    metadata-sized; at 100 TB this is the entire point — the directory
+    listing is no longer the source of truth, the manifest is."""
+    files = [r["file"] for r in manifest.select("file").collect()]
+    if not files:
+        raise ValueError("snapshot manifest lists no files")
+    return spark.read.parquet(*files)

@@ -511,3 +511,34 @@ def test_unified_manifest_point_and_range_pruning_after_refresh(spark, tmp_path)
     # appended ids, so at most the 3 appended files are selected)
     assert len(pruned_files(man2, "id", 7000, 7999)) <= 3
     assert manifest_pruned_read(spark, man2, "id", 7000, 7999).count() == 1000
+
+
+def test_read_snapshot_is_isolated_from_appends(spark, tmp_path):
+    """A reader pinning manifest v1 must see the v1 file set even after
+    an append lands and v2 publishes — and v2 sees everything. Also:
+    read_snapshot refuses an empty manifest."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        read_snapshot,
+        update_file_manifest,
+    )
+
+    df = spark.range(3_000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    path = str(tmp_path / "t")
+    df.repartitionByRange(4, "id").write.parquet(path)
+    v1 = build_file_manifest(spark, path, ("id",)).localCheckpoint(eager=True)
+
+    spark.range(3_000, 5_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(2, "id").write.mode("append").parquet(path)
+    v2 = update_file_manifest(spark, path, v1, ("id",))
+
+    assert read_snapshot(spark, v1).count() == 3_000  # pre-append view
+    assert read_snapshot(spark, v2).count() == 5_000
+    assert spark.read.parquet(path).count() == 5_000  # directory moved on
+
+    with _pytest.raises(ValueError, match="no files"):
+        read_snapshot(spark, v1.filter(F.lit(False)))
