@@ -103,6 +103,7 @@ QUERIES = [
     ("streaming_ivf_ingest", "trained IVF build + streamed exactly-once appends"),
     ("centroid_refresh", "warm-start integer Lloyd retrain + dual assignment"),
     ("ivfpq_index_query", "persisted IVF-PQ build + partition-pruned ADC probe"),
+    ("manifest_snapshot_read", "two-version manifest + both snapshot reads"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
@@ -195,6 +196,10 @@ NEARDUP_QUERIES = [
     # the verbatim x-track would be output-quadratic like the other
     # near-dup ops — measured on the linear-output perturbed track
     ("dedup_prefix_jaccard", "prefix-filtered exact Jaccard join"),
+    # consumes the same LSH pair set as dedup_apply (plus the component
+    # walk + assignment joins) — output-quadratic on verbatim copies for
+    # the same reason, so its honest row lives here
+    ("dedup_aware_split", "cluster-aware split + independent straddle check"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
