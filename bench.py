@@ -35,7 +35,9 @@ def _speed_probe() -> float:
     for i in range(30_000_000):
         acc += i
     # keep `acc` observable so the loop cannot be optimized away
-    assert acc == 30_000_000 * (30_000_000 - 1) // 2
+    # (explicit raise, not assert: asserts vanish under `python -O`)
+    if acc != 30_000_000 * (30_000_000 - 1) // 2:
+        raise RuntimeError("speed probe computed a wrong sum")
     return round(time.perf_counter() - t0, 3)
 
 
@@ -61,7 +63,8 @@ def _io_probe() -> float:
             if not chunk:
                 break
             n += len(chunk)
-    assert n == len(buf)
+    if n != len(buf):
+        raise RuntimeError("io probe read back a truncated buffer")
     return round(time.perf_counter() - t0, 3)
 
 

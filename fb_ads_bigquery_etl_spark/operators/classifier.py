@@ -165,7 +165,20 @@ def train_classifier(
     update reduce is map-side-combined down to <= `buckets` rows —
     per-iteration driver traffic is vocab-sized (the kmeans
     partial-sum discipline; weights are the in-memory fastText-style
-    vector between iterations), plus one scalar mistake count."""
+    vector between iterations), plus one scalar mistake count.
+
+    Featureless docs (empty/whitespace text) always score 0, so they
+    are mistakes EVERY iteration (y * 0 <= 0); they contribute nothing
+    to any weight update (no features), but their constant count is
+    included in each iteration's mistake total and in the returned
+    pocket_mistakes — matching a replay that scores every input doc.
+
+    Production note: these are FULL-BATCH passes — `iters` complete
+    scans of `df` per training run. At 100 TB train on a labeled
+    SAMPLE (the standard quality-filter setup: tens of thousands of
+    labeled seed docs), then run `score_documents` over the corpus
+    exactly once; each pass here is linear, but nothing about the
+    algorithm needs the whole corpus as its training set."""
     spark = df.sparkSession
     feats = (
         df.select(
@@ -195,6 +208,13 @@ def train_classifier(
         .persist()
     )
     try:
+        # featureless docs never enter `feats`: they are permanent
+        # mistakes (score 0) with zero update contribution, so they add
+        # a constant to every iteration's count. Two one-off counts
+        # (the distinct ride the persisted doc-partitioning).
+        n_featureless = (
+            df.count() - feats.select("_doc").distinct().count()
+        )
         w: dict[int, int] = {}
         pocket: dict[int, int] = {}
         pocket_mistakes = None
@@ -256,7 +276,7 @@ def train_classifier(
             n_mis = 0
             for r in upd.unionByName(sentinel).collect():
                 if r["_bucket"] == -1:
-                    n_mis = r["_u"]
+                    n_mis = r["_u"] + n_featureless
                 else:
                     w[r["_bucket"]] = w.get(r["_bucket"], 0) + r["_u"]
             if pocket_mistakes is None or n_mis < pocket_mistakes:

@@ -233,6 +233,11 @@ def kmeans_quantized_train(
             raise ValueError(
                 f"init has {len(centroids)} centroids, expected k={k}"
             )
+        dims = {len(c) for c in centroids}
+        if len(dims) != 1:
+            raise ValueError(
+                f"init centroids have mixed dimensions {sorted(dims)}"
+            )
     else:
         first = (
             df.select(id_col, vec_col)
@@ -240,6 +245,10 @@ def kmeans_quantized_train(
             .limit(k)
             .collect()
         )
+        if len(first) < k:
+            raise ValueError(
+                f"need >= {k} rows to seed centroids, got {len(first)}"
+            )
         centroids = [
             [
                 int(__import__("math").floor(float(v) * QSCALE))

@@ -81,8 +81,11 @@ def stream_ivf_ingest(
     (1) a batch whose commit marker exists is skipped outright
     (post-commit replays); (2) the assigned batch writes to a staging
     dir in overwrite mode (retry-safe); (3) any previous partial
-    publish of THIS batch id is removed (files carry a b<id>- prefix,
-    so a batch can always find and clean its own leftovers); (4) each
+    publish of THIS batch id is removed from EVERY bucket dir (files
+    carry a b<id>- prefix, so a batch can always find and clean its
+    own leftovers — sweeping all buckets, not just staged ones, keeps
+    a fresh-checkpoint re-drain correct even when new landing files
+    shifted batch ids and rerouted this id's rows); (4) each
     staged file renames atomically into its bucket dir under a
     deterministic b<id>-<bucket>-<seq> name; (5) the marker commits
     last. A crash anywhere replays into steps that are all idempotent,
@@ -135,16 +138,25 @@ def stream_ivf_ingest(
             stage
         )
         prefix = f"b{batch_id}-"
+        # clean any partial publish of THIS batch id across ALL bucket
+        # dirs — not just the buckets this attempt stages into. Within
+        # one checkpoint lifecycle assignment is deterministic, but a
+        # re-drain from a FRESH checkpoint renumbers batches; a prior
+        # partial publish may have landed this id's files in buckets
+        # the renumbered batch no longer routes to, and sweeping only
+        # staged buckets would leave those as duplicate rows.
+        for bdir in sorted(os.listdir(index_path)):
+            if not bdir.startswith("bucket="):
+                continue
+            dst = os.path.join(index_path, bdir)
+            for old in os.listdir(dst):
+                if old.startswith(prefix):
+                    os.remove(os.path.join(dst, old))
         for bdir in sorted(os.listdir(stage)):
             if not bdir.startswith("bucket="):
                 continue
             dst_dir = os.path.join(index_path, bdir)
             os.makedirs(dst_dir, exist_ok=True)
-            # clean any partial publish of THIS batch, then rename the
-            # staged files in under deterministic names
-            for old in os.listdir(dst_dir):
-                if old.startswith(prefix):
-                    os.remove(os.path.join(dst_dir, old))
             files = sorted(
                 f
                 for f in os.listdir(os.path.join(stage, bdir))
