@@ -4155,6 +4155,172 @@ def q_streaming_ivf_ingest(spark, sf_dir):
     return out
 
 
+def q_ivfpq_index_append(spark, sf_dir):
+    """O(batch) maintenance for the PERSISTED IVF-PQ index
+    (operators/pq.append_ivfpq_index) — the production-triangle edge
+    round 9 left open: the index a 100 TB store serves is the 64x-
+    narrower residual-code table, and rebuilding it per ingest batch
+    is a full-corpus re-encode. Here new vectors assign against the
+    FROZEN centroid sidecar, residual-encode against the FROZEN
+    codebook sidecar (the FAISS add-vs-train split — quantizers
+    retrain offline), and append code files to only the buckets the
+    batch routes to; nothing existing is read or rewritten (append-
+    only file set pytest-pinned, tests/test_ivf_index.py). The probe
+    of base-build + append is row-for-row what a full rebuild over
+    the union with the same frozen sidecars produces, and the oracle
+    replays the ENTIRE pipeline — coarse training on the base,
+    residual codebook training on the base, encoding of ALL rows,
+    probe, ADC, rerank."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_append_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        append_ivfpq_index(spark, delta, path)
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_streaming_ivfpq_ingest(spark, sf_dir):
+    """Streaming ingest into the PERSISTED IVF-PQ index
+    (streaming/ingest.stream_ivfpq_ingest): a landing-zone stream of
+    new vectors drains via foreachBatch, each micro-batch assigned
+    against the FROZEN centroid sidecar and residual-encoded against
+    the FROZEN codebook sidecar (append_ivfpq_index's O(batch)
+    discipline driven by a stream), published into bucket partitions
+    through the stage-and-rename exactly-once protocol (batch-owned
+    b<id>- file prefix swept across ALL buckets, marker commits
+    last). The gate probes the drained index; the oracle replays the
+    one-shot full pipeline against the same base-trained sidecars —
+    batch slicing is irrelevant because the final index is the same
+    row set however the stream delivers it. This is the serving
+    index staying probe-ready under continuous ingest: O(batch) work
+    per trigger, prior files untouched, quantizers retrain offline."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from fb_ads_bigquery_etl_spark.streaming.ingest import (
+        stream_ivfpq_ingest,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    vmax = delta.agg(F.max("vec_id")).head()[0]
+    b1, b2 = vmax // 3, 2 * vmax // 3
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_stream_")
+    try:
+        path = os.path.join(tmp, "index")
+        landing = os.path.join(tmp, "landing")
+        os.makedirs(landing)
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        parts = [
+            delta.filter(F.col("vec_id") <= b1),
+            delta.filter((F.col("vec_id") > b1) & (F.col("vec_id") <= b2)),
+            delta.filter(F.col("vec_id") > b2),
+        ]
+        for i, p in enumerate(parts):
+            d = os.path.join(tmp, f"w{i}")
+            p.coalesce(1).write.parquet(d)
+            f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+            shutil.copyfile(
+                os.path.join(d, f), os.path.join(landing, f"b{i}.parquet")
+            )
+            shutil.rmtree(d)
+        stream_ivfpq_ingest(
+            spark,
+            landing,
+            path,
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_IVFPQ_BATCH_QIDS = (3, 7, 11)
+
+
+def q_ivfpq_batch_query(spark, sf_dir):
+    """BATCH probing of the persisted IVF-PQ index
+    (operators/pq.query_ivfpq_index_batch) — the serving shape: one
+    (qid, bucket, term1, lut) frame built from the metadata-sized
+    query collect BROADCASTS, the code scan partition-prunes to the
+    UNION of all probed buckets and is read ONCE for the whole batch
+    (vs once per query in a probe loop), ADC scores ride that single
+    scan, a per-query window keeps top k*expand, and the exact rerank
+    fetches only candidate ids. Row-for-row equal to a
+    query_ivfpq_index loop (pytest-pinned); the oracle replays the
+    full pipeline per query — training, encoding, probe, ADC,
+    rerank."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_batch_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(e, k=16, iters=2)
+        build_ivfpq_index(
+            e, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        qs = e.filter(F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
+        out = query_ivfpq_index_batch(
+            spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=e
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PROXIMITY_PROBES = (
     (["sort", "merge"], 2),
     (["batch", "batch"], 1),
@@ -5698,6 +5864,158 @@ def _trained_cents_cte(
                  list_transform(c, v -> v / {scale}.0) AS ce
           FROM {P}c{iters})""")
     return ",\n        ".join(parts)
+
+
+def _ivfpq_probe_oracle_sql(
+    qids: tuple[int, ...],
+    *,
+    train_where: str = "",
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 10,
+) -> str:
+    """DuckDB replay of the FULL persisted-IVF-PQ pipeline (pq.py
+    build_ivfpq_index / append_ivfpq_index / query_ivfpq_index[_batch]):
+    coarse training (16 centroids, 2 integer Lloyd iterations,
+    restricted to `train_where` when the index was built on a base and
+    appended to), assignment of EVERY vector, residual computation,
+    residual-codebook training on the `train_where` rows only (seeds =
+    first 8 training rows by id — exactly what the frozen codebook
+    sidecar holds after a base build), encoding of ALL rows (base +
+    appended), then per-query probe: nprobe nearest centroids by float
+    cosine, integer term1 + ADC LUT scoring of the probed buckets'
+    codes, top k*expand candidates, exact float rerank to top k. With
+    one qid the output is (vec_id, score); with several it is
+    (query_id, vec_id, score) — the batch-serving shape."""
+    single = len(qids) == 1
+    qlist = ", ".join(str(q) for q in qids)
+    tw = f"WHERE {train_where}" if train_where else ""
+    sel = (
+        "SELECT vec_id, score"
+        if single
+        else "SELECT qid AS query_id, vec_id, score"
+    )
+    order = (
+        "ORDER BY score DESC, vec_id ASC"
+        if single
+        else "ORDER BY qid, score DESC, vec_id ASC"
+    )
+    return f"""
+        WITH {_trained_cents_cte(16, 2,
+                                 src_where=f"WHERE {train_where}"
+                                 if train_where else "")},
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        qs AS (SELECT vec_id AS qid, e AS qe FROM v
+               WHERE vec_id IN ({qlist})),
+        asn AS (
+          SELECT vec_id, bucket FROM (
+            SELECT v.vec_id, c.centroid_id AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM v, cents c) WHERE rn = 1),
+        wv AS (SELECT vec_id,
+                      list_transform(e,
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+               FROM v),
+        wcn AS (SELECT centroid_id,
+                       list_transform(ce,
+                         x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                FROM cents),
+        rv AS MATERIALIZED (
+          SELECT a.vec_id, a.bucket,
+                 list_transform(generate_series(1, 64),
+                   i -> wv.w[i] - wcn.w[i]) AS r
+          FROM asn a JOIN wv USING (vec_id)
+          JOIN wcn ON a.bucket = wcn.centroid_id),
+        rvt AS (SELECT * FROM rv {tw}),
+        ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+        seeds AS (
+          SELECT ms.m, sr.c,
+                 list_transform(generate_series(1, 16),
+                   d -> sr.r[ms.m * 16 + d]) AS cw
+          FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, r
+                FROM rvt ORDER BY vec_id LIMIT 8) sr, ms),
+        asg AS (
+          SELECT vec_id, m, c FROM (
+            SELECT rvt.vec_id, s.m, s.c,
+                   ROW_NUMBER() OVER (PARTITION BY rvt.vec_id, s.m
+                     ORDER BY list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> (rvt.r[s.m * 16 + d] - s.cw[d])
+                            * (rvt.r[s.m * 16 + d] - s.cw[d])),
+                       (x, y) -> x + y) ASC, s.c ASC) AS rn
+            FROM rvt, seeds s) WHERE rn = 1),
+        upd AS (
+          SELECT a.m, a.c, u.d,
+                 CAST(SUM(rvt.r[a.m * 16 + u.d]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM asg a JOIN rvt USING (vec_id),
+               UNNEST(generate_series(1, 16)) AS u(d)
+          GROUP BY a.m, a.c, u.d),
+        cw1 AS (
+          SELECT m, c,
+                 list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+          FROM upd GROUP BY m, c),
+        cb1 AS (
+          SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
+          FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+        enc AS MATERIALIZED (
+          SELECT vec_id, m, c FROM (
+            SELECT rv.vec_id, b.m, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY rv.vec_id, b.m
+                     ORDER BY list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> (rv.r[b.m * 16 + d] - b.cw[d])
+                            * (rv.r[b.m * 16 + d] - b.cw[d])),
+                       (x, y) -> x + y) ASC, b.c ASC) AS rn
+            FROM rv, cb1 b) WHERE rn = 1),
+        probed AS (
+          SELECT qid, centroid_id FROM (
+            SELECT qs.qid, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY qs.qid
+                     ORDER BY {_cos_sql('c.ce', 'qs.qe')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM cents c, qs) WHERE rn <= {nprobe}),
+        qw AS (SELECT qid, w FROM wv JOIN qs ON wv.vec_id = qs.qid),
+        t1 AS (
+          SELECT p.qid, p.centroid_id,
+                 CAST(list_reduce(list_transform(
+                   generate_series(1, 64),
+                   i -> qw.w[i] * wcn.w[i]), (x, y) -> x + y)
+                   AS BIGINT) AS term1
+          FROM probed p JOIN wcn USING (centroid_id)
+          JOIN qw ON qw.qid = p.qid),
+        sc AS (
+          SELECT t1.qid, e2.vec_id,
+                 CAST(MAX(t1.term1)
+                      + SUM(list_reduce(list_transform(
+                          generate_series(1, 16),
+                          d -> qw.w[e2.m * 16 + d] * b.cw[d]),
+                          (x, y) -> x + y)) AS BIGINT) AS adc
+          FROM enc e2
+          JOIN asn a ON e2.vec_id = a.vec_id
+          JOIN t1 ON t1.centroid_id = a.bucket
+          JOIN qw ON qw.qid = t1.qid
+          JOIN cb1 b ON e2.m = b.m AND e2.c = b.c
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM sc) WHERE rn <= {k * expand}),
+        sc2 AS (
+          SELECT cand.qid, cand.vec_id,
+                 {_cos_sql('cv.e', 'qs.qe')} AS score
+          FROM cand JOIN v cv USING (vec_id)
+          JOIN qs ON qs.qid = cand.qid)
+        {sel}
+        FROM sc2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, vec_id ASC) <= {k}
+        {order}"""
 
 
 def _jpeg_oracle_sql() -> str:
@@ -8535,6 +8853,17 @@ def _oracle() -> dict[str, str]:
     greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
     bpe = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     return {
+        # Persisted IVF-PQ maintenance family: one pipeline replay
+        # (_ivfpq_probe_oracle_sql), three harnesses — O(batch) append,
+        # streaming ingest (both train sidecars on the vec_id%3<>0
+        # base, encode everything), and full-build batch serving.
+        "ivfpq_index_append": _ivfpq_probe_oracle_sql(
+            (5,), train_where="vec_id % 3 <> 0"
+        ),
+        "streaming_ivfpq_ingest": _ivfpq_probe_oracle_sql(
+            (7,), train_where="vec_id % 3 <> 0"
+        ),
+        "ivfpq_batch_query": _ivfpq_probe_oracle_sql(_IVFPQ_BATCH_QIDS),
         # HLL estimates are engine-specific; the gated columns are the
         # exact count and the tolerance-band verdict, which both engines
         # satisfy deterministically (band = 3x the default rsd 0.05).
@@ -12262,6 +12591,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
+    "ivfpq_index_append": q_ivfpq_index_append,
+    "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
+    "ivfpq_batch_query": q_ivfpq_batch_query,
     "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,

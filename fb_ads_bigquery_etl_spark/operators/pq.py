@@ -551,26 +551,18 @@ def ivfpq_recall(
     )
 
 
-def build_ivfpq_index(
+def _residuals(
     df: DataFrame,
-    path: str,
-    *,
-    in_dim: int,
-    m: int = 4,
-    ksub: int = 8,
     centroids: DataFrame,
+    *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> None:
-    """Materialize the FAISS-style IVF-PQ index on disk — the at-rest
-    shape a production 100 TB vector store actually keeps: residual PQ
-    CODES parquet-partitioned BY COARSE BUCKET (a probe partition-
-    prunes to nprobe/nlist of the files AND each row is m small ints,
-    64x narrower than float vectors — both bandwidth levers persist),
-    with the centroid table and the trained codebooks as metadata-
-    sized sidecars. Raw vectors are NOT duplicated into the index:
-    the exact rerank fetches candidates by id from the source table,
-    the standard two-tier layout."""
+) -> tuple[DataFrame, DataFrame]:
+    """(centroid frame, residual frame (id, bucket, _r)): assign each
+    vector to its nearest coarse centroid and subtract the centroid's
+    floor-scaled int form — the shared narrow pass of index build,
+    O(batch) append, and streaming ingest. One broadcast join against
+    the metadata-sized centroid table; zero data-sized shuffle."""
     from fb_ads_bigquery_etl_spark.operators.similarity import (
         assign_ivf_buckets,
     )
@@ -593,7 +585,53 @@ def build_ivfpq_index(
             ),
         )
     )
-    cb = train_codebooks_ints(
+    return cents, resid
+
+
+def load_codebooks(spark, path: str) -> list[list[list[int]]]:
+    """Read the codebook sidecar back into the list[m][ksub][sub_dim]
+    shape every PQ kernel consumes — a metadata-sized collect (m*ksub
+    rows)."""
+    cb_rows = spark.read.parquet(f"{path}_codebooks").collect()
+    m = 1 + max(r["m"] for r in cb_rows)
+    ksub = 1 + max(r["c"] for r in cb_rows)
+    cb: list[list[list[int] | None]] = [[None] * ksub for _ in range(m)]
+    for r in cb_rows:
+        cb[r["m"]][r["c"]] = [int(x) for x in r["cw"]]
+    return cb  # type: ignore[return-value]
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    in_dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    centroids: DataFrame,
+    codebooks: list[list[list[int]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the FAISS-style IVF-PQ index on disk — the at-rest
+    shape a production 100 TB vector store actually keeps: residual PQ
+    CODES parquet-partitioned BY COARSE BUCKET (a probe partition-
+    prunes to nprobe/nlist of the files AND each row is m small ints,
+    64x narrower than float vectors — both bandwidth levers persist),
+    with the centroid table and the trained codebooks as metadata-
+    sized sidecars. Raw vectors are NOT duplicated into the index:
+    the exact rerank fetches candidates by id from the source table,
+    the standard two-tier layout.
+
+    `codebooks` pins pre-trained residual codebooks instead of
+    training on `df`'s residuals — the rebuild-equals-append proof
+    harness uses it (an O(batch) append encodes against the FROZEN
+    sidecars; a rebuild comparing against it must freeze the same
+    ones)."""
+    cents, resid = _residuals(
+        df, centroids, vec_col=vec_col, id_col=id_col
+    )
+    cb = codebooks if codebooks is not None else train_codebooks_ints(
         resid, dim=in_dim, m=m, ksub=ksub, int_col="_r", id_col="id"
     )
     codes = encode_ints(resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",))
@@ -608,6 +646,37 @@ def build_ivfpq_index(
     spark.createDataFrame(
         cb_rows, "m int, c int, cw array<long>"
     ).write.mode("overwrite").parquet(f"{path}_codebooks")
+
+
+def append_ivfpq_index(
+    spark,
+    delta: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """O(batch) maintenance for the PERSISTED IVF-PQ index — the edge
+    that completes the production triangle (build / probe / maintain)
+    for the index a 100 TB vector store actually serves (the 64x-
+    narrower code table, not the raw-vector IVF): new vectors assign
+    against the FROZEN centroid sidecar, residual-encode against the
+    FROZEN codebook sidecar (quantizers retrain offline on their own
+    cadence — train_centroids_exact warm-start + a codebook retrain —
+    exactly the FAISS add-vs-train split), and their codes APPEND to
+    only the bucket partitions the batch routes to. Nothing existing
+    is read or rewritten: the one data pass is over `delta`, both
+    sidecar loads are metadata-sized, and a rebuild over the union
+    with the same frozen sidecars is file-for-file probe-equal
+    (pytest-pinned; the `ivfpq_index_append` oracle gate replays the
+    whole pipeline)."""
+    centroids = spark.read.parquet(f"{path}_centroids")
+    cb = load_codebooks(spark, path)
+    _, resid = _residuals(delta, centroids, vec_col=vec_col, id_col=id_col)
+    codes = encode_ints(
+        resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
+    )
+    codes.write.mode("append").partitionBy("bucket").parquet(path)
 
 
 def query_ivfpq_index(
@@ -635,12 +704,8 @@ def query_ivfpq_index(
     from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
     cents = spark.read.parquet(f"{path}_centroids").collect()
-    cb_rows = spark.read.parquet(f"{path}_codebooks").collect()
-    m = 1 + max(r["m"] for r in cb_rows)
-    ksub = 1 + max(r["c"] for r in cb_rows)
-    cb = [[None] * ksub for _ in range(m)]
-    for r in cb_rows:
-        cb[r["m"]][r["c"]] = [int(x) for x in r["cw"]]
+    cb = load_codebooks(spark, path)
+    m = len(cb)
     sub = len(cb[0][0])
 
     import math
@@ -695,3 +760,129 @@ def query_ivfpq_index(
         )
     )
     return reranked.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def query_ivfpq_index_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 10,
+    rerank_src: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index with a BATCH of queries — the
+    serving shape (query_ivfpq_index amortized): per-query LUTs are
+    built from the metadata-sized query collect and BROADCAST as ONE
+    (qid, bucket, term1, lut) frame, the code scan partition-prunes to
+    the UNION of all queries' probed buckets and is read ONCE (each
+    probed bucket's files scan a single time however many queries
+    probe it, vs once per query in a probe loop), ADC scores every
+    (query, candidate) pair riding that one scan, a per-query window
+    keeps the top k*expand, and the exact float rerank fetches only
+    the candidate ids from `rerank_src`. Returns (query_id, id_col,
+    score), top-k per query, ties to the lowest id — row-for-row equal
+    to a query_ivfpq_index loop (pytest-pinned; the oracle replays the
+    whole pipeline per query).
+
+    At 100 TB this is the difference between an index that answers ONE
+    query and one that serves a workload: LUT math is per-query
+    metadata work, the corpus-sided cost is one pruned scan per BATCH.
+    """
+    import math
+
+    from fb_ads_bigquery_etl_spark.functions.portable import (
+        cosine_similarity,
+    )
+
+    cents = spark.read.parquet(f"{path}_centroids").collect()
+    cb = load_codebooks(spark, path)
+    m = len(cb)
+    sub = len(cb[0][0])
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+    lut_rows = []
+    for qr in qrows:
+        qv = [float(x) for x in qr["qv"]]
+        wq = [math.floor(x * PQ_SCALE) for x in qv]
+        qnorm = math.sqrt(sum(x * x for x in qv))
+
+        def cos(row):
+            dot = sum(float(a) * b for a, b in zip(row["cvec"], qv))
+            return dot / (row["cnorm"] * qnorm)
+
+        probed = sorted(cents, key=lambda r: (-cos(r), r["centroid_id"]))[
+            :nprobe
+        ]
+        lut = [
+            [
+                sum(wq[mm * sub + d] * cw[d] for d in range(sub))
+                for cw in cb[mm]
+            ]
+            for mm in range(m)
+        ]
+        for r in probed:
+            wc = [math.floor(float(x) * PQ_SCALE) for x in r["cvec"]]
+            term1 = sum(a * c for a, c in zip(wq, wc))
+            lut_rows.append(
+                (int(qr["qid"]), int(r["centroid_id"]), term1, lut)
+            )
+    luts = spark.createDataFrame(
+        lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
+    )
+    buckets = sorted({b for _, b, _, _ in lut_rows})
+    codes = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    adc = F.col("term1") + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.join(
+        F.broadcast(luts), F.col("bucket") == F.col("b")
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("id"),
+        adc.alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("id").asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * expand)
+        .select("query_id", "id")
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvecs = spark.createDataFrame(
+        [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in qrows],
+        "query_id long, _qv array<double>",
+    )
+    reranked = (
+        rerank_src.select(F.col(id_col).alias("id"), vec_d.alias("_cv"))
+        .join(F.broadcast(cand), "id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col(id_col).asc())
+    )

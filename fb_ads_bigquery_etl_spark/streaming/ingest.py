@@ -102,14 +102,93 @@ def stream_ivf_ingest(
     appends touch only the buckets the batch routes to; centroids
     retrain offline (train_centroids_exact) on their own cadence.
     """
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
     from fb_ads_bigquery_etl_spark.operators.similarity import (
         assign_ivf_buckets,
     )
+
+    centroids = spark.read.parquet(f"{index_path}_centroids")
+
+    def _transform(batch_df):
+        _, assigned = assign_ivf_buckets(
+            batch_df, vec_col=vec_col, id_col=id_col, centroids=centroids
+        )
+        return assigned
+
+    return _drain_bucket_stream(
+        spark,
+        landing_path,
+        index_path,
+        checkpoint_path=checkpoint_path,
+        transform=_transform,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def stream_ivfpq_ingest(
+    spark: SparkSession,
+    landing_path: str,
+    index_path: str,
+    *,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """`stream_ivf_ingest` for the PERSISTED IVF-PQ index — the index a
+    100 TB store actually serves (64x-narrower residual codes): each
+    micro-batch assigns against the FROZEN centroid sidecar,
+    residual-encodes against the FROZEN codebook sidecar
+    (pq.append_ivfpq_index's O(batch) discipline, driven by a stream),
+    and publishes its code rows into the bucket partitions through the
+    same stage-and-rename exactly-once protocol. Returns micro-batches
+    processed. Quantizers retrain offline on their own cadence
+    (train_centroids_exact warm-start + codebook retrain + rebuild);
+    between retrains the drained index is file-for-file the index every
+    successful history produces, and probe-equal to a one-shot rebuild
+    over the union with the same frozen sidecars (pytest-pinned; the
+    `streaming_ivfpq_ingest` oracle gate replays the full pipeline)."""
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _residuals,
+        encode_ints,
+        load_codebooks,
+    )
+
+    centroids = spark.read.parquet(f"{index_path}_centroids")
+    cb = load_codebooks(spark, index_path)
+
+    def _transform(batch_df):
+        _, resid = _residuals(
+            batch_df, centroids, vec_col=vec_col, id_col=id_col
+        )
+        return encode_ints(
+            resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
+        )
+
+    return _drain_bucket_stream(
+        spark,
+        landing_path,
+        index_path,
+        checkpoint_path=checkpoint_path,
+        transform=_transform,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def _drain_bucket_stream(
+    spark: SparkSession,
+    landing_path: str,
+    index_path: str,
+    *,
+    checkpoint_path: str,
+    transform,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Shared drain loop of the vector-index ingest streams: a file
+    stream over the landing zone (Trigger.AvailableNow), `transform`
+    mapping each micro-batch to a bucket-partitioned frame (O(batch)
+    work against frozen metadata sidecars), and the stage-and-rename
+    exactly-once publish per batch. Returns micro-batches processed."""
+    import os
 
     schema = spark.read.parquet(landing_path).schema  # driver-side peek
     reader = spark.readStream.schema(schema)
@@ -119,7 +198,6 @@ def stream_ivf_ingest(
         )
     stream = reader.parquet(landing_path)
 
-    centroids = spark.read.parquet(f"{index_path}_centroids")
     ledger = f"{index_path}_ingested"
     staging = f"{index_path}_staging"
     os.makedirs(ledger, exist_ok=True)
@@ -130,44 +208,9 @@ def stream_ivf_ingest(
         marker = os.path.join(ledger, f"batch-{batch_id}")
         if os.path.exists(marker):  # replay after a successful commit
             return
-        _, assigned = assign_ivf_buckets(
-            batch_df, vec_col=vec_col, id_col=id_col, centroids=centroids
+        _publish_bucket_batch(
+            transform(batch_df), index_path, staging, batch_id
         )
-        stage = os.path.join(staging, f"batch={batch_id}")
-        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-            stage
-        )
-        prefix = f"b{batch_id}-"
-        # clean any partial publish of THIS batch id across ALL bucket
-        # dirs — not just the buckets this attempt stages into. Within
-        # one checkpoint lifecycle assignment is deterministic, but a
-        # re-drain from a FRESH checkpoint renumbers batches; a prior
-        # partial publish may have landed this id's files in buckets
-        # the renumbered batch no longer routes to, and sweeping only
-        # staged buckets would leave those as duplicate rows.
-        for bdir in sorted(os.listdir(index_path)):
-            if not bdir.startswith("bucket="):
-                continue
-            dst = os.path.join(index_path, bdir)
-            for old in os.listdir(dst):
-                if old.startswith(prefix):
-                    os.remove(os.path.join(dst, old))
-        for bdir in sorted(os.listdir(stage)):
-            if not bdir.startswith("bucket="):
-                continue
-            dst_dir = os.path.join(index_path, bdir)
-            os.makedirs(dst_dir, exist_ok=True)
-            files = sorted(
-                f
-                for f in os.listdir(os.path.join(stage, bdir))
-                if f.endswith(".parquet")
-            )
-            for seq, f in enumerate(files):
-                os.rename(
-                    os.path.join(stage, bdir, f),
-                    os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
-                )
-        shutil.rmtree(stage, ignore_errors=True)
         with open(marker, "w") as fh:
             fh.write("committed")
 
@@ -179,3 +222,49 @@ def stream_ivf_ingest(
     )
     q.awaitTermination()
     return batches["n"]
+
+
+def _publish_bucket_batch(
+    frame, index_path: str, staging: str, batch_id: int
+) -> None:
+    """Steps 2-4 of the exactly-once protocol (see stream_ivf_ingest):
+    stage the bucket-partitioned batch, sweep any previous partial
+    publish of this batch id, rename staged files in under
+    deterministic b<id>-<bucket-ordinal> names. The caller commits the
+    marker last."""
+    import os
+    import shutil
+
+    stage = os.path.join(staging, f"batch={batch_id}")
+    frame.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    prefix = f"b{batch_id}-"
+    # clean any partial publish of THIS batch id across ALL bucket
+    # dirs — not just the buckets this attempt stages into. Within
+    # one checkpoint lifecycle assignment is deterministic, but a
+    # re-drain from a FRESH checkpoint renumbers batches; a prior
+    # partial publish may have landed this id's files in buckets
+    # the renumbered batch no longer routes to, and sweeping only
+    # staged buckets would leave those as duplicate rows.
+    for bdir in sorted(os.listdir(index_path)):
+        if not bdir.startswith("bucket="):
+            continue
+        dst = os.path.join(index_path, bdir)
+        for old in os.listdir(dst):
+            if old.startswith(prefix):
+                os.remove(os.path.join(dst, old))
+    for bdir in sorted(os.listdir(stage)):
+        if not bdir.startswith("bucket="):
+            continue
+        dst_dir = os.path.join(index_path, bdir)
+        os.makedirs(dst_dir, exist_ok=True)
+        files = sorted(
+            f
+            for f in os.listdir(os.path.join(stage, bdir))
+            if f.endswith(".parquet")
+        )
+        for seq, f in enumerate(files):
+            os.rename(
+                os.path.join(stage, bdir, f),
+                os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
+            )
+    shutil.rmtree(stage, ignore_errors=True)

@@ -521,3 +521,117 @@ def test_ivfpq_index_probe_is_partition_pruned_and_matches_rebuild(
         ).collect()
     ]
     assert got == again
+
+
+def test_ivfpq_append_is_append_only_and_matches_rebuild(spark, tmp_path):
+    """append_ivfpq_index must (a) never touch existing code files
+    (per-bucket pre-append file sets survive as subsets), (b) add
+    files only to buckets the batch routes to, and (c) leave the index
+    probe-equal to a from-scratch rebuild over the union with the SAME
+    frozen sidecars (centroids + codebooks) — the add-vs-train split
+    that makes the served PQ index maintainable in O(batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        load_codebooks,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivfpq")
+    cents = similarity.train_centroids_exact(base, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    cb = load_codebooks(spark, path)
+
+    def files_by_bucket(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("bucket="):
+                out[d] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(p, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_by_bucket(path)
+    append_ivfpq_index(spark, delta, path)
+    after = files_by_bucket(path)
+
+    # (a) append-only: every pre-existing code file survives untouched
+    for d, files in before.items():
+        assert set(files) <= set(after.get(d, [])), d
+    # (b) files added only to buckets the delta routes to
+    _, dassigned = similarity.assign_ivf_buckets(delta, centroids=cents)
+    touched = {
+        f"bucket={r[0]}"
+        for r in dassigned.select("bucket").distinct().collect()
+    }
+    grew = {
+        d for d in after if set(after[d]) - set(before.get(d, set()))
+    }
+    assert grew == touched, (grew, touched)
+
+    # (c) probe equality vs full rebuild with the same frozen sidecars
+    qvec = list(
+        emb.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    )
+    got = query_ivfpq_index(
+        spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivfpq_index(
+        emb, rebuilt, in_dim=64, m=4, ksub=8, centroids=cents, codebooks=cb
+    )
+    want = query_ivfpq_index(
+        spark, rebuilt, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_ivfpq_batch_query_equals_per_query_loop(spark, tmp_path):
+    """query_ivfpq_index_batch must return row-for-row what a
+    query_ivfpq_index loop returns for the same queries, while its one
+    code scan partition-prunes to the union of probed buckets."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+
+    qids = [3, 7, 11]
+    qs = emb.filter(F.col("vec_id").isin(qids))
+    out = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    plan = PI.explain_str(out)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    got = [tuple(r) for r in out.collect()]
+
+    want = []
+    for qid in qids:
+        qvec = list(
+            emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        )
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect():
+            want.append((qid, r[0], r[1]))
+    assert got == want

@@ -635,3 +635,108 @@ def test_stream_ivf_ingest_exactly_once_and_probe_equal(spark, tmp_path):
                       max_files_per_trigger=1)
     assert files_of(path) == after
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_stream_ivfpq_ingest_exactly_once_and_probe_equal(spark, tmp_path):
+    """stream_ivfpq_ingest must (a) drain the landing zone into the
+    persisted PQ index with every pre-existing code file untouched and
+    the probe equal to a one-shot rebuild over the union with the SAME
+    frozen sidecars, (b) be a no-op on restart with the same
+    checkpoint, (c) converge to the identical file set on a fresh-
+    checkpoint re-drain, and (d) sweep stale b<id>- partials from
+    EVERY bucket dir — including buckets the renumbered batch no
+    longer stages into (the round-9 advisory fix)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import similarity
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        load_codebooks,
+        query_ivfpq_index,
+    )
+    from fb_ads_bigquery_etl_spark.streaming.ingest import (
+        stream_ivfpq_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    cents = similarity.train_centroids_exact(base, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    cb = load_codebooks(spark, path)
+
+    for i, p in enumerate(
+        (delta.filter(F.col("vec_id") % 2 == 0),
+         delta.filter(F.col("vec_id") % 2 == 1))
+    ):
+        d = str(tmp_path / f"w{i}")
+        p.coalesce(1).write.parquet(d)
+        f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+        shutil.copyfile(os.path.join(d, f),
+                        os.path.join(landing, f"b{i}.parquet"))
+
+    def files_of(p):
+        out = set()
+        for root, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(root, f), p))
+        return out
+
+    before = files_of(path)
+    ckpt = str(tmp_path / "ckpt")
+    n = stream_ivfpq_ingest(spark, landing, path,
+                            checkpoint_path=ckpt, max_files_per_trigger=1)
+    assert n >= 2
+    after = files_of(path)
+    assert before <= after  # nothing pre-existing touched
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # (b) restart with the same checkpoint: no new files
+    stream_ivfpq_ingest(spark, landing, path,
+                        checkpoint_path=ckpt, max_files_per_trigger=1)
+    assert files_of(path) == after
+
+    # (a) probe equality vs one-shot rebuild, same frozen sidecars
+    qvec = list(
+        emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivfpq_index(
+        emb, rebuilt, in_dim=64, m=4, ksub=8, centroids=cents, codebooks=cb
+    )
+    got = query_ivfpq_index(
+        spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    want = query_ivfpq_index(
+        spark, rebuilt, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    # (d) plant a stale b0- partial in a bucket dir, then (c) re-drain
+    # with fresh checkpoint + ledger: the all-bucket sweep removes it
+    # and the deterministic republish converges to the same file set
+    some_bucket = next(
+        d for d in sorted(os.listdir(path)) if d.startswith("bucket=")
+    )
+    stale = os.path.join(path, some_bucket, "b0-stale.parquet")
+    with open(stale, "wb") as fh:
+        fh.write(b"not a real parquet partial")
+    shutil.rmtree(ckpt)
+    shutil.rmtree(f"{path}_ingested")
+    stream_ivfpq_ingest(spark, landing, path,
+                        checkpoint_path=str(tmp_path / "ckpt2"),
+                        max_files_per_trigger=1)
+    assert not os.path.exists(stale)
+    assert files_of(path) == after
+    assert spark.read.parquet(path).count() == emb.count()
