@@ -3911,6 +3911,91 @@ def q_manifest_snapshot_read(spark, sf_dir):
     return out.orderBy("snapshot")
 
 
+def q_manifest_incremental_scan(spark, sf_dir):
+    """Snapshot lifecycle over plain parquet (operators/manifest.py
+    incremental_scan / compact_files / expire_snapshot): the Iceberg
+    discipline's remaining three verbs next to time travel. The
+    harness lands orders in two batches (manifest v1, then v2 after
+    the append); `incremental_scan(v1, v2)` reads ONLY the delta
+    files — the 'added' row proves the delta is exactly the appended
+    rows and exactly the appended FILE COUNT (n_files = len(added),
+    from the mechanism, not stated). Then compaction rewrites the two
+    appended files into one (v3 = v2 minus those + the replacement —
+    content-identical by construction), v1 and v2 EXPIRE against
+    retained [v3] (v1's files are all shared with v3, so expiring it
+    deletes nothing; v2's two pre-compaction originals are exclusive
+    and are deleted from disk), and the 'post_expire' row reads v3
+    AFTER the deletions — proving the retained snapshot is intact and
+    its file count is the compacted 6+1. All file-list work is
+    metadata-sized; the delta scan is O(appended data) regardless of
+    table size — the property that lets a 100 TB consumer tail a table
+    without re-reading it."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        compact_files,
+        expire_snapshot,
+        incremental_scan,
+        read_snapshot,
+        snapshot_diff,
+        update_file_manifest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = o.select("o_orderkey", "o_orderdate", cents.alias("price_cents"))
+    tmp = tempfile.mkdtemp(prefix="_q_manifest_incr_")
+    try:
+        path = os.path.join(tmp, "orders")
+        (
+            base.filter(F.col("o_orderkey") % 4 != 0)
+            .repartition(6)
+            .write.parquet(path)
+        )
+        v1 = build_file_manifest(
+            spark, path, ("o_orderdate",)
+        ).localCheckpoint(eager=True)
+        (
+            base.filter(F.col("o_orderkey") % 4 == 0)
+            .repartition(2)
+            .write.mode("append").parquet(path)
+        )
+        v2 = update_file_manifest(
+            spark, path, v1, ("o_orderdate",)
+        ).localCheckpoint(eager=True)
+        added, removed = snapshot_diff(v1, v2)
+        delta = incremental_scan(spark, v1, v2)
+        row_added = delta.agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        ).select(
+            F.lit("added").alias("step"),
+            F.lit(len(added) - len(removed)).cast("long").alias("n_files"),
+            "n_orders",
+            "revenue_cents",
+        ).localCheckpoint(eager=True)  # before expiration deletes its inputs
+        v3 = compact_files(
+            spark, path, v2, added, ("o_orderdate",)
+        ).localCheckpoint(eager=True)
+        expire_snapshot(spark, v1, [v3])  # all shared: deletes nothing
+        expire_snapshot(spark, v2, [v3])  # the 2 compacted originals go
+        row_post = read_snapshot(spark, v3).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        ).select(
+            F.lit("post_expire").alias("step"),
+            F.lit(v3.count()).cast("long").alias("n_files"),
+            "n_orders",
+            "revenue_cents",
+        )
+        out = row_added.unionByName(row_post).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("step")
+
+
 def q_dedup_aware_split(spark, sf_dir):
     """Leakage-safe train/val/test splits (operators/sampling.py
     dedup_aware_split): the unit of assignment is the NEAR-DUP CLUSTER
@@ -8987,6 +9072,23 @@ def _oracle() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_minhash_pairs_sql()}
             SELECT id_a, id_b, jaccard FROM verified""",
+        # n_files are structural invariants of the harness (repartition
+        # widths 6+2, compaction to 1), REPRODUCED by the engine from
+        # the file-list mechanism and stated here — like the snapshot
+        # tags above; the row contents replay from the tables.
+        "manifest_incremental_scan": """
+            SELECT 'added' AS step, CAST(2 AS BIGINT) AS n_files,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT 'post_expire', CAST(7 AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS BIGINT)
+            FROM orders
+            ORDER BY step""",
         "manifest_snapshot_read": """
             SELECT 'v1' AS snapshot,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -12594,6 +12696,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_index_append": q_ivfpq_index_append,
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "ivfpq_batch_query": q_ivfpq_batch_query,
+    "manifest_incremental_scan": q_manifest_incremental_scan,
     "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,

@@ -321,3 +321,129 @@ def read_snapshot(spark: SparkSession, manifest: DataFrame) -> DataFrame:
     if not files:
         raise ValueError("snapshot manifest lists no files")
     return spark.read.parquet(*files)
+
+
+# --- Snapshot lifecycle: diff / incremental scan / compaction /
+# expiration. A manifest IS a snapshot (read_snapshot); these four
+# complete the Iceberg-style lifecycle over plain parquet: consumers
+# process only the delta between two versions, compaction rewrites
+# small files without changing content, and expiration reclaims the
+# files no retained snapshot references — with newer snapshots
+# provably intact. ---
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame
+) -> tuple[list[str], list[str]]:
+    """(added, removed): file paths present in `new` but not `old`, and
+    vice versa — basename-keyed like update_file_manifest (part file
+    names are globally unique; robust to URI-scheme differences). Two
+    metadata-sized collects."""
+    old_files = {r["file"] for r in old.select("file").collect()}
+    new_files = {r["file"] for r in new.select("file").collect()}
+    old_names = {f.rsplit("/", 1)[-1] for f in old_files}
+    new_names = {f.rsplit("/", 1)[-1] for f in new_files}
+    added = sorted(
+        f for f in new_files if f.rsplit("/", 1)[-1] not in old_names
+    )
+    removed = sorted(
+        f for f in old_files if f.rsplit("/", 1)[-1] not in new_names
+    )
+    return added, removed
+
+
+def incremental_scan(
+    spark: SparkSession,
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    path: str | None = None,
+) -> DataFrame:
+    """Rows in files ADDED between snapshot `old` and snapshot `new` —
+    the Iceberg incremental-read discipline: a downstream consumer that
+    processed v1 catches up to v2 by scanning ONLY the delta files,
+    never re-reading the table. Cost is O(appended data) regardless of
+    table size; the file-list diff is metadata-sized. Works for
+    append-only histories AND post-compaction ones (a compacted file is
+    'added', its content having already been consumed via the originals
+    — consumers downstream of a compaction boundary should diff across
+    it with content keys, the same caveat Iceberg documents).
+
+    Zero added files: with `path`, an empty frame with the dataset's
+    schema (nothing is scanned — the lit(False) filter pushes to the
+    scan); without, ValueError (schema unknowable from no files)."""
+    added, _ = snapshot_diff(old, new)
+    if not added:
+        if path is None:
+            raise ValueError(
+                "incremental scan found zero added files and no dataset "
+                "path was provided to recover the schema; pass path="
+            )
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*added)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame,
+    files: list[str],
+    stat_cols: tuple[str, ...],
+) -> DataFrame:
+    """Rewrite `files` into fewer data files (one writer partition) and
+    return the refreshed manifest: prior rows minus the compacted
+    files plus the replacement's stats — CONTENT-IDENTICAL by
+    construction (the replacement is a plain re-write of the same
+    rows), so any snapshot read through the new manifest equals one
+    through the old. The original small files stay on disk until no
+    retained snapshot lists them (expire_snapshot) — time travel keeps
+    working through older manifests. Scan cost is O(compacted bytes).
+    """
+    if not files:
+        return manifest
+    names = {f.rsplit("/", 1)[-1] for f in files}
+    before = set(_list_data_files(spark, path))
+    spark.read.parquet(*files).coalesce(1).write.mode("append").parquet(
+        path
+    )
+    new_files = [f for f in _list_data_files(spark, path) if f not in before]
+    fresh = (
+        spark.read.parquet(*new_files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*_stat_aggs(stat_cols))
+    )
+    kept = manifest.filter(
+        ~F.substring_index(F.col("file"), "/", -1).isin(list(names))
+    )
+    return kept.unionByName(fresh)
+
+
+def expire_snapshot(
+    spark: SparkSession,
+    expired: DataFrame,
+    retained: list[DataFrame],
+) -> list[str]:
+    """Delete the data files EXCLUSIVE to an expired snapshot — listed
+    by `expired`, referenced by NO retained manifest — and return the
+    deleted paths. Every retained snapshot still reads intact
+    (pytest-pinned): a file shared with any retained version survives,
+    so expiring v1 after an append deletes nothing, while expiring the
+    pre-compaction version reclaims the small files the compaction
+    replaced. All collects are metadata-sized; deletion goes through
+    the Hadoop FileSystem API (works on any supported store)."""
+    keep = {
+        r["file"].rsplit("/", 1)[-1]
+        for m in retained
+        for r in m.select("file").collect()
+    }
+    doomed = sorted(
+        r["file"]
+        for r in expired.select("file").collect()
+        if r["file"].rsplit("/", 1)[-1] not in keep
+    )
+    jvm = spark._jvm
+    for f in doomed:
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, False)
+    return doomed

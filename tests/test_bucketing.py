@@ -542,3 +542,81 @@ def test_read_snapshot_is_isolated_from_appends(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no files"):
         read_snapshot(spark, v1.filter(F.lit(False)))
+
+
+def test_snapshot_lifecycle_incremental_compact_expire(spark, tmp_path):
+    """The snapshot lifecycle verbs must compose: incremental_scan
+    reads exactly the rows of files added between two versions;
+    compact_files preserves content while replacing the file set;
+    expire_snapshot deletes ONLY files no retained manifest lists —
+    proven on disk — and every retained (and shared-file historical)
+    snapshot still reads intact afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.manifest import (
+        build_file_manifest,
+        compact_files,
+        expire_snapshot,
+        incremental_scan,
+        read_snapshot,
+        snapshot_diff,
+        update_file_manifest,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "t")
+    df.filter(F.col("k") % 4 != 0).repartition(2).write.parquet(path)
+    v1 = build_file_manifest(spark, path, ("k",)).localCheckpoint(
+        eager=True
+    )
+    df.filter(F.col("k") % 4 == 0).repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    v2 = update_file_manifest(spark, path, v1, ("k",)).localCheckpoint(
+        eager=True
+    )
+
+    added, removed = snapshot_diff(v1, v2)
+    assert len(added) == 2 and removed == []
+    delta = incremental_scan(spark, v1, v2)
+    assert sorted(
+        tuple(r) for r in delta.collect()
+    ) == sorted(
+        tuple(r) for r in df.filter(F.col("k") % 4 == 0).collect()
+    )
+
+    # zero-delta semantics mirror manifest_pruned_read
+    assert incremental_scan(spark, v2, v2, path=path).count() == 0
+    try:
+        incremental_scan(spark, v2, v2)
+        raise AssertionError("expected ValueError on zero added files")
+    except ValueError:
+        pass
+
+    v3 = compact_files(spark, path, v2, added, ("k",)).localCheckpoint(
+        eager=True
+    )
+    # content-identical, file set = v2 minus the 2 originals plus 1
+    assert v3.count() == v2.count() - 1
+    assert sorted(tuple(r) for r in read_snapshot(spark, v3).collect()) == \
+        sorted(tuple(r) for r in df.collect())
+    # the compacted originals remain on disk: v2 still time-travels
+    assert read_snapshot(spark, v2).count() == 1000
+
+    # expiring v1 against retained [v3] deletes nothing (all shared)
+    assert expire_snapshot(spark, v1, [v3]) == []
+    # expiring v2 deletes exactly the two pre-compaction originals
+    doomed = expire_snapshot(spark, v2, [v3])
+    assert sorted(doomed) == sorted(added)
+    for f in doomed:
+        assert not os.path.exists(f.replace("file:", "").replace("//", "/"))
+    # retained snapshot intact; v1 also still readable (shared files)
+    assert sorted(tuple(r) for r in read_snapshot(spark, v3).collect()) == \
+        sorted(tuple(r) for r in df.collect())
+    assert read_snapshot(spark, v1).count() == df.filter(
+        F.col("k") % 4 != 0
+    ).count()
