@@ -4489,6 +4489,33 @@ def q_media_phash_dedup(spark, sf_dir):
     return phash_dedup(hashes, max_hamming=7).orderBy("id_a", "id_b")
 
 
+def q_media_audio_dedup(spark, sf_dir):
+    """Audio perceptual dedup (operators/multimodal.py
+    synth_wav_groups -> audio_fingerprint -> phash_dedup): REAL
+    RIFF/WAVE PCM16 decode feeding the dedup stack — 16 windows x 16
+    samples, 4 low-frequency integer DCT filterbank energies per
+    window (the shared Q14 table), chromaprint-style sign-of-delta
+    bits (60 of them), then the SAME Hamming-banded candidate join as
+    image pHash (8 bands x 8 bits, provably complete at Hamming <= 7
+    by pigeonhole). Clips are near-duplicate BY CONSTRUCTION within
+    id//5 groups (same base signal + ~2.6 samples of +1 noise); the
+    oracle re-derives every fingerprint arithmetically from the
+    generator formula and states BRUTE-FORCE all-pairs semantics —
+    parity proves the byte decode, the filterbank, and that banded
+    pruning loses no qualifying pair. Completes the perceptual-dedup
+    story across modalities: pHash for images, this for audio."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup,
+        synth_wav_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synth_wav_groups(d)
+    fps = audio_fingerprint(media)
+    return phash_dedup(fps, max_hamming=7).orderBy("id_a", "id_b")
+
+
 def q_quality_classifier_train(spark, sf_dir):
     """TRAINED quality classifier, end to end (operators/classifier.py
     train_classifier -> score_documents): integer pocket-perceptron
@@ -6243,6 +6270,58 @@ def _phash_dedup_oracle_sql(group_size: int = 5, max_hamming: int = 7) -> str:
         SELECT a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         FROM ph a JOIN ph b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY 1, 2"""
+
+
+def _audio_dedup_oracle_sql(
+    group_size: int = 5, max_hamming: int = 7
+) -> str:
+    """DuckDB replay of the audio-fingerprint dedup chain from the
+    GENERATOR FORMULA (the engine works from decoded WAV bytes):
+    per-clip 256 closed-form samples, 16x16 windowing, 4 integer DCT
+    filterbank energies per window via the same Q14 table literals
+    (multimodal.phash_dct_table rows u=1..4), sign-of-delta bits,
+    60-bit fingerprint, then brute-force all-pairs Hamming — the
+    semantics the engine's 8-band LSH plan must reproduce exactly."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dct_table,
+    )
+
+    tab = phash_dct_table()
+    qvals = ", ".join(
+        f"({u}, {i}, {tab[u][i]})"
+        for u in range(1, 5)
+        for i in range(16)
+    )
+    return f"""
+        WITH qtab AS (SELECT * FROM (VALUES {qvals}) AS q(u, i, qv)),
+        ids AS (SELECT doc_id AS id, doc_id // {group_size} AS g
+                FROM documents),
+        samp AS MATERIALIZED (
+          SELECT id, nn.n AS n,
+                 ((('0x' || substr(md5('au:' || CAST(g AS VARCHAR) || ':'
+                                   || CAST(nn.n AS VARCHAR)), 1, 8))::BIGINT
+                   + CASE WHEN (7 * nn.n + id) % 97 = 0
+                          THEN 1 ELSE 0 END) % 65536) - 32768 AS v
+          FROM ids, range(256) nn(n)),
+        e AS MATERIALIZED (
+          SELECT s.id, s.n // 16 AS w, q.u AS u,
+                 CAST(SUM(s.v * q.qv) AS BIGINT) AS e
+          FROM samp s JOIN qtab q ON q.i = s.n % 16
+          GROUP BY 1, 2, 3),
+        fp AS MATERIALIZED (
+          SELECT a.id,
+                 CAST(SUM(CASE WHEN a.e > b.e
+                               THEN (CAST(1 AS BIGINT)
+                                     << ((a.w - 1) * 4 + (a.u - 1)))
+                               ELSE 0 END) AS BIGINT) AS phash
+          FROM e a JOIN e b ON a.id = b.id AND a.u = b.u
+                           AND b.w = a.w - 1
+          GROUP BY 1)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
         WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
         ORDER BY 1, 2"""
 
@@ -11339,6 +11418,7 @@ def _oracle() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "quality_classifier_train": _classifier_train_oracle_sql(),
         "media_phash_dedup": _phash_dedup_oracle_sql(),
+        "media_audio_dedup": _audio_dedup_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
         "ivfpq_index_query": f"""
@@ -12697,6 +12777,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "ivfpq_batch_query": q_ivfpq_batch_query,
     "manifest_incremental_scan": q_manifest_incremental_scan,
+    "media_audio_dedup": q_media_audio_dedup,
     "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,

@@ -1555,3 +1555,135 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         kernel, "id long, w int, h int, sum_pix long, checksum long"
     )
+
+
+# --- Audio perceptual dedup: integer spectral fingerprint over the
+# REAL WAV decode + the same Hamming-banded candidate join as pHash —
+# the chromaprint shape (per-window filterbank energies, sign-of-delta
+# bits), integer-exact so SQL replays every bit. ---
+
+
+def synth_wav_groups(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 5
+) -> DataFrame:
+    """(id, payload binary): real RIFF/WAVE PCM16-mono files where ids
+    in the same id//group_size group are NEAR-DUPLICATES by
+    construction — the group fixes the 256-sample base signal
+    (sample[n] = (hash32('au:<g>:<n>') % 65536) - 32768, md5-derived
+    per-sample noise exactly like portable.hash32, so distinct groups
+    have INDEPENDENT spectra — smooth closed forms like quadratics
+    make adjacent windows spectrally similar and groups collide) and
+    each id adds sparse +1 noise inside the modulus where
+    (7*n + id) % 97 == 0 (~2.6 samples — inaudible, bytes differ).
+    Deterministic in (id, n); SQL replays every sample via md5."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _base(g: int):
+        return np.array(
+            [
+                int(
+                    hashlib.md5(f"au:{g}:{n}".encode()).hexdigest()[:8], 16
+                )
+                for n in range(256)
+            ],
+            dtype=np.int64,
+        )
+
+    def _mk_fn(ids):
+        out = []
+        n = np.arange(256, dtype=np.int64)
+        bases: dict[int, "np.ndarray"] = {}
+        for i in ids:
+            i = int(i)
+            g = i // group_size
+            if g not in bases:
+                bases[g] = _base(g)
+            noise = ((7 * n + i) % 97 == 0).astype(np.int64)
+            v = ((bases[g] + noise) % 65536) - 32768
+            data = v.astype("<i2").tobytes()
+            rate = 16000
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt "
+                + struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(id, phash long): 60-bit spectral fingerprint from DECODED WAV
+    bytes alone (nothing here consults a generator formula — the
+    decode-proof contract of every media chain): parse the RIFF/WAVE
+    chunk walk (PCM16 mono), frame the first 256 samples into 16
+    windows of 16, per window compute the 4 low-frequency DCT-II
+    filterbank energies E[w][u] = sum_i v[16w+i] * Q[u][i] for
+    u = 1..4 over the shared Q14 integer table (phash_dct_table — an
+    exact int64 sum: |v| <= 32768, |q| <= 16384, 16 terms < 2^34),
+    then the chromaprint-style sign-of-delta bits: bit (w-1)*4+(u-1)
+    is 1 iff E[w][u] > E[w-1][u] — 60 bits, robust to amplitude and
+    sparse sample noise, flipped wholesale by a different spectrum.
+    Column is named `phash` on purpose: the output plugs straight
+    into phash_dedup's Hamming-banded candidate join (8x8-bit bands,
+    provably complete at Hamming <= 7). Arrow-batched mapInPandas;
+    the wide payload dies inside the kernel."""
+    import struct
+
+    import numpy as np
+
+    Q = np.array(phash_dct_table(), dtype=np.int64)[1:5]  # u = 1..4
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                    body = buf[pos + 8 : pos + 8 + clen]
+                    if cid == b"fmt ":
+                        afmt, ch, _, _, _, bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                        if (afmt, ch, bits) != (1, 1, 16):
+                            raise ValueError("only PCM16 mono supported")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + clen + (clen & 1)
+                if data is None:
+                    raise ValueError("no data chunk")
+                v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if v.size < 256:
+                    raise ValueError(
+                        f"fingerprint needs >= 256 samples, got {v.size}"
+                    )
+                W = v[:256].reshape(16, 16)  # windows x samples
+                E = W @ Q.T  # 16 windows x 4 bands, exact int64
+                d = E[1:] > E[:-1]  # 15 x 4 sign-of-delta bits
+                fp = 0
+                for p, bit in enumerate(d.flatten()):
+                    if bit:
+                        fp |= 1 << p
+                rows.append((int(i), fp))
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    return media.mapInPandas(kernel, "id long, phash long")

@@ -740,3 +740,70 @@ def test_jpeg_decode_rejects_malformed(spark):
                 "id long, payload binary",
             )
         ).collect()
+
+
+def test_audio_dedup_banding_complete_and_separates_groups(spark):
+    """The banded audio-fingerprint plan must equal brute-force
+    all-pairs Hamming <= 7, rediscover the generator's near-duplicate
+    groups from DECODED WAV BYTES (the sparse +1 sample noise is
+    invisible to the spectral fingerprint — that is the point of
+    perceptual hashing), and keep distinct groups apart (measured
+    cross-group min Hamming 12 at 1000 groups)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup,
+        synth_wav_groups,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    fps = audio_fingerprint(synth_wav_groups(ids)).localCheckpoint(
+        eager=True
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_dedup(fps, max_hamming=7).collect()
+    }
+
+    hs = {r["id"]: r["phash"] for r in fps.collect()}
+    want = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+
+    within = {(a, b) for a in range(60) for b in range(a + 1, 60)
+              if a // 5 == b // 5}
+    assert within <= set(got)  # every constructed near-dup pair found
+    assert not (set(got) - within)  # no cross-group pair sneaks in
+
+
+def test_audio_fingerprint_rejects_non_wav_and_short_clips(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"OggS..."))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="not a RIFF/WAVE"):
+        audio_fingerprint(bad).collect()
+
+    # a valid but too-short PCM16 clip must refuse, not mis-fingerprint
+    data = struct.pack("<8h", *range(8))
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    short = spark.createDataFrame(
+        [(1, bytearray(wav))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match=">= 256 samples"):
+        audio_fingerprint(short).collect()
