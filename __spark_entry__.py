@@ -4559,6 +4559,129 @@ def q_quality_classifier_train(spark, sf_dir):
     )
 
 
+_EVAL_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def q_classifier_eval_split(spark, sf_dir):
+    """Leakage-safe HELD-OUT classifier evaluation — the composition
+    round 9 landed both halves of but never joined (operators/
+    sampling.dedup_aware_split + operators/classifier.train_classifier
+    -> score_documents): the labeled corpus splits by NEAR-DUP CLUSTER
+    (connected component of the MinHash-LSH pair graph, so zero
+    qualifying near-dup pairs straddle train/eval BY CONSTRUCTION),
+    the pocket perceptron trains on the train partition ONLY (6
+    unrolled integer iterations), and the held-out confusion matrix is
+    reported per (label, prediction) in exact integer counts — next to
+    the SAME pipeline under the NAIVE per-doc hash split, each row
+    carrying its scheme's STRUCTURAL leak count: eval docs with a
+    verified near-dup partner in train (cluster-aware: 0 BY
+    CONSTRUCTION; naive: measured 10 at sf0.01 — exactly the eval
+    contamination a curation pipeline must rule out, counted from the
+    pair evidence rather than assumed). Honest read of the scores
+    this surfaces: on this template corpus the batch pocket
+    perceptron MEMORIZES more than it generalizes (train accuracy
+    80.5% vs held-out 73.3% at sf0.01) — the train-vs-heldout gap is
+    itself what held-out evaluation exists to expose, and the r9
+    train-accuracy gate alone could not see it. The oracle replays
+    EVERYTHING — shingling, banding, pair verification, the recursive
+    component fixpoint, both split assignments, BOTH 6-iteration
+    training chains (train-partition-restricted), pocket argmins,
+    both held-out scorings, and both leak counts. At 100 TB: training
+    is vocab-sized driver traffic per iteration over the (sampled)
+    train split; eval is one broadcast-weights pass over the held-out
+    docs; the leak audit joins the pair set against the assignment
+    twice (default shuffle strategy — pair sets are not
+    metadata-sized in general)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        train_classifier,
+    )
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        assign_split,
+        dedup_aware_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lab = d.withColumn(
+        "label",
+        F.array_contains(tokens(F.col("text")), "data").cast("long"),
+    )
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    assigned = dedup_aware_split(d, pairs, splits=_EVAL_SPLITS)
+    withsplits = lab.join(
+        assigned.select(F.col("id").alias("doc_id"), "split"), "doc_id"
+    ).withColumn(
+        "nsplit", assign_split(F.col("doc_id"), _EVAL_SPLITS, salt="cl:")
+    ).localCheckpoint(eager=True)
+    parts = []
+    for scheme, col in (("cluster", "split"), ("naive", "nsplit")):
+        weights, _ = train_classifier(
+            withsplits.filter(F.col(col) == "train"),
+            label_col="label",
+            buckets=4096,
+            iters=6,
+        )
+        scored = score_documents(
+            withsplits.filter(F.col(col) != "train"),
+            weights,
+            buckets=4096,
+            bias_milli=0,
+            extra_cols=("label",),
+        )
+        sp = withsplits.select("doc_id", F.col(col).alias("_s"))
+        pa = pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("_s").alias("sa")
+            ),
+            "id_a",
+        ).join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("_s").alias("sb")
+            ),
+            "id_b",
+        )
+        leaked = (
+            pa.filter(
+                (F.col("sa") != "train") & (F.col("sb") == "train")
+            )
+            .select(F.col("id_a").alias("d"))
+            .unionByName(
+                pa.filter(
+                    (F.col("sb") != "train") & (F.col("sa") == "train")
+                ).select(F.col("id_b").alias("d"))
+            )
+            .agg(
+                F.countDistinct("d").cast("long")
+                .alias("n_leaked_eval_docs")
+            )
+        )
+        parts.append(
+            scored.groupBy("label", "prediction")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("score_milli").cast("long")
+                .alias("total_score_milli"),
+            )
+            .crossJoin(F.broadcast(leaked))
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "label",
+                "prediction",
+                "n_docs",
+                "total_score_milli",
+                "n_leaked_eval_docs",
+            )
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .orderBy("scheme", "label", "prediction")
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-pruned semi-join (operators/sketch.bloom_bitmap/
     bloom_prune) — the cross-stage join-reduction a 100 TB plan ships
@@ -6412,6 +6535,146 @@ def _classifier_train_oracle_sql(buckets: int = 4096, iters: int = 12) -> str:
                CAST(SUM(n_feats) AS BIGINT) AS total_feats,
                CAST(SUM(score_milli) AS BIGINT) AS total_score_milli
         FROM ds GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _classifier_eval_split_oracle_sql(
+    buckets: int = 4096, iters: int = 6
+) -> str:
+    """DuckDB replay of q_classifier_eval_split END TO END: MinHash-LSH
+    pair discovery (_minhash_pairs_sql), the recursive connected-
+    component fixpoint, cluster-hash and naive per-doc split
+    assignments, then — per scheme — `iters` unrolled pocket-perceptron
+    iterations restricted to that scheme's TRAIN docs, the pocket
+    argmin, and the held-out scoring of the non-train docs. Shared
+    corpus CTEs (tokens, labels, hashed feature counts) compute once;
+    the two training chains carry c/n prefixes."""
+    shared = rf"""tok AS MATERIALIZED (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '') AS tok
+            FROM documents),
+        ylab AS MATERIALIZED (SELECT doc_id,
+                       CASE WHEN list_contains(tok, 'data')
+                            THEN 1 ELSE -1 END AS y
+                FROM tok),
+        featx AS (
+          SELECT doc_id,
+                 unnest(tok || CASE WHEN len(tok) >= 2
+                   THEN list_transform(generate_series(1, len(tok) - 1),
+                                       i -> tok[i] || ' ' || tok[i+1])
+                   ELSE [] END) AS feat
+          FROM tok),
+        fc AS MATERIALIZED (SELECT doc_id,
+                      ('0x' || substr(md5(feat), 1, 8))::BIGINT % {buckets}
+                        AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM featx GROUP BY 1, 2),
+        edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        walk(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+        ccomp AS (SELECT node, MIN(label) AS component FROM walk
+                  GROUP BY node),
+        clus AS (SELECT d.doc_id AS id,
+                        COALESCE(ccomp.component, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN ccomp ON ccomp.node = d.doc_id),
+        asg AS MATERIALIZED (
+          SELECT id,
+                 CASE WHEN cb < 8000 THEN 'train'
+                      WHEN cb < 9000 THEN 'val'
+                      WHEN cb < 10000 THEN 'test'
+                      ELSE 'holdout' END AS split,
+                 CASE WHEN nb < 8000 THEN 'train'
+                      WHEN nb < 9000 THEN 'val'
+                      WHEN nb < 10000 THEN 'test'
+                      ELSE 'holdout' END AS nsplit
+          FROM (SELECT id,
+                  ('0x' || substr(md5('cl:' || CAST(cluster AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000 AS cb,
+                  ('0x' || substr(md5('cl:' || CAST(id AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000 AS nb
+                FROM clus))"""
+    parts = [shared]
+    for p, col in (("c", "split"), ("n", "nsplit")):
+        parts.append(f"""{p}tr AS MATERIALIZED (
+          SELECT ylab.doc_id, ylab.y
+          FROM ylab JOIN asg ON asg.id = ylab.doc_id
+          WHERE asg.{col} = 'train')""")
+        parts.append(f"""{p}w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                      CAST(NULL AS BIGINT) AS w WHERE FALSE)""")
+        for i in range(iters):
+            if i == 0:
+                parts.append(f"""{p}s0 AS MATERIALIZED (
+          SELECT doc_id, y, CAST(0 AS BIGINT) AS s FROM {p}tr)""")
+            else:
+                parts.append(f"""{p}s{i} AS MATERIALIZED (
+          SELECT tr.doc_id, tr.y, CAST(COALESCE(sc.s, 0) AS BIGINT) AS s
+          FROM {p}tr tr LEFT JOIN (
+            SELECT fc.doc_id, CAST(SUM(fc.c * w.w) AS BIGINT) AS s
+            FROM fc JOIN {p}tr tt ON fc.doc_id = tt.doc_id
+            JOIN {p}w{i} w ON fc.bucket = w.bucket
+            GROUP BY 1) sc USING (doc_id))""")
+            parts.append(f"""{p}m{i} AS (
+          SELECT COUNT(*) AS m FROM {p}s{i} WHERE y * s <= 0)""")
+            parts.append(f"""{p}u{i} AS (
+          SELECT fc.bucket, CAST(SUM(fc.c * sd.y) AS BIGINT) AS u
+          FROM fc JOIN {p}s{i} sd USING (doc_id)
+          WHERE sd.y * sd.s <= 0 GROUP BY 1)""")
+            parts.append(f"""{p}w{i + 1} AS MATERIALIZED (
+          SELECT COALESCE({p}w{i}.bucket, {p}u{i}.bucket) AS bucket,
+                 COALESCE({p}w{i}.w, 0) + COALESCE({p}u{i}.u, 0) AS w
+          FROM {p}w{i} FULL JOIN {p}u{i}
+            ON {p}w{i}.bucket = {p}u{i}.bucket)""")
+        mall = " UNION ALL ".join(
+            f"SELECT {i} AS it, m FROM {p}m{i}" for i in range(iters)
+        )
+        wall = " UNION ALL ".join(
+            f"SELECT {i} AS it, bucket, w FROM {p}w{i}"
+            for i in range(iters)
+        )
+        parts.append(f"""{p}mall AS ({mall})""")
+        parts.append(f"""{p}best AS (SELECT it FROM {p}mall
+                             ORDER BY m ASC, it ASC LIMIT 1)""")
+        parts.append(f"""{p}wall AS ({wall})""")
+        parts.append(f"""{p}wbest AS (SELECT bucket, w FROM {p}wall
+                              JOIN {p}best USING (it))""")
+        parts.append(f"""{p}ds AS (
+          SELECT ylab.doc_id, CAST((ylab.y + 1) // 2 AS BIGINT) AS label,
+                 COALESCE(sc.s, 0) AS score_milli
+          FROM ylab JOIN asg ON asg.id = ylab.doc_id
+          LEFT JOIN (SELECT fc.doc_id,
+                            CAST(SUM(fc.c * wb.w) AS BIGINT) AS s
+                     FROM fc JOIN {p}wbest wb ON fc.bucket = wb.bucket
+                     GROUP BY 1) sc USING (doc_id)
+          WHERE asg.{col} <> 'train')""")
+        parts.append(f"""{p}leak AS (
+          SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n FROM (
+            SELECT v.id_a AS d FROM verified v
+            JOIN asg a ON v.id_a = a.id JOIN asg b ON v.id_b = b.id
+            WHERE a.{col} <> 'train' AND b.{col} = 'train'
+            UNION ALL
+            SELECT v.id_b FROM verified v
+            JOIN asg a ON v.id_a = a.id JOIN asg b ON v.id_b = b.id
+            WHERE b.{col} <> 'train' AND a.{col} = 'train'))""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_sql()},
+        {body}
+        SELECT * FROM (
+          SELECT 'cluster' AS scheme, label,
+                 score_milli > 0 AS prediction,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(score_milli) AS BIGINT) AS total_score_milli,
+                 cleak.n AS n_leaked_eval_docs
+          FROM cds, cleak GROUP BY 2, 3, 6
+          UNION ALL
+          SELECT 'naive', label, score_milli > 0,
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(score_milli) AS BIGINT),
+                 nleak.n
+          FROM nds, nleak GROUP BY 2, 3, 6)
+        ORDER BY scheme, label, prediction"""
 
 
 _FK_EDGES = [
@@ -11419,6 +11682,7 @@ def _oracle() -> dict[str, str]:
         "quality_classifier_train": _classifier_train_oracle_sql(),
         "media_phash_dedup": _phash_dedup_oracle_sql(),
         "media_audio_dedup": _audio_dedup_oracle_sql(),
+        "classifier_eval_split": _classifier_eval_split_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
         "ivfpq_index_query": f"""
@@ -12778,6 +13042,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_batch_query": q_ivfpq_batch_query,
     "manifest_incremental_scan": q_manifest_incremental_scan,
     "media_audio_dedup": q_media_audio_dedup,
+    "classifier_eval_split": q_classifier_eval_split,
     "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,
