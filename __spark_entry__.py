@@ -6919,6 +6919,69 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_bpe_vocab_prune(spark, sf_dir):
+    """Tokenizer lifecycle close-out (operators/bpe.decode_pieces /
+    merge_usage / prune_merges): DECODE round-trips the encode
+    (decode(encode(vocab)) == every word, verified per word from the
+    data — merges only fuse adjacent symbols, and the gate counts
+    violations rather than trusting the argument), usage audit counts
+    each rank's corpus-weighted firings (the piece-count drop per
+    rank), and VOCABULARY PRUNING drops merges below a
+    scale-proportional frequency floor (1 + corpus_words // 20 — at
+    every SF this keeps ranks 0-3 and drops the chained ('st','r')
+    rank), re-encodes with the survivors, and reports the fertility
+    shift. The oracle replays BOTH encode chains — the pruned one
+    gated per rank on the replayed usage-vs-floor decision (scalar
+    subqueries, so the data-dependent subset never appears as
+    literals) — plus the usage math, both round-trip counts, and both
+    fertility ratios. Gated per scheme: rank count, corpus words,
+    corpus pieces, fertility milli, round-trip violations (must be
+    0)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(d, tokens(F.col("text"))).localCheckpoint(
+        eager=True
+    )
+    n_words = int(words.agg(F.sum("freq")).head()[0])
+    floor = 1 + n_words // 20
+    usages = bpe.merge_usage(words, _BPE_ENCODE_MERGES)
+    kept = [
+        m for m, u in zip(_BPE_ENCODE_MERGES, usages) if u >= floor
+    ]
+    rows = []
+    for scheme, table in (("full", _BPE_ENCODE_MERGES), ("pruned", kept)):
+        enc = bpe.apply_merges(words, table).localCheckpoint(eager=True)
+        stats = (
+            enc.select("wid", F.size("toks").cast("long").alias("_p"))
+            .join(words, "wid")
+            .agg(
+                F.sum(F.col("freq") * F.col("_p"))
+                .cast("long")
+                .alias("n_pieces")
+            )
+        )
+        bad = (
+            bpe.decode_pieces(enc)
+            .filter(F.col("decoded") != F.col("wid"))
+            .agg(F.count("*").cast("long").alias("n_roundtrip_bad"))
+        )
+        rows.append(
+            stats.crossJoin(bad).select(
+                F.lit(scheme).alias("scheme"),
+                F.lit(len(table)).cast("long").alias("n_ranks"),
+                F.lit(n_words).cast("long").alias("n_words"),
+                "n_pieces",
+                F.expr(f"(1000 * n_pieces) div {n_words}").alias(
+                    "fertility_milli"
+                ),
+                "n_roundtrip_bad",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("scheme")
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Tokenizer fertility audit (the standard tokenizer-eval metric):
     pieces-per-word and chars-per-piece of the fixed BPE table
@@ -8014,10 +8077,10 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
     count-desc/lexicographic LIMIT-1 argmax, run-parity greedy
     selection, and the positional merge application."""
     ctes = [
-        f"""wf AS (SELECT wid, COUNT(*) AS freq
+        f"""wf AS MATERIALIZED (SELECT wid, COUNT(*) AS freq
                FROM (SELECT unnest({_TOK}) AS wid FROM documents)
                GROUP BY wid)""",
-        """s0 AS (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
+        """s0 AS MATERIALIZED (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
                FROM wf, UNNEST(generate_series(1, length(wid))) AS u(i))""",
     ]
     for k in range(iters):
@@ -8072,54 +8135,73 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY step"
 
 
-def _bpe_apply_ctes() -> tuple[list[str], str]:
+def _bpe_apply_ctes(
+    prefix: str = "",
+    gate_from: str | None = None,
+    include_base: bool = True,
+) -> tuple[list[str], str]:
     """Shared unrolled-CTE replay of operators/bpe.apply_merges over
     _BPE_ENCODE_MERGES: per rank, lead()-adjacency with the pair fixed
     as literals, run-parity greedy selection, positional application.
     Returns (cte_list, final_state_name); consumers aggregate the final
     positional symbol state their own way (bpe_encode: token
-    frequencies; tokenizer_fertility: pieces-per-word)."""
-    ctes = [
-        f"""wf AS (SELECT wid, COUNT(*) AS freq
+    frequencies; tokenizer_fertility: pieces-per-word). `prefix` names
+    a second chain next to the default one (both start from the shared
+    unprefixed s0 — pass include_base=False to skip re-emitting
+    wf/s0); `gate_from` names a (rank, kept) CTE and makes each rank k
+    fire only when its kept flag is true — the data-dependent
+    rank-subset replay bpe_vocab_prune needs (a scalar subquery per
+    rank, so the pruned table never appears as literals)."""
+    P = prefix
+    ctes = []
+    if include_base:
+        ctes += [
+            f"""wf AS MATERIALIZED (SELECT wid, COUNT(*) AS freq
                FROM (SELECT unnest({_TOK}) AS wid FROM documents)
                GROUP BY wid)""",
-        """s0 AS (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
+            """s0 AS MATERIALIZED (SELECT wid, i AS pos, substr(wid, i, 1) AS sym
                FROM wf, UNNEST(generate_series(1, length(wid))) AS u(i))""",
-    ]
+        ]
     for k, (a, b) in enumerate(_BPE_ENCODE_MERGES):
+        src = f"{P}s{k}" if k else "s0"
+        gate = (
+            f" AND (SELECT kept FROM {gate_from} WHERE rank = {k})"
+            if gate_from
+            else ""
+        )
         ctes.append(
-            f"""n{k} AS (
+            f"""{P}n{k} AS (
               SELECT wid, pos, sym,
                      lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
                      ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS rn
-              FROM s{k})"""
+              FROM {src})"""
         )
         ctes.append(
-            f"""c{k} AS (
+            f"""{P}c{k} AS (
               SELECT wid, rn,
                      ROW_NUMBER() OVER (PARTITION BY wid ORDER BY rn) AS crn
-              FROM n{k} WHERE sym = '{a}' AND nxt = '{b}')"""
+              FROM {P}n{k} WHERE sym = '{a}' AND nxt = '{b}'{gate})"""
         )
         ctes.append(
-            f"""sel{k} AS (
+            f"""{P}sel{k} AS (
               SELECT wid, rn FROM (
                 SELECT wid, rn,
                        rn - MIN(rn) OVER (PARTITION BY wid, rn - crn) AS off
-                FROM c{k})
+                FROM {P}c{k})
               WHERE off % 2 = 0)"""
         )
         ctes.append(
-            f"""s{k + 1} AS (
+            f"""{P}s{k + 1} AS MATERIALIZED (
               SELECT n.wid, n.pos,
                      CASE WHEN sl.rn IS NOT NULL
                           THEN n.sym || '{b}'
                           ELSE n.sym END AS sym
-              FROM n{k} n
-              LEFT JOIN sel{k} sl ON n.wid = sl.wid AND n.rn = sl.rn
-              LEFT JOIN sel{k} sp ON n.wid = sp.wid AND n.rn = sp.rn + 1
+              FROM {P}n{k} n
+              LEFT JOIN {P}sel{k} sl ON n.wid = sl.wid AND n.rn = sl.rn
+              LEFT JOIN {P}sel{k} sp ON n.wid = sp.wid AND n.rn = sp.rn + 1
               WHERE sp.rn IS NULL)"""
         )
-    return ctes, f"s{len(_BPE_ENCODE_MERGES)}"
+    return ctes, f"{P}s{len(_BPE_ENCODE_MERGES)}"
 
 
 def _bpe_encode_oracle_sql() -> str:
@@ -8133,6 +8215,70 @@ def _bpe_encode_oracle_sql() -> str:
         GROUP BY s.sym
         ORDER BY n_occurrences DESC, token ASC LIMIT 25"""
     )
+
+
+def _bpe_vocab_prune_oracle_sql() -> str:
+    """DuckDB replay of q_bpe_vocab_prune: the full encode chain, the
+    per-rank usage audit from state piece counts, the floor decision,
+    a SECOND encode chain gated per rank on the replayed decision, and
+    per-scheme decode round-trip counts + fertility."""
+    R = len(_BPE_ENCODE_MERGES)
+    full_ctes, full_last = _bpe_apply_ctes()
+    pruned_ctes, pruned_last = _bpe_apply_ctes(
+        prefix="p", gate_from="gate", include_base=False
+    )
+    tots = [
+        f"""tot{k} AS MATERIALIZED (
+          SELECT CAST(SUM(w.freq * c.c) AS BIGINT) AS t
+          FROM (SELECT wid, COUNT(*) AS c FROM s{k} GROUP BY wid) c
+          JOIN wf w USING (wid))"""
+        for k in range(R + 1)
+    ]
+    usage = " UNION ALL ".join(
+        f"SELECT {k} AS rank, (SELECT t FROM tot{k}) "
+        f"- (SELECT t FROM tot{k + 1}) AS usage"
+        for k in range(R)
+    )
+    extra = [
+        "nw AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM wf)",
+        "floorv AS (SELECT 1 + (SELECT n FROM nw) // 20 AS f)",
+        f"usage AS MATERIALIZED ({usage})",
+        """gate AS MATERIALIZED (
+            SELECT rank, usage >= (SELECT f FROM floorv) AS kept
+            FROM usage)""",
+        f"""ptot AS MATERIALIZED (
+          SELECT CAST(SUM(w.freq * c.c) AS BIGINT) AS t
+          FROM (SELECT wid, COUNT(*) AS c FROM {pruned_last}
+                GROUP BY wid) c
+          JOIN wf w USING (wid))""",
+    ]
+
+    def bad(state: str) -> str:
+        return (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ("
+            f"SELECT wid, string_agg(sym, '' ORDER BY pos) AS d "
+            f"FROM {state} GROUP BY wid) WHERE d <> wid)"
+        )
+
+    body = ",\n        ".join(full_ctes + tots + extra + pruned_ctes)
+    return f"""
+        WITH {body}
+        SELECT * FROM (
+          SELECT 'full' AS scheme, CAST({R} AS BIGINT) AS n_ranks,
+                 (SELECT n FROM nw) AS n_words,
+                 (SELECT t FROM tot{R}) AS n_pieces,
+                 CAST((1000 * (SELECT t FROM tot{R}))
+                      // (SELECT n FROM nw) AS BIGINT) AS fertility_milli,
+                 {bad(full_last)} AS n_roundtrip_bad
+          UNION ALL
+          SELECT 'pruned',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM gate WHERE kept),
+                 (SELECT n FROM nw),
+                 (SELECT t FROM ptot),
+                 CAST((1000 * (SELECT t FROM ptot))
+                      // (SELECT n FROM nw) AS BIGINT),
+                 {bad(pruned_last)})
+        ORDER BY scheme"""
 
 
 def _tokenizer_fertility_oracle_sql() -> str:
@@ -12652,6 +12798,7 @@ def _oracle() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "bpe_vocab_prune": _bpe_vocab_prune_oracle_sql(),
         "mmr_rerank": _mmr_oracle_sql(),
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "rrf_fusion": _rrf_oracle_sql(),
@@ -13043,6 +13190,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_incremental_scan": q_manifest_incremental_scan,
     "media_audio_dedup": q_media_audio_dedup,
     "classifier_eval_split": q_classifier_eval_split,
+    "bpe_vocab_prune": q_bpe_vocab_prune,
     "manifest_snapshot_read": q_manifest_snapshot_read,
     "dedup_aware_split": q_dedup_aware_split,
     "ivfpq_index_query": q_ivfpq_index_query,

@@ -349,3 +349,71 @@ def apply_merges_pandas(
         .distinct()
         .select("wid", encode(F.col("wid")).alias("toks"))
     )
+
+
+def decode_pieces(encoded: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """BPE DECODE: (wid, decoded) with decoded = the concatenation of
+    the word's pieces — the inverse of `apply_merges` BY CONSTRUCTION
+    (every merge only fuses adjacent symbols of the same word, so the
+    character stream is preserved in order; the round-trip gate
+    verifies it anyway, per word, from the data). Completes the
+    tokenizer lifecycle: train -> encode -> decode. Pure JVM
+    expression; vocabulary-sized like the encode it inverts."""
+    return encoded.select(
+        "wid", F.concat_ws("", F.col(toks_col)).alias("decoded")
+    )
+
+
+def merge_usage(
+    words: DataFrame, merges: Sequence[tuple[str, str]]
+) -> list[int]:
+    """Corpus-weighted firing count per merge rank: apply the table
+    rank by rank over the vocabulary frame and measure, per rank, the
+    corpus piece-count drop (each firing fuses exactly two pieces into
+    one, so usage_k = sum_w freq_w * (pieces_{k-1}(w) - pieces_k(w))).
+    One vocabulary-sized pass per rank plus a scalar agg — the audit a
+    tokenizer build runs to find dead vocabulary. Returns one int per
+    rank, in rank order."""
+    uniq = words.select("wid").distinct()
+    freq = words.select("wid", "freq")
+
+    def total_pieces(state: DataFrame) -> int:
+        cnt = state.groupBy("wid").agg(F.count("*").alias("_c"))
+        return int(
+            cnt.join(freq, "wid")
+            .agg(F.sum(F.col("freq") * F.col("_c")).cast("long"))
+            .head()[0]
+        )
+
+    state = initial_symbols(uniq).localCheckpoint(eager=True)
+    prev = total_pieces(state)
+    usages: list[int] = []
+    for a, b in merges:
+        state = _apply_pair(state, a, b).localCheckpoint(eager=True)
+        cur = total_pieces(state)
+        usages.append(prev - cur)
+        prev = cur
+    return usages
+
+
+def prune_merges(
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    *,
+    min_uses: int,
+) -> list[tuple[str, str]]:
+    """Vocabulary pruning: drop merges whose corpus-weighted usage
+    falls below `min_uses`, preserving rank order of the survivors —
+    the standard tokenizer-shrink step (a merge nobody fires is a
+    wasted vocabulary slot; re-encoding with the pruned table shifts
+    fertility only by the dropped merges' firings). Usage is measured
+    against the FULL table's sequential schedule (merge_usage), so a
+    kept merge that consumed a dropped merge's output keeps its
+    measured behavior visible to the caller via the fertility shift
+    the `bpe_vocab_prune` gate reports."""
+    usages = merge_usage(words, merges)
+    return [
+        tuple(m)
+        for m, u in zip(merges, usages)
+        if u >= min_uses
+    ]

@@ -174,3 +174,43 @@ def test_apply_merges_pandas_30k_rank_table(spark):
         for r in bpe.apply_merges_pandas(df, merges).collect()
     }
     assert got == want
+
+
+def test_decode_usage_prune_lifecycle(spark):
+    """decode_pieces must invert apply_merges for every word; per-rank
+    usages must account exactly for the total piece-count drop; and
+    prune_merges must keep a rank-ordered subset whose re-encode
+    shifts fertility by exactly the dropped ranks' firings when no
+    kept rank depended on a dropped one."""
+    texts = [
+        "steer steer stern inner inner now stow stow stow",
+        "strew rest rest inn inn inn erst now now",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = bpe.word_frequencies(df, tokens(F.col("text"))).localCheckpoint(
+        eager=True
+    )
+    merges = [("e", "r"), ("i", "n"), ("s", "t"), ("o", "w"), ("st", "r")]
+
+    enc = bpe.apply_merges(words, merges).localCheckpoint(eager=True)
+    dec = {r["wid"]: r["decoded"] for r in bpe.decode_pieces(enc).collect()}
+    assert dec == {w: w for w in dec}  # round-trip, per word
+
+    usages = bpe.merge_usage(words, merges)
+    freq = {r["wid"]: r["freq"] for r in words.collect()}
+    toks = {r["wid"]: r["toks"] for r in enc.collect()}
+    init_pieces = sum(len(w) * f for w, f in freq.items())
+    final_pieces = sum(len(toks[w]) * f for w, f in freq.items())
+    assert sum(usages) == init_pieces - final_pieces
+    assert all(u >= 0 for u in usages)
+
+    # prune the bottom rank(s); survivors keep rank order
+    floor = sorted(usages)[1]  # drop exactly the rarest rank
+    kept = bpe.prune_merges(words, merges, min_uses=floor)
+    assert kept == [m for m, u in zip(merges, usages) if u >= floor]
+    assert len(kept) < len(merges)
+    # pruned re-encode still round-trips
+    enc2 = bpe.apply_merges(words, kept)
+    dec2 = {r["wid"]: r["decoded"]
+            for r in bpe.decode_pieces(enc2).collect()}
+    assert dec2 == {w: w for w in dec2}
