@@ -13191,58 +13191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_dedup": q_media_audio_dedup,
     "classifier_eval_split": q_classifier_eval_split,
     "bpe_vocab_prune": q_bpe_vocab_prune,
-    "manifest_snapshot_read": q_manifest_snapshot_read,
-    "dedup_aware_split": q_dedup_aware_split,
-    "ivfpq_index_query": q_ivfpq_index_query,
-    "centroid_refresh": q_centroid_refresh,
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "streaming_ivf_ingest": q_streaming_ivf_ingest,
-    "proximity_search": q_proximity_search,
-    "media_phash_dedup": q_media_phash_dedup,
-    "quality_classifier_train": q_quality_classifier_train,
-    # --- last driver-green r04 ---
-    "histogram_2d": q_histogram_2d,
-    "term_pmi_pairs": q_term_pmi_pairs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "asof_join_forward": q_asof_join_forward,
-    "jsonl_roundtrip": q_jsonl_roundtrip,
-    "orc_roundtrip": q_orc_roundtrip,
-    "doc_chunks": q_doc_chunks,
-    "embedding_normalize": q_embedding_normalize,
-    "vocab_coverage": q_vocab_coverage,
-    "containment_pairs": q_containment_pairs,
-    "cross_source_dups": q_cross_source_dups,
-    "chunk_dedup_rate": q_chunk_dedup_rate,
-    "ann_lsh": q_ann_lsh,
-    "ann_recall": q_ann_recall,
-    "dup_cluster_stats": q_dup_cluster_stats,
-    "transition_counts": q_transition_counts,
-    "lang_confusion": q_lang_confusion,
-    "bm25_topk": q_bm25_topk,
-    "merge_upsert_state": q_merge_upsert_state,
-    "scd2_state": q_scd2_state,
-    "incremental_rollup": q_incremental_rollup,
-    "pricing_summary": q_pricing_summary,
-    "freshness": q_freshness,
-    "daily_rollup": q_daily_rollup,
-    "freshness_status": q_freshness_status,
-    "count_scan": q_count,
-    "distinct_projection": q_distinct,
-    "dedup_keepfirst": q_dedup_keepfirst,
-    "events_pivot": q_events_pivot,
-    "topk_per_group": q_topk_per_group,
-    "revenue_by_nation": q_revenue_by_nation,
     # --- last driver-green r05 ---
-    "streaming_enrich": q_streaming_enrich,
-    "median_exact_by_group": q_median_exact_by_group,
-    "pii_redaction": q_pii_redaction,
-    "repetition_stats": q_repetition_stats,
-    "corpus_funnel": q_corpus_funnel,
-    "skew_audit": q_skew_audit,
-    "corpus_clean_stats": q_corpus_clean_stats,
-    "approx_distinct": q_approx_distinct,
-    "substring_dedup_spans": q_substring_dedup_spans,
-    "temperature_mix": q_temperature_mix,
     "rollup_region_nation": q_rollup_region_nation,
     "sessionize": q_sessionize,
     "join_outer_agg": q_join_outer_agg,
@@ -13436,6 +13385,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "share_of_nation": q_share_of_nation,
     "time_to_convert": q_time_to_convert,
     "top_parts_per_nation": q_top_parts_per_nation,
+    # --- last driver-green r09 ---
+    "manifest_snapshot_read": q_manifest_snapshot_read,
+    "dedup_aware_split": q_dedup_aware_split,
+    "ivfpq_index_query": q_ivfpq_index_query,
+    "centroid_refresh": q_centroid_refresh,
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "streaming_ivf_ingest": q_streaming_ivf_ingest,
+    "proximity_search": q_proximity_search,
+    "media_phash_dedup": q_media_phash_dedup,
+    "quality_classifier_train": q_quality_classifier_train,
+    "histogram_2d": q_histogram_2d,
+    "term_pmi_pairs": q_term_pmi_pairs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "asof_join_forward": q_asof_join_forward,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "doc_chunks": q_doc_chunks,
+    "embedding_normalize": q_embedding_normalize,
+    "vocab_coverage": q_vocab_coverage,
+    "containment_pairs": q_containment_pairs,
+    "cross_source_dups": q_cross_source_dups,
+    "chunk_dedup_rate": q_chunk_dedup_rate,
+    "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "transition_counts": q_transition_counts,
+    "lang_confusion": q_lang_confusion,
+    "bm25_topk": q_bm25_topk,
+    "merge_upsert_state": q_merge_upsert_state,
+    "scd2_state": q_scd2_state,
+    "incremental_rollup": q_incremental_rollup,
+    "pricing_summary": q_pricing_summary,
+    "freshness": q_freshness,
+    "daily_rollup": q_daily_rollup,
+    "freshness_status": q_freshness_status,
+    "count_scan": q_count,
+    "distinct_projection": q_distinct,
+    "dedup_keepfirst": q_dedup_keepfirst,
+    "events_pivot": q_events_pivot,
+    "topk_per_group": q_topk_per_group,
+    "revenue_by_nation": q_revenue_by_nation,
+    "streaming_enrich": q_streaming_enrich,
+    "median_exact_by_group": q_median_exact_by_group,
+    "pii_redaction": q_pii_redaction,
+    "repetition_stats": q_repetition_stats,
+    "corpus_funnel": q_corpus_funnel,
+    "skew_audit": q_skew_audit,
+    "corpus_clean_stats": q_corpus_clean_stats,
+    "approx_distinct": q_approx_distinct,
+    "substring_dedup_spans": q_substring_dedup_spans,
+    "temperature_mix": q_temperature_mix,
 }
 
 

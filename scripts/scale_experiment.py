@@ -104,6 +104,15 @@ QUERIES = [
     ("centroid_refresh", "warm-start integer Lloyd retrain + dual assignment"),
     ("ivfpq_index_query", "persisted IVF-PQ build + partition-pruned ADC probe"),
     ("manifest_snapshot_read", "two-version manifest + both snapshot reads"),
+    # --- round 10 additions ---
+    ("ivfpq_index_append", "base IVF-PQ build + O(batch) frozen-sidecar append"),
+    ("streaming_ivfpq_ingest", "base IVF-PQ build + streamed code appends"),
+    ("ivfpq_batch_query", "one pruned code scan serving a 3-query batch"),
+    ("manifest_incremental_scan", "delta scan + compaction + expiration"),
+    # key-offset doc copies land in NEW id//5 groups (hash-based base
+    # signals), so the audio pair set grows linearly — x-track is honest
+    ("media_audio_dedup", "WAV decode + DCT filterbank + banded join"),
+    ("bpe_vocab_prune", "usage audit + gated re-encode + round-trip"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
@@ -200,6 +209,10 @@ NEARDUP_QUERIES = [
     # walk + assignment joins) — output-quadratic on verbatim copies for
     # the same reason, so its honest row lives here
     ("dedup_aware_split", "cluster-aware split + independent straddle check"),
+    # consumes the same LSH pair set (split + leak audit + two
+    # trainings) — output-quadratic on verbatim copies like the rest of
+    # the family, so its honest row lives in the perturbed track
+    ("classifier_eval_split", "cluster-vs-naive held-out eval + leak audit"),
 ]
 
 # letters+digits: the per-copy rotation must also remap numbers or
