@@ -4406,6 +4406,155 @@ def q_ivfpq_batch_query(spark, sf_dir):
     return out
 
 
+def q_ivfpq_index_delete(spark, sf_dir):
+    """O(delete-batch) deletion from the persisted IVF-PQ index
+    (operators/pq.delete_from_ivfpq_index) — the CRUD edge between
+    O(batch) append and offline rebuild: deleted ids APPEND to a
+    tombstone sidecar, no code file is read or rewritten, and probes
+    anti-join the sidecar BEFORE top-k*expand candidate selection so
+    a delete is visible to the very next query (the LSM/Iceberg
+    delete-file discipline: logical-now, physical-at-compaction).
+    Every vec_id % 7 == 0 vector is deleted; the probe's top-k can
+    contain none of them, and the oracle replays the full pipeline —
+    training, assignment, encoding (deleted rows stay ENCODED, their
+    files untouched), probe with the live filter, ADC, rerank."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_delete_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(e, k=16, iters=2)
+        build_ivfpq_index(e, path, in_dim=64, m=4, ksub=8, centroids=cents)
+        delete_from_ivfpq_index(
+            spark, e.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+        )
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_ivfpq_index_compact(spark, sf_dir):
+    """Compaction of the persisted IVF-PQ index
+    (operators/pq.compact_ivfpq_index) — the maintenance job that
+    keeps the served index read-optimal after O(batch) appends (one
+    file per touched bucket per batch) and O(batch) tombstone deletes:
+    TOUCHED-BUCKETS-ONLY dynamic partition overwrite bakes the
+    tombstone anti-join into the files, merges fragments to one file
+    per bucket, and empties the sidecar (fully-dead buckets retain
+    theirs — pytest-pinned, tests/test_ivf_index.py). The harness
+    exercises the full lifecycle — base build, delta append, %7
+    delete, compact — then probes; compaction is probe-invariant by
+    construction, so the oracle is the same full-pipeline replay as
+    the delete gate with the append gate's base-trained sidecars."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 11).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_compact_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        append_ivfpq_index(spark, delta, path)
+        delete_from_ivfpq_index(
+            spark, e.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+        )
+        compact_ivfpq_index(spark, path)
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_ivfpq_index_stats(spark, sf_dir):
+    """Per-bucket audit of the persisted IVF-PQ index
+    (operators/pq.ivfpq_index_stats) — the health check a maintenance
+    scheduler keys compaction off: live vs tombstoned code counts per
+    coarse bucket, one pass over the 64x-narrower code table plus a
+    plain id join against the tombstone sidecar (pending deletes are
+    not metadata-sized in general). Harness: base build + delta
+    append + %7 delete, NO compact — so the audit sees pending
+    tombstones. The oracle replays coarse training on the base and
+    assignment of every vector, then counts live/deleted per bucket
+    from the %7 predicate."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_stats_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        append_ivfpq_index(spark, delta, path)
+        delete_from_ivfpq_index(
+            spark, e.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+        )
+        out = (
+            ivfpq_index_stats(spark, path)
+            .select(
+                F.col("bucket").cast("long").alias("bucket"),
+                "n_live",
+                "n_deleted",
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PROXIMITY_PROBES = (
     (["sort", "merge"], 2),
     (["batch", "batch"], 1),
@@ -6105,6 +6254,7 @@ def _ivfpq_probe_oracle_sql(
     qids: tuple[int, ...],
     *,
     train_where: str = "",
+    live_where: str = "",
     k: int = 10,
     nprobe: int = 2,
     expand: int = 10,
@@ -6125,6 +6275,11 @@ def _ivfpq_probe_oracle_sql(
     single = len(qids) == 1
     qlist = ", ".join(str(q) for q in qids)
     tw = f"WHERE {train_where}" if train_where else ""
+    # `live_where` (predicate over e2.vec_id) replays the tombstone
+    # anti-join the probe applies BEFORE candidate selection — the
+    # delete/compact gates: deleted rows stay encoded in the replay
+    # (codes on disk until compaction) but never become candidates.
+    lw = f"WHERE {live_where}" if live_where else ""
     sel = (
         "SELECT vec_id, score"
         if single
@@ -6234,6 +6389,7 @@ def _ivfpq_probe_oracle_sql(
           JOIN t1 ON t1.centroid_id = a.bucket
           JOIN qw ON qw.qid = t1.qid
           JOIN cb1 b ON e2.m = b.m AND e2.c = b.c
+          {lw}
           GROUP BY 1, 2),
         cand AS (
           SELECT qid, vec_id FROM (
@@ -9437,6 +9593,40 @@ def _oracle() -> dict[str, str]:
             (7,), train_where="vec_id % 3 <> 0"
         ),
         "ivfpq_batch_query": _ivfpq_probe_oracle_sql(_IVFPQ_BATCH_QIDS),
+        # CRUD completion of the persisted index: tombstone deletes
+        # (live filter replays the probe's anti-join; deleted rows stay
+        # ENCODED in the replay, exactly as their files stay on disk)
+        # and compaction (probe-invariant by construction — same
+        # replay as delete, with the append gate's base training).
+        "ivfpq_index_delete": _ivfpq_probe_oracle_sql(
+            (5,), live_where="e2.vec_id % 7 <> 0"
+        ),
+        "ivfpq_index_compact": _ivfpq_probe_oracle_sql(
+            (11,),
+            train_where="vec_id % 3 <> 0",
+            live_where="e2.vec_id % 7 <> 0",
+        ),
+        # Per-bucket live/tombstoned audit: coarse training on the
+        # base + assignment of every vector, counts split by the %7
+        # delete predicate.
+        "ivfpq_index_stats": f"""
+            WITH {_trained_cents_cte(16, 2,
+                                     src_where="WHERE vec_id % 3 <> 0")},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            asn AS (
+              SELECT vec_id, bucket FROM (
+                SELECT v.vec_id, c.centroid_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1)
+            SELECT bucket,
+                   CAST(COUNT(*) FILTER (WHERE vec_id % 7 <> 0)
+                        AS BIGINT) AS n_live,
+                   CAST(COUNT(*) FILTER (WHERE vec_id % 7 = 0)
+                        AS BIGINT) AS n_deleted
+            FROM asn GROUP BY bucket ORDER BY bucket""",
         # HLL estimates are engine-specific; the gated columns are the
         # exact count and the tolerance-band verdict, which both engines
         # satisfy deterministically (band = 3x the default rsd 0.05).
@@ -13187,6 +13377,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_index_append": q_ivfpq_index_append,
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "ivfpq_batch_query": q_ivfpq_batch_query,
+    "ivfpq_index_delete": q_ivfpq_index_delete,
+    "ivfpq_index_compact": q_ivfpq_index_compact,
+    "ivfpq_index_stats": q_ivfpq_index_stats,
     "manifest_incremental_scan": q_manifest_incremental_scan,
     "media_audio_dedup": q_media_audio_dedup,
     "classifier_eval_split": q_classifier_eval_split,

@@ -679,6 +679,141 @@ def append_ivfpq_index(
     codes.write.mode("append").partitionBy("bucket").parquet(path)
 
 
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """Read the tombstone sidecar (`<path>_tombstones`, schema
+    `id long`) if one exists, else None. FS-agnostic: probes the
+    parquet reader rather than a local-path check, so the same code
+    works against HDFS/S3 paths on a real cluster (where the sidecar
+    existence check is a single namenode/list call either way)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema("id long").parquet(f"{path}_tombstones")
+    except AnalysisException:
+        return None
+
+
+def delete_from_ivfpq_index(
+    spark,
+    ids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """O(delete-batch) deletion from the PERSISTED IVF-PQ index — the
+    CRUD edge between O(batch) append and offline rebuild: deleted ids
+    APPEND to a tombstone sidecar (`<path>_tombstones`), no code file
+    is read or rewritten. Probes anti-join the sidecar BEFORE top-k
+    candidate selection, so a delete is visible to the next query
+    immediately; `compact_ivfpq_index` later applies tombstones
+    physically and empties the sidecar (the LSM/Iceberg delete-file
+    discipline: logical-now, physical-at-compaction). The one pass is
+    over the delete batch itself; the sidecar grows by one small file
+    per call and is bounded by compaction cadence."""
+    ids.select(F.col(id_col).cast("long").alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}_tombstones")
+
+
+def compact_ivfpq_index(spark, path: str) -> list[int]:
+    """Apply pending tombstones and merge append fragments — the
+    maintenance job that keeps the served IVF-PQ index read-optimal
+    after a stream of O(batch) appends (each leaves one file per
+    touched bucket) and O(batch) deletes (each leaves tombstones the
+    probes must anti-join). Work is TOUCHED-BUCKETS-ONLY: a bucket is
+    rewritten iff it holds a tombstoned row or more than one code
+    file; everything else's file set is untouched (pytest-pinned).
+    The scan that finds work runs over the CODE table (m small ints
+    per row, 64x narrower than the vectors) plus one `input_file_name`
+    aggregation — the price of a catalog-free layout; with a manifest
+    the fragment count is a metadata read. Rewrites go through
+    dynamic partition overwrite so only touched `bucket=` partitions
+    are replaced, one file per bucket (`repartition("bucket")` puts
+    each bucket in exactly one task). A bucket whose every row is
+    tombstoned yields no output rows, so dynamic overwrite cannot
+    clear it — its tombstones are RETAINED (not dropped) and probes
+    stay correct; only tombstones whose rows were physically removed
+    leave the sidecar. Returns the rewritten bucket ids (sorted).
+
+    Probe-equality before/after is exact: the anti-join the probe did
+    against the sidecar is the same filter compaction bakes into the
+    files."""
+    codes = spark.read.parquet(path)
+    tomb = _read_tombstones(spark, path)
+
+    frag = (
+        codes.select("bucket", F.input_file_name().alias("_f"))
+        .groupBy("bucket")
+        .agg(F.countDistinct("_f").alias("_nf"))
+        .filter(F.col("_nf") > 1)
+        .select("bucket")
+    )
+    work = frag
+    if tomb is not None:
+        dead_buckets = (
+            codes.join(tomb, "id", "left_semi").select("bucket").distinct()
+        )
+        work = work.unionByName(dead_buckets).distinct()
+    # bounded by nlist — a metadata-sized collect
+    buckets = sorted(int(r[0]) for r in work.collect())
+    if not buckets:
+        return []
+
+    live = codes.filter(F.col("bucket").isin(buckets))
+    if tomb is not None:
+        live = live.join(tomb, "id", "left_anti")
+    # materialize BEFORE overwriting the files being read
+    live = live.repartition("bucket").localCheckpoint(eager=True)
+
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        live.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    if tomb is not None:
+        # keep only tombstones whose rows still exist (fully-dead,
+        # unrewritten buckets); everything applied leaves the sidecar
+        remaining = tomb.join(
+            spark.read.parquet(path).select("id"), "id", "left_semi"
+        ).localCheckpoint(eager=True)
+        remaining.write.mode("overwrite").parquet(f"{path}_tombstones")
+    return buckets
+
+
+def ivfpq_index_stats(spark, path: str) -> DataFrame:
+    """Per-bucket audit of the persisted IVF-PQ index — the health
+    check a maintenance scheduler keys compaction off: for every
+    coarse bucket, how many codes are live and how many are logically
+    deleted (tombstoned but not yet compacted away). One pass over the
+    narrow code table, one join against the tombstone sidecar on id
+    (a plain join — the pending-delete set is not metadata-sized in
+    general). Returns (bucket, n_live, n_deleted) ordered by bucket."""
+    codes = spark.read.parquet(path).select("id", "bucket")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        flagged = codes.join(
+            tomb.withColumn("_dead", F.lit(1)).distinct(), "id", "left"
+        )
+    else:
+        flagged = codes.withColumn("_dead", F.lit(None).cast("int"))
+    return (
+        flagged.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_dead").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+            F.sum(F.when(F.col("_dead").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_deleted"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def query_ivfpq_index(
     spark,
     path: str,
@@ -733,6 +868,12 @@ def query_ivfpq_index(
     codes = spark.read.parquet(path).filter(
         F.col("bucket").isin([b for b, _, _ in lut_rows])
     )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes are visible immediately: anti-join the
+        # tombstone sidecar BEFORE candidate selection (plain join —
+        # the pending-delete set is not metadata-sized in general)
+        codes = codes.join(tomb, "id", "left_anti")
     adc = F.col("term1") + F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -838,6 +979,10 @@ def query_ivfpq_index_batch(
     )
     buckets = sorted({b for _, b, _, _ in lut_rows})
     codes = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # same immediate-visibility discipline as the single probe
+        codes = codes.join(tomb, "id", "left_anti")
     adc = F.col("term1") + F.aggregate(
         F.zip_with(
             F.col("codes"),

@@ -635,3 +635,278 @@ def test_ivfpq_batch_query_equals_per_query_loop(spark, tmp_path):
         ).collect():
             want.append((qid, r[0], r[1]))
     assert got == want
+
+
+def test_ivfpq_delete_is_tombstone_only_and_probe_excludes(spark, tmp_path):
+    """delete_from_ivfpq_index must (a) leave every code file
+    untouched (tombstone-only), (b) make deleted ids invisible to the
+    very next probe, (c) leave the probe row-for-row equal to an index
+    built on the live rows alone with the SAME frozen sidecars (the
+    anti-join happens before candidate selection, so logical deletes
+    are exact), and (d) append on repeat — earlier tombstone files
+    survive a second delete."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        load_codebooks,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    cb = load_codebooks(spark, path)
+
+    def all_code_files(p):
+        out = set()
+        for d in os.listdir(p):
+            if d.startswith("bucket="):
+                for f in os.listdir(os.path.join(p, d)):
+                    if f.endswith(".parquet"):
+                        out.add((d, f))
+        return out
+
+    before = all_code_files(path)
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+    )
+    # (a) tombstone-only: identical code file set
+    assert all_code_files(path) == before
+
+    qvec = list(
+        emb.filter(F.col("vec_id") == 5).select("embedding").head()[0]
+    )
+    got = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    # (b) no deleted id in the top-k
+    assert got and all(i % 7 != 0 for i, _ in got), got
+
+    # (c) equality vs a live-only build with the same frozen sidecars
+    live = emb.filter(F.col("vec_id") % 7 != 0)
+    path2 = str(tmp_path / "liveonly")
+    build_ivfpq_index(
+        live, path2, in_dim=64, m=4, ksub=8, centroids=cents, codebooks=cb
+    )
+    want = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path2, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    assert got == want
+
+    # (d) second delete appends: first tombstone files survive
+    tp = f"{path}_tombstones"
+    t_before = set(os.listdir(tp))
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") == 11).select("vec_id"), path
+    )
+    assert t_before <= set(os.listdir(tp))
+
+
+def test_ivfpq_compact_touches_only_dirty_buckets(spark, tmp_path):
+    """compact_ivfpq_index must be probe-invariant, merge every dirty
+    bucket to ONE file, leave clean buckets' file sets byte-for-byte
+    alone, empty the tombstone sidecar once applied, and be a no-op
+    when there is no work."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+
+    def files_by_bucket(p):
+        return {
+            d: sorted(
+                f
+                for f in os.listdir(os.path.join(p, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(p)
+            if d.startswith("bucket=")
+        }
+
+    # first compact: collapse build fragments -> 1 file per bucket
+    compact_ivfpq_index(spark, path)
+    snap = files_by_bucket(path)
+    assert all(len(v) == 1 for v in snap.values()), snap
+    # idempotent: nothing left to do
+    assert compact_ivfpq_index(spark, path) == []
+    assert files_by_bucket(path) == snap
+
+    # delete three ids; only their buckets may be rewritten
+    ids = [3, 5, 11]
+    _, assigned = similarity.assign_ivf_buckets(
+        emb.filter(F.col("vec_id").isin(ids)), centroids=cents
+    )
+    dirty = {
+        f"bucket={r[0]}"
+        for r in assigned.select("bucket").distinct().collect()
+    }
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id").isin(ids)).select("vec_id"), path
+    )
+    qvec = list(
+        emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    )
+    pre = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    compacted = compact_ivfpq_index(spark, path)
+    assert {f"bucket={b}" for b in compacted} == dirty, (compacted, dirty)
+    after = files_by_bucket(path)
+    for d, files in snap.items():
+        if d not in dirty:
+            assert after[d] == files, d  # clean buckets untouched
+        else:
+            assert len(after[d]) == 1 and after[d] != files, d
+    # tombstones applied -> sidecar empty, audit shows zero deleted
+    st = ivfpq_index_stats(spark, path)
+    assert st.agg(F.sum("n_deleted")).head()[0] == 0
+    post = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    assert post == pre  # probe-invariant
+
+
+def test_ivfpq_stats_matches_direct_recount(spark, tmp_path):
+    """ivfpq_index_stats must reproduce (per bucket) the live and
+    tombstoned counts computed directly from the assignment."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids_exact(base, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    append_ivfpq_index(spark, delta, path)
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+    )
+    got = {
+        int(r["bucket"]): (int(r["n_live"]), int(r["n_deleted"]))
+        for r in ivfpq_index_stats(spark, path).collect()
+    }
+    _, assigned = similarity.assign_ivf_buckets(emb, centroids=cents)
+    want = {
+        int(r["bucket"]): (int(r["live"]), int(r["dead"]))
+        for r in assigned.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("id") % 7 != 0, 1).otherwise(0)).alias(
+                "live"
+            ),
+            F.sum(F.when(F.col("id") % 7 == 0, 1).otherwise(0)).alias(
+                "dead"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_fully_dead_bucket_retains_tombstones(spark, tmp_path):
+    """A bucket whose EVERY row is tombstoned produces no output rows,
+    so dynamic partition overwrite cannot clear it — compaction must
+    RETAIN its tombstones (probes stay correct) while applying the
+    rest."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_tombstones,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    # two well-separated 4-d clusters; bucket of ids 0..3 dies entirely
+    rows = [
+        (0, [1.0, 0.9, 0.0, 0.0]),
+        (1, [0.9, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.1, 0.0]),
+        (3, [0.9, 0.9, 0.0, 0.1]),
+        (10, [0.0, 0.0, 1.0, 0.9]),
+        (11, [0.0, 0.1, 0.9, 1.0]),
+        (12, [0.0, 0.0, 1.0, 1.0]),
+        (13, [0.1, 0.0, 0.9, 0.9]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = similarity.train_centroids_exact(
+        emb, k=2, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "tiny")
+    build_ivfpq_index(emb, path, in_dim=4, m=2, ksub=2, centroids=cents)
+    _, assigned = similarity.assign_ivf_buckets(emb, centroids=cents)
+    dead_bucket = assigned.filter(F.col("id") == 0).head()["bucket"]
+    dead_ids = [
+        int(r["id"])
+        for r in assigned.filter(F.col("bucket") == dead_bucket).collect()
+    ]
+    # kill the whole bucket plus one row of the live one
+    live_victim = next(
+        int(r["id"])
+        for r in assigned.filter(F.col("bucket") != dead_bucket).collect()
+    )
+    delete_from_ivfpq_index(
+        spark,
+        emb.filter(
+            F.col("vec_id").isin(dead_ids + [live_victim])
+        ).select("vec_id"),
+        path,
+    )
+    compact_ivfpq_index(spark, path)
+    remaining = {
+        int(r["id"]) for r in _read_tombstones(spark, path).collect()
+    }
+    # tombstones for the unclearable dead bucket retained, the
+    # applied one gone
+    assert remaining == set(dead_ids), (remaining, dead_ids)
+    qvec = [0.95, 0.95, 0.05, 0.05]  # aims straight at the dead bucket
+    got = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=4, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    assert got and all(
+        i not in set(dead_ids) | {live_victim} for i, _ in got
+    ), got
