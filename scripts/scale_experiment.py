@@ -113,6 +113,9 @@ QUERIES = [
     # signals), so the audio pair set grows linearly — x-track is honest
     ("media_audio_dedup", "WAV decode + DCT filterbank + banded join"),
     ("bpe_vocab_prune", "usage audit + gated re-encode + round-trip"),
+    ("ivfpq_index_delete", "full build + tombstone delete + filtered probe"),
+    ("ivfpq_index_compact", "append + delete + dirty-bucket rewrite + probe"),
+    ("ivfpq_index_stats", "per-bucket live/tombstone audit of the codes"),
 ]
 
 # Queries whose input is EVENTS — a fixed dim in the x-dirs above, so
