@@ -636,6 +636,33 @@ def test_ivfpq_batch_query_equals_per_query_loop(spark, tmp_path):
             want.append((qid, r[0], r[1]))
     assert got == want
 
+    # and the equality must survive tombstone deletes: both probe
+    # shapes anti-join the sidecar before candidate selection
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        delete_from_ivfpq_index,
+    )
+
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"), path
+    )
+    got2 = [
+        tuple(r)
+        for r in query_ivfpq_index_batch(
+            spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    assert got2 and all(i % 5 != 0 for _, i, _ in got2), got2
+    want2 = []
+    for qid in qids:
+        qvec = list(
+            emb.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        )
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+        ).collect():
+            want2.append((qid, r[0], r[1]))
+    assert got2 == want2
+
 
 def test_ivfpq_delete_is_tombstone_only_and_probe_excludes(spark, tmp_path):
     """delete_from_ivfpq_index must (a) leave every code file
