@@ -20,13 +20,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_experiment import build_scaled  # noqa: E402
+from scale_experiment import build_perturbed, build_scaled  # noqa: E402
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    perturbed = "--perturbed" in args
+    names = [a for a in args if a != "--perturbed"]
     if not names:
-        raise SystemExit("usage: focused_sweep.py <query> [query ...]")
+        raise SystemExit(
+            "usage: focused_sweep.py [--perturbed] <query> [query ...]"
+        )
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     work = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale_exp")
 
@@ -40,9 +44,11 @@ def main() -> None:
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
 
+    build = build_perturbed if perturbed else build_scaled
+    track = "perturbed (linear output)" if perturbed else "x (verbatim copies)"
     dirs = {1: base}
     for m in (2, 4, 8):
-        dirs[m] = build_scaled(spark, base, m, work)
+        dirs[m] = build(spark, base, m, work)
 
     rows = []
     for name in names:
@@ -65,7 +71,7 @@ def main() -> None:
             print(f"{name} x{m}: {res[m]}s", flush=True)
         ratio = round(res[8] / res[1], 1) if res[1] else float("nan")
         rows.append(
-            f"| {name} | x (verbatim copies) | {res[1]} | {res[2]} "
+            f"| {name} | {track} | {res[1]} | {res[2]} "
             f"| {res[4]} | {res[8]} | {ratio} |"
         )
     print("\n| query | track | 1 | 2 | 4 | 8 | ratio |")
