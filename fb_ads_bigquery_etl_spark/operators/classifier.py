@@ -180,6 +180,20 @@ def train_classifier(
     exactly once; each pass here is linear, but nothing about the
     algorithm needs the whole corpus as its training set."""
     spark = df.sparkSession
+    if num_partitions is None:
+        # partition count sizes the 2-stage-per-iteration task grid,
+        # and EVERY iteration reuses this one cached partitioning —
+        # 2*iters stages ride it, so task-launch overhead multiplies.
+        # Size it to the data: the input's scan partitioning (grows
+        # with the labeled corpus) capped by the session's shuffle
+        # parallelism (the cluster-tuned ceiling), floored at 8 so a
+        # single-file sample still parallelizes. At 100 TB the cap
+        # wins (cluster default); on a small labeled sample the floor
+        # wins and 12 iterations stop being pure scheduling.
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        num_partitions = min(
+            shuffle_n, max(8, df.rdd.getNumPartitions())
+        )
     feats = (
         df.select(
             F.col(id_col).alias("_doc"),
@@ -197,14 +211,7 @@ def train_classifier(
         )
         .groupBy("_doc", "_y", "_bucket")
         .agg(F.count("*").cast("long").alias("_c"))
-        # partition count sizes the 2-stage-per-iteration task grid:
-        # every iteration reuses this one cached partitioning, so pick
-        # it for the BATCH (default shuffle parallelism), not per-query
-        # defaults — at 100 TB this is corpus-sized, locally a small
-        # fixed grid keeps 12 iterations from being pure task-launch
-        # overhead
-        .repartition(*([num_partitions, "_doc"] if num_partitions
-                       else ["_doc"]))
+        .repartition(num_partitions, "_doc")
         .persist()
     )
     try:
