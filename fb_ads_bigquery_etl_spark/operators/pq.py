@@ -631,11 +631,21 @@ def build_ivfpq_index(
     cents, resid = _residuals(
         df, centroids, vec_col=vec_col, id_col=id_col
     )
-    cb = codebooks if codebooks is not None else train_codebooks_ints(
-        resid, dim=in_dim, m=m, ksub=ksub, int_col="_r", id_col="id"
-    )
-    codes = encode_ints(resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",))
-    codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # three consumers when training here (codebook seeds, partial-sum
+    # pass, encode+write) — Spark does not reuse exchanges across
+    # actions, so persist the one data-sized intermediate instead of
+    # recomputing the assignment join per action
+    resid = resid.persist()
+    try:
+        cb = codebooks if codebooks is not None else train_codebooks_ints(
+            resid, dim=in_dim, m=m, ksub=ksub, int_col="_r", id_col="id"
+        )
+        codes = encode_ints(
+            resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
+        )
+        codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        resid.unpersist()
     cents.write.mode("overwrite").parquet(f"{path}_centroids")
     spark = df.sparkSession
     cb_rows = [
