@@ -7102,13 +7102,23 @@ def q_bpe_vocab_prune(spark, sf_dir):
     )
     n_words = int(words.agg(F.sum("freq")).head()[0])
     floor = 1 + n_words // 20
-    usages = bpe.merge_usage(words, _BPE_ENCODE_MERGES)
-    kept = [
-        m for m, u in zip(_BPE_ENCODE_MERGES, usages) if u >= floor
-    ]
+    # the usage audit already applied every rank — reuse its final
+    # encode state for the "full" scheme instead of re-running the
+    # R-pass chain (review finding: the gate paid the encode twice)
+    usages, enc_full = bpe.merge_usage(
+        words, _BPE_ENCODE_MERGES, return_state=True
+    )
+    kept = bpe.prune_merges(
+        words, _BPE_ENCODE_MERGES, min_uses=floor, usages=usages
+    )
     rows = []
-    for scheme, table in (("full", _BPE_ENCODE_MERGES), ("pruned", kept)):
-        enc = bpe.apply_merges(words, table).localCheckpoint(eager=True)
+    for scheme, table, pre in (
+        ("full", _BPE_ENCODE_MERGES, enc_full),
+        ("pruned", kept, None),
+    ):
+        enc = (
+            pre if pre is not None else bpe.apply_merges(words, table)
+        ).localCheckpoint(eager=True)
         stats = (
             enc.select("wid", F.size("toks").cast("long").alias("_p"))
             .join(words, "wid")

@@ -258,6 +258,13 @@ def apply_merges(
         # each rank's state feeds the next rank's window AND both
         # application joins — cut lineage per rank like learn_merges
         state = _apply_pair(state, a, b).localCheckpoint(eager=True)
+    return _assemble_toks(state)
+
+
+def _assemble_toks(state: DataFrame) -> DataFrame:
+    """(wid, pos, sym) positional state -> (wid, toks array<string>),
+    the encode output shape — shared final fold of apply_merges and
+    merge_usage(return_state=True)."""
     return state.groupBy("wid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "sym"))),
@@ -365,15 +372,22 @@ def decode_pieces(encoded: DataFrame, toks_col: str = "toks") -> DataFrame:
 
 
 def merge_usage(
-    words: DataFrame, merges: Sequence[tuple[str, str]]
-) -> list[int]:
+    words: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    *,
+    return_state: bool = False,
+) -> list[int] | tuple[list[int], DataFrame]:
     """Corpus-weighted firing count per merge rank: apply the table
     rank by rank over the vocabulary frame and measure, per rank, the
     corpus piece-count drop (each firing fuses exactly two pieces into
     one, so usage_k = sum_w freq_w * (pieces_{k-1}(w) - pieces_k(w))).
     One vocabulary-sized pass per rank plus a scalar agg — the audit a
     tokenizer build runs to find dead vocabulary. Returns one int per
-    rank, in rank order."""
+    rank, in rank order; with `return_state=True`, returns
+    (usages, encoded) where `encoded` is the full table's
+    (wid, toks) encode — the audit already ran every rank, so callers
+    that also need the encode (the `bpe_vocab_prune` gate) reuse it
+    instead of paying the R-pass chain twice."""
     uniq = words.select("wid").distinct()
     freq = words.select("wid", "freq")
 
@@ -393,6 +407,8 @@ def merge_usage(
         cur = total_pieces(state)
         usages.append(prev - cur)
         prev = cur
+    if return_state:
+        return usages, _assemble_toks(state)
     return usages
 
 
@@ -401,6 +417,7 @@ def prune_merges(
     merges: Sequence[tuple[str, str]],
     *,
     min_uses: int,
+    usages: Sequence[int] | None = None,
 ) -> list[tuple[str, str]]:
     """Vocabulary pruning: drop merges whose corpus-weighted usage
     falls below `min_uses`, preserving rank order of the survivors —
@@ -410,8 +427,11 @@ def prune_merges(
     against the FULL table's sequential schedule (merge_usage), so a
     kept merge that consumed a dropped merge's output keeps its
     measured behavior visible to the caller via the fertility shift
-    the `bpe_vocab_prune` gate reports."""
-    usages = merge_usage(words, merges)
+    the `bpe_vocab_prune` gate reports. Pass `usages` (from a
+    merge_usage call you already ran) to skip re-measuring the whole
+    chain."""
+    if usages is None:
+        usages = merge_usage(words, merges)
     return [
         tuple(m)
         for m, u in zip(merges, usages)

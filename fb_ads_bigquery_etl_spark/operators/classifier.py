@@ -180,20 +180,31 @@ def train_classifier(
     exactly once; each pass here is linear, but nothing about the
     algorithm needs the whole corpus as its training set."""
     spark = df.sparkSession
-    if num_partitions is None:
+    if not num_partitions:
         # partition count sizes the 2-stage-per-iteration task grid,
         # and EVERY iteration reuses this one cached partitioning —
         # 2*iters stages ride it, so task-launch overhead multiplies.
-        # Size it to the data: the input's scan partitioning (grows
-        # with the labeled corpus) capped by the session's shuffle
-        # parallelism (the cluster-tuned ceiling), floored at 8 so a
-        # single-file sample still parallelizes. At 100 TB the cap
-        # wins (cluster default); on a small labeled sample the floor
-        # wins and 12 iterations stop being pure scheduling.
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        num_partitions = min(
-            shuffle_n, max(8, df.rdd.getNumPartitions())
-        )
+        # Size it to the data: the input's FILE count (a metadata-only
+        # probe — df.rdd.getNumPartitions() would finalize the AQE
+        # plan and execute every upstream exchange just to read a
+        # number) capped by the session's shuffle parallelism (the
+        # cluster-tuned ceiling), floored at 8 so a single-file sample
+        # still parallelizes. At 100 TB the cap wins (cluster
+        # default); on a small labeled sample the floor wins and 12
+        # iterations stop being pure scheduling. Non-file inputs
+        # (views, in-memory frames) report no files and take the
+        # floor — pass num_partitions explicitly to override.
+        try:
+            shuffle_n = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" under AQE
+            shuffle_n = 200
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        num_partitions = min(shuffle_n, max(8, n_files))
     feats = (
         df.select(
             F.col(id_col).alias("_doc"),

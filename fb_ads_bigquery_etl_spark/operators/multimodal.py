@@ -1655,7 +1655,7 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                 buf = bytes(payload)
                 if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
                     raise ValueError("not a RIFF/WAVE payload")
-                pos, data = 12, None
+                pos, data, fmt_ok = 12, None, False
                 while pos + 8 <= len(buf):
                     cid = buf[pos : pos + 4]
                     (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -1666,11 +1666,16 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                         )
                         if (afmt, ch, bits) != (1, 1, 16):
                             raise ValueError("only PCM16 mono supported")
+                        fmt_ok = True
                     elif cid == b"data":
                         data = body
                     pos += 8 + clen + (clen & 1)
                 if data is None:
                     raise ValueError("no data chunk")
+                if not fmt_ok:
+                    # a data chunk with no fmt chunk would otherwise be
+                    # reinterpreted as PCM16 unvalidated
+                    raise ValueError("no fmt chunk: cannot verify PCM16")
                 v = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 if v.size < 256:
                     raise ValueError(

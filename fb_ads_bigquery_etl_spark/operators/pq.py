@@ -680,6 +680,28 @@ def append_ivfpq_index(
     with the same frozen sidecars is file-for-file probe-equal
     (pytest-pinned; the `ivfpq_index_append` oracle gate replays the
     whole pipeline)."""
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # tombstones carry no sequence numbers, so a tombstoned id
+        # CANNOT be re-added before compaction: the sidecar would hide
+        # the new row from every probe, and clearing it instead would
+        # resurrect the id's stale pre-delete codes still on disk.
+        # Compaction removes the old rows physically and releases the
+        # tombstone; after it this append is clean. (Iceberg solves
+        # the same problem with per-file sequence numbers — this index
+        # keeps the sidecar sequence-free and makes the ordering
+        # constraint explicit.) One O(batch)-sided semi-join.
+        clash = (
+            delta.select(F.col(id_col).cast("long").alias("id"))
+            .join(tomb, "id", "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"ids {sorted(r['id'] for r in clash)} (first 5) are "
+                "tombstoned; compact_ivfpq_index before re-adding them"
+            )
     centroids = spark.read.parquet(f"{path}_centroids")
     cb = load_codebooks(spark, path)
     _, resid = _residuals(delta, centroids, vec_col=vec_col, id_col=id_col)
@@ -747,7 +769,13 @@ def compact_ivfpq_index(spark, path: str) -> list[int]:
 
     Probe-equality before/after is exact: the anti-join the probe did
     against the sidecar is the same filter compaction bakes into the
-    files."""
+    files.
+
+    Operational contract with streaming ingest: compaction folds the
+    stream's batch-named b<id>- files into anonymous part- files, so
+    the fresh-checkpoint re-drain recovery (streaming/ingest.py) is
+    only valid up to the last compaction — after one, recover a lost
+    checkpoint+ledger by rebuilding, not by re-draining history."""
     codes = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path)
 

@@ -146,7 +146,18 @@ def stream_ivfpq_ingest(
     between retrains the drained index is file-for-file the index every
     successful history produces, and probe-equal to a one-shot rebuild
     over the union with the same frozen sidecars (pytest-pinned; the
-    `streaming_ivfpq_ingest` oracle gate replays the full pipeline)."""
+    `streaming_ivfpq_ingest` oracle gate replays the full pipeline).
+
+    Two operational contracts with the maintenance verbs: (1) the
+    landing zone must not re-add ids currently tombstoned by
+    delete_from_ivfpq_index — the sequence-free sidecar would hide the
+    new rows (pq.append_ivfpq_index enforces this with an explicit
+    error; compact first); (2) the fresh-checkpoint re-drain recovery
+    (docstrings below) relies on the published b<id>- file names, so
+    it is only valid while no compact_ivfpq_index has folded those
+    files into part- files — after a compaction, recover a lost
+    checkpoint+ledger by rebuilding or snapshotting the index, not by
+    re-draining history."""
     from fb_ads_bigquery_etl_spark.operators.pq import (
         _residuals,
         encode_ints,

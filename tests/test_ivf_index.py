@@ -937,3 +937,42 @@ def test_ivfpq_fully_dead_bucket_retains_tombstones(spark, tmp_path):
     assert got and all(
         i not in set(dead_ids) | {live_victim} for i, _ in got
     ), got
+
+
+def test_ivfpq_append_refuses_tombstoned_ids_until_compacted(spark, tmp_path):
+    """The tombstone sidecar carries no sequence numbers, so
+    re-adding a deleted id before compaction would either hide the
+    new row (sidecar kept) or resurrect the stale pre-delete codes
+    (sidecar cleared) — append must refuse with an explicit error,
+    and succeed after compaction physically removes the old rows."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    victim = emb.filter(F.col("vec_id") == 5)
+    delete_from_ivfpq_index(spark, victim.select("vec_id"), path)
+    with _pytest.raises(ValueError, match="tombstoned"):
+        append_ivfpq_index(spark, victim, path)
+    compact_ivfpq_index(spark, path)
+    append_ivfpq_index(spark, victim, path)  # clean after compaction
+    qvec = list(victim.select("embedding").head()[0])
+    got = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qvec, k=3, nprobe=2, expand=10, rerank_src=emb
+        ).collect()
+    ]
+    # the re-added row is visible again and is its own nearest
+    assert got[0][0] == 5 and abs(got[0][1] - 1.0) < 1e-12, got

@@ -807,3 +807,26 @@ def test_audio_fingerprint_rejects_non_wav_and_short_clips(spark):
     )
     with _pytest.raises(Exception, match=">= 256 samples"):
         audio_fingerprint(short).collect()
+
+
+def test_audio_fingerprint_rejects_missing_fmt_chunk(spark):
+    """A RIFF/WAVE payload with a data chunk but NO fmt chunk must
+    refuse: without the fmt validation the bytes would be
+    reinterpreted as PCM16 unvalidated and fingerprinted as
+    garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    data = struct.pack("<256h", *([0] * 256))
+    body = b"WAVE" + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="no fmt chunk"):
+        audio_fingerprint(df).collect()
