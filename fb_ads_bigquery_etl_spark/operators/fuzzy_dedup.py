@@ -62,6 +62,13 @@ def spread(df: DataFrame) -> DataFrame:
     A small single-file parquet scan yields one input partition, which
     would run the whole hash/shingle projection on one core. At real
     scale inputs already have >= cores partitions and this is a no-op.
+
+    Call this on SCAN-SHAPED inputs only (its callers here all do):
+    `df.rdd` finalizes the AQE plan, which materializes any upstream
+    exchanges — on a scan there are none and the probe is free, but on
+    a joined/aggregated frame it would execute the upstream pipeline
+    just to read a partition count (see train_classifier's
+    inputFiles-based probe for the exchange-safe variant).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
