@@ -596,3 +596,144 @@ def test_bloom_prune_never_drops_matches(dim_keys, fact_keys):
     got = sorted((r["k"], r["v"]) for r in pruned.join(dim, "k").collect())
     want = sorted((r["k"], r["v"]) for r in fact.join(dim, "k").collect())
     assert got == want
+
+
+_ivfpq_tpl = None
+
+
+def _ivfpq_template(spark):
+    """Build the shared sf0.001 IVF-PQ index ONCE per test process and
+    collect the driver-side replay inputs (centroids + raw vectors);
+    each hypothesis example copies the directory and deletes into the
+    copy."""
+    global _ivfpq_tpl
+    if _ivfpq_tpl is None:
+        import os
+        import tempfile
+
+        from fb_ads_bigquery_etl_spark.operators import similarity
+        from fb_ads_bigquery_etl_spark.operators.pq import (
+            build_ivfpq_index,
+        )
+        from tests.conftest import SF_DIR
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents_df = similarity.train_centroids_exact(
+            emb, k=4, iters=1
+        ).localCheckpoint(eager=True)
+        path = os.path.join(tempfile.mkdtemp(prefix="ivfpq_tpl_"), "idx")
+        build_ivfpq_index(
+            emb, path, in_dim=64, m=4, ksub=8, centroids=cents_df
+        )
+        cents = [
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+            for r in cents_df.collect()
+        ]
+        vecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.collect()
+        }
+        _ivfpq_tpl = {
+            "path": path,
+            "cents": cents,
+            "vecs": vecs,
+            "qvec": vecs[7],
+        }
+    return _ivfpq_tpl
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=499), max_size=40),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ivfpq_delete_probe_matches_python_oracle(deleted):
+    """For ARBITRARY tombstone sets, the persisted-index probe with
+    expand covering every candidate must equal a driver-side replay:
+    exact cosine ranking over the probed buckets' vectors minus the
+    deleted ids (ties to the lowest id) — i.e. logical deletes filter
+    BEFORE candidate selection, never producing a deleted id and never
+    skipping a live one."""
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import similarity
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        delete_from_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from tests.conftest import SF_DIR
+
+    spark = _get_spark()
+    tpl = _ivfpq_template(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = tpl["qvec"]
+
+    work = tpl["path"] + f"_w{abs(hash(frozenset(deleted))) % (1 << 30)}"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(tpl["path"], work)
+    for side in ("_centroids", "_codebooks"):
+        shutil.copytree(tpl["path"] + side, work + side)
+    try:
+        if deleted:
+            delete_from_ivfpq_index(
+                spark,
+                emb.filter(F.col("vec_id").isin(sorted(deleted))).select(
+                    "vec_id"
+                ),
+                work,
+            )
+        k = 5
+        got = [
+            r["vec_id"]
+            for r in query_ivfpq_index(
+                spark,
+                work,
+                qvec,
+                k=k,
+                nprobe=2,
+                expand=200,  # k*expand=1000 >= all 500 rows: no ADC cut
+                rerank_src=emb,
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for side in ("_centroids", "_codebooks", "_tombstones"):
+            shutil.rmtree(work + side, ignore_errors=True)
+
+    # driver-side replay from the raw vectors + the frozen centroids
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    cents = tpl["cents"]  # [(centroid_id, cvec)]
+    vecs = tpl["vecs"]  # {vec_id: vector}
+    assign = {
+        i: min(
+            cents, key=lambda c: (-cos(v, c[1]), c[0])
+        )[0]
+        for i, v in vecs.items()
+    }
+    probed = {
+        c[0]
+        for c in sorted(cents, key=lambda c: (-cos(qvec, c[1]), c[0]))[:2]
+    }
+    cand = [
+        i
+        for i in vecs
+        if assign[i] in probed and i not in deleted
+    ]
+    want = [
+        i
+        for i in sorted(cand, key=lambda i: (-cos(vecs[i], qvec), i))[:5]
+    ]
+    assert got == want, (got, want, sorted(deleted)[:10])
