@@ -15,7 +15,7 @@ the stream side is just the file log — no row-level state store.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from fb_ads_bigquery_etl_spark.operators.dedup import dedup_any
 from fb_ads_bigquery_etl_spark.schema import DEDUP_KEY
@@ -151,8 +151,9 @@ def stream_ivfpq_ingest(
     Two operational contracts with the maintenance verbs: (1) the
     landing zone must not re-add ids currently tombstoned by
     delete_from_ivfpq_index — the sequence-free sidecar would hide the
-    new rows (pq.append_ivfpq_index enforces this with an explicit
-    error; compact first); (2) the fresh-checkpoint re-drain recovery
+    new rows; ENFORCED per micro-batch with the same explicit error as
+    pq.append_ivfpq_index (compact first); (2) the fresh-checkpoint
+    re-drain recovery
     (docstrings below) relies on the published b<id>- file names, so
     it is only valid while no compact_ivfpq_index has folded those
     files into part- files — after a compaction, recover a lost
@@ -168,6 +169,30 @@ def stream_ivfpq_ingest(
     cb = load_codebooks(spark, index_path)
 
     def _transform(batch_df):
+        from fb_ads_bigquery_etl_spark.operators.pq import (
+            _read_tombstones,
+        )
+
+        tomb = _read_tombstones(spark, index_path)
+        if tomb is not None:
+            # same re-add guard as append_ivfpq_index: a tombstoned id
+            # cannot re-enter before compaction (the sequence-free
+            # sidecar would hide the new row). One O(batch)-sided
+            # semi-join per micro-batch, only while deletes are pending.
+            clash = (
+                batch_df.select(
+                    F.col(id_col).cast("long").alias("id")
+                )
+                .join(tomb, "id", "left_semi")
+                .limit(5)
+                .collect()
+            )
+            if clash:
+                raise ValueError(
+                    f"ids {sorted(r['id'] for r in clash)} (first 5) "
+                    "are tombstoned; compact_ivfpq_index before "
+                    "re-ingesting them"
+                )
         _, resid = _residuals(
             batch_df, centroids, vec_col=vec_col, id_col=id_col
         )

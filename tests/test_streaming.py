@@ -740,3 +740,46 @@ def test_stream_ivfpq_ingest_exactly_once_and_probe_equal(spark, tmp_path):
     assert not os.path.exists(stale)
     assert files_of(path) == after
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_stream_ivfpq_ingest_refuses_tombstoned_ids(spark, tmp_path):
+    """The streaming path enforces the same re-add guard as the batch
+    append: a landing file carrying a currently-tombstoned id must
+    fail the drain with the explicit compact-first error instead of
+    silently publishing rows the probes would hide."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import similarity
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+    from fb_ads_bigquery_etl_spark.streaming.ingest import (
+        stream_ivfpq_ingest,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "index")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    cents = similarity.train_centroids_exact(emb, k=16, iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    victim = emb.filter(F.col("vec_id") == 5)
+    delete_from_ivfpq_index(spark, victim.select("vec_id"), path)
+
+    d = str(tmp_path / "w0")
+    victim.coalesce(1).write.parquet(d)
+    f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+    shutil.copyfile(os.path.join(d, f), os.path.join(landing, "b0.parquet"))
+
+    with _pytest.raises(Exception, match="tombstoned"):
+        stream_ivfpq_ingest(
+            spark, landing, path,
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
