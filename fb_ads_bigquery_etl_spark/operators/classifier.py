@@ -192,8 +192,13 @@ def train_classifier(
         # still parallelizes. At 100 TB the cap wins (cluster
         # default); on a small labeled sample the floor wins and 12
         # iterations stop being pure scheduling. Non-file inputs
-        # (views, in-memory frames) report no files and take the
-        # floor — pass num_partitions explicitly to override.
+        # (views, joined, checkpointed, or in-memory frames) report NO
+        # files — their size is unknowable from metadata, so they keep
+        # the session's shuffle parallelism rather than silently
+        # under-parallelizing a large training input down to the
+        # 8-partition floor; the floor applies only to genuinely small
+        # file-backed samples. Pass num_partitions explicitly when the
+        # input is known-small but not file-backed.
         try:
             shuffle_n = int(
                 spark.conf.get("spark.sql.shuffle.partitions")
@@ -204,7 +209,9 @@ def train_classifier(
             n_files = len(df.inputFiles())
         except Exception:
             n_files = 0
-        num_partitions = min(shuffle_n, max(8, n_files))
+        num_partitions = (
+            min(shuffle_n, max(8, n_files)) if n_files else shuffle_n
+        )
     feats = (
         df.select(
             F.col(id_col).alias("_doc"),

@@ -656,6 +656,9 @@ def build_ivfpq_index(
     spark.createDataFrame(
         cb_rows, "m int, c int, cw array<long>"
     ).write.mode("overwrite").parquet(f"{path}_codebooks")
+    # per-file stats sidecar: O(just-written data) here, O(batch) on
+    # every later append — what lets stats/compaction read metadata
+    refresh_ivfpq_manifest(spark, path)
 
 
 def append_ivfpq_index(
@@ -709,6 +712,153 @@ def append_ivfpq_index(
         resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
     )
     codes.write.mode("append").partitionBy("bucket").parquet(path)
+    # stat ONLY the files this append added (diff-based): the manifest
+    # stays O(batch)-maintained, never rebuilt
+    refresh_ivfpq_manifest(spark, path)
+
+
+def _list_code_files(spark, path: str) -> list[tuple[str, str, int, int]]:
+    """Recursive listing of the index's bucket-partitioned code files
+    via the Hadoop FileSystem API — (full_path, 'bucket=X/name' suffix,
+    size, mtime) per file. One metadata walk (listFiles recursive),
+    never a data read; works against HDFS/S3 paths like every other
+    FS touch in this module. The suffix (NOT the basename) is the
+    file's identity: streaming publishes deterministic b<id>-<seq>
+    names whose seq resets PER BUCKET DIR, so basenames alone can
+    collide across buckets."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        parent = p.getParent().getName()
+        if name.startswith(("_", ".")) or not parent.startswith("bucket="):
+            continue
+        out.append(
+            (
+                p.toString(),
+                f"{parent}/{name}",
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    return out
+
+
+def _read_ivfpq_manifest(spark, path: str) -> DataFrame | None:
+    """Read the per-file stats sidecar (`<path>_manifest`) if one
+    exists, else None — same FS-agnostic probe as _read_tombstones."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}_manifest")
+    except AnalysisException:
+        return None
+
+
+_MANIFEST_SCHEMA = (
+    "file string, suffix string, size long, mtime long, "
+    "bucket int, n_rows long, min_id long, max_id long"
+)
+
+
+def refresh_ivfpq_manifest(spark, path: str) -> DataFrame:
+    """Incrementally refresh the index's per-file stats sidecar
+    (`<path>_manifest`): one metadata listing of the bucket dirs, a
+    scan of ONLY the files the manifest does not already describe (new
+    suffix, or same suffix with changed size/mtime — the streaming
+    re-drain can legally replace a b<id>- file under its own name),
+    and a drop of rows whose files are gone. Cost is O(changed data) +
+    one listing, independent of index size — manifest.py's
+    update_file_manifest discipline applied to the serving index, so
+    compaction/stats decisions become metadata reads instead of
+    corpus-sided scans (the round-10 gap compact_ivfpq_index's own
+    docstring named). Each row: (file, suffix, size, mtime, bucket,
+    n_rows, min_id, max_id). Every index writer (build / append /
+    streaming publish / compact) calls this after mutating files, and
+    every manifest consumer calls it first, so a writer crash between
+    data publish and refresh self-heals at the next touch. Returns
+    the refreshed manifest. Single-writer contract: like the index
+    mutations themselves, refreshes must not race each other (see
+    compact_ivfpq_index)."""
+    listed = _list_code_files(spark, path)
+    man = _read_ivfpq_manifest(spark, path)
+    old_rows = [] if man is None else man.collect()  # file-count-sized
+    known = {
+        r["suffix"]: r for r in old_rows
+    }
+    live = {
+        suffix: known[suffix]
+        for _, suffix, size, mtime in listed
+        if suffix in known
+        and known[suffix]["size"] == size
+        and known[suffix]["mtime"] == mtime
+    }
+    new = [
+        (full, suffix, size, mtime)
+        for full, suffix, size, mtime in listed
+        if suffix not in live
+    ]
+    rows = [tuple(live[s]) for s in sorted(live)]
+    if new:
+        by_suffix = {suffix: (size, mtime) for _, suffix, size, mtime in new}
+        fresh = (
+            spark.read.option("basePath", path)
+            .parquet(*[full for full, _, _, _ in new])
+            .groupBy(F.input_file_name().alias("file"), "bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min("id").cast("long").alias("min_id"),
+                F.max("id").cast("long").alias("max_id"),
+            )
+            .collect()
+        )
+        for r in fresh:
+            suffix = "/".join(r["file"].rsplit("/", 2)[-2:])
+            size, mtime = by_suffix[suffix]
+            rows.append(
+                (
+                    r["file"], suffix, size, mtime,
+                    int(r["bucket"]), r["n_rows"], r["min_id"], r["max_id"],
+                )
+            )
+    out = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
+    out.write.mode("overwrite").parquet(f"{path}_manifest")
+    return spark.read.parquet(f"{path}_manifest")
+
+
+def _pruned_tombstoned_codes(
+    spark, path: str, man: DataFrame, tomb: DataFrame
+) -> DataFrame:
+    """(id, bucket) of code rows that carry a pending tombstone,
+    computed by scanning ONLY the files whose [min_id, max_id]
+    envelope intersects a tombstoned id — the manifest-pruned
+    replacement for a full code-table scan. The candidate file list
+    is a (metadata x delete-batch) join collected driver-side
+    (file-count bounded); a tombstoned id present in the index always
+    lies inside some file's envelope, so the pruned scan is exact."""
+    cand = [
+        r["file"]
+        for r in man.join(
+            tomb,
+            (tomb["id"] >= man["min_id"]) & (tomb["id"] <= man["max_id"]),
+            "left_semi",
+        )
+        .select("file")
+        .collect()
+    ]
+    if not cand:
+        return spark.createDataFrame([], "id long, bucket int")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*cand)
+        .select("id", "bucket")
+        .join(tomb, "id", "left_semi")
+    )
 
 
 def _read_tombstones(spark, path: str) -> DataFrame | None:
@@ -747,57 +897,140 @@ def delete_from_ivfpq_index(
     ).parquet(f"{path}_tombstones")
 
 
-def compact_ivfpq_index(spark, path: str) -> list[int]:
+def compact_ivfpq_index(
+    spark, path: str, *, use_manifest: bool | None = None
+) -> list[int]:
     """Apply pending tombstones and merge append fragments — the
     maintenance job that keeps the served IVF-PQ index read-optimal
     after a stream of O(batch) appends (each leaves one file per
     touched bucket) and O(batch) deletes (each leaves tombstones the
     probes must anti-join). Work is TOUCHED-BUCKETS-ONLY: a bucket is
-    rewritten iff it holds a tombstoned row or more than one code
-    file; everything else's file set is untouched (pytest-pinned).
-    The scan that finds work runs over the CODE table (m small ints
-    per row, 64x narrower than the vectors) plus one `input_file_name`
-    aggregation — the price of a catalog-free layout; with a manifest
-    the fragment count is a metadata read. Rewrites go through
-    dynamic partition overwrite so only touched `bucket=` partitions
-    are replaced, one file per bucket (`repartition("bucket")` puts
-    each bucket in exactly one task). A bucket whose every row is
-    tombstoned yields no output rows, so dynamic overwrite cannot
-    clear it — its tombstones are RETAINED (not dropped) and probes
-    stay correct; only tombstones whose rows were physically removed
-    leave the sidecar. Returns the rewritten bucket ids (sorted).
+    rewritten iff it has at least one LIVE row and holds a tombstoned
+    row or more than one code file; everything else's file set is
+    untouched (pytest-pinned). A fully-dead bucket (every row
+    tombstoned) is NEVER selected or returned: dynamic overwrite
+    cannot write an empty partition, so its file set cannot change —
+    re-reporting it every call would keep compact from converging to
+    [] and overstate work to a scheduler keying off the return value.
+    Its rows stay on disk, its tombstones are RETAINED in the sidecar,
+    and probes stay correct. Tombstones with NO backing code rows at
+    all (phantoms: a delete of a never-indexed id, or a replayed
+    delete batch after a prior compaction) are PRUNED even on the
+    no-work path — otherwise they would wedge appends/ingest of those
+    ids forever behind a compact that never clears them.
+
+    Work discovery reads METADATA when the per-file stats sidecar is
+    present (the default for every index this module builds): fragment
+    counts come straight from the manifest, and the tombstone-overlap
+    scan is envelope-pruned to only the files whose [min_id, max_id]
+    intersects a pending delete (_pruned_tombstoned_codes) — at 100 TB
+    that is the difference between a corpus-sided 64x-narrow scan per
+    maintenance decision and a metadata read plus a delete-bounded
+    file subset. `use_manifest=False` forces the catalog-free
+    fallback (full narrow scan + one `input_file_name` aggregation);
+    None auto-detects the sidecar.
+
+    Rewrites go through dynamic partition overwrite so only touched
+    `bucket=` partitions are replaced, one file per bucket
+    (`repartition("bucket")` puts each bucket in exactly one task).
+    Only tombstones whose rows were physically removed leave the
+    sidecar. Returns the rewritten bucket ids (sorted). The
+    materialize-before-overwrite is a localCheckpoint: correct here
+    (the rewrite must not read the files it replaces), but its blocks
+    live on executors — on a real cluster an executor loss
+    mid-compaction aborts the job (clean: the conf is restored in
+    `finally` and a retry starts over; stage to a temp dir instead if
+    that retry cost ever matters).
 
     Probe-equality before/after is exact: the anti-join the probe did
     against the sidecar is the same filter compaction bakes into the
     files.
+
+    SINGLE-WRITER contract (the Iceberg-style commit discipline the
+    sidecar comments invoke, made explicit): compaction read-modifies-
+    overwrites both the bucket partitions and the tombstone sidecar,
+    so it must NOT run concurrently with delete_from_ivfpq_index,
+    append_ivfpq_index, or a streaming ingest — a delete landing
+    between the sidecar read and its overwrite would be silently
+    lost (resurrecting rows), and an append's fresh b<id>- fragment
+    can be clobbered by the partition overwrite. Serialize all index
+    mutations (the ingest ledger/marker directory is a natural lock
+    home).
 
     Operational contract with streaming ingest: compaction folds the
     stream's batch-named b<id>- files into anonymous part- files, so
     the fresh-checkpoint re-drain recovery (streaming/ingest.py) is
     only valid up to the last compaction — after one, recover a lost
     checkpoint+ledger by rebuilding, not by re-draining history."""
-    codes = spark.read.parquet(path)
     tomb = _read_tombstones(spark, path)
+    man = None
+    if use_manifest is not False:
+        # refresh creates the sidecar if absent, so None/True both land
+        # on the metadata path; False forces the catalog-free scan
+        man = refresh_ivfpq_manifest(spark, path)
 
-    frag = (
-        codes.select("bucket", F.input_file_name().alias("_f"))
-        .groupBy("bucket")
-        .agg(F.countDistinct("_f").alias("_nf"))
-        .filter(F.col("_nf") > 1)
-        .select("bucket")
-    )
-    work = frag
-    if tomb is not None:
-        dead_buckets = (
-            codes.join(tomb, "id", "left_semi").select("bucket").distinct()
+    if man is not None:
+        # metadata-only fragment counts; envelope-pruned tombstone scan
+        frag = (
+            man.groupBy("bucket")
+            .agg(F.count("*").alias("_nf"))
+            .filter(F.col("_nf") > 1)
+            .select("bucket")
         )
-        work = work.unionByName(dead_buckets).distinct()
+        if tomb is not None:
+            tombstoned = _pruned_tombstoned_codes(spark, path, man, tomb)
+            dead_per_bucket = tombstoned.groupBy("bucket").agg(
+                F.count("*").alias("_nd")
+            )
+            alive = (
+                man.groupBy("bucket")
+                .agg(F.sum("n_rows").alias("_nt"))
+                .join(dead_per_bucket, "bucket", "left")
+                .filter(
+                    F.col("_nt") > F.coalesce(F.col("_nd"), F.lit(0))
+                )
+                .select("bucket")
+            )
+            work = (
+                frag.unionByName(dead_per_bucket.select("bucket"))
+                .distinct()
+                .join(alive, "bucket", "left_semi")
+            )
+        else:
+            work = frag
+    else:
+        codes = spark.read.parquet(path)
+        frag = (
+            codes.select("bucket", F.input_file_name().alias("_f"))
+            .groupBy("bucket")
+            .agg(F.countDistinct("_f").alias("_nf"))
+            .filter(F.col("_nf") > 1)
+            .select("bucket")
+        )
+        work = frag
+        if tomb is not None:
+            dead_buckets = (
+                codes.join(tomb, "id", "left_semi")
+                .select("bucket")
+                .distinct()
+            )
+            alive_buckets = (
+                codes.join(tomb, "id", "left_anti")
+                .select("bucket")
+                .distinct()
+            )
+            work = (
+                work.unionByName(dead_buckets)
+                .distinct()
+                .join(alive_buckets, "bucket", "left_semi")
+            )
     # bounded by nlist — a metadata-sized collect
     buckets = sorted(int(r[0]) for r in work.collect())
     if not buckets:
+        _prune_tombstones(spark, path, tomb, man)
         return []
 
-    live = codes.filter(F.col("bucket").isin(buckets))
+    live = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     if tomb is not None:
         live = live.join(tomb, "id", "left_anti")
     # materialize BEFORE overwriting the files being read
@@ -812,26 +1045,84 @@ def compact_ivfpq_index(spark, path: str) -> list[int]:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    if tomb is not None:
-        # keep only tombstones whose rows still exist (fully-dead,
-        # unrewritten buckets); everything applied leaves the sidecar
-        remaining = tomb.join(
-            spark.read.parquet(path).select("id"), "id", "left_semi"
-        ).localCheckpoint(eager=True)
-        remaining.write.mode("overwrite").parquet(f"{path}_tombstones")
+    if man is not None:
+        man = refresh_ivfpq_manifest(spark, path)
+    _prune_tombstones(spark, path, tomb, man)
     return buckets
 
 
-def ivfpq_index_stats(spark, path: str) -> DataFrame:
+def _prune_tombstones(
+    spark, path: str, tomb: DataFrame | None, man: DataFrame | None
+) -> None:
+    """Rewrite the tombstone sidecar to only the ids that still have
+    backing code rows — applied tombstones AND phantoms (never-indexed
+    or already-compacted ids) drop out, so a pending phantom can never
+    wedge appends behind a compact that has nothing to rewrite. With a
+    manifest the backing-row probe is envelope-pruned; without, it is
+    one narrow semi-join against the code table. The no-op case (every
+    tombstone still backed) skips the rewrite — both counts are
+    delete-batch-sized."""
+    if tomb is None:
+        return
+    if man is not None:
+        backing = _pruned_tombstoned_codes(spark, path, man, tomb).select(
+            "id"
+        )
+    else:
+        backing = spark.read.parquet(path).select("id")
+    remaining = tomb.join(backing, "id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    if remaining.count() == tomb.count():
+        return
+    remaining.write.mode("overwrite").parquet(f"{path}_tombstones")
+
+
+def ivfpq_index_stats(
+    spark, path: str, *, use_manifest: bool | None = None
+) -> DataFrame:
     """Per-bucket audit of the persisted IVF-PQ index — the health
     check a maintenance scheduler keys compaction off: for every
     coarse bucket, how many codes are live and how many are logically
-    deleted (tombstoned but not yet compacted away). One pass over the
-    narrow code table, one join against the tombstone sidecar on id
-    (a plain join — the pending-delete set is not metadata-sized in
-    general). Returns (bucket, n_live, n_deleted) ordered by bucket."""
-    codes = spark.read.parquet(path).select("id", "bucket")
+    deleted (tombstoned but not yet compacted away). With the per-file
+    stats sidecar present (the default for every index this module
+    builds), the totals are a METADATA read (sum of per-file n_rows)
+    and only the tombstone overlap touches data — an envelope-pruned
+    scan of just the files whose [min_id, max_id] intersects a pending
+    delete (_pruned_tombstoned_codes); with zero pending deletes the
+    whole audit is metadata. `use_manifest=False` forces the
+    catalog-free fallback: one pass over the narrow code table plus a
+    join against the tombstone sidecar on id (a plain join — the
+    pending-delete set is not metadata-sized in general). Returns
+    (bucket, n_live, n_deleted) ordered by bucket — identical between
+    the two paths (gated + pytest-pinned)."""
+    man = None
+    if use_manifest is not False:
+        # refresh creates the sidecar if absent (see compact)
+        man = refresh_ivfpq_manifest(spark, path)
     tomb = _read_tombstones(spark, path)
+    if man is not None:
+        totals = man.groupBy("bucket").agg(
+            F.sum("n_rows").cast("long").alias("_nt")
+        )
+        if tomb is not None:
+            dead = (
+                _pruned_tombstoned_codes(spark, path, man, tomb)
+                .groupBy("bucket")
+                .agg(F.count("*").cast("long").alias("_nd"))
+            )
+            totals = totals.join(dead, "bucket", "left")
+        else:
+            totals = totals.withColumn("_nd", F.lit(None).cast("long"))
+        return totals.select(
+            "bucket",
+            (F.col("_nt") - F.coalesce(F.col("_nd"), F.lit(0)))
+            .cast("long")
+            .alias("n_live"),
+            F.coalesce(F.col("_nd"), F.lit(0)).cast("long")
+            .alias("n_deleted"),
+        ).orderBy("bucket")
+    codes = spark.read.parquet(path).select("id", "bucket")
     if tomb is not None:
         flagged = codes.join(
             tomb.withColumn("_dead", F.lit(1)).distinct(), "id", "left"

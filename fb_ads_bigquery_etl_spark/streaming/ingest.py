@@ -247,6 +247,15 @@ def _drain_bucket_stream(
         _publish_bucket_batch(
             transform(batch_df), index_path, staging, batch_id
         )
+        # keep the per-file stats sidecar O(batch)-current; diff-based,
+        # so a crash between publish and refresh (or refresh and the
+        # marker) self-heals at the next refresh — consumers also
+        # refresh before reading (pq.refresh_ivfpq_manifest)
+        from fb_ads_bigquery_etl_spark.operators.pq import (
+            refresh_ivfpq_manifest,
+        )
+
+        refresh_ivfpq_manifest(spark, index_path)
         with open(marker, "w") as fh:
             fh.write("committed")
 

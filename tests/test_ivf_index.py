@@ -976,3 +976,233 @@ def test_ivfpq_append_refuses_tombstoned_ids_until_compacted(spark, tmp_path):
     ]
     # the re-added row is visible again and is its own nearest
     assert got[0][0] == 5 and abs(got[0][1] - 1.0) < 1e-12, got
+
+
+def test_ivfpq_compact_prunes_phantom_tombstones(spark, tmp_path):
+    """A tombstone for an id with NO backing code rows (a delete of a
+    never-indexed id, or a replayed delete after a prior compaction)
+    must be pruned by compact even when there is no bucket to rewrite —
+    otherwise the re-add guard would refuse that id forever while
+    pointing at a compact that is a no-op."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_tombstones,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    compact_ivfpq_index(spark, path)  # one file per bucket, no pending work
+    ghost = int(emb.agg(F.max("vec_id")).head()[0]) + 1000
+    delete_from_ivfpq_index(
+        spark, spark.createDataFrame([(ghost,)], "vec_id long"), path
+    )
+    # no bucket holds the ghost id -> nothing to rewrite, but the
+    # phantom must still be released
+    assert compact_ivfpq_index(spark, path) == []
+    tomb = _read_tombstones(spark, path)
+    assert tomb is not None and tomb.count() == 0
+    # ...so ingesting that id now succeeds instead of wedging
+    victim = emb.filter(F.col("vec_id") == 3)
+    ghost_row = victim.select(
+        F.lit(ghost).cast("long").alias("vec_id"), "embedding"
+    )
+    append_ivfpq_index(spark, ghost_row, path)
+    assert (
+        spark.read.parquet(path).filter(F.col("id") == ghost).count() == 1
+    )
+
+
+def test_ivfpq_compact_converges_on_fully_dead_bucket(spark, tmp_path):
+    """A fully-dead bucket's file set cannot change (dynamic overwrite
+    writes nothing for an empty partition), so compact must not keep
+    re-selecting or re-reporting it: the FIRST compact applies what it
+    can, the SECOND returns [] with every file byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_tombstones,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    rows = [
+        (0, [1.0, 0.9, 0.0, 0.0]),
+        (1, [0.9, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.1, 0.0]),
+        (3, [0.9, 0.9, 0.0, 0.1]),
+        (10, [0.0, 0.0, 1.0, 0.9]),
+        (11, [0.0, 0.1, 0.9, 1.0]),
+        (12, [0.0, 0.0, 1.0, 1.0]),
+        (13, [0.1, 0.0, 0.9, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids_exact(
+        emb, k=2, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "tiny")
+    build_ivfpq_index(emb, path, in_dim=4, m=2, ksub=2, centroids=cents)
+    _, assigned = similarity.assign_ivf_buckets(emb, centroids=cents)
+    dead_bucket = int(assigned.filter(F.col("id") == 0).head()["bucket"])
+    dead_ids = [
+        int(r["id"])
+        for r in assigned.filter(F.col("bucket") == dead_bucket).collect()
+    ]
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id").isin(dead_ids)).select("vec_id"),
+        path,
+    )
+
+    def snapshot(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("bucket="):
+                full = os.path.join(p, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    first = compact_ivfpq_index(spark, path)
+    # the dead bucket is unrewritable work and must never be reported
+    assert dead_bucket not in first, (first, dead_bucket)
+    snap = snapshot(path)
+    assert compact_ivfpq_index(spark, path) == []
+    assert snapshot(path) == snap
+    # its tombstones are retained (rows still on disk)
+    remaining = {
+        int(r["id"]) for r in _read_tombstones(spark, path).collect()
+    }
+    assert remaining == set(dead_ids)
+
+
+def test_ivfpq_manifest_paths_match_scan_paths(spark, tmp_path):
+    """The manifest-driven stats and compaction must be row- and
+    effect-identical to the catalog-free scan paths: same audit rows,
+    same rewritten buckets, same post-compact files-per-bucket, same
+    probe results — on twin indexes with appends + pending deletes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+        query_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    paths = {}
+    for name in ("man", "scan"):
+        p = str(tmp_path / name)
+        build_ivfpq_index(base, p, in_dim=64, m=4, ksub=8, centroids=cents)
+        append_ivfpq_index(spark, delta, p)
+        delete_from_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), p
+        )
+        paths[name] = p
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(
+        ivfpq_index_stats(spark, paths["man"], use_manifest=True)
+    ) == rows(ivfpq_index_stats(spark, paths["scan"], use_manifest=False))
+
+    got_man = compact_ivfpq_index(spark, paths["man"], use_manifest=True)
+    got_scan = compact_ivfpq_index(
+        spark, paths["scan"], use_manifest=False
+    )
+    assert got_man == got_scan and got_man
+
+    def files_per_bucket(p):
+        return {
+            d: sorted(
+                f
+                for f in os.listdir(os.path.join(p, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(p)
+            if d.startswith("bucket=")
+        }
+
+    fm, fs = files_per_bucket(paths["man"]), files_per_bucket(paths["scan"])
+    assert {k: len(v) for k, v in fm.items()} == {
+        k: len(v) for k, v in fs.items()
+    }
+    qvec = list(
+        emb.filter(F.col("vec_id") == 11).select("embedding").head()[0]
+    )
+    probes = {
+        n: rows(
+            query_ivfpq_index(
+                spark, p, qvec, k=10, nprobe=2, expand=10, rerank_src=emb
+            )
+        )
+        for n, p in paths.items()
+    }
+    assert probes["man"] == probes["scan"]
+    # post-compact audits agree too (manifest refreshed by compact)
+    assert rows(ivfpq_index_stats(spark, paths["man"])) == rows(
+        ivfpq_index_stats(spark, paths["scan"], use_manifest=False)
+    )
+
+
+def test_ivfpq_manifest_refresh_is_incremental(spark, tmp_path):
+    """refresh_ivfpq_manifest must keep prior rows VERBATIM (same file,
+    size, mtime — proof it did not re-stat them) and add rows only for
+    files an append created; rows for swept files must drop."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_ivfpq_manifest,
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    before = {
+        r["suffix"]: tuple(r)
+        for r in _read_ivfpq_manifest(spark, path).collect()
+    }
+    assert before
+    append_ivfpq_index(spark, delta, path)
+    after = {
+        r["suffix"]: tuple(r)
+        for r in _read_ivfpq_manifest(spark, path).collect()
+    }
+    for sfx, row in before.items():
+        assert after[sfx] == row  # untouched files kept verbatim
+    new = set(after) - set(before)
+    assert new  # the append's files are described
+    # and the totals agree with the code table
+    total = sum(r[5] for r in after.values())
+    assert total == spark.read.parquet(path).count()
