@@ -1692,3 +1692,164 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "phash"])
 
     return media.mapInPandas(kernel, "id long, phash long")
+
+
+# --- Perceptual dedup, modality #3: VIDEO (temporal scene-hash over
+# the real Y4M decode) -------------------------------------------------
+#
+# Completes the perceptual-dedup stack: pHash covers images
+# (phash_from_ppm), the chromaprint-shape fingerprint covers audio
+# (audio_fingerprint); this covers video with the scene-hash shape —
+# per-SAMPLED-frame coarse luma signature (quadrant sums), then
+# sign-of-delta bits ACROSS frames. Robust to per-pixel noise (a few
+# +1s cannot flip a typical inter-frame quadrant delta), flipped
+# wholesale by different content. Same 60-bit `phash` column contract,
+# so the output plugs straight into phash_dedup's Hamming-banded
+# candidate join — never all-pairs.
+
+
+def synth_y4m_groups(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 5
+) -> DataFrame:
+    """(id, payload binary): real YUV4MPEG2 C420 clips where ids in the
+    same id//group_size group are NEAR-DUPLICATES by construction — the
+    group fixes the base content (8x8, 31 frames; luma Y(x,y,f) =
+    ((hq + 5x + 11y) % 251) with hq = hash32('vd:<g>:<f>:<q>') % 256
+    md5-derived PER FRAME-QUADRANT q = x//4 + 2*(y//4), so distinct
+    groups have independent quadrant-sum trajectories — smooth closed
+    forms would correlate adjacent groups), and each id adds sparse +1
+    luma noise where (31x + 17y + 13f + 7*id) % 101 == 0 (~20 of 1984
+    pixels — perceptually invisible, bytes differ). Chroma planes are
+    the synth_y4m closed forms (decoded, not fingerprinted).
+    Deterministic in (id, x, y, f), so SQL replays every sampled
+    pixel via md5."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    w, h, nf = 8, 8, 31
+
+    def _hq(g: int, f: int, q: int) -> int:
+        return (
+            int(
+                hashlib.md5(f"vd:{g}:{f}:{q}".encode()).hexdigest()[:8], 16
+            )
+            % 256
+        )
+
+    def _mk_fn(ids):
+        out = []
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        cxs = np.arange(w // 2)[None, :]
+        cys = np.arange(h // 2)[:, None]
+        qd = (xs // 4) + 2 * (ys // 4)  # quadrant index per pixel
+        bases: dict[int, list] = {}
+        for i in ids:
+            i = int(i)
+            g = i // group_size
+            if g not in bases:
+                frames = []
+                for f in range(nf):
+                    hq = np.vectorize(lambda q: _hq(g, f, int(q)))(qd)
+                    frames.append((hq + 5 * xs + 11 * ys) % 251)
+                bases[g] = frames
+            buf = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+            for f in range(nf):
+                noise = (
+                    (31 * xs + 17 * ys + 13 * f + 7 * i) % 101 == 0
+                ).astype(np.int64)
+                y = (bases[g][f] + noise).astype(np.uint8)
+                u = ((3 * cxs + 7 * cys + 13 * f + 2 * i) % 256).astype(
+                    np.uint8
+                )
+                v = ((2 * cxs + 9 * cys + 19 * f + 3 * i) % 256).astype(
+                    np.uint8
+                )
+                buf.append(
+                    b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+                )
+            out.append(b"".join(buf))
+        return pd.Series(out)
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+def video_fingerprint(media: DataFrame, *, stride: int = 2) -> DataFrame:
+    """(id, phash long): 60-bit temporal fingerprint from DECODED Y4M
+    bytes alone (nothing here consults a generator formula — the
+    decode-proof contract of every media chain): parse the YUV4MPEG2
+    header (C420 only), walk the FRAME markers decoding every
+    `stride`-th frame ONLY (the frame-sampling discipline of
+    decode_y4m_features — frames the fingerprint won't use are never
+    materialized), per sampled frame compute the 4 QUADRANT luma sums
+    S[fs][q] (the coarse spatial signature — exact int64), then the
+    scene-hash sign-of-delta bits: bit (fs-1)*4 + q is 1 iff
+    S[fs][q] > S[fs-1][q]. With the default 31 frames / stride 2 that
+    is 16 sampled frames -> 15x4 = 60 bits, robust to sparse pixel
+    noise (an inter-frame quadrant delta is typically hundreds of
+    counts), flipped wholesale by different content. Column is named
+    `phash` on purpose: the output plugs straight into phash_dedup's
+    Hamming-banded candidate join (8x8-bit bands, provably complete at
+    Hamming <= 7). Arrow-batched mapInPandas; the wide payload dies
+    inside the kernel."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                buf = bytes(payload)
+                if not buf.startswith(b"YUV4MPEG2"):
+                    raise ValueError("not a YUV4MPEG2 payload")
+                nl = buf.index(b"\n")
+                header = buf[:nl].split(b" ")
+                params = {t[:1]: t[1:] for t in header[1:]}
+                w, h = int(params[b"W"]), int(params[b"H"])
+                if params.get(b"C", b"420") not in (b"420", b"420jpeg"):
+                    raise ValueError("only C420 supported")
+                if w % 2 or h % 2:
+                    raise ValueError("C420 needs even dimensions")
+                ylen, clen = w * h, (w // 2) * (h // 2)
+                pos, fidx = nl + 1, 0
+                sums = []
+                # 60-bit budget (the phash_dedup contract): at most 16
+                # sampled frames -> 15x4 delta bits; the walk STOPS
+                # there, so longer clips never decode past the budget
+                while pos < len(buf) and len(sums) < 16:
+                    fnl = buf.index(b"\n", pos)
+                    if buf[pos : pos + 5] != b"FRAME":
+                        raise ValueError("bad FRAME marker")
+                    if fidx % stride == 0:
+                        y = np.frombuffer(
+                            buf[fnl + 1 : fnl + 1 + ylen], dtype=np.uint8
+                        ).reshape(h, w).astype(np.int64)
+                        half_h, half_w = h // 2, w // 2
+                        sums.append(
+                            [
+                                int(y[:half_h, :half_w].sum()),
+                                int(y[:half_h, half_w:].sum()),
+                                int(y[half_h:, :half_w].sum()),
+                                int(y[half_h:, half_w:].sum()),
+                            ]
+                        )
+                    pos = fnl + 1 + ylen + 2 * clen
+                    fidx += 1
+                if len(sums) < 2:
+                    raise ValueError(
+                        "temporal fingerprint needs >= 2 sampled frames"
+                    )
+                fp = 0
+                for fs in range(1, len(sums)):
+                    for q in range(4):
+                        if sums[fs][q] > sums[fs - 1][q]:
+                            fp |= 1 << ((fs - 1) * 4 + q)
+                rows.append((int(i), fp))
+            yield pd.DataFrame(rows, columns=["id", "phash"])
+
+    return media.mapInPandas(kernel, "id long, phash long")

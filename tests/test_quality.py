@@ -830,3 +830,74 @@ def test_audio_fingerprint_rejects_missing_fmt_chunk(spark):
     )
     with _pytest.raises(Exception, match="no fmt chunk"):
         audio_fingerprint(df).collect()
+
+
+def test_video_dedup_banding_complete_and_separates_groups(spark):
+    """The banded video-fingerprint plan must equal brute-force
+    all-pairs Hamming <= 7, rediscover the generator's near-duplicate
+    groups from DECODED Y4M BYTES (the sparse +1 pixel noise is
+    invisible against inter-frame quadrant deltas — that is the point
+    of the temporal scene hash), and keep distinct groups apart."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dedup,
+        synth_y4m_groups,
+        video_fingerprint,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    fps = video_fingerprint(
+        synth_y4m_groups(ids), stride=2
+    ).localCheckpoint(eager=True)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_dedup(fps, max_hamming=7).collect()
+    }
+
+    hs = {r["id"]: r["phash"] for r in fps.collect()}
+    want = {}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            d = bin(hs[a] ^ hs[b]).count("1")
+            if d <= 7:
+                want[(a, b)] = d
+    assert got == want
+
+    within = {(a, b) for a in range(60) for b in range(a + 1, 60)
+              if a // 5 == b // 5}
+    assert within <= set(got)  # every constructed near-dup pair found
+    assert not (set(got) - within)  # no cross-group pair sneaks in
+
+
+def test_video_fingerprint_samples_frames_and_rejects_bad_streams(spark):
+    """stride must actually change which frames the fingerprint sees
+    (stride 2 vs 1 give different hashes on the same clip), and
+    non-Y4M / single-sampled-frame streams must refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        synth_y4m_groups,
+        video_fingerprint,
+    )
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = synth_y4m_groups(ids).localCheckpoint(eager=True)
+    h2 = {r["id"]: r["phash"] for r in video_fingerprint(media, stride=2).collect()}
+    h1 = {r["id"]: r["phash"] for r in video_fingerprint(media, stride=1).collect()}
+    assert set(h1) == set(h2) == {0, 1, 2}
+    assert any(h1[i] != h2[i] for i in h1)  # sampling changes the hash
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFF...."))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="not a YUV4MPEG2"):
+        video_fingerprint(bad).collect()
+
+    one = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + bytes(6)
+    short = spark.createDataFrame(
+        [(1, bytearray(one))], "id long, payload binary"
+    )
+    with _pytest.raises(Exception, match=">= 2 sampled frames"):
+        video_fingerprint(short).collect()
