@@ -4555,6 +4555,90 @@ def q_ivfpq_index_stats(spark, sf_dir):
     return out
 
 
+def q_ivfpq_manifest_compact(spark, sf_dir):
+    """Manifest-driven maintenance of the persisted IVF-PQ index
+    (operators/pq.refresh_ivfpq_manifest + compact_ivfpq_index +
+    ivfpq_index_stats) — the round-10 gap closed: every index writer
+    keeps a per-file stats sidecar (file, bucket, n_rows, min_id,
+    max_id) refreshed O(batch) at publish time, so compaction's
+    dirty-bucket discovery is a METADATA read (fragment counts straight
+    from the manifest) and the tombstone-overlap probe scans only the
+    files whose [min_id, max_id] envelope intersects a pending delete —
+    no corpus-sided `input_file_name` aggregation anywhere. Harness:
+    base build + delta append + a delete batch holding the %7 ids PLUS
+    a PHANTOM id that was never indexed (the replayed-delete hazard),
+    then manifest-driven compact and the post-compact audit. Gated
+    columns prove the full contract: per-bucket live counts match the
+    coarse-assignment replay, n_deleted = 0 (tombstones physically
+    applied), n_files = 1 per bucket FROM THE REFRESHED MANIFEST
+    (fragments merged, sidecar current), and n_pending_tombstones = 0
+    (the %7 tombstones released AND the phantom pruned — a wedged
+    phantom would read 1). Every bucket keeps live rows at gate SFs,
+    so the constants are exact. At 100 TB: maintenance decisions cost
+    metadata + a delete-bounded file subset instead of a scan of the
+    code table."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_ivfpq_manifest,
+        _read_tombstones,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    ghost = int(e.agg(F.max("vec_id")).head()[0]) + 1000
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_manifest_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        append_ivfpq_index(spark, delta, path)
+        delete_from_ivfpq_index(
+            spark,
+            e.filter(F.col("vec_id") % 7 == 0)
+            .select("vec_id")
+            .unionByName(
+                spark.createDataFrame([(ghost,)], "vec_id long")
+            ),
+            path,
+        )
+        compact_ivfpq_index(spark, path)
+        stats = ivfpq_index_stats(spark, path)
+        nf = (
+            _read_ivfpq_manifest(spark, path)
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_files"))
+        )
+        pend = _read_tombstones(spark, path).agg(
+            F.count("*").cast("long").alias("n_pending_tombstones")
+        )
+        out = (
+            stats.join(nf, "bucket")
+            .crossJoin(F.broadcast(pend))
+            .select(
+                F.col("bucket").cast("long").alias("bucket"),
+                "n_live",
+                "n_deleted",
+                "n_files",
+                "n_pending_tombstones",
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _PROXIMITY_PROBES = (
     (["sort", "merge"], 2),
     (["batch", "batch"], 1),
@@ -4665,6 +4749,38 @@ def q_media_audio_dedup(spark, sf_dir):
     return phash_dedup(fps, max_hamming=7).orderBy("id_a", "id_b")
 
 
+def q_media_video_dedup(spark, sf_dir):
+    """Video perceptual dedup — the LAST modality of the stack
+    (operators/multimodal.py synth_y4m_groups -> video_fingerprint ->
+    phash_dedup): REAL YUV4MPEG2 C420 decode feeding the dedup stack —
+    FRAME-SAMPLED parse (every 2nd of 31 frames; unsampled frames are
+    never materialized), per sampled frame the 4 quadrant luma sums
+    (coarse spatial signature, exact int64), then the scene-hash
+    temporal bits: bit (fs-1)*4+q is 1 iff quadrant q's sum ROSE from
+    the previous sampled frame — 60 bits through the SAME
+    Hamming-banded candidate join as image pHash and audio (8 bands x
+    8 bits, provably complete at Hamming <= 7 by pigeonhole, never
+    all-pairs). Clips are near-duplicate BY CONSTRUCTION within id//5
+    groups (md5-derived per-(group, frame, quadrant) luma content, so
+    distinct groups have independent sum trajectories; each id adds
+    ~20 of 1984 pixels of +1 noise — invisible against inter-frame
+    quadrant deltas of hundreds of counts); the oracle re-derives
+    every sampled pixel arithmetically from the generator formula and
+    states BRUTE-FORCE all-pairs semantics — parity proves the byte
+    decode, the frame sampling, the quadrant sums, and that banded
+    pruning loses no qualifying pair."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        phash_dedup,
+        synth_y4m_groups,
+        video_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synth_y4m_groups(d)
+    fps = video_fingerprint(media, stride=2)
+    return phash_dedup(fps, max_hamming=7).orderBy("id_a", "id_b")
+
+
 def q_quality_classifier_train(spark, sf_dir):
     """TRAINED quality classifier, end to end (operators/classifier.py
     train_classifier -> score_documents): integer pocket-perceptron
@@ -4772,6 +4888,11 @@ def q_classifier_eval_split(spark, sf_dir):
             label_col="label",
             buckets=4096,
             iters=6,
+            # the checkpointed split frame reports no input files, so
+            # the library would keep the session shuffle parallelism
+            # (the safe large-input default); this sample is small —
+            # pin the task grid so 2*iters stages stay cheap
+            num_partitions=8,
         )
         scored = score_documents(
             withsplits.filter(F.col(col) != "train"),
@@ -6597,6 +6718,58 @@ def _audio_dedup_oracle_sql(
                                ELSE 0 END) AS BIGINT) AS phash
           FROM e a JOIN e b ON a.id = b.id AND a.u = b.u
                            AND b.w = a.w - 1
+          GROUP BY 1)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY 1, 2"""
+
+
+def _video_dedup_oracle_sql(
+    group_size: int = 5, max_hamming: int = 7
+) -> str:
+    """DuckDB replay of the video-fingerprint dedup chain from the
+    GENERATOR FORMULA (the engine works from decoded Y4M bytes): the
+    md5-derived per-(group, frame, quadrant) luma table, every SAMPLED
+    frame's 8x8 pixel grid ((hq + 5x + 11y) % 251 + per-id sparse
+    noise), the 4 quadrant sums per sampled frame, the temporal
+    sign-of-delta bits between consecutive sampled frames (60 bits),
+    then brute-force all-pairs Hamming — the semantics the engine's
+    8-band LSH plan must reproduce exactly. Only even frames (stride
+    2 of 31) are ever stated, mirroring the frame-sampled decode."""
+    return f"""
+        WITH ids AS (SELECT doc_id AS id, doc_id // {group_size} AS g
+                     FROM documents),
+        hqt AS MATERIALIZED (
+          SELECT g, ff.f AS f, qq.q AS q,
+                 ('0x' || substr(md5('vd:' || CAST(g AS VARCHAR) || ':'
+                                 || CAST(ff.f AS VARCHAR) || ':'
+                                 || CAST(qq.q AS VARCHAR)), 1, 8))::BIGINT
+                   % 256 AS hq
+          FROM (SELECT DISTINCT g FROM ids), range(31) ff(f), range(4) qq(q)
+          WHERE ff.f % 2 = 0),
+        px AS MATERIALIZED (
+          SELECT i.id, ff.f, (xx.x // 4) + 2 * (yy.y // 4) AS q,
+                 (h.hq + 5 * xx.x + 11 * yy.y) % 251
+                 + CASE WHEN (31 * xx.x + 17 * yy.y + 13 * ff.f
+                              + 7 * i.id) % 101 = 0
+                        THEN 1 ELSE 0 END AS p
+          FROM ids i, range(31) ff(f), range(8) xx(x), range(8) yy(y)
+          JOIN hqt h ON h.g = i.g AND h.f = ff.f
+                    AND h.q = (xx.x // 4) + 2 * (yy.y // 4)
+          WHERE ff.f % 2 = 0),
+        s AS MATERIALIZED (
+          SELECT id, f, q, CAST(SUM(p) AS BIGINT) AS s
+          FROM px GROUP BY 1, 2, 3),
+        fp AS MATERIALIZED (
+          SELECT a.id,
+                 CAST(SUM(CASE WHEN a.s > b.s
+                               THEN (CAST(1 AS BIGINT)
+                                     << ((a.f // 2 - 1) * 4 + a.q))
+                               ELSE 0 END) AS BIGINT) AS phash
+          FROM s a JOIN s b ON a.id = b.id AND a.q = b.q
+                           AND b.f = a.f - 2
           GROUP BY 1)
         SELECT a.id AS id_a, b.id AS id_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -9637,6 +9810,33 @@ def _oracle() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE vec_id % 7 = 0)
                         AS BIGINT) AS n_deleted
             FROM asn GROUP BY bucket ORDER BY bucket""",
+        # Manifest-driven compaction + audit: same coarse-assignment
+        # replay; post-compact the %7 tombstones are APPLIED (deleted
+        # rows physically gone, n_deleted = 0), fragments are merged
+        # (n_files = 1 per bucket, read from the refreshed manifest),
+        # and the sidecar is empty (the %7 tombstones released and the
+        # never-indexed PHANTOM id pruned — n_pending_tombstones = 0).
+        # Structural constants stated like manifest_incremental_scan's
+        # n_files; the per-bucket counts replay from the tables.
+        "ivfpq_manifest_compact": f"""
+            WITH {_trained_cents_cte(16, 2,
+                                     src_where="WHERE vec_id % 3 <> 0")},
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            asn AS (
+              SELECT vec_id, bucket FROM (
+                SELECT v.vec_id, c.centroid_id AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                                  c.centroid_id ASC) AS rn
+                FROM v, cents c) WHERE rn = 1)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) FILTER (WHERE vec_id % 7 <> 0)
+                        AS BIGINT) AS n_live,
+                   CAST(0 AS BIGINT) AS n_deleted,
+                   CAST(1 AS BIGINT) AS n_files,
+                   CAST(0 AS BIGINT) AS n_pending_tombstones
+            FROM asn GROUP BY bucket ORDER BY bucket""",
         # HLL estimates are engine-specific; the gated columns are the
         # exact count and the tolerance-band verdict, which both engines
         # satisfy deterministically (band = 3x the default rsd 0.05).
@@ -12028,6 +12228,7 @@ def _oracle() -> dict[str, str]:
         "quality_classifier_train": _classifier_train_oracle_sql(),
         "media_phash_dedup": _phash_dedup_oracle_sql(),
         "media_audio_dedup": _audio_dedup_oracle_sql(),
+        "media_video_dedup": _video_dedup_oracle_sql(),
         "classifier_eval_split": _classifier_eval_split_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
@@ -13390,8 +13591,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_index_delete": q_ivfpq_index_delete,
     "ivfpq_index_compact": q_ivfpq_index_compact,
     "ivfpq_index_stats": q_ivfpq_index_stats,
+    "ivfpq_manifest_compact": q_ivfpq_manifest_compact,
     "manifest_incremental_scan": q_manifest_incremental_scan,
     "media_audio_dedup": q_media_audio_dedup,
+    "media_video_dedup": q_media_video_dedup,
     "classifier_eval_split": q_classifier_eval_split,
     "bpe_vocab_prune": q_bpe_vocab_prune,
     # --- last driver-green r05 ---
