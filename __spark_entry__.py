@@ -4555,6 +4555,60 @@ def q_ivfpq_index_stats(spark, sf_dir):
     return out
 
 
+def q_ivfpq_codebook_retrain(spark, sf_dir):
+    """Offline codebook retrain + index migration
+    (operators/pq.retrain_ivfpq_codebooks) — the quantizer lifecycle's
+    missing edge (coarse centroids already warm-start via
+    train_centroids_exact): after O(batch) appends, the FROZEN
+    codebooks still describe the original base residuals; retraining
+    seeds ONE exact-integer Lloyd step FROM the current codebook
+    sidecar over the grown corpus's residuals and rebuilds the code
+    table against the new sidecar, centroids untouched. Harness: base
+    build (codebooks trained on base residuals) -> delta append
+    (encoded against the frozen sidecars) -> retrain over the full
+    corpus -> probe. The oracle replays the ENTIRE migration — coarse
+    training, base-residual codebook training, the warm-started
+    retrain step over all residuals, re-encoding, probe, ADC, rerank
+    (the _trained_cents_cte init_from discipline applied to
+    codebooks). Cost model gated implicitly: retrain is a rebuild
+    (offline cadence); serving stays O(batch) between retrains."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        retrain_ivfpq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 0)
+    delta = e.filter(F.col("vec_id") % 3 == 0)
+    qvec = e.filter(F.col("vec_id") == 13).select("embedding").head()[0]
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_retrain_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(base, k=16, iters=2)
+        build_ivfpq_index(
+            base, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        append_ivfpq_index(spark, delta, path)
+        retrain_ivfpq_codebooks(spark, e, path)
+        out = query_ivfpq_index(
+            spark,
+            path,
+            list(qvec),
+            k=10,
+            nprobe=2,
+            expand=10,
+            rerank_src=e,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_ivfpq_manifest_compact(spark, sf_dir):
     """Manifest-driven maintenance of the persisted IVF-PQ index
     (operators/pq.refresh_ivfpq_manifest + compact_ivfpq_index +
@@ -6379,6 +6433,7 @@ def _ivfpq_probe_oracle_sql(
     k: int = 10,
     nprobe: int = 2,
     expand: int = 10,
+    retrain: bool = False,
 ) -> str:
     """DuckDB replay of the FULL persisted-IVF-PQ pipeline (pq.py
     build_ivfpq_index / append_ivfpq_index / query_ivfpq_index[_batch]):
@@ -6392,7 +6447,13 @@ def _ivfpq_probe_oracle_sql(
     cosine, integer term1 + ADC LUT scoring of the probed buckets'
     codes, top k*expand candidates, exact float rerank to top k. With
     one qid the output is (vec_id, score); with several it is
-    (query_id, vec_id, score) — the batch-serving shape."""
+    (query_id, vec_id, score) — the batch-serving shape.
+
+    `retrain=True` replays pq.retrain_ivfpq_codebooks on top: the
+    base-trained cb1 becomes the WARM-START seed of a second exact
+    Lloyd step over ALL residuals (cb2 = assign every rv row to its
+    nearest cb1 codeword, floor-div update, emptied codeword keeps
+    cb1's) and the encode + ADC LUT use cb2 — the migrated index."""
     single = len(qids) == 1
     qlist = ", ".join(str(q) for q in qids)
     tw = f"WHERE {train_where}" if train_where else ""
@@ -6406,6 +6467,34 @@ def _ivfpq_probe_oracle_sql(
         if single
         else "SELECT qid AS query_id, vec_id, score"
     )
+    cbf = "cb2" if retrain else "cb1"
+    retrain_sql = ""
+    if retrain:
+        retrain_sql = """,
+        asg2 AS (
+          SELECT vec_id, m, c FROM (
+            SELECT rv.vec_id, b.m, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY rv.vec_id, b.m
+                     ORDER BY list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> (rv.r[b.m * 16 + d] - b.cw[d])
+                            * (rv.r[b.m * 16 + d] - b.cw[d])),
+                       (x, y) -> x + y) ASC, b.c ASC) AS rn
+            FROM rv, cb1 b) WHERE rn = 1),
+        upd2 AS (
+          SELECT a.m, a.c, u.d,
+                 CAST(SUM(rv.r[a.m * 16 + u.d]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM asg2 a JOIN rv USING (vec_id),
+               UNNEST(generate_series(1, 16)) AS u(d)
+          GROUP BY a.m, a.c, u.d),
+        cw2 AS (
+          SELECT m, c,
+                 list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+          FROM upd2 GROUP BY m, c),
+        cb2 AS (
+          SELECT b.m, b.c, COALESCE(u.cw, b.cw) AS cw
+          FROM cb1 b LEFT JOIN cw2 u ON b.m = u.m AND b.c = u.c)"""
     order = (
         "ORDER BY score DESC, vec_id ASC"
         if single
@@ -6471,7 +6560,7 @@ def _ivfpq_probe_oracle_sql(
           FROM upd GROUP BY m, c),
         cb1 AS (
           SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
-          FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+          FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c){retrain_sql},
         enc AS MATERIALIZED (
           SELECT vec_id, m, c FROM (
             SELECT rv.vec_id, b.m, b.c,
@@ -6481,7 +6570,7 @@ def _ivfpq_probe_oracle_sql(
                        d -> (rv.r[b.m * 16 + d] - b.cw[d])
                             * (rv.r[b.m * 16 + d] - b.cw[d])),
                        (x, y) -> x + y) ASC, b.c ASC) AS rn
-            FROM rv, cb1 b) WHERE rn = 1),
+            FROM rv, {cbf} b) WHERE rn = 1),
         probed AS (
           SELECT qid, centroid_id FROM (
             SELECT qs.qid, c.centroid_id,
@@ -6509,7 +6598,7 @@ def _ivfpq_probe_oracle_sql(
           JOIN asn a ON e2.vec_id = a.vec_id
           JOIN t1 ON t1.centroid_id = a.bucket
           JOIN qw ON qw.qid = t1.qid
-          JOIN cb1 b ON e2.m = b.m AND e2.c = b.c
+          JOIN {cbf} b ON e2.m = b.m AND e2.c = b.c
           {lw}
           GROUP BY 1, 2),
         cand AS (
@@ -9788,6 +9877,12 @@ def _oracle() -> dict[str, str]:
             (11,),
             train_where="vec_id % 3 <> 0",
             live_where="e2.vec_id % 7 <> 0",
+        ),
+        # Codebook retrain migration: same replay, plus a SECOND
+        # warm-started Lloyd step over ALL residuals (cb1 -> cb2) and
+        # encoding/ADC against the retrained codebooks.
+        "ivfpq_codebook_retrain": _ivfpq_probe_oracle_sql(
+            (13,), train_where="vec_id % 3 <> 0", retrain=True
         ),
         # Per-bucket live/tombstoned audit: coarse training on the
         # base + assignment of every vector, counts split by the %7
@@ -13592,6 +13687,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_index_compact": q_ivfpq_index_compact,
     "ivfpq_index_stats": q_ivfpq_index_stats,
     "ivfpq_manifest_compact": q_ivfpq_manifest_compact,
+    "ivfpq_codebook_retrain": q_ivfpq_codebook_retrain,
     "manifest_incremental_scan": q_manifest_incremental_scan,
     "media_audio_dedup": q_media_audio_dedup,
     "media_video_dedup": q_media_video_dedup,

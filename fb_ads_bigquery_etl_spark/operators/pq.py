@@ -78,22 +78,37 @@ def train_codebooks_ints(
     ksub: int = 8,
     int_col: str = "_w",
     id_col: str = "vec_id",
+    init: list[list[list[int]]] | None = None,
 ) -> list[list[list[int]]]:
     """`pq_train_codebooks` over PRE-SCALED int64 arrays — the entry
-    point residual-domain callers (IVF-PQ) use directly."""
+    point residual-domain callers (IVF-PQ) use directly. `init`
+    WARM-STARTS the one Lloyd step from existing codebooks instead of
+    the first-`ksub`-rows seeds — the offline codebook-retrain cadence
+    (retrain_ivfpq_codebooks), symmetric to
+    similarity.train_centroids_exact(init=...): the refined codebooks
+    stay exactly replayable because the step is the same pure-integer
+    assign/floor-div update, just seeded differently."""
     sub = dim // m
-    seed_rows = (
-        df.select(id_col, int_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(ksub)
-        .collect()
-    )
-    if len(seed_rows) < ksub:
-        raise ValueError(f"need >= {ksub} rows to seed codebooks")
-    cb = [
-        [list(r[int_col][mm * sub : (mm + 1) * sub]) for r in seed_rows]
-        for mm in range(m)
-    ]
+    if init is not None:
+        if (len(init), len(init[0]), len(init[0][0])) != (m, ksub, sub):
+            raise ValueError(
+                f"init shape {(len(init), len(init[0]), len(init[0][0]))} "
+                f"does not match (m, ksub, sub_dim) = {(m, ksub, sub)}"
+            )
+        cb = [[list(cw) for cw in cb_m] for cb_m in init]
+    else:
+        seed_rows = (
+            df.select(id_col, int_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(ksub)
+            .collect()
+        )
+        if len(seed_rows) < ksub:
+            raise ValueError(f"need >= {ksub} rows to seed codebooks")
+        cb = [
+            [list(r[int_col][mm * sub : (mm + 1) * sub]) for r in seed_rows]
+            for mm in range(m)
+        ]
 
     import numpy as np
 
@@ -715,6 +730,76 @@ def append_ivfpq_index(
     # stat ONLY the files this append added (diff-based): the manifest
     # stays O(batch)-maintained, never rebuilt
     refresh_ivfpq_manifest(spark, path)
+
+
+def retrain_ivfpq_codebooks(
+    spark,
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[int]]]:
+    """Offline codebook retrain for the persisted IVF-PQ index — the
+    quantizer half of the documented 'quantizers retrain offline on
+    their own cadence' promise (coarse centroids already have
+    train_centroids_exact warm-start): after a run of O(batch) appends
+    and streaming ingest, the FROZEN codebooks were trained on the
+    original base residuals and quantize the grown corpus's residual
+    distribution increasingly loosely. This retrains them over `df`
+    (the CURRENT full corpus — the caller's source of truth, since the
+    index stores codes, not vectors), SEEDED FROM the current codebook
+    sidecar with one exact-integer Lloyd step (train_codebooks_ints
+    init= — the same assign/floor-div update, so a SQL oracle replays
+    the migration end-to-end), then REBUILDS the code table against
+    the new sidecar with centroids untouched. Returns the retrained
+    codebooks.
+
+    Cost is a rebuild (one residual pass + one training pass + one
+    encode pass over `df`) — the offline cadence, not the serving
+    path; appends/probes stay O(batch) between retrains. REFUSES to
+    run with pending tombstones: the rebuild re-encodes from `df`, so
+    a logically-deleted id still present in `df` would resurrect, and
+    one absent from `df` would leave its tombstone a phantom —
+    compact_ivfpq_index first (same ordering contract as re-adds).
+    Single-writer, like every other index mutation."""
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None and tomb.count() > 0:
+        raise ValueError(
+            "pending tombstones: compact_ivfpq_index before retraining "
+            "(the rebuild re-encodes from the caller's corpus and "
+            "would bypass logical deletes)"
+        )
+    # materialize: the rebuild below OVERWRITES the centroid sidecar
+    # this frame reads from (metadata-sized)
+    centroids = spark.read.parquet(f"{path}_centroids").localCheckpoint(
+        eager=True
+    )
+    old_cb = load_codebooks(spark, path)
+    m, ksub, sub = len(old_cb), len(old_cb[0]), len(old_cb[0][0])
+    in_dim = m * sub
+    _, resid = _residuals(df, centroids, vec_col=vec_col, id_col=id_col)
+    new_cb = train_codebooks_ints(
+        resid,
+        dim=in_dim,
+        m=m,
+        ksub=ksub,
+        int_col="_r",
+        id_col="id",
+        init=old_cb,
+    )
+    build_ivfpq_index(
+        df,
+        path,
+        in_dim=in_dim,
+        m=m,
+        ksub=ksub,
+        centroids=centroids,
+        codebooks=new_cb,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return new_cb
 
 
 def _list_code_files(spark, path: str) -> list[tuple[str, str, int, int]]:

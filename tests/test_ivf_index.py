@@ -1206,3 +1206,102 @@ def test_ivfpq_manifest_refresh_is_incremental(spark, tmp_path):
     # and the totals agree with the code table
     total = sum(r[5] for r in after.values())
     assert total == spark.read.parquet(path).count()
+
+
+def test_ivfpq_codebook_retrain_migrates_and_guards(spark, tmp_path):
+    """retrain_ivfpq_codebooks must (a) refuse while tombstones are
+    pending (the rebuild would bypass logical deletes), (b) actually
+    move the codebooks (warm-started step over the grown corpus), (c)
+    equal the manually composed train(init=old)+rebuild chain
+    probe-for-probe, and (d) not regress aggregate recall@10 vs the
+    stale-codebook index it replaces."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _residuals,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        load_codebooks,
+        query_ivfpq_index,
+        retrain_ivfpq_codebooks,
+        train_codebooks_ints,
+    )
+    from fb_ads_bigquery_etl_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    append_ivfpq_index(spark, delta, path)
+    old_cb = load_codebooks(spark, path)
+
+    # (a) pending tombstones must refuse
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") == 5).select("vec_id"), path
+    )
+    with _pytest.raises(ValueError, match="pending tombstones"):
+        retrain_ivfpq_codebooks(spark, emb, path)
+    compact_ivfpq_index(spark, path)
+    live = emb.filter(F.col("vec_id") != 5)
+
+    queries = live.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join(live, queries, k=10).collect()
+    }
+
+    def recall():
+        hits = 0
+        for q in queries.collect():
+            got = query_ivfpq_index(
+                spark, path, list(q["embedding"]), k=10, nprobe=2,
+                expand=10, rerank_src=live,
+            ).collect()
+            hits += sum(
+                1
+                for r in got
+                if (q["vec_id"], r["vec_id"]) in exact
+                and r["vec_id"] != q["vec_id"]
+            )
+        return hits
+
+    before = recall()
+    new_cb = retrain_ivfpq_codebooks(spark, live, path)
+    after = recall()
+
+    assert new_cb != old_cb  # (b) the step moved
+    assert after >= before, (after, before)  # (d) recall non-regression
+
+    # (c) the migration equals the manual warm-start + rebuild chain
+    path2 = str(tmp_path / "manual")
+    _, resid = _residuals(live, cents)
+    manual_cb = train_codebooks_ints(
+        resid, dim=64, m=4, ksub=8, int_col="_r", id_col="id",
+        init=old_cb,
+    )
+    assert manual_cb == new_cb
+    build_ivfpq_index(
+        live, path2, in_dim=64, m=4, ksub=8, centroids=cents,
+        codebooks=manual_cb,
+    )
+    qv = list(live.filter(F.col("vec_id") == 13).head()["embedding"])
+    a = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, qv, k=10, nprobe=2, expand=10, rerank_src=live
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path2, qv, k=10, nprobe=2, expand=10, rerank_src=live
+        ).collect()
+    ]
+    assert a == b
