@@ -5006,6 +5006,91 @@ def q_classifier_eval_split(spark, sf_dir):
     )
 
 
+def q_classifier_averaged_eval(spark, sf_dir):
+    """AVERAGED vs POCKET perceptron under the same leakage-safe
+    held-out evaluation (operators/classifier.train_classifier
+    variant='averaged' + the r10 eval-split machinery) — the model
+    improvement the round-10 eval measured the need for (pocket:
+    80.5% train vs 73.3% held-out = memorization): the averaged
+    iterate (Freund & Schapire 1999) is the integer SUM of the weight
+    vectors after each unrolled update — division by the positive
+    iteration count cannot change a prediction's sign, so the sum is
+    used un-divided and the whole variant stays bit-replayable in
+    SQL. Both variants train on the CLUSTER-AWARE train partition
+    only (zero near-dup leakage by construction) and report held-out
+    confusion matrices side by side: per (model, label, prediction),
+    exact doc counts and BIGINT score sums. Honest read at sf0.01:
+    the two variants' held-out PREDICTIONS coincide on this template
+    corpus (73.3% both — non-regression here, not a win; the score
+    sums differ, which is what the oracle gates), and on a naive %5
+    split batch-averaging COLLAPSES to majority-vote predictions
+    (0.75 = the majority share vs pocket 0.84, stable across 6/12/20
+    iterations, pytest-measured): averaging oscillating FULL-BATCH
+    iterates is not the online averaged perceptron, and the held-out
+    machinery surfacing that honestly is the point — prefer pocket on
+    this corpus; the engine ships both. The
+    oracle replays EVERYTHING: pair discovery, the component
+    fixpoint, the split, the 6-iteration chain, the pocket argmin,
+    the averaged weight sum, and both held-out scorings."""
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        train_classifier,
+    )
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        dedup_aware_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lab = d.withColumn(
+        "label",
+        F.array_contains(tokens(F.col("text")), "data").cast("long"),
+    )
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", k=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    assigned = dedup_aware_split(d, pairs, splits=_EVAL_SPLITS)
+    withsplits = lab.join(
+        assigned.select(F.col("id").alias("doc_id"), "split"), "doc_id"
+    ).localCheckpoint(eager=True)
+    train = withsplits.filter(F.col("split") == "train")
+    heldout = withsplits.filter(F.col("split") != "train")
+    parts = []
+    for variant in ("averaged", "pocket"):
+        weights, _ = train_classifier(
+            train,
+            label_col="label",
+            buckets=4096,
+            iters=6,
+            num_partitions=8,  # known-small checkpointed sample
+            variant=variant,
+        )
+        scored = score_documents(
+            heldout, weights, buckets=4096, bias_milli=0,
+            extra_cols=("label",),
+        )
+        parts.append(
+            scored.groupBy("label", "prediction")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("score_milli").cast("long")
+                .alias("total_score_milli"),
+            )
+            .select(
+                F.lit(variant).alias("model"),
+                "label",
+                "prediction",
+                "n_docs",
+                "total_score_milli",
+            )
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .orderBy("model", "label", "prediction")
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-pruned semi-join (operators/sketch.bloom_bitmap/
     bloom_prune) — the cross-stage join-reduction a 100 TB plan ships
@@ -7093,6 +7178,132 @@ def _classifier_eval_split_oracle_sql(
                  nleak.n
           FROM nds, nleak GROUP BY 2, 3, 6)
         ORDER BY scheme, label, prediction"""
+
+
+def _classifier_averaged_oracle_sql(
+    buckets: int = 4096, iters: int = 6
+) -> str:
+    """DuckDB replay of q_classifier_averaged_eval END TO END: the
+    eval-split machinery (MinHash-LSH pairs, recursive component
+    fixpoint, cluster-hash split), ONE `iters`-iteration unrolled
+    perceptron chain on the train partition, then BOTH selections from
+    the same iterates — the pocket argmin AND the averaged integer sum
+    of w_1..w_iters — each scoring the held-out docs."""
+    shared = rf"""tok AS MATERIALIZED (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '') AS tok
+            FROM documents),
+        ylab AS MATERIALIZED (SELECT doc_id,
+                       CASE WHEN list_contains(tok, 'data')
+                            THEN 1 ELSE -1 END AS y
+                FROM tok),
+        featx AS (
+          SELECT doc_id,
+                 unnest(tok || CASE WHEN len(tok) >= 2
+                   THEN list_transform(generate_series(1, len(tok) - 1),
+                                       i -> tok[i] || ' ' || tok[i+1])
+                   ELSE [] END) AS feat
+          FROM tok),
+        fc AS MATERIALIZED (SELECT doc_id,
+                      ('0x' || substr(md5(feat), 1, 8))::BIGINT % {buckets}
+                        AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM featx GROUP BY 1, 2),
+        edges AS (SELECT id_a AS u, id_b AS v FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        walk(node, label) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node),
+        ccomp AS (SELECT node, MIN(label) AS component FROM walk
+                  GROUP BY node),
+        clus AS (SELECT d.doc_id AS id,
+                        COALESCE(ccomp.component, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN ccomp ON ccomp.node = d.doc_id),
+        asg AS MATERIALIZED (
+          SELECT id,
+                 CASE WHEN cb < 8000 THEN 'train'
+                      WHEN cb < 9000 THEN 'val'
+                      WHEN cb < 10000 THEN 'test'
+                      ELSE 'holdout' END AS split
+          FROM (SELECT id,
+                  ('0x' || substr(md5('cl:' || CAST(cluster AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000 AS cb
+                FROM clus)),
+        ctr AS MATERIALIZED (
+          SELECT ylab.doc_id, ylab.y
+          FROM ylab JOIN asg ON asg.id = ylab.doc_id
+          WHERE asg.split = 'train'),
+        cw0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                       CAST(NULL AS BIGINT) AS w WHERE FALSE)"""
+    parts = [shared]
+    for i in range(iters):
+        if i == 0:
+            parts.append("""cs0 AS MATERIALIZED (
+          SELECT doc_id, y, CAST(0 AS BIGINT) AS s FROM ctr)""")
+        else:
+            parts.append(f"""cs{i} AS MATERIALIZED (
+          SELECT tr.doc_id, tr.y, CAST(COALESCE(sc.s, 0) AS BIGINT) AS s
+          FROM ctr tr LEFT JOIN (
+            SELECT fc.doc_id, CAST(SUM(fc.c * w.w) AS BIGINT) AS s
+            FROM fc JOIN ctr tt ON fc.doc_id = tt.doc_id
+            JOIN cw{i} w ON fc.bucket = w.bucket
+            GROUP BY 1) sc USING (doc_id))""")
+        parts.append(f"""cm{i} AS (
+          SELECT COUNT(*) AS m FROM cs{i} WHERE y * s <= 0)""")
+        parts.append(f"""cu{i} AS (
+          SELECT fc.bucket, CAST(SUM(fc.c * sd.y) AS BIGINT) AS u
+          FROM fc JOIN cs{i} sd USING (doc_id)
+          WHERE sd.y * sd.s <= 0 GROUP BY 1)""")
+        parts.append(f"""cw{i + 1} AS MATERIALIZED (
+          SELECT COALESCE(cw{i}.bucket, cu{i}.bucket) AS bucket,
+                 COALESCE(cw{i}.w, 0) + COALESCE(cu{i}.u, 0) AS w
+          FROM cw{i} FULL JOIN cu{i}
+            ON cw{i}.bucket = cu{i}.bucket)""")
+    mall = " UNION ALL ".join(
+        f"SELECT {i} AS it, m FROM cm{i}" for i in range(iters)
+    )
+    wall = " UNION ALL ".join(
+        f"SELECT {i} AS it, bucket, w FROM cw{i}" for i in range(iters)
+    )
+    wsum = " UNION ALL ".join(
+        f"SELECT bucket, w FROM cw{i}" for i in range(1, iters + 1)
+    )
+    parts.append(f"""cmall AS ({mall})""")
+    parts.append("""cbest AS (SELECT it FROM cmall
+                             ORDER BY m ASC, it ASC LIMIT 1)""")
+    parts.append(f"""cwall AS ({wall})""")
+    parts.append("""wpocket AS (SELECT bucket, w FROM cwall
+                              JOIN cbest USING (it))""")
+    parts.append(f"""wavg AS (
+          SELECT bucket, CAST(SUM(w) AS BIGINT) AS w
+          FROM ({wsum}) GROUP BY bucket)""")
+    for model, wt in (("a", "wavg"), ("p", "wpocket")):
+        parts.append(f"""{model}ds AS (
+          SELECT ylab.doc_id, CAST((ylab.y + 1) // 2 AS BIGINT) AS label,
+                 COALESCE(sc.s, 0) AS score_milli
+          FROM ylab JOIN asg ON asg.id = ylab.doc_id
+          LEFT JOIN (SELECT fc.doc_id,
+                            CAST(SUM(fc.c * wb.w) AS BIGINT) AS s
+                     FROM fc JOIN {wt} wb ON fc.bucket = wb.bucket
+                     GROUP BY 1) sc USING (doc_id)
+          WHERE asg.split <> 'train')""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_sql()},
+        {body}
+        SELECT * FROM (
+          SELECT 'averaged' AS model, label,
+                 score_milli > 0 AS prediction,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(score_milli) AS BIGINT) AS total_score_milli
+          FROM ads GROUP BY 2, 3
+          UNION ALL
+          SELECT 'pocket', label, score_milli > 0,
+                 CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(score_milli) AS BIGINT)
+          FROM pds GROUP BY 2, 3)
+        ORDER BY model, label, prediction"""
 
 
 _FK_EDGES = [
@@ -12325,6 +12536,7 @@ def _oracle() -> dict[str, str]:
         "media_audio_dedup": _audio_dedup_oracle_sql(),
         "media_video_dedup": _video_dedup_oracle_sql(),
         "classifier_eval_split": _classifier_eval_split_oracle_sql(),
+        "classifier_averaged_eval": _classifier_averaged_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
         "ivfpq_index_query": f"""
@@ -13692,6 +13904,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_dedup": q_media_audio_dedup,
     "media_video_dedup": q_media_video_dedup,
     "classifier_eval_split": q_classifier_eval_split,
+    "classifier_averaged_eval": q_classifier_averaged_eval,
     "bpe_vocab_prune": q_bpe_vocab_prune,
     # --- last driver-green r05 ---
     "rollup_region_nation": q_rollup_region_nation,

@@ -901,3 +901,81 @@ def test_video_fingerprint_samples_frames_and_rejects_bad_streams(spark):
     )
     with _pytest.raises(Exception, match=">= 2 sampled frames"):
         video_fingerprint(short).collect()
+
+
+def test_averaged_perceptron_no_worse_heldout_and_replayable(spark):
+    """The averaged variant must (a) be partitioning-invariant like the
+    pocket path (pure integer sums), (b) produce a genuinely different
+    weight table than the pocket iterate, (c) reject unknown variants,
+    and (d) record the measured held-out picture: on this template
+    corpus batch-averaging COLLAPSES to majority-vote predictions
+    under the naive %5 split (0.75 = exactly the majority share, vs
+    pocket 0.84; stable at 6/12/20 iterations — the oscillating
+    full-batch iterates sum to an always-positive-biased vector),
+    while it ties pocket under the cluster-aware split at sf0.01
+    (73.3% both, the gated path). The held-out eval machinery
+    surfacing this is the point; the engine ships both variants and
+    the docstrings say which to prefer."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.functions.portable import tokens
+    from fb_ads_bigquery_etl_spark.operators.classifier import (
+        score_documents,
+        train_classifier,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "label",
+        F.array_contains(tokens(F.col("text")), "data").cast("long"),
+    )
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+
+    wa, _ = train_classifier(
+        train, label_col="label", buckets=4096, iters=6,
+        variant="averaged",
+    )
+    wa2, _ = train_classifier(
+        train.repartition(17), label_col="label", buckets=4096, iters=6,
+        variant="averaged",
+    )
+    ta = sorted(map(tuple, wa.collect()))
+    assert ta == sorted(map(tuple, wa2.collect()))  # (a)
+
+    wp, _ = train_classifier(
+        train, label_col="label", buckets=4096, iters=6,
+        variant="pocket",
+    )
+    tp = sorted(map(tuple, wp.collect()))
+    assert ta != tp  # (b)
+
+    # (c) replay: averaged = sum over iterations of the running weights
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown variant"):
+        train_classifier(train, label_col="label", variant="margin")
+
+    def acc(weights):
+        sc = score_documents(
+            heldout, weights, buckets=4096, bias_milli=0,
+            extra_cols=("label",),
+        )
+        row = sc.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("prediction").cast("long") == F.col("label"), 1
+                ).otherwise(0)
+            ).alias("ok"),
+        ).head()
+        return row["ok"] / row["n"]
+
+    # (d) pocket beats always-majority; averaged measured AT majority
+    # on this naive split (the docstring's honest finding — an
+    # improvement here would be welcome, a regression would not)
+    n_h = heldout.count()
+    n_pos = heldout.filter(F.col("label") == 1).count()
+    majority = max(n_pos, n_h - n_pos) / n_h
+    assert acc(wp) > majority
+    assert acc(wa) >= majority
