@@ -4406,6 +4406,47 @@ def q_ivfpq_batch_query(spark, sf_dir):
     return out
 
 
+def q_ivfpq_batch_query_distributed(spark, sf_dir):
+    """DataFrame-native batch probing of the persisted IVF-PQ index
+    (operators/pq.query_ivfpq_index_batch_distributed) — the
+    index-join shape: when the query 'batch' is itself a table,
+    query_ivfpq_index_batch's documented driver-side query collect
+    (fine for serving-sized batches) becomes the bound. Here nothing
+    query-sided reaches the driver: probing is a broadcast join
+    against the metadata-sized centroid table, term1 + the full ADC
+    LUT are column expressions unrolled from the codebook sidecar
+    constants (whole-stage codegen, m*ksub literal integer dots), the
+    (qid, bucket, term1, lut) frame joins the partition-pruned code
+    scan bucket-keyed, and the exact rerank stays distributed. The
+    ONLY collect is the distinct probed-bucket list (nlist-bounded
+    metadata). Row-for-row equal to the collect-based batch
+    (pytest-pinned); the oracle replays the full pipeline per
+    query."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch_distributed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_batchd_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(e, k=16, iters=2)
+        build_ivfpq_index(
+            e, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        qs = e.filter(F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
+        out = query_ivfpq_index_batch_distributed(
+            spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=e
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_ivfpq_index_delete(spark, sf_dir):
     """O(delete-batch) deletion from the persisted IVF-PQ index
     (operators/pq.delete_from_ivfpq_index) — the CRUD edge between
@@ -10076,6 +10117,11 @@ def _oracle() -> dict[str, str]:
             (7,), train_where="vec_id % 3 <> 0"
         ),
         "ivfpq_batch_query": _ivfpq_probe_oracle_sql(_IVFPQ_BATCH_QIDS),
+        # same replay, different engine path: the LUTs stay column
+        # expressions and the query table never reaches the driver
+        "ivfpq_batch_query_distributed": _ivfpq_probe_oracle_sql(
+            _IVFPQ_BATCH_QIDS
+        ),
         # CRUD completion of the persisted index: tombstone deletes
         # (live filter replays the probe's anti-join; deleted rows stay
         # ENCODED in the replay, exactly as their files stay on disk)
@@ -13895,6 +13941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_index_append": q_ivfpq_index_append,
     "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
     "ivfpq_batch_query": q_ivfpq_batch_query,
+    "ivfpq_batch_query_distributed": q_ivfpq_batch_query_distributed,
     "ivfpq_index_delete": q_ivfpq_index_delete,
     "ivfpq_index_compact": q_ivfpq_index_compact,
     "ivfpq_index_stats": q_ivfpq_index_stats,

@@ -1445,3 +1445,155 @@ def query_ivfpq_index_batch(
         .drop("_rn")
         .orderBy("query_id", F.col("score").desc(), F.col(id_col).asc())
     )
+
+
+def query_ivfpq_index_batch_distributed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    expand: int = 10,
+    rerank_src: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`query_ivfpq_index_batch` with the QUERIES kept distributed —
+    the index-join shape: when the 'batch' is itself a table (join
+    every new document against the index), collecting it driver-side
+    to build LUTs (pq.query_ivfpq_index_batch's documented contract,
+    fine for serving-sized batches) becomes the bottleneck. Here
+    NOTHING query-sided ever reaches the driver: probing is a
+    broadcast join of the query frame against the metadata-sized
+    centroid table (per-query top-nprobe window), term1 and the full
+    ADC LUT are computed AS COLUMN EXPRESSIONS — the codebooks are
+    metadata-sized sidecar constants, so lut[m][c] unrolls to m*ksub
+    integer dot products against literal codeword arrays inside
+    whole-stage codegen — and the (qid, bucket, term1, lut) frame
+    joins the code scan bucket-keyed (plain join: a query TABLE is
+    not broadcastable by assumption; AQE still broadcasts small
+    batches). The only driver materialization is the DISTINCT probed
+    bucket list (bounded by nlist — metadata, not queries), which
+    keeps the code scan partition-pruned. Same tombstone anti-join,
+    per-query top-k*expand window, and distributed exact rerank
+    against `rerank_src`. Row-for-row equal to the collect-based
+    batch path (pytest-pinned; the oracle replays the full pipeline
+    per query)."""
+    from fb_ads_bigquery_etl_spark.functions.portable import (
+        cosine_similarity,
+    )
+
+    cents = spark.read.parquet(f"{path}_centroids")
+    cb = load_codebooks(spark, path)
+    m = len(cb)
+    sub = len(cb[0][0])
+    to_ints = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x * PQ_SCALE).cast("long")
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def lit_dot(slice_col, cw):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cw])
+        return F.aggregate(
+            F.zip_with(slice_col, arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    lut_col = F.array(
+        *[
+            F.array(
+                *[
+                    lit_dot(
+                        F.slice(F.col("_wq"), mm * sub + 1, sub), cb[mm][c]
+                    )
+                    for c in range(len(cb[mm]))
+                ]
+            )
+            for mm in range(m)
+        ]
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        vec_d.alias("_qv"),
+        to_ints(vec_d).alias("_wq"),
+    )
+    centint = cents.select(
+        "centroid_id", "cvec", to_ints(F.col("cvec")).alias("_wc")
+    )
+    probed = (
+        qv.crossJoin(F.broadcast(centint))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    cosine_similarity(F.col("_qv"), F.col("cvec")).desc(),
+                    F.col("centroid_id").asc(),
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+    )
+    term1 = F.aggregate(
+        F.zip_with(F.col("_wq"), F.col("_wc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    luts = probed.select(
+        "qid",
+        F.col("centroid_id").alias("b"),
+        term1.alias("term1"),
+        lut_col.alias("lut"),
+    )
+    # the one driver-sided list: DISTINCT probed buckets, bounded by
+    # nlist — what keeps the code scan partition-pruned without ever
+    # materializing the query table
+    buckets = sorted(
+        int(r[0]) for r in luts.select("b").distinct().collect()
+    )
+    codes = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(tomb, "id", "left_anti")
+    adc = F.col("term1") + F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.join(luts, F.col("bucket") == F.col("b")).select(
+        F.col("qid").alias("query_id"),
+        F.col("id"),
+        adc.alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("id").asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k * expand)
+        .select("query_id", "id")
+    )
+    reranked = (
+        rerank_src.select(F.col(id_col).alias("id"), vec_d.alias("_cv"))
+        .join(cand, "id")
+        .join(qv.select(F.col("qid").alias("query_id"), "_qv"), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            cosine_similarity(F.col("_cv"), F.col("_qv")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col(id_col).asc())
+    )

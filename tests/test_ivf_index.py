@@ -1305,3 +1305,42 @@ def test_ivfpq_codebook_retrain_migrates_and_guards(spark, tmp_path):
         ).collect()
     ]
     assert a == b
+
+
+def test_ivfpq_batch_distributed_equals_collect_path(spark, tmp_path):
+    """The DataFrame-native batch probe must be row-for-row equal to
+    the collect-based batch path on the same index and query set, keep
+    the code scan partition-pruned, and keep deletes visible — while
+    its plan derives the LUTs from the query FRAME (no driver-side
+    query materialization in the function; the only collect is the
+    nlist-bounded probed-bucket list)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        query_ivfpq_index_batch,
+        query_ivfpq_index_batch_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 11 == 0).select("vec_id"), path
+    )
+    qs = emb.filter(F.col("vec_id").isin([2, 3, 7, 19]))
+    got = query_ivfpq_index_batch_distributed(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    want = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    plan = PI.explain_str(got)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
