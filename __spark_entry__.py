@@ -13938,62 +13938,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
-    "ivfpq_index_append": q_ivfpq_index_append,
-    "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
-    "ivfpq_batch_query": q_ivfpq_batch_query,
     "ivfpq_batch_query_distributed": q_ivfpq_batch_query_distributed,
-    "ivfpq_index_delete": q_ivfpq_index_delete,
-    "ivfpq_index_compact": q_ivfpq_index_compact,
-    "ivfpq_index_stats": q_ivfpq_index_stats,
     "ivfpq_manifest_compact": q_ivfpq_manifest_compact,
     "ivfpq_codebook_retrain": q_ivfpq_codebook_retrain,
-    "manifest_incremental_scan": q_manifest_incremental_scan,
-    "media_audio_dedup": q_media_audio_dedup,
     "media_video_dedup": q_media_video_dedup,
-    "classifier_eval_split": q_classifier_eval_split,
     "classifier_averaged_eval": q_classifier_averaged_eval,
-    "bpe_vocab_prune": q_bpe_vocab_prune,
-    # --- last driver-green r05 ---
-    "rollup_region_nation": q_rollup_region_nation,
-    "sessionize": q_sessionize,
-    "join_outer_agg": q_join_outer_agg,
-    "join_semi": q_join_semi,
-    "join_anti": q_join_anti,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "cube_status_priority": q_cube_status_priority,
-    "exists_late_lineitem": q_exists_late_lineitem,
-    "avg_qty_threshold": q_avg_qty_threshold,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "percentiles": q_percentiles,
-    "ntile_quartiles": q_ntile_quartiles,
-    "conditional_agg": q_conditional_agg,
-    "json_extract": q_json_extract,
-    "tumbling_hourly": q_tumbling_hourly,
-    "running_total": q_running_total,
-    "shipping_priority": q_shipping_priority,
-    "revenue_forecast": q_revenue_forecast,
-    "promo_revenue_ratio": q_promo_revenue_ratio,
-    "disjunctive_filter": q_disjunctive_filter,
-    "max_per_group_join_back": q_max_per_group_join_back,
-    "count_distribution": q_count_distribution,
-    "union_all_labeled": q_union_all_labeled,
-    "order_gaps": q_order_gaps,
-    "percent_rank": q_percent_rank,
-    "collect_segments": q_collect_segments,
-    "string_funcs": q_string_funcs,
-    "quarterly_revenue": q_quarterly_revenue,
-    "grouping_sets_sql": q_grouping_sets_sql,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_frames": q_multimodal_frames,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
-    "train_test_split": q_train_test_split,
-    "stratified_sample": q_stratified_sample,
     # --- last driver-green r06 ---
     "bpe_encode": q_bpe_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
@@ -14198,6 +14147,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "substring_dedup_spans": q_substring_dedup_spans,
     "temperature_mix": q_temperature_mix,
+    # --- last driver-green r10 ---
+    "ivfpq_index_append": q_ivfpq_index_append,
+    "streaming_ivfpq_ingest": q_streaming_ivfpq_ingest,
+    "ivfpq_batch_query": q_ivfpq_batch_query,
+    "ivfpq_index_delete": q_ivfpq_index_delete,
+    "ivfpq_index_compact": q_ivfpq_index_compact,
+    "ivfpq_index_stats": q_ivfpq_index_stats,
+    "manifest_incremental_scan": q_manifest_incremental_scan,
+    "media_audio_dedup": q_media_audio_dedup,
+    "classifier_eval_split": q_classifier_eval_split,
+    "bpe_vocab_prune": q_bpe_vocab_prune,
+    "rollup_region_nation": q_rollup_region_nation,
+    "sessionize": q_sessionize,
+    "join_outer_agg": q_join_outer_agg,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "cube_status_priority": q_cube_status_priority,
+    "exists_late_lineitem": q_exists_late_lineitem,
+    "avg_qty_threshold": q_avg_qty_threshold,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "percentiles": q_percentiles,
+    "ntile_quartiles": q_ntile_quartiles,
+    "conditional_agg": q_conditional_agg,
+    "json_extract": q_json_extract,
+    "tumbling_hourly": q_tumbling_hourly,
+    "running_total": q_running_total,
+    "shipping_priority": q_shipping_priority,
+    "revenue_forecast": q_revenue_forecast,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "disjunctive_filter": q_disjunctive_filter,
+    "max_per_group_join_back": q_max_per_group_join_back,
+    "count_distribution": q_count_distribution,
+    "union_all_labeled": q_union_all_labeled,
+    "order_gaps": q_order_gaps,
+    "percent_rank": q_percent_rank,
+    "collect_segments": q_collect_segments,
+    "string_funcs": q_string_funcs,
+    "quarterly_revenue": q_quarterly_revenue,
+    "grouping_sets_sql": q_grouping_sets_sql,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash": q_dedup_simhash,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 
