@@ -281,7 +281,10 @@ def _publish_bucket_batch(
     import shutil
 
     stage = os.path.join(staging, f"batch={batch_id}")
-    frame.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    # one file per touched bucket per batch (see pq.append_ivfpq_index)
+    frame.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(stage)
     prefix = f"b{batch_id}-"
     # clean any partial publish of THIS batch id across ALL bucket
     # dirs — not just the buckets this attempt stages into. Within
