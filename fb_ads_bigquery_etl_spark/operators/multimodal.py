@@ -1752,7 +1752,12 @@ def synth_y4m_groups(
             if g not in bases:
                 frames = []
                 for f in range(nf):
-                    hq = np.vectorize(lambda q: _hq(g, f, int(q)))(qd)
+                    # 4 hashes per frame (one per quadrant), indexed
+                    # through the 8x8 quadrant grid — not one md5 per
+                    # pixel
+                    hq = np.array(
+                        [_hq(g, f, q) for q in range(4)], dtype=np.int64
+                    )[qd]
                     frames.append((hq + 5 * xs + 11 * ys) % 251)
                 bases[g] = frames
             buf = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]

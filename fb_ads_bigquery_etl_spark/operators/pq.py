@@ -90,10 +90,18 @@ def train_codebooks_ints(
     assign/floor-div update, just seeded differently."""
     sub = dim // m
     if init is not None:
-        if (len(init), len(init[0]), len(init[0][0])) != (m, ksub, sub):
+        # explicit full-structure check: an empty/shallow/ragged init
+        # must fail with the shaped error, not an IndexError here or a
+        # silent mis-shape inside the numpy kernel later
+        ok = (
+            len(init) == m
+            and all(len(cb_m) == ksub for cb_m in init)
+            and all(len(cw) == sub for cb_m in init for cw in cb_m)
+        )
+        if not ok:
             raise ValueError(
-                f"init shape {(len(init), len(init[0]), len(init[0][0]))} "
-                f"does not match (m, ksub, sub_dim) = {(m, ksub, sub)}"
+                f"init does not have shape (m, ksub, sub_dim) = "
+                f"{(m, ksub, sub)}"
             )
         cb = [[list(cw) for cw in cb_m] for cb_m in init]
     else:
@@ -661,10 +669,26 @@ def build_ivfpq_index(
         # one narrow shuffle puts each bucket in exactly one task ->
         # ONE file per bucket (the read-optimal layout every probe and
         # the manifest want), instead of one file per (task, bucket)
-        # pair — measured 473 files -> nlist files at sf0.1
-        codes.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
+        # pair — measured 473 files -> nlist files at sf0.1.
+        # Overwrite mode is pinned STATIC: under a session-level
+        # dynamic setting a rebuild over a corpus that vacated some
+        # bucket would leave that bucket's STALE partition on disk
+        # (dynamic replaces only partitions present in the new write),
+        # resurrecting retired codes after a retrain migration.
+        prev = codes.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        codes.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            codes.repartition("bucket").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(path)
+        finally:
+            codes.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
     finally:
         resid.unpersist()
     cents.write.mode("overwrite").parquet(f"{path}_centroids")
@@ -946,14 +970,20 @@ def _pruned_tombstoned_codes(
     is a (metadata x delete-batch) join collected driver-side
     (file-count bounded); a tombstoned id present in the index always
     lies inside some file's envelope, so the pruned scan is exact."""
+    # the envelope intersect streams the (possibly large) tombstone set
+    # past the BROADCAST manifest — never the reverse: a left_semi with
+    # a pure range predicate would BNLJ-broadcast the tombstones, and
+    # the pending-delete set is not metadata-sized in general. The
+    # distinct is bounded by file count.
+    env = man.select("file", "min_id", "max_id")
     cand = [
         r["file"]
-        for r in man.join(
-            tomb,
-            (tomb["id"] >= man["min_id"]) & (tomb["id"] <= man["max_id"]),
-            "left_semi",
+        for r in tomb.join(
+            F.broadcast(env),
+            (tomb["id"] >= env["min_id"]) & (tomb["id"] <= env["max_id"]),
         )
         .select("file")
+        .distinct()
         .collect()
     ]
     if not cand:
@@ -1200,11 +1230,31 @@ def ivfpq_index_stats(
     join against the tombstone sidecar on id (a plain join — the
     pending-delete set is not metadata-sized in general). Returns
     (bucket, n_live, n_deleted) ordered by bucket — identical between
-    the two paths (gated + pytest-pinned)."""
+    the two paths (gated + pytest-pinned).
+
+    WRITE DISCIPLINE: the default (None) audit is strictly READ-ONLY —
+    a monitoring poll must stay safe to run concurrently with writers,
+    and refresh_ivfpq_manifest overwrites the sidecar. It reads the
+    existing manifest and VALIDATES it against one metadata listing;
+    if the sidecar is missing or stale (a writer crashed between
+    publish and refresh) it falls back to the exact scan instead of
+    healing in place. `use_manifest=True` opts into refresh-then-read
+    (a WRITE — caller owns the single-writer contract)."""
     man = None
-    if use_manifest is not False:
-        # refresh creates the sidecar if absent (see compact)
+    if use_manifest is True:
         man = refresh_ivfpq_manifest(spark, path)
+    elif use_manifest is None:
+        man = _read_ivfpq_manifest(spark, path)
+        if man is not None:
+            listed = {
+                (suffix, size, mtime)
+                for _, suffix, size, mtime in _list_code_files(spark, path)
+            }
+            described = {
+                (r["suffix"], r["size"], r["mtime"]) for r in man.collect()
+            }
+            if listed != described:
+                man = None  # stale sidecar: use the exact scan
     tomb = _read_tombstones(spark, path)
     if man is not None:
         totals = man.groupBy("bucket").agg(
@@ -1534,11 +1584,17 @@ def query_ivfpq_index_batch_distributed(
             for mm in range(m)
         ]
     )
+    # materialize ONCE (executor-side blocks, never the driver): qv
+    # feeds the probe, the scoring join, AND the rerank, and luts is
+    # both collected from (the bucket list) and joined against — a
+    # lazy plan would re-evaluate the query subtree per consumer, and
+    # a non-deterministic or concurrently-appended query table could
+    # then probe one bucket set and score another
     qv = queries.select(
         F.col(id_col).alias("qid"),
         vec_d.alias("_qv"),
         to_ints(vec_d).alias("_wq"),
-    )
+    ).localCheckpoint(eager=True)
     centint = cents.select(
         "centroid_id", "cvec", to_ints(F.col("cvec")).alias("_wc")
     )
@@ -1565,7 +1621,7 @@ def query_ivfpq_index_batch_distributed(
         F.col("centroid_id").alias("b"),
         term1.alias("term1"),
         lut_col.alias("lut"),
-    )
+    ).localCheckpoint(eager=True)
     # the one driver-sided list: DISTINCT probed buckets, bounded by
     # nlist — what keeps the code scan partition-pruned without ever
     # materializing the query table
