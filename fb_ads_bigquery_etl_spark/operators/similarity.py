@@ -317,7 +317,12 @@ def build_ivf_index(
         centroid_mod=centroid_mod,
         centroids=centroids,
     )
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # one shuffle puts each bucket in exactly one task -> ONE file per
+    # bucket (read-optimal: a probe opens nprobe files, not nprobe x
+    # writer-task-count; same discipline as pq.build_ivfpq_index)
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
     centroids.write.mode("overwrite").parquet(f"{path}_centroids")
 
 
@@ -343,7 +348,10 @@ def append_ivf_index(
     _, assigned = assign_ivf_buckets(
         delta, vec_col=vec_col, id_col=id_col, centroids=centroids
     )
-    assigned.write.mode("append").partitionBy("bucket").parquet(path)
+    # one file per TOUCHED bucket per batch (see build_ivf_index)
+    assigned.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
 
 
 def query_ivf_index(
