@@ -974,15 +974,18 @@ def _pruned_tombstoned_codes(
     # past the BROADCAST manifest — never the reverse: a left_semi with
     # a pure range predicate would BNLJ-broadcast the tombstones, and
     # the pending-delete set is not metadata-sized in general. The
-    # distinct is bounded by file count.
-    env = man.select("file", "min_id", "max_id")
+    # distinct is bounded by file count. Read paths derive from the
+    # SUFFIX identity under the caller's `path`, not the stored
+    # absolute `file` column, so a relocated/copied index stays
+    # readable (the stored URI is informational).
+    env = man.select("suffix", "min_id", "max_id")
     cand = [
-        r["file"]
+        f"{path}/{r['suffix']}"
         for r in tomb.join(
             F.broadcast(env),
             (tomb["id"] >= env["min_id"]) & (tomb["id"] <= env["max_id"]),
         )
-        .select("file")
+        .select("suffix")
         .distinct()
         .collect()
     ]

@@ -737,3 +737,122 @@ def test_ivfpq_delete_probe_matches_python_oracle(deleted):
         for i in sorted(cand, key=lambda i: (-cos(vecs[i], qvec), i))[:5]
     ]
     assert got == want, (got, want, sorted(deleted)[:10])
+
+
+_ivfpq_asgn = None
+
+
+def _ivfpq_assignment(spark):
+    """(id -> bucket) ground truth collected ONCE from the shared
+    template's code table (sf0.001, 4 buckets, 500 vectors)."""
+    global _ivfpq_asgn
+    if _ivfpq_asgn is None:
+        tpl = _ivfpq_template(spark)
+        _ivfpq_asgn = {
+            int(r["id"]): int(r["bucket"])
+            for r in spark.read.parquet(tpl["path"])
+            .select("id", "bucket")
+            .collect()
+        }
+    return _ivfpq_asgn
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=600), max_size=60),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ivfpq_maintenance_matches_python_replay(deleted):
+    """For ARBITRARY delete sets — including PHANTOM ids (> 499) never
+    present in the index — the whole maintenance surface must equal a
+    driver-side replay over the ground-truth assignment: the pre-compact
+    audit (both the read-only manifest path and the exact scan), the set
+    of buckets compaction reports (tombstoned AND at least one live
+    row), compaction's convergence to [] on the second call, the
+    retained tombstones (exactly the fully-dead buckets' ids — applied
+    ones released, phantoms pruned), and the post-compact audit."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_tombstones,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    spark = _get_spark()
+    tpl = _ivfpq_template(spark)
+    asgn = _ivfpq_assignment(spark)
+
+    work = tpl["path"] + f"_m{abs(hash(frozenset(deleted))) % (1 << 30)}"
+    for side in ("", "_centroids", "_codebooks", "_manifest"):
+        if os.path.exists(work + side):
+            shutil.rmtree(work + side)
+        shutil.copytree(tpl["path"] + side, work + side)
+    try:
+        if deleted:
+            delete_from_ivfpq_index(
+                spark,
+                spark.createDataFrame(
+                    [(int(i),) for i in sorted(deleted)], "vec_id long"
+                ),
+                work,
+            )
+
+        # python replay over the ground-truth assignment
+        buckets = sorted(set(asgn.values()))
+        total = {b: 0 for b in buckets}
+        dead = {b: 0 for b in buckets}
+        for i, b in asgn.items():
+            total[b] += 1
+            if i in deleted:
+                dead[b] += 1
+        pre = {b: (total[b] - dead[b], dead[b]) for b in buckets}
+
+        for um in (None, False):
+            got = {
+                int(r["bucket"]): (int(r["n_live"]), int(r["n_deleted"]))
+                for r in ivfpq_index_stats(
+                    spark, work, use_manifest=um
+                ).collect()
+            }
+            assert got == pre, (um, got, pre)
+
+        want_work = sorted(
+            b for b in buckets if dead[b] > 0 and total[b] > dead[b]
+        )
+        assert compact_ivfpq_index(spark, work) == want_work
+        assert compact_ivfpq_index(spark, work) == []  # converges
+
+        tomb = _read_tombstones(spark, work)
+        remaining = (
+            set()
+            if tomb is None
+            else {int(r["id"]) for r in tomb.collect()}
+        )
+        want_remaining = {
+            i
+            for i, b in asgn.items()
+            if i in deleted and total[b] == dead[b]
+        }
+        assert remaining == want_remaining
+
+        post = {
+            b: ((total[b] - dead[b], 0) if total[b] > dead[b] else (0, dead[b]))
+            for b in buckets
+        }
+        got_post = {
+            int(r["bucket"]): (int(r["n_live"]), int(r["n_deleted"]))
+            for r in ivfpq_index_stats(spark, work).collect()
+        }
+        assert got_post == post
+    finally:
+        for side in ("", "_centroids", "_codebooks", "_manifest",
+                     "_tombstones"):
+            shutil.rmtree(work + side, ignore_errors=True)
