@@ -13937,58 +13937,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # §2.1): never-driver-checked entries first, then ascending last-green
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
-    # --- never driver-checked (new queries first) ---
-    "ivfpq_batch_query_distributed": q_ivfpq_batch_query_distributed,
-    "ivfpq_manifest_compact": q_ivfpq_manifest_compact,
-    "ivfpq_codebook_retrain": q_ivfpq_codebook_retrain,
-    "media_video_dedup": q_media_video_dedup,
-    "classifier_averaged_eval": q_classifier_averaged_eval,
     # --- last driver-green r06 ---
-    "bpe_encode": q_bpe_encode,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "ann_quantized_recall": q_ann_quantized_recall,
-    "k_anonymity": q_k_anonymity,
-    "media_format_audit": q_media_format_audit,
-    "streaming_cdc_upsert": q_streaming_cdc_upsert,
-    "zorder_stats": q_zorder_stats,
-    "mmr_rerank": q_mmr_rerank,
-    "incremental_join_view": q_incremental_join_view,
-    "attribution_time_decay": q_attribution_time_decay,
-    "streaming_stacked_aggs": q_streaming_stacked_aggs,
-    "manifest_pruned_scan": q_manifest_pruned_scan,
-    "semdedup": q_semdedup,
-    "ngram_lm_quality": q_ngram_lm_quality,
-    "ngram_novelty": q_ngram_novelty,
-    "vocab_growth": q_vocab_growth,
-    "approx_percentile_banded": q_approx_percentile_banded,
-    "map_agg_metrics": q_map_agg_metrics,
-    "csv_roundtrip": q_csv_roundtrip,
-    "minhash_calibration": q_minhash_calibration,
-    "streaming_interval_left_join": q_streaming_interval_left_join,
-    "user_paths": q_user_paths,
-    "length_quantiles_by_lang": q_length_quantiles_by_lang,
-    "dedup_incremental": q_dedup_incremental,
-    "bpe_merges": q_bpe_merges,
-    "rrf_fusion": q_rrf_fusion,
-    "substring_dedup_apply": q_substring_dedup_apply,
-    "streaming_sessions_timeout": q_streaming_sessions_timeout,
-    "packing_efficiency": q_packing_efficiency,
-    "paged_orders": q_paged_orders,
-    "lateral_top_orders": q_lateral_top_orders,
-    "rolling_30d_spend": q_rolling_30d_spend,
-    "dedup_embedding": q_dedup_embedding,
-    "ann_brute_force": q_ann_brute_force,
-    "ann_ivf": q_ann_ivf,
-    "text_stats": q_text_stats,
-    "rolling_fingerprints": q_rolling_fingerprints,
-    "quality_by_source": q_quality_by_source,
-    "volume_shipping": q_volume_shipping,
-    "market_share": q_market_share,
-    "profit_by_nation": q_profit_by_nation,
-    "returned_revenue": q_returned_revenue,
-    "top_supplier": q_top_supplier,
-    "parts_supplier_cnt": q_parts_supplier_cnt,
-    "large_orders": q_large_orders,
     "idle_customers": q_idle_customers,
     "streaming_hourly": q_streaming_hourly,
     "priority_count": q_priority_count,
@@ -14198,6 +14147,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
+    # --- last driver-green r11 ---
+    "ivfpq_batch_query_distributed": q_ivfpq_batch_query_distributed,
+    "ivfpq_manifest_compact": q_ivfpq_manifest_compact,
+    "ivfpq_codebook_retrain": q_ivfpq_codebook_retrain,
+    "media_video_dedup": q_media_video_dedup,
+    "classifier_averaged_eval": q_classifier_averaged_eval,
+    "bpe_encode": q_bpe_encode,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "ann_quantized_recall": q_ann_quantized_recall,
+    "k_anonymity": q_k_anonymity,
+    "media_format_audit": q_media_format_audit,
+    "streaming_cdc_upsert": q_streaming_cdc_upsert,
+    "zorder_stats": q_zorder_stats,
+    "mmr_rerank": q_mmr_rerank,
+    "incremental_join_view": q_incremental_join_view,
+    "attribution_time_decay": q_attribution_time_decay,
+    "streaming_stacked_aggs": q_streaming_stacked_aggs,
+    "manifest_pruned_scan": q_manifest_pruned_scan,
+    "semdedup": q_semdedup,
+    "ngram_lm_quality": q_ngram_lm_quality,
+    "ngram_novelty": q_ngram_novelty,
+    "vocab_growth": q_vocab_growth,
+    "approx_percentile_banded": q_approx_percentile_banded,
+    "map_agg_metrics": q_map_agg_metrics,
+    "csv_roundtrip": q_csv_roundtrip,
+    "minhash_calibration": q_minhash_calibration,
+    "streaming_interval_left_join": q_streaming_interval_left_join,
+    "user_paths": q_user_paths,
+    "length_quantiles_by_lang": q_length_quantiles_by_lang,
+    "dedup_incremental": q_dedup_incremental,
+    "bpe_merges": q_bpe_merges,
+    "rrf_fusion": q_rrf_fusion,
+    "substring_dedup_apply": q_substring_dedup_apply,
+    "streaming_sessions_timeout": q_streaming_sessions_timeout,
+    "packing_efficiency": q_packing_efficiency,
+    "paged_orders": q_paged_orders,
+    "lateral_top_orders": q_lateral_top_orders,
+    "rolling_30d_spend": q_rolling_30d_spend,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_ivf": q_ann_ivf,
+    "text_stats": q_text_stats,
+    "rolling_fingerprints": q_rolling_fingerprints,
+    "quality_by_source": q_quality_by_source,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "profit_by_nation": q_profit_by_nation,
+    "returned_revenue": q_returned_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_cnt": q_parts_supplier_cnt,
+    "large_orders": q_large_orders,
 }
 
 
