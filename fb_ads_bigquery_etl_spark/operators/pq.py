@@ -665,30 +665,37 @@ def build_ivfpq_index(
         )
         codes = encode_ints(
             resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
-        )
-        # one narrow shuffle puts each bucket in exactly one task ->
-        # ONE file per bucket (the read-optimal layout every probe and
-        # the manifest want), instead of one file per (task, bucket)
-        # pair — measured 473 files -> nlist files at sf0.1.
-        # Overwrite mode is pinned STATIC: under a session-level
-        # dynamic setting a rebuild over a corpus that vacated some
-        # bucket would leave that bucket's STALE partition on disk
-        # (dynamic replaces only partitions present in the new write),
-        # resurrecting retired codes after a retrain migration.
-        prev = codes.sparkSession.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        codes.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
+        ).persist()  # two actions: the pre-write stats agg + the write
         try:
-            codes.repartition("bucket").write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(path)
-        finally:
-            codes.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+            # per-bucket stats BEFORE the write — the manifest refresh
+            # below never re-reads the files this job creates
+            pre = _bucket_stats(codes)
+            # one narrow shuffle puts each bucket in exactly one task
+            # -> ONE file per bucket (the read-optimal layout every
+            # probe and the manifest want), instead of one file per
+            # (task, bucket) pair — measured 473 files -> nlist files
+            # at sf0.1. Overwrite mode is pinned STATIC: under a
+            # session-level dynamic setting a rebuild over a corpus
+            # that vacated some bucket would leave that bucket's STALE
+            # partition on disk (dynamic replaces only partitions
+            # present in the new write), resurrecting retired codes
+            # after a retrain migration.
+            prev = codes.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
+            codes.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                codes.repartition("bucket").write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(path)
+            finally:
+                codes.sparkSession.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        finally:
+            codes.unpersist()
     finally:
         resid.unpersist()
     cents.write.mode("overwrite").parquet(f"{path}_centroids")
@@ -701,9 +708,9 @@ def build_ivfpq_index(
     spark.createDataFrame(
         cb_rows, "m int, c int, cw array<long>"
     ).write.mode("overwrite").parquet(f"{path}_codebooks")
-    # per-file stats sidecar: O(just-written data) here, O(batch) on
-    # every later append — what lets stats/compaction read metadata
-    refresh_ivfpq_manifest(spark, path)
+    # per-file stats sidecar: a fresh seq=0 snapshot from the write-
+    # time stats (reset: the overwrite above retired every prior file)
+    refresh_ivfpq_manifest(spark, path, precomputed=pre, reset=True)
 
 
 def append_ivfpq_index(
@@ -755,15 +762,20 @@ def append_ivfpq_index(
     _, resid = _residuals(delta, centroids, vec_col=vec_col, id_col=id_col)
     codes = encode_ints(
         resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
-    )
-    # one file per TOUCHED bucket per batch (the contract the compact
-    # docstring states), not one per (task, bucket) pair
-    codes.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(path)
-    # stat ONLY the files this append added (diff-based): the manifest
-    # stays O(batch)-maintained, never rebuilt
-    refresh_ivfpq_manifest(spark, path)
+    ).persist()  # two actions: the pre-write stats agg + the write
+    try:
+        pre = _bucket_stats(codes)
+        # one file per TOUCHED bucket per batch (the contract the
+        # compact docstring states), not one per (task, bucket) pair
+        codes.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(path)
+    finally:
+        codes.unpersist()
+    # describe ONLY the files this append added, from the write-time
+    # stats (no re-read of just-written files): the manifest appends
+    # one segment, O(batch) end-to-end
+    refresh_ivfpq_manifest(spark, path, precomputed=pre)
 
 
 def retrain_ivfpq_codebooks(
@@ -836,6 +848,173 @@ def retrain_ivfpq_codebooks(
     return new_cb
 
 
+def split_ivfpq_bucket(
+    spark,
+    src: DataFrame,
+    path: str,
+    *,
+    bucket: int | None = None,
+    nsplit: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Grow the coarse quantizer: split one bucket (default: the
+    hottest by manifest row count) into `nsplit` children — the
+    capacity edge the lifecycle lacked (build/append/retrain all keep
+    nlist FIXED, so a corpus growing 100x would scan ever-fatter
+    lists at fixed nprobe). Child centroids train on the bucket's own
+    member VECTORS (fetched from `src`, the caller's source of truth —
+    the index stores codes, not vectors) via the same exact-integer
+    train_centroids_exact; the parent centroid row is retired and the
+    children append with fresh ids, so every other bucket's identity
+    and residuals are untouched.
+
+    EXACT BY CONSTRUCTION, not merely local: removing the parent and
+    adding children can re-rank assignment for vectors OUTSIDE the
+    split bucket (a near-boundary vector of another bucket may prefer
+    a child — measured on the gate corpus: a handful per split). A
+    split that ignored them would diverge from a rebuild at the grown
+    centroid set. So the operator runs ONE narrow full-assignment
+    audit pass (broadcast centroid join over `src` — no re-encode, no
+    shuffle of vectors), computes the MOVED set = ids whose bucket
+    changed (the split bucket's members by construction, plus any
+    strays), RE-ENCODES ONLY the moved rows against the frozen
+    codebook sidecar, and rewrites ONLY the touched buckets
+    (departures anti-joined out, arrivals unioned in; dynamic
+    partition overwrite). The result is file-content-equal per bucket
+    to build_ivfpq_index over `src` with the grown centroid table and
+    the same frozen codebooks (pytest-pinned + oracle-gated); buckets
+    with no movement keep their files byte-identical (pytest-pinned).
+
+    Cost: one O(N * nlist) assignment pass (narrow, vectors never
+    shuffle) + O(moved) re-encode + O(touched buckets) rewrite — at
+    100 TB that is the difference between growing capacity and a full
+    rebuild's corpus-sided re-encode + rewrite.
+
+    Tombstone contract (explicit, like retrain): REFUSES with pending
+    tombstones — the moved rows re-encode from `src`, so a logically
+    deleted id still in `src` would resurrect into a child bucket.
+    compact_ivfpq_index first. Single-writer, like every other index
+    mutation. A vacated partition dir (the parent always; a donor
+    bucket emptied by strays in theory) is deleted through the
+    Hadoop FS API, and the manifest refresh records the drops."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+        train_centroids_exact,
+    )
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None and tomb.count() > 0:
+        raise ValueError(
+            "pending tombstones: compact_ivfpq_index before splitting "
+            "(moved rows re-encode from the caller's corpus and would "
+            "bypass logical deletes)"
+        )
+    man = refresh_ivfpq_manifest(spark, path)
+    if bucket is None:
+        hot = (
+            man.groupBy("bucket")
+            .agg(F.sum("n_rows").alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("bucket").asc())
+            .head()
+        )
+        bucket = int(hot["bucket"])
+    # the rebuild below overwrites the centroid sidecar this reads
+    cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
+        eager=True
+    )
+    cb = load_codebooks(spark, path)
+    max_id = int(cents.agg(F.max("centroid_id")).head()[0])
+
+    # member vectors via the index's id set: a partition-pruned scan
+    # of ONE bucket's narrow codes, then a semi-join into src
+    member_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket") == bucket)
+        .select("id")
+    )
+    members = src.join(
+        member_ids, F.col(id_col) == F.col("id"), "left_semi"
+    )
+    sub = train_centroids_exact(
+        members, k=nsplit, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    children = sub.select(
+        (F.col("centroid_id") + F.lit(max_id + 1)).alias("centroid_id"),
+        "cvec",
+        "cnorm",
+    )
+    grown = (
+        cents.filter(F.col("centroid_id") != bucket)
+        .unionByName(children)
+        .localCheckpoint(eager=True)
+    )
+
+    # the full-assignment audit: one narrow broadcast-join pass
+    _, new_assign = assign_ivf_buckets(
+        src, vec_col=vec_col, id_col=id_col, centroids=grown
+    )
+    old_assign = spark.read.parquet(path).select(
+        "id", F.col("bucket").alias("_ob")
+    )
+    moved = (
+        old_assign.join(
+            new_assign.select("id", F.col("bucket").alias("_nb")), "id"
+        )
+        .filter(F.col("_nb") != F.col("_ob"))
+        .localCheckpoint(eager=True)  # reads files the rewrite replaces
+    )
+    touched = sorted(
+        {int(r["_ob"]) for r in moved.select("_ob").distinct().collect()}
+        | {int(r["_nb"]) for r in moved.select("_nb").distinct().collect()}
+    )
+
+    # re-encode ONLY the moved rows against frozen codebooks
+    moved_src = src.join(moved.select("id"), F.col(id_col) == F.col("id"),
+                         "left_semi")
+    _, resid = _residuals(moved_src, grown, vec_col=vec_col, id_col=id_col)
+    arrivals = encode_ints(
+        resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
+    )
+    stay = spark.read.parquet(path).filter(
+        F.col("bucket").isin(touched)
+    ).join(moved.select("id"), "id", "left_anti")
+    out = (
+        stay.unionByName(arrivals.select(*stay.columns))
+        .repartition("bucket")
+        .localCheckpoint(eager=True)
+    )
+    pre = _bucket_stats(out)
+
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # vacated partitions (always the parent; dynamic overwrite cannot
+    # delete a partition absent from the write) — FS-agnostic delete
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in touched:
+        if b not in pre:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}")
+            p.getFileSystem(hconf).delete(p, True)
+
+    grown.write.mode("overwrite").parquet(f"{path}_centroids")
+    refresh_ivfpq_manifest(spark, path, precomputed=pre)
+    return {
+        "bucket": bucket,
+        "children": [max_id + 1 + i for i in range(nsplit)],
+        "touched": touched,
+        "moved": int(moved.count()),
+    }
+
+
 def _list_code_files(spark, path: str) -> list[tuple[str, str, int, int]]:
     """Listing of the index's bucket-partitioned code files —
     (full_path, 'bucket=X/name' suffix, size, mtime) per file. The
@@ -876,48 +1055,173 @@ def _list_code_files(spark, path: str) -> list[tuple[str, str, int, int]]:
     return sorted(out, key=lambda t: t[1])
 
 
-def _read_ivfpq_manifest(spark, path: str) -> DataFrame | None:
-    """Read the per-file stats sidecar (`<path>_manifest`) if one
-    exists, else None — same FS-agnostic probe as _read_tombstones."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(f"{path}_manifest")
-    except AnalysisException:
-        return None
-
-
 _MANIFEST_SCHEMA = (
     "file string, suffix string, size long, mtime long, "
     "bucket int, n_rows long, min_id long, max_id long"
 )
+_MANIFEST_SEG_SCHEMA = _MANIFEST_SCHEMA + ", seq long, op string"
 
 
-def refresh_ivfpq_manifest(spark, path: str) -> DataFrame:
+def _read_ivfpq_manifest_segments(spark, path: str) -> DataFrame | None:
+    """Raw read of the manifest sidecar's append-only SEGMENTS (every
+    refresh appends one small file of (seq, op) rows; op is 'add' or
+    'drop'). Legacy pre-segment sidecars (plain 8-column snapshots)
+    read as one seq=0 all-'add' segment, so an index written by an
+    older build keeps working in place. Returns None if no sidecar."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        # explicit schema instead of mergeSchema: no footer-merge job,
+        # and legacy files simply read their missing seq/op as NULL
+        raw = spark.read.schema(_MANIFEST_SEG_SCHEMA).parquet(
+            f"{path}_manifest"
+        )
+    except AnalysisException:
+        return None
+    return raw.select(
+        "file", "suffix", "size", "mtime", "bucket",
+        "n_rows", "min_id", "max_id",
+        F.coalesce(F.col("seq"), F.lit(0)).cast("long").alias("seq"),
+        F.coalesce(F.col("op"), F.lit("add")).alias("op"),
+    )
+
+
+def _reconcile_manifest_rows(rows) -> dict:
+    """Fold raw segment rows to the live view: per suffix the
+    highest-seq row wins (a later 'add' supersedes an older stat, a
+    'drop' retires the file, a re-add after a drop revives it); only
+    'add' survivors remain. Pure driver-side metadata fold."""
+    best: dict = {}
+    for r in rows:
+        b = best.get(r["suffix"])
+        if b is None or r["seq"] > b["seq"]:
+            best[r["suffix"]] = r
+    return {s: r for s, r in best.items() if r["op"] == "add"}
+
+
+def _read_ivfpq_manifest(spark, path: str) -> DataFrame | None:
+    """Live view of the per-file stats sidecar (`<path>_manifest`) if
+    one exists, else None: segments reconciled to one row per live
+    file in the original 8-column schema, so every consumer (stats,
+    compaction, envelope pruning, the gates) is segment-agnostic."""
+    seg = _read_ivfpq_manifest_segments(spark, path)
+    if seg is None:
+        return None
+    w = Window.partitionBy("suffix").orderBy(F.col("seq").desc())
+    return (
+        seg.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "add"))
+        .select(
+            "file", "suffix", "size", "mtime", "bucket",
+            "n_rows", "min_id", "max_id",
+        )
+    )
+
+
+def _bucket_stats(codes: DataFrame) -> dict[int, tuple[int, int, int]]:
+    """Per-bucket (n_rows, min_id, max_id) of a batch a writer is
+    ABOUT to publish — computed from the batch frame itself, so the
+    manifest refresh never re-reads the files the writer just wrote
+    (the writer knows exactly what it wrote). nlist-bounded collect."""
+    rows = (
+        codes.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("id").cast("long").alias("lo"),
+            F.max("id").cast("long").alias("hi"),
+        )
+        .collect()
+    )
+    return {
+        int(r["bucket"]): (int(r["n"]), int(r["lo"]), int(r["hi"]))
+        for r in rows
+    }
+
+
+def _scan_code_file_stats(spark, path: str, files: list[str]) -> dict:
+    """Stat code files by READING them — the crash-self-heal fallback
+    only (a writer died between data publish and manifest refresh, or
+    files appeared out-of-band); the normal write path passes
+    precomputed stats and never lands here. Returns {suffix: (n_rows,
+    min_id, max_id)}; callers backfill (0, None, None) for zero-row
+    files the grouped scan cannot see."""
+    grouped = (
+        spark.read.option("basePath", path)
+        .parquet(*files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .collect()
+    )
+    return {
+        "/".join(r["file"].rsplit("/", 2)[-2:]): (
+            int(r["n_rows"]), r["min_id"], r["max_id"],
+        )
+        for r in grouped
+    }
+
+
+def _write_manifest_segment(spark, rows: list, path: str, mode: str) -> None:
+    """Write one manifest segment as a SINGLE file from driver-side
+    rows. Deliberately parallelize(rows, 1): coalesce(1) over a
+    default-parallelism local collection stalls on locality scheduling
+    (measured 5.5 s vs 0.3 s for a 16-row segment on local[32]) — the
+    rows are metadata-sized, so one slice is the right plan, not a
+    merge of 32 empty ones."""
+    rdd = spark.sparkContext.parallelize([tuple(r) for r in rows], 1)
+    spark.createDataFrame(rdd, _MANIFEST_SEG_SCHEMA).write.mode(
+        mode
+    ).parquet(f"{path}_manifest")
+
+
+def refresh_ivfpq_manifest(
+    spark,
+    path: str,
+    *,
+    precomputed: dict[int, tuple[int, int, int]] | None = None,
+    reset: bool = False,
+) -> DataFrame:
     """Incrementally refresh the index's per-file stats sidecar
-    (`<path>_manifest`): one metadata listing of the bucket dirs, a
-    scan of ONLY the files the manifest does not already describe (new
-    suffix, or same suffix with changed size/mtime — the streaming
-    re-drain can legally replace a b<id>- file under its own name),
-    and a drop of rows whose files are gone. Cost is O(changed data) +
-    one listing, independent of index size — manifest.py's
-    update_file_manifest discipline applied to the serving index, so
-    compaction/stats decisions become metadata reads instead of
-    corpus-sided scans (the round-10 gap compact_ivfpq_index's own
-    docstring named). Each row: (file, suffix, size, mtime, bucket,
-    n_rows, min_id, max_id). Every index writer (build / append /
-    streaming publish / compact) calls this after mutating files, and
-    every manifest consumer calls it first, so a writer crash between
-    data publish and refresh self-heals at the next touch. Returns
-    the refreshed manifest. Single-writer contract: like the index
-    mutations themselves, refreshes must not race each other (see
+    (`<path>_manifest`) — O(changed) END-TO-END: one metadata listing
+    of the bucket dirs, a diff against the reconciled segment view,
+    and ONE new appended segment file holding only 'add' rows for
+    new/changed files and 'drop' rows for vanished ones (the Iceberg
+    shape: append-only manifest segments, folded periodically by
+    compact_ivfpq_manifest). Prior segments are never rewritten; a
+    no-change refresh writes nothing at all.
+
+    Stats for new files come from `precomputed` — the per-bucket
+    (n_rows, min_id, max_id) every writer computes from the batch
+    frame BEFORE publishing (_bucket_stats), valid whenever the bucket
+    gained exactly one file (the one-file-per-touched-bucket write
+    discipline). Files that can't be attributed that way — a crash
+    between a previous publish and its refresh, out-of-band copies —
+    fall back to a scan of ONLY those files (_scan_code_file_stats),
+    with zero-row files described as (0, NULL, NULL) so they are
+    stat'ed ONCE and the manifest converges instead of re-diffing them
+    forever. `reset=True` (the full-rebuild writers) skips the diff
+    and overwrites the sidecar with a fresh seq=0 snapshot.
+
+    Each live row: (file, suffix, size, mtime, bucket, n_rows, min_id,
+    max_id). Every index writer (build / append / streaming publish /
+    compact) calls this after mutating files, and every manifest
+    consumer calls it first, so a writer crash between data publish
+    and refresh self-heals at the next touch. Returns the reconciled
+    live view. Single-writer contract: like the index mutations
+    themselves, refreshes must not race each other (see
     compact_ivfpq_index)."""
     listed = _list_code_files(spark, path)
-    man = _read_ivfpq_manifest(spark, path)
-    old_rows = [] if man is None else man.collect()  # file-count-sized
-    known = {
-        r["suffix"]: r for r in old_rows
-    }
+    if reset:
+        known, maxseq, have_sidecar = {}, -1, False
+    else:
+        seg = _read_ivfpq_manifest_segments(spark, path)
+        raw_rows = [] if seg is None else seg.collect()  # metadata-sized
+        maxseq = max((r["seq"] for r in raw_rows), default=-1)
+        known = _reconcile_manifest_rows(raw_rows)
+        have_sidecar = seg is not None
     live = {
         suffix: known[suffix]
         for _, suffix, size, mtime in listed
@@ -930,34 +1234,78 @@ def refresh_ivfpq_manifest(spark, path: str) -> DataFrame:
         for full, suffix, size, mtime in listed
         if suffix not in live
     ]
-    if man is not None and not new and len(live) == len(old_rows):
-        return man  # nothing changed: skip the rewrite entirely
-    rows = [tuple(live[s]) for s in sorted(live)]
-    if new:
-        by_suffix = {suffix: (size, mtime) for _, suffix, size, mtime in new}
-        fresh = (
-            spark.read.option("basePath", path)
-            .parquet(*[full for full, _, _, _ in new])
-            .groupBy(F.input_file_name().alias("file"), "bucket")
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.min("id").cast("long").alias("min_id"),
-                F.max("id").cast("long").alias("max_id"),
-            )
-            .collect()
+    gone = sorted(set(known) - {s for _, s, _, _ in listed})
+    if have_sidecar and not new and not gone:
+        # nothing changed: no segment written, no files re-stat'ed
+        return spark.createDataFrame(
+            [tuple(live[s])[:8] for s in sorted(live)], _MANIFEST_SCHEMA
         )
-        for r in fresh:
-            suffix = "/".join(r["file"].rsplit("/", 2)[-2:])
-            size, mtime = by_suffix[suffix]
-            rows.append(
-                (
-                    r["file"], suffix, size, mtime,
-                    int(r["bucket"]), r["n_rows"], r["min_id"], r["max_id"],
-                )
-            )
-    out = spark.createDataFrame(rows, _MANIFEST_SCHEMA)
-    out.write.mode("overwrite").parquet(f"{path}_manifest")
-    return spark.read.parquet(f"{path}_manifest")
+    add_rows = []
+    need_scan = []
+    new_per_bucket: dict[int, int] = {}
+    parsed = []
+    for full, suffix, size, mtime in new:
+        b = int(suffix.split("/", 1)[0].split("=", 1)[1])
+        parsed.append((full, suffix, size, mtime, b))
+        new_per_bucket[b] = new_per_bucket.get(b, 0) + 1
+    for full, suffix, size, mtime, b in parsed:
+        if (
+            precomputed is not None
+            and b in precomputed
+            and new_per_bucket[b] == 1
+        ):
+            n, lo, hi = precomputed[b]
+            add_rows.append((full, suffix, size, mtime, b, n, lo, hi))
+        else:
+            need_scan.append((full, suffix, size, mtime, b))
+    if need_scan:
+        scanned = _scan_code_file_stats(
+            spark, path, [full for full, _, _, _, _ in need_scan]
+        )
+        for full, suffix, size, mtime, b in need_scan:
+            n, lo, hi = scanned.get(suffix, (0, None, None))
+            add_rows.append((full, suffix, size, mtime, b, n, lo, hi))
+    seq = maxseq + 1
+    seg_rows = [r + (seq, "add") for r in add_rows] + [
+        (
+            known[s]["file"], s, None, None, None, None, None, None,
+            seq, "drop",
+        )
+        for s in gone
+    ]
+    mode = "overwrite" if (reset or not have_sidecar) else "append"
+    _write_manifest_segment(spark, seg_rows, path, mode)
+    out_rows = [tuple(live[s])[:8] for s in sorted(live)] + add_rows
+    return spark.createDataFrame(out_rows, _MANIFEST_SCHEMA)
+
+
+def compact_ivfpq_manifest(
+    spark, path: str, *, max_segments: int = 8
+) -> int:
+    """Fold the manifest sidecar's appended segments back into one
+    seq=0 snapshot once the dir holds more than `max_segments` parquet
+    files — the periodic manifest compaction that bounds the segment
+    history the refresh diff replays (the refresh itself is O(changed)
+    per call; this keeps its metadata read O(live files) over time).
+    Returns the number of segment files folded (0 = under threshold,
+    nothing touched). Runs inside compact_ivfpq_index; safe standalone
+    under the same single-writer contract."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        n_seg = (
+            spark.read.format("binaryFile")
+            .load(f"{path}_manifest/*.parquet")
+            .count()
+        )
+    except AnalysisException:
+        return 0
+    if n_seg <= max_segments:
+        return 0
+    man = _read_ivfpq_manifest(spark, path)
+    rows = [tuple(r) + (0, "add") for r in man.collect()]  # metadata
+    _write_manifest_segment(spark, rows, path, "overwrite")
+    return int(n_seg)
 
 
 def _pruned_tombstoned_codes(
@@ -1173,6 +1521,9 @@ def compact_ivfpq_index(
         live = live.join(tomb, "id", "left_anti")
     # materialize BEFORE overwriting the files being read
     live = live.repartition("bucket").localCheckpoint(eager=True)
+    # write-time stats for the rewritten buckets (checkpointed frame:
+    # the agg re-reads executor blocks, not files)
+    pre = _bucket_stats(live)
 
     prev = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
@@ -1184,7 +1535,10 @@ def compact_ivfpq_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     if man is not None:
-        man = refresh_ivfpq_manifest(spark, path)
+        man = refresh_ivfpq_manifest(spark, path, precomputed=pre)
+        # fold appended manifest segments once they pile up — the
+        # natural home: compaction already owns the single-writer lock
+        compact_ivfpq_manifest(spark, path)
     _prune_tombstones(spark, path, tomb, man)
     return buckets
 
@@ -1520,6 +1874,9 @@ def query_ivfpq_index_batch(
     )
 
 
+_LUT_UNROLL_MAX_LITERALS = 4096
+
+
 def query_ivfpq_index_batch_distributed(
     spark,
     path: str,
@@ -1531,6 +1888,8 @@ def query_ivfpq_index_batch_distributed(
     rerank_src: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt: int = 8,
+    lut_strategy: str = "auto",
 ) -> DataFrame:
     """`query_ivfpq_index_batch` with the QUERIES kept distributed —
     the index-join shape: when the 'batch' is itself a table (join
@@ -1552,7 +1911,31 @@ def query_ivfpq_index_batch_distributed(
     per-query top-k*expand window, and distributed exact rerank
     against `rerank_src`. Row-for-row equal to the collect-based
     batch path (pytest-pinned; the oracle replays the full pipeline
-    per query)."""
+    per query).
+
+    Probe scoring uses the STORED cnorm column (dot / (cnorm *
+    l2(q))), the same float expression the collect-based paths
+    evaluate, so a near-tie in centroid similarity cannot make the
+    three probe implementations pick different buckets.
+
+    The scoring join is SALTED: `bucket` alone has only nlist
+    effective keys, so one hot bucket would serialize a task at
+    scale. The LUT side explodes by a small `salt` factor and the
+    join co-keys on (bucket, pmod(hash(id), salt)) — each code row
+    still meets each (qid, bucket) LUT exactly once, but a hot
+    bucket spreads over `salt` tasks (plan-pinned in tests). salt=1
+    disables.
+
+    `lut_strategy`: 'unrolled' builds lut[m][c] as m*ksub literal
+    codeword dot products inside whole-stage codegen — optimal at
+    gate-scale PQ shapes, but the generated code grows with
+    m*ksub*sub and would blow Janino/constant-pool limits at
+    realistic sizes (ksub=256). 'join' builds the same LUT by
+    crossing the query frame with a broadcast (m, c, cw) codebook
+    frame and folding rows back into the array — two query-sided
+    shuffles, no codegen growth. 'auto' picks 'unrolled' iff
+    m*ksub*sub <= _LUT_UNROLL_MAX_LITERALS (the two strategies are
+    row-identical, pytest-pinned)."""
     from fb_ads_bigquery_etl_spark.functions.portable import (
         cosine_similarity,
     )
@@ -1598,8 +1981,16 @@ def query_ivfpq_index_batch_distributed(
         vec_d.alias("_qv"),
         to_ints(vec_d).alias("_wq"),
     ).localCheckpoint(eager=True)
+    from fb_ads_bigquery_etl_spark.functions.portable import dot_product
+
     centint = cents.select(
-        "centroid_id", "cvec", to_ints(F.col("cvec")).alias("_wc")
+        "centroid_id", "cvec", "cnorm", to_ints(F.col("cvec")).alias("_wc")
+    )
+    # dot / (cnorm * |q|): the STORED cnorm, mirroring the collect-
+    # based probes' float expression exactly (ADVICE: a recomputed
+    # norm could flip a near-tie and probe a different bucket)
+    probe_score = dot_product(F.col("_qv"), F.col("cvec")) / (
+        F.col("cnorm") * F.sqrt(dot_product(F.col("_qv"), F.col("_qv")))
     )
     probed = (
         qv.crossJoin(F.broadcast(centint))
@@ -1607,7 +1998,7 @@ def query_ivfpq_index_batch_distributed(
             "_rn",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy(
-                    cosine_similarity(F.col("_qv"), F.col("cvec")).desc(),
+                    probe_score.desc(),
                     F.col("centroid_id").asc(),
                 )
             ),
@@ -1619,12 +2010,64 @@ def query_ivfpq_index_batch_distributed(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    luts = probed.select(
-        "qid",
-        F.col("centroid_id").alias("b"),
-        term1.alias("term1"),
-        lut_col.alias("lut"),
-    ).localCheckpoint(eager=True)
+    n_literals = m * len(cb[0]) * sub
+    use_unrolled = lut_strategy == "unrolled" or (
+        lut_strategy == "auto" and n_literals <= _LUT_UNROLL_MAX_LITERALS
+    )
+    if use_unrolled:
+        luts = probed.select(
+            "qid",
+            F.col("centroid_id").alias("b"),
+            term1.alias("term1"),
+            lut_col.alias("lut"),
+        )
+    else:
+        # join strategy: same LUT, built data-sided — one crossJoin
+        # against the broadcast (m, c, cw) codebook frame, then two
+        # folds back to array<array<long>>; generated code stays flat
+        # however large m*ksub*sub grows
+        cb_rows = [
+            (mm, c, [int(x) for x in cw])
+            for mm, cb_m in enumerate(cb)
+            for c, cw in enumerate(cb_m)
+        ]
+        cb_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(cb_rows, 1),
+            "m int, c int, cw array<long>",
+        )
+        sub_dot = F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.col("_wq"), F.col("m") * F.lit(sub) + F.lit(1), sub
+                ),
+                F.col("cw"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        lut_df = (
+            qv.crossJoin(F.broadcast(cb_df))
+            .select("qid", "m", "c", sub_dot.alias("_d"))
+            .groupBy("qid", "m")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("c", "_d"))),
+                    lambda s: s["_d"],
+                ).alias("_row")
+            )
+            .groupBy("qid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "_row"))),
+                    lambda s: s["_row"],
+                ).alias("lut")
+            )
+        )
+        luts = probed.select(
+            "qid", F.col("centroid_id").alias("b"), term1.alias("term1")
+        ).join(lut_df, "qid")
+    luts = luts.localCheckpoint(eager=True)
     # the one driver-sided list: DISTINCT probed buckets, bounded by
     # nlist — what keeps the code scan partition-pruned without ever
     # materializing the query table
@@ -1644,7 +2087,24 @@ def query_ivfpq_index_batch_distributed(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = codes.join(luts, F.col("bucket") == F.col("b")).select(
+    # salt the 16-effective-key bucket join so a hot bucket spreads
+    # over `salt` tasks instead of serializing one (each code row
+    # carries ONE salt value; the LUT side replicates across all of
+    # them, so every (qid, bucket) pair still scores each code exactly
+    # once)
+    n_salt = max(1, int(salt))
+    salted_luts = luts.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    salted_codes = codes.withColumn(
+        "_salt", F.pmod(F.hash(F.col("id")), F.lit(n_salt)).cast("int")
+    )
+    scored = salted_codes.join(
+        salted_luts,
+        (F.col("bucket") == F.col("b")) & (
+            salted_codes["_salt"] == salted_luts["_salt"]
+        ),
+    ).select(
         F.col("qid").alias("query_id"),
         F.col("id"),
         adc.alias("adc_score"),

@@ -244,18 +244,20 @@ def _drain_bucket_stream(
         marker = os.path.join(ledger, f"batch-{batch_id}")
         if os.path.exists(marker):  # replay after a successful commit
             return
-        _publish_bucket_batch(
+        pre = _publish_bucket_batch(
             transform(batch_df), index_path, staging, batch_id
         )
-        # keep the per-file stats sidecar O(batch)-current; diff-based,
-        # so a crash between publish and refresh (or refresh and the
-        # marker) self-heals at the next refresh — consumers also
-        # refresh before reading (pq.refresh_ivfpq_manifest)
+        # keep the per-file stats sidecar O(batch)-current from the
+        # WRITE-TIME stats the publish computed (no re-read of the
+        # just-renamed files); a crash between publish and refresh (or
+        # refresh and the marker) self-heals at the next refresh via
+        # the diff's scan fallback — consumers also refresh before
+        # reading (pq.refresh_ivfpq_manifest)
         from fb_ads_bigquery_etl_spark.operators.pq import (
             refresh_ivfpq_manifest,
         )
 
-        refresh_ivfpq_manifest(spark, index_path)
+        refresh_ivfpq_manifest(spark, index_path, precomputed=pre)
         with open(marker, "w") as fh:
             fh.write("committed")
 
@@ -271,20 +273,30 @@ def _drain_bucket_stream(
 
 def _publish_bucket_batch(
     frame, index_path: str, staging: str, batch_id: int
-) -> None:
+) -> dict[int, tuple[int, int, int]]:
     """Steps 2-4 of the exactly-once protocol (see stream_ivf_ingest):
     stage the bucket-partitioned batch, sweep any previous partial
     publish of this batch id, rename staged files in under
     deterministic b<id>-<bucket-ordinal> names. The caller commits the
-    marker last."""
+    marker last. Returns the batch's per-bucket (n_rows, min_id,
+    max_id) — computed from the frame BEFORE the write so the caller's
+    manifest refresh never re-reads the published files."""
     import os
     import shutil
 
+    from fb_ads_bigquery_etl_spark.operators.pq import _bucket_stats
+
     stage = os.path.join(staging, f"batch={batch_id}")
-    # one file per touched bucket per batch (see pq.append_ivfpq_index)
-    frame.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(stage)
+    frame = frame.persist()  # two actions: stats agg + the stage write
+    try:
+        pre = _bucket_stats(frame)
+        # one file per touched bucket per batch (see
+        # pq.append_ivfpq_index)
+        frame.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(stage)
+    finally:
+        frame.unpersist()
     prefix = f"b{batch_id}-"
     # clean any partial publish of THIS batch id across ALL bucket
     # dirs — not just the buckets this attempt stages into. Within
@@ -316,3 +328,4 @@ def _publish_bucket_batch(
                 os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
             )
     shutil.rmtree(stage, ignore_errors=True)
+    return pre

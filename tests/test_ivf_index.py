@@ -1344,3 +1344,383 @@ def test_ivfpq_batch_distributed_equals_collect_path(spark, tmp_path):
     ]
     plan = PI.explain_str(got)
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+
+
+def test_ivfpq_manifest_segments_append_only(spark, tmp_path):
+    """A refresh after one append must add exactly ONE new file to the
+    manifest dir and leave every prior segment file byte-untouched
+    (same size + mtime) — the append-only-segments contract that makes
+    refresh O(changed) in writes; and compact_ivfpq_manifest must fold
+    piled-up segments back to one snapshot with the live view
+    unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_ivfpq_manifest,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_manifest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+
+    def seg_files():
+        d = f"{path}_manifest"
+        return {
+            f: (os.path.getsize(os.path.join(d, f)),
+                os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = seg_files()
+    assert len(before) == 1  # build writes one seq=0 snapshot segment
+    # slice the delta into several appends so segments pile up
+    deltas = [
+        emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 4 == i))
+        for i in range(4)
+    ]
+    for i, d in enumerate(deltas):
+        prev = seg_files()
+        append_ivfpq_index(spark, d, path)
+        cur = seg_files()
+        new = set(cur) - set(prev)
+        assert len(new) == 1, f"append {i}: expected 1 new segment"
+        for f, stat in prev.items():
+            assert cur[f] == stat, f"append {i}: old segment {f} rewritten"
+    live_before = sorted(
+        tuple(r) for r in _read_ivfpq_manifest(spark, path).collect()
+    )
+    # under threshold: fold is a no-op
+    assert compact_ivfpq_manifest(spark, path, max_segments=8) == 0
+    assert len(seg_files()) == 5
+    # over threshold: folds to one snapshot, live view identical
+    assert compact_ivfpq_manifest(spark, path, max_segments=2) == 5
+    assert len(seg_files()) == 1
+    live_after = sorted(
+        tuple(r) for r in _read_ivfpq_manifest(spark, path).collect()
+    )
+    assert live_after == live_before
+    # totals still agree with the code table
+    assert sum(r[5] for r in live_after) == spark.read.parquet(path).count()
+
+
+def test_ivfpq_manifest_write_time_stats_no_rescan(spark, tmp_path, monkeypatch):
+    """The production write path (build/append) must describe its new
+    files from the write-time per-bucket stats, NEVER by re-reading the
+    files it just wrote: the scan fallback is monkeypatched to raise,
+    and the resulting manifest must still be row-identical to what a
+    forced scan produces."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import pq
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_ivfpq_manifest,
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+
+    def boom(*a, **k):
+        raise AssertionError("write path re-read just-written files")
+
+    monkeypatch.setattr(pq, "_scan_code_file_stats", boom)
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    append_ivfpq_index(spark, delta, path)
+    monkeypatch.undo()
+    got = sorted(tuple(r) for r in _read_ivfpq_manifest(spark, path).collect())
+    # cross-check against a from-scratch scan of the same files: drop
+    # the sidecar and refresh with no precomputed stats
+    import shutil
+
+    shutil.rmtree(f"{path}_manifest")
+    want = sorted(
+        tuple(r)
+        for r in pq.refresh_ivfpq_manifest(spark, path).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_manifest_zero_row_file_converges(spark, tmp_path):
+    """A zero-row code file (out-of-band copy, crashed writer) must be
+    described ONCE as (n_rows=0, min_id/max_id NULL) so the no-change
+    early-return triggers on the next refresh instead of re-diffing the
+    file forever — and the read-only stats validation stays green."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pap
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_stats,
+        refresh_ivfpq_manifest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    # drop a zero-row parquet into an existing bucket dir, shaped like
+    # the code files (id long, codes array<long>)
+    bdir = next(
+        d for d in sorted(os.listdir(path)) if d.startswith("bucket=")
+    )
+    empty = pa.table(
+        {"id": pa.array([], pa.int64()),
+         "codes": pa.array([], pa.list_(pa.int64()))}
+    )
+    pap.write_table(empty, os.path.join(path, bdir, "oob-empty.parquet"))
+    man = refresh_ivfpq_manifest(spark, path)
+    row = next(
+        r for r in man.collect() if r["suffix"].endswith("oob-empty.parquet")
+    )
+    assert row["n_rows"] == 0
+    assert row["min_id"] is None and row["max_id"] is None
+    # converged: next refresh is the no-change early return (segment
+    # count stable)
+    segs = [
+        f for f in os.listdir(f"{path}_manifest") if f.endswith(".parquet")
+    ]
+    refresh_ivfpq_manifest(spark, path)
+    segs2 = [
+        f for f in os.listdir(f"{path}_manifest") if f.endswith(".parquet")
+    ]
+    assert sorted(segs) == sorted(segs2)
+    # the read-only audit must accept the manifest (no stale fallback):
+    # totals per bucket unchanged by the empty file
+    a = [tuple(r) for r in ivfpq_index_stats(spark, path).collect()]
+    b = [
+        tuple(r)
+        for r in ivfpq_index_stats(spark, path, use_manifest=False).collect()
+    ]
+    assert a == b
+
+
+def test_ivfpq_distributed_lut_strategies_row_identical(spark, tmp_path):
+    """The 'join' LUT strategy (broadcast codebook frame + fold, for
+    PQ shapes whose unrolled literals would blow codegen limits) must
+    be row-for-row identical to the 'unrolled' strategy — and 'auto'
+    at gate-scale parameters must pick unrolled (asserted via the plan
+    carrying no codebook-frame join)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    qs = emb.filter(F.col("vec_id").isin([2, 3, 7, 19]))
+
+    def run(strategy):
+        return [
+            tuple(r)
+            for r in query_ivfpq_index_batch_distributed(
+                spark, path, qs, k=10, nprobe=2, expand=10,
+                rerank_src=emb, lut_strategy=strategy,
+            ).collect()
+        ]
+
+    unrolled = run("unrolled")
+    assert unrolled == run("join")
+    assert unrolled == run("auto")
+
+
+def test_ivfpq_distributed_salted_join_on_hot_bucket(spark, tmp_path):
+    """Skew-proofing the distributed probe's scoring join: on a corpus
+    where one bucket holds the vast majority of codes (identical
+    vectors all assign to one bucket whatever the centroids are), the
+    salted join must (a) key on (bucket, _salt) in the physical plan —
+    spreading the hot bucket over `salt` tasks instead of serializing
+    one — and (b) stay row-for-row equal to the collect-based batch
+    path; salt=1 must too (the disable path)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+        query_ivfpq_index_batch_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    hot_vec = F.array(*[F.lit(float(x)) for x in v0])
+    n = emb.count()
+    # 9 copies of v0's embedding per real row -> >=90% of codes in the
+    # single bucket v0 assigns to, regardless of where training puts
+    # the centroids
+    hot = (
+        emb.crossJoin(
+            spark.range(1, 10).select(F.col("id").alias("_cp"))
+        )
+        .select(
+            (F.col("vec_id") + F.col("_cp") * 100000).alias("vec_id"),
+            hot_vec.alias("embedding"),
+        )
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(hot)
+        .localCheckpoint(eager=True)
+    )
+    cents = similarity.train_centroids_exact(
+        corpus, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(corpus, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    # the skew is real: one bucket holds >= 80% of all codes
+    hist = (
+        spark.read.parquet(path).groupBy("bucket").count().collect()
+    )
+    assert max(r["count"] for r in hist) >= 0.8 * (10 * n)
+
+    qs = emb.filter(F.col("vec_id").isin([0, 3, 7]))
+    got = query_ivfpq_index_batch_distributed(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=corpus,
+        salt=8,
+    )
+    plan = PI.explain_str(got)
+    assert "_salt" in plan, plan[:2000]
+    want = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=corpus
+    )
+    want_rows = [tuple(r) for r in want.collect()]
+    assert [tuple(r) for r in got.collect()] == want_rows
+    unsalted = query_ivfpq_index_batch_distributed(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=corpus,
+        salt=1,
+    )
+    assert [tuple(r) for r in unsalted.collect()] == want_rows
+
+
+def test_ivfpq_bucket_split_exact_and_scoped(spark, tmp_path):
+    """split_ivfpq_bucket must (a) refuse with pending tombstones, (b)
+    produce a code table + probe results EXACTLY equal to a
+    from-scratch build at the grown centroid set with the same frozen
+    codebooks (the strays audit: vectors of OTHER buckets that prefer
+    a child centroid must migrate too), (c) rewrite ONLY the touched
+    buckets — every untouched bucket's file set stays byte-identical —
+    and (d) leave the manifest consistent (metadata stats == exact
+    scan) with the parent partition dir gone."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+        load_codebooks,
+        query_ivfpq_index_batch,
+        split_ivfpq_bucket,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    cb = load_codebooks(spark, path)
+
+    # (a) tombstone refusal
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") == 5).select("vec_id"), path
+    )
+    with _pytest.raises(ValueError, match="pending tombstones"):
+        split_ivfpq_bucket(spark, emb, path)
+    compact_ivfpq_index(spark, path)
+    live = emb.filter(F.col("vec_id") != 5)
+
+    def file_stats():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("bucket="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                p = os.path.join(path, d, f)
+                out[f"{d}/{f}"] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = file_stats()
+    res = split_ivfpq_bucket(spark, live, path)
+    after = file_stats()
+
+    # (c) untouched buckets byte-identical; parent dir gone
+    untouched = {
+        s for s in before
+        if int(s.split("/")[0].split("=")[1]) not in res["touched"]
+    }
+    assert untouched  # the pin is vacuous if everything moved
+    for s in untouched:
+        assert after[s] == before[s], f"untouched file {s} rewritten"
+    assert not os.path.isdir(
+        os.path.join(path, f"bucket={res['bucket']}")
+    )
+
+    # (b) exact equality to the from-scratch build at grown centroids
+    grown = spark.read.parquet(f"{path}_centroids").localCheckpoint(
+        eager=True
+    )
+    assert grown.count() == 17  # 16 - parent + 2 children
+    path2 = str(tmp_path / "rebuild")
+    build_ivfpq_index(
+        live, path2, in_dim=64, m=4, ksub=8, centroids=grown, codebooks=cb
+    )
+    split_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("id", "codes", F.col("bucket").cast("long"))
+        .collect()
+    )
+    rebuild_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path2)
+        .select("id", "codes", F.col("bucket").cast("long"))
+        .collect()
+    )
+    assert split_codes == rebuild_codes
+    qs = live.filter(F.col("vec_id").isin([2, 3, 7, 19]))
+    got = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=live
+    )
+    want = query_ivfpq_index_batch(
+        spark, path2, qs, k=10, nprobe=2, expand=10, rerank_src=live
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    # (d) manifest consistent after the split
+    a = [tuple(r) for r in ivfpq_index_stats(spark, path).collect()]
+    b = [
+        tuple(r)
+        for r in ivfpq_index_stats(spark, path, use_manifest=False).collect()
+    ]
+    assert a == b
