@@ -4175,6 +4175,31 @@ def q_media_decode_jpeg(spark, sf_dir):
     return decode_jpeg_features(synth_jpeg(d)).orderBy("id")
 
 
+def q_media_decode_jpeg_color(spark, sf_dir):
+    """REAL COLOR baseline-JPEG decode (operators/multimodal.
+    synth_jpeg_color / decode_jpeg_color_features) — the r11 verdict's
+    ffmpeg-boundary push: 3-component YCbCr 4:2:0 JFIF (one
+    interleaved MCU of 4 Y blocks + Cb + Cr, TWO quant tables, FOUR
+    canonical Huffman tables with chroma codes at different lengths
+    than luma, per-component differential DC). The kernel decodes from
+    BYTES ALONE — multi-component SOF0 sampling factors, SOS table
+    selectors, MCU interleave, per-component dequant + Q14 integer
+    IDCT, nearest-neighbor chroma upsample (cx = x*h_i//hmax), exact
+    16.16 fixed-point YCbCr->RGB with floor division — so every RGB
+    channel is an integer the oracle re-derives arithmetically from
+    the coefficient closed form, never touching bytes. Hash parity
+    proves the whole multi-component entropy/transform/colorspace
+    chain byte-correct; the remaining stub boundary is
+    progressive/arithmetic JPEG and the ffmpeg-class A/V codecs."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_jpeg_color_features,
+        synth_jpeg_color,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_color_features(synth_jpeg_color(d)).orderBy("id")
+
+
 def q_streaming_ivf_ingest(spark, sf_dir):
     """Streaming vector-index ingest (streaming/ingest.py
     stream_ivf_ingest): the composition of the two maintenance
@@ -7007,6 +7032,83 @@ def _jpeg_oracle_sql() -> str:
                CAST(SUM(p) AS BIGINT) AS sum_pix,
                CAST(SUM(p * (1 + xg + 2 * yg)) AS BIGINT) AS checksum
         FROM pixels GROUP BY id ORDER BY id"""
+
+
+def _jpeg_color_oracle_sql() -> str:
+    """Arithmetic replay of decode_jpeg_color_features from the
+    coefficient closed form (multimodal.jpeg_coef_color), never
+    touching bytes: per-component dq (luma q = 2+u+2v, chroma
+    q = 1+2u+v), the same Q14 IDCT D-table literals, p = floor(S/2^30)
+    + 128 clamped, 4:2:0 chroma upsample by integer-halved coords, and
+    the 16.16 fixed-point YCbCr->RGB floor conversion (the
+    make-divisible trick twice: S/2^30 and the color terms/2^16 can
+    both be negative under DuckDB's truncating //)."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        jpeg_idct_table,
+    )
+
+    dvals = ", ".join(
+        f"({u}, {x}, {d})"
+        for u, row in enumerate(jpeg_idct_table())
+        for x, d in enumerate(row)
+    )
+    two30 = 1 << 30
+
+    def fdiv(e: str, m: int) -> str:
+        return f"(({e}) - ((({e}) % {m}) + {m}) % {m}) // {m}"
+
+    return f"""
+        WITH dtab AS (SELECT * FROM (VALUES {dvals}) AS d(u, x, dv)),
+        ids AS (SELECT doc_id AS id FROM documents),
+        blocks AS (SELECT 0 AS comp, b FROM range(4) t(b)
+                   UNION ALL SELECT 1, 0 UNION ALL SELECT 2, 0),
+        coefs AS MATERIALIZED (
+          SELECT id, k.comp AS comp, k.b AS b, uu.u AS u, vv.v AS v,
+                 CASE WHEN uu.u = 0 AND vv.v = 0
+                      THEN (7 * id + 5 * k.b + 11 * k.comp) % 200 - 100
+                      WHEN (uu.u + vv.v + id + k.b + k.comp) % 7 = 0
+                      THEN (id + 3 * uu.u + 5 * vv.v + k.b
+                            + 2 * k.comp) % 15 - 7
+                      ELSE 0 END
+                 * (CASE WHEN k.comp = 0 THEN 2 + uu.u + 2 * vv.v
+                         ELSE 1 + 2 * uu.u + vv.v END) AS dq
+          FROM ids, blocks k, range(8) uu(u), range(8) vv(v)),
+        px AS MATERIALIZED (
+          SELECT c.id, c.comp, c.b, dy.x AS y, dx.x AS x,
+                 CAST(SUM(c.dq * dy.dv * dx.dv) AS BIGINT) AS s
+          FROM coefs c
+          JOIN dtab dy ON dy.u = c.u
+          JOIN dtab dx ON dx.u = c.v
+          GROUP BY 1, 2, 3, 4, 5),
+        pix AS (
+          SELECT id, comp, b, y, x,
+                 LEAST(255, GREATEST(0,
+                   {fdiv('s', two30)} + 128)) AS p
+          FROM px),
+        ypix AS (SELECT id, (b % 2) * 8 + x AS xg, (b // 2) * 8 + y AS yg,
+                        p
+                 FROM pix WHERE comp = 0),
+        rgb AS (
+          SELECT yp.id, yp.xg, yp.yg,
+                 LEAST(255, GREATEST(0, yp.p +
+                   {fdiv('91881 * (tcr.p - 128) + 32768', 65536)})) AS r,
+                 LEAST(255, GREATEST(0, yp.p +
+                   {fdiv('-22554 * (tcb.p - 128) - 46802 * (tcr.p - 128)'
+                         ' + 32768', 65536)})) AS g,
+                 LEAST(255, GREATEST(0, yp.p +
+                   {fdiv('116130 * (tcb.p - 128) + 32768', 65536)})) AS b
+          FROM ypix yp
+          JOIN pix tcb ON tcb.id = yp.id AND tcb.comp = 1
+            AND tcb.x = yp.xg // 2 AND tcb.y = yp.yg // 2
+          JOIN pix tcr ON tcr.id = yp.id AND tcr.comp = 2
+            AND tcr.x = yp.xg // 2 AND tcr.y = yp.yg // 2)
+        SELECT id, 16 AS w, 16 AS h,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM((r + 2 * g + 3 * b) * (1 + xg + 2 * yg))
+                    AS BIGINT) AS checksum
+        FROM rgb GROUP BY id ORDER BY id"""
 
 
 def _proximity_oracle_sql() -> str:
@@ -12805,6 +12907,9 @@ def _oracle() -> dict[str, str]:
         "classifier_averaged_eval": _classifier_averaged_oracle_sql(),
         "proximity_search": _proximity_oracle_sql(),
         "media_decode_jpeg": _jpeg_oracle_sql(),
+        # color variant: per-component coefficient replay + 4:2:0
+        # upsample + the fixed-point colorspace floor conversion
+        "media_decode_jpeg_color": _jpeg_color_oracle_sql(),
         "ivfpq_index_query": f"""
             WITH {_trained_cents_cte(16, 2)},
             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -14424,6 +14529,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the head of the r13 window. Parity-guarded meanwhile by
     # tests/test_oracle_parity.py like every other entry. ---
     "ivfpq_bucket_split": q_ivfpq_bucket_split,
+    "media_decode_jpeg_color": q_media_decode_jpeg_color,
 }
 
 

@@ -1557,6 +1557,397 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     )
 
 
+def jpeg_qtab_chroma() -> list[list[int]]:
+    """Chroma quant table q[u][v] = 1 + 2u + v — distinct from the
+    luma table so the decoder's per-component Tq plumbing is actually
+    exercised; all-nonzero, shared by synthesizer, decoder (via the
+    second DQT segment) and the oracle (as literals)."""
+    return [[1 + 2 * u + v for v in range(8)] for u in range(8)]
+
+
+def jpeg_coef_color(i: int, comp: int, b: int, u: int, v: int) -> int:
+    """Closed-form quantized coefficient for image i, component comp
+    (0=Y with blocks b 0..3, 1=Cb, 2=Cr with b=0), natural (u, v):
+    DC = (7i + 5b + 11*comp) % 200 - 100; AC nonzero on the
+    (u+v+i+b+comp) % 7 == 0 lattice, value
+    ((i + 3u + 5v + b + 2*comp) % 15) - 7."""
+    if u == 0 and v == 0:
+        return (7 * i + 5 * b + 11 * comp) % 200 - 100
+    if (u + v + i + b + comp) % 7 == 0:
+        return (i + 3 * u + 5 * v + b + 2 * comp) % 15 - 7
+    return 0
+
+
+def _jpeg_chroma_huff_tables():
+    """Chroma (dc_symbols, ac_symbols) at DIFFERENT code lengths than
+    the luma tables (DC 5 bits, AC 7 bits) so the decoder provably
+    keys tables by the SOS selectors, not by reuse of table 0."""
+    dc_syms = list(range(9))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 4)
+    ]
+    return dc_syms, ac_syms
+
+
+def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload binary): a real 16x16 COLOR baseline JFIF per row —
+    3 YCbCr components with 4:2:0 subsampling (Y 2x2 blocks, Cb/Cr one
+    8x8 block each, one interleaved MCU), TWO quant tables (Tq0 luma,
+    Tq1 chroma), FOUR canonical Huffman tables (DC0/AC0 luma at 4/6
+    bits, DC1/AC1 chroma at 5/7 bits), per-component differential DC,
+    run-length ACs with EOB/ZRL, byte-stuffed entropy stream.
+    Coefficients from `jpeg_coef_color` (JPEG is lossy — the gate pins
+    coefficients, not a pixel roundtrip)."""
+    from pyspark.sql.functions import pandas_udf
+
+    dc_syms, ac_syms = _jpeg_huff_tables()
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)
+    ac_bits = [0] * 16
+    ac_bits[5] = len(ac_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_syms)
+    ac_codes = _canonical_codes(ac_bits, ac_syms)
+    cdc_syms, cac_syms = _jpeg_chroma_huff_tables()
+    cdc_bits = [0] * 16
+    cdc_bits[4] = len(cdc_syms)  # 5-bit chroma DC codes
+    cac_bits = [0] * 16
+    cac_bits[6] = len(cac_syms)  # 7-bit chroma AC codes
+    cdc_codes = _canonical_codes(cdc_bits, cdc_syms)
+    cac_codes = _canonical_codes(cac_bits, cac_syms)
+    qy = jpeg_qtab()
+    qc = jpeg_qtab_chroma()
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def _write_block(bw, zz, prev_dc, dcc, acc):
+        diff = zz[0] - prev_dc
+        s = _size_cat(diff)
+        code, ln = dcc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            a = zz[k]
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = acc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _size_cat(a)
+            code, ln = acc[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(a if a > 0 else a + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = acc[0x00]
+            bw.write(code, ln)
+        return zz[0]
+
+    def _encode_one(i: int) -> bytes:
+        bw = _BitWriter()
+        prev = [0, 0, 0]  # per-component DC predictors
+        # one MCU: Y blocks raster (b=0..3), then Cb, then Cr
+        for comp, b, dcc, acc in (
+            [(0, b, dc_codes, ac_codes) for b in range(4)]
+            + [(1, 0, cdc_codes, cac_codes), (2, 0, cdc_codes, cac_codes)]
+        ):
+            coefs = [
+                jpeg_coef_color(i, comp, b, n // 8, n % 8) for n in range(64)
+            ]
+            zz = [coefs[_ZIGZAG[k]] for k in range(64)]
+            prev[comp] = _write_block(bw, zz, prev[comp], dcc, acc)
+        scan = bw.flush()
+
+        zzq_y = bytes(qy[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
+        zzq_c = bytes(qc[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
+        out = b"\xff\xd8"
+        out += _seg(0xDB, b"\x00" + zzq_y)  # DQT Tq0 (luma)
+        out += _seg(0xDB, b"\x01" + zzq_c)  # DQT Tq1 (chroma)
+        out += _seg(
+            0xC0,
+            b"\x08"
+            + JPEG_H.to_bytes(2, "big")
+            + JPEG_W.to_bytes(2, "big")
+            + b"\x03"
+            + b"\x01\x22\x00"  # Y: id 1, 2x2 sampling, Tq0
+            + b"\x02\x11\x01"  # Cb: id 2, 1x1, Tq1
+            + b"\x03\x11\x01",  # Cr: id 3, 1x1, Tq1
+        )
+        out += _seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+        out += _seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        out += _seg(0xC4, b"\x01" + bytes(cdc_bits) + bytes(cdc_syms))
+        out += _seg(0xC4, b"\x11" + bytes(cac_bits) + bytes(cac_syms))
+        out += _seg(
+            0xDA,
+            b"\x03"
+            + b"\x01\x00"  # Y -> DC0/AC0
+            + b"\x02\x11"  # Cb -> DC1/AC1
+            + b"\x03\x11"  # Cr -> DC1/AC1
+            + b"\x00\x3f\x00",
+        )
+        out += scan
+        out += b"\xff\xd9"
+        return out
+
+    def _mk_fn(ids):
+        return pd.Series([_encode_one(int(i)) for i in ids])
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+# JFIF/BT.601 YCbCr -> RGB in 16.16 fixed point (libjpeg's constants):
+# R = y + (91881*(cr-128) + 32768) >> 16, etc., with FLOOR division so
+# every channel is an exact integer both engines re-derive.
+_JPEG_CR_R = 91881  # round(1.402 * 65536)
+_JPEG_CB_G = 22554  # round(0.344136 * 65536)
+_JPEG_CR_G = 46802  # round(0.714136 * 65536)
+_JPEG_CB_B = 116130  # round(1.772 * 65536)
+
+
+def decode_jpeg_color_features(media: DataFrame) -> DataFrame:
+    """REAL color baseline-JPEG decode over (id, payload) — BYTES
+    ONLY: extends decode_jpeg_features' marker walk to multi-component
+    SOF0 (per-component sampling factors + quant-table ids), multi-
+    table DQT/DHT, SOS Huffman-table selectors, INTERLEAVED MCU
+    entropy decoding (per-component DC predictors), per-component
+    dequant + Q14 integer IDCT into component planes, nearest-neighbor
+    chroma upsampling (cx = x*h_i//hmax, cy = y*v_i//vmax — the 4:2:0
+    replication rule), and exact fixed-point YCbCr->RGB (floor((y<<16
+    + k*(c-128) + 32768) / 2^16), clamped — every channel an integer
+    the oracle re-derives). Grayscale payloads decode too (1
+    component; R=G=B=Y). Emits per image: (id, w, h, sum_r, sum_g,
+    sum_b, checksum), checksum = sum (r + 2g + 3b) * (1 + x + 2y)
+    over global coords."""
+    import numpy as np
+
+    D = np.array(jpeg_idct_table(), dtype=np.int64)
+
+    def _parse_dht(body: bytes):
+        tables = {}
+        off = 0
+        while off < len(body):
+            tc_th = body[off]
+            bits = list(body[off + 1 : off + 17])
+            n = sum(bits)
+            vals = list(body[off + 17 : off + 17 + n])
+            tables[tc_th] = _canonical_codes(bits, vals)
+            off += 17 + n
+        return tables
+
+    def _decode_one(i: int, buf: bytes):
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        qtabs: dict[int, list[list[int]]] = {}
+        huff = {}
+        w = h = None
+        comps = []  # (comp_id, h_i, v_i, tq)
+        sos = []  # (comp_id, dc_table, ac_table)
+        scan_off = None
+        while pos < len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("bad marker alignment")
+            m = buf[pos + 1]
+            if m == 0xD9:
+                break
+            ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            body = buf[pos + 4 : pos + 2 + ln]
+            if m == 0xDB:
+                off = 0
+                while off < len(body):
+                    if body[off] >> 4 != 0:
+                        raise ValueError("only 8-bit DQT supported")
+                    tq = body[off] & 0x0F
+                    zz = list(body[off + 1 : off + 65])
+                    q = [[0] * 8 for _ in range(8)]
+                    for k, nat in enumerate(_ZIGZAG):
+                        q[nat // 8][nat % 8] = zz[k]
+                    qtabs[tq] = q
+                    off += 65
+            elif m == 0xC0:
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                for c in range(nc):
+                    cid = body[6 + 3 * c]
+                    hv = body[7 + 3 * c]
+                    comps.append(
+                        (cid, hv >> 4, hv & 0x0F, body[8 + 3 * c])
+                    )
+            elif m == 0xC4:
+                huff.update(_parse_dht(body))
+            elif m == 0xDA:
+                ns = body[0]
+                for c in range(ns):
+                    cid = body[1 + 2 * c]
+                    tt = body[2 + 2 * c]
+                    sos.append((cid, tt >> 4, tt & 0x0F))
+                scan_off = pos + 2 + ln
+                break
+            pos += 2 + ln
+        if not qtabs or w is None or scan_off is None or not comps:
+            raise ValueError("missing DQT/SOF0/SOS")
+
+        rev = {
+            key: {v: k for k, v in tab.items()} for key, tab in huff.items()
+        }
+
+        bits = []
+        p = scan_off
+        while p < len(buf):
+            byte = buf[p]
+            if byte == 0xFF:
+                nxt = buf[p + 1]
+                if nxt == 0x00:
+                    bits.append(byte)
+                    p += 2
+                    continue
+                break
+            bits.append(byte)
+            p += 1
+        stream = bits
+        bitpos = [0]
+
+        def read_bit() -> int:
+            bp = bitpos[0]
+            byte = stream[bp >> 3]
+            bit = (byte >> (7 - (bp & 7))) & 1
+            bitpos[0] = bp + 1
+            return bit
+
+        def read_code(table) -> int:
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bit()
+                ln += 1
+                sym = table.get((code, ln))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in scan")
+
+        def read_extend(size: int) -> int:
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | read_bit()
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        sel = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in sos}
+        planes = {}
+        for cid, hi, vi, tq in comps:
+            pw, ph = 8 * hi * mcux, 8 * vi * mcuy
+            planes[cid] = np.zeros((ph, pw), dtype=np.int64)
+        prev_dc = {cid: 0 for cid, _, _, _ in comps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hi, vi, tq in comps:
+                    dc = rev[0x00 | sel[cid][0]]
+                    ac = rev[0x10 | sel[cid][1]]
+                    Q = np.array(qtabs[tq], dtype=np.int64)
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            zz = [0] * 64
+                            s = read_code(dc)
+                            prev_dc[cid] += read_extend(s)
+                            zz[0] = prev_dc[cid]
+                            k = 1
+                            while k < 64:
+                                sym = read_code(ac)
+                                if sym == 0x00:
+                                    break
+                                if sym == 0xF0:
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                zz[k] = read_extend(sym & 0x0F)
+                                k += 1
+                            coef = np.zeros((8, 8), dtype=np.int64)
+                            for k2, nat in enumerate(_ZIGZAG):
+                                coef[nat // 8, nat % 8] = zz[k2]
+                            dq = coef * Q
+                            S = D.T @ dq @ D
+                            blk = np.clip(S // (1 << 30) + 128, 0, 255)
+                            y0 = (my * vi + byy) * 8
+                            x0 = (mx * hi + bxx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+        xg = np.arange(w)[None, :]
+        yg = np.arange(h)[:, None]
+        if len(comps) == 1:
+            Y = planes[comps[0][0]][:h, :w]
+            r = g = b = Y
+        else:
+            by_id = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+            cids = [c[0] for c in comps]
+            yid, cbid, crid = cids[0], cids[1], cids[2]
+
+            def up(cid):
+                hi, vi = by_id[cid]
+                return planes[cid][
+                    (np.arange(h)[:, None] * vi) // vmax,
+                    (np.arange(w)[None, :] * hi) // hmax,
+                ]
+
+            Y = up(yid)
+            cb = up(cbid) - 128
+            cr = up(crid) - 128
+            half = 32768
+            r = np.clip(
+                Y + (_JPEG_CR_R * cr + half) // 65536, 0, 255
+            )
+            g = np.clip(
+                Y + (-_JPEG_CB_G * cb - _JPEG_CR_G * cr + half) // 65536,
+                0,
+                255,
+            )
+            b = np.clip(
+                Y + (_JPEG_CB_B * cb + half) // 65536, 0, 255
+            )
+        wgt = 1 + xg + 2 * yg
+        return (
+            int(i),
+            w,
+            h,
+            int(r.sum()),
+            int(g.sum()),
+            int(b.sum()),
+            int(((r + 2 * g + 3 * b) * wgt).sum()),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _decode_one(i, bytes(payload))
+                for i, payload in zip(pdf["id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "w", "h", "sum_r", "sum_g", "sum_b",
+                         "checksum"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        "id long, w int, h int, sum_r long, sum_g long, sum_b long, "
+        "checksum long",
+    )
+
+
 # --- Audio perceptual dedup: integer spectral fingerprint over the
 # REAL WAV decode + the same Hamming-banded candidate join as pHash —
 # the chromaprint shape (per-window filterbank energies, sign-of-delta

@@ -979,3 +979,63 @@ def test_averaged_perceptron_no_worse_heldout_and_replayable(spark):
     majority = max(n_pos, n_h - n_pos) / n_h
     assert acc(wp) > majority
     assert acc(wa) >= majority
+
+
+def test_jpeg_color_decode_matches_coefficient_replay(spark):
+    """decode_jpeg_color_features must reproduce, from BYTES alone,
+    exactly the pixels the coefficient closed form dictates: 4:2:0
+    MCU interleave, per-component DC predictors, the Tq0/Tq1 quant
+    split, the DC1/AC1 Huffman selectors (chroma tables deliberately
+    use different code lengths), nearest-neighbor chroma upsampling,
+    and the 16.16 fixed-point YCbCr->RGB floor conversion. A grayscale
+    payload must decode through the same kernel with R=G=B=Y."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    D = np.array(M.jpeg_idct_table(), dtype=np.int64)
+    QY = np.array(M.jpeg_qtab(), dtype=np.int64)
+    QC = np.array(M.jpeg_qtab_chroma(), dtype=np.int64)
+
+    def block(i, comp, b, Q):
+        coef = np.array(
+            [[M.jpeg_coef_color(i, comp, b, u, v) for v in range(8)]
+             for u in range(8)],
+            dtype=np.int64,
+        )
+        S = D.T @ (coef * Q) @ D
+        return np.clip(S // (1 << 30) + 128, 0, 255)
+
+    def replay(i):
+        Y = np.zeros((16, 16), dtype=np.int64)
+        for b in range(4):
+            Y[(b // 2) * 8:(b // 2) * 8 + 8,
+              (b % 2) * 8:(b % 2) * 8 + 8] = block(i, 0, b, QY)
+        yy = np.arange(16)[:, None]
+        xx = np.arange(16)[None, :]
+        cb = block(i, 1, 0, QC)[yy // 2, xx // 2] - 128
+        cr = block(i, 2, 0, QC)[yy // 2, xx // 2] - 128
+        r = np.clip(Y + (91881 * cr + 32768) // 65536, 0, 255)
+        g = np.clip(
+            Y + (-22554 * cb - 46802 * cr + 32768) // 65536, 0, 255
+        )
+        bl = np.clip(Y + (116130 * cb + 32768) // 65536, 0, 255)
+        wgt = 1 + xx + 2 * yy
+        return (
+            int(r.sum()), int(g.sum()), int(bl.sum()),
+            int(((r + 2 * g + 3 * bl) * wgt).sum()),
+        )
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    got = {
+        r["id"]: (r["sum_r"], r["sum_g"], r["sum_b"], r["checksum"])
+        for r in M.decode_jpeg_color_features(
+            M.synth_jpeg_color(ids)
+        ).collect()
+    }
+    assert got == {i: replay(i) for i in range(40)}
+
+    gray = M.decode_jpeg_color_features(M.synth_jpeg(ids)).collect()
+    assert len(gray) == 40
+    assert all(r["sum_r"] == r["sum_g"] == r["sum_b"] for r in gray)
