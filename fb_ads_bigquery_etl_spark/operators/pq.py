@@ -646,6 +646,19 @@ def build_ivfpq_index(
     the exact rerank fetches candidates by id from the source table,
     the standard two-tier layout.
 
+    WRITE-SKEW BOUND (deliberate): repartition("bucket") puts each
+    bucket in exactly one task, so write parallelism is capped at
+    nlist and the largest bucket sets the straggler time and the
+    largest output file. That is the price of the one-file-per-bucket
+    read layout every probe and the manifest exploit; the designed
+    valve is not per-write sharding but capacity maintenance — a
+    bucket hot enough to straggle its write is hot enough to straggle
+    every probe, and `split_ivfpq_bucket` retires it into children,
+    restoring both bounds at once. Size nlist so the expected bucket
+    (corpus/nlist rows x m bytes) fits a task comfortably; codes are
+    64x narrower than the vectors, so a 100 TB corpus at nlist=64k is
+    ~25 MB of codes per bucket-task.
+
     `codebooks` pins pre-trained residual codebooks instead of
     training on `df`'s residuals — the rebuild-equals-append proof
     harness uses it (an O(batch) append encodes against the FROZEN
