@@ -1724,3 +1724,47 @@ def test_ivfpq_bucket_split_exact_and_scoped(spark, tmp_path):
         for r in ivfpq_index_stats(spark, path, use_manifest=False).collect()
     ]
     assert a == b
+
+
+def test_ivfpq_manifest_legacy_sidecar_reads_and_upgrades(spark, tmp_path):
+    """An index whose sidecar predates the segment format (plain
+    8-column snapshot, no seq/op) must read as a seq=0 all-'add'
+    segment, and the next refresh must diff against it and APPEND a
+    normal segment — in-place upgrade, no rebuild."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _MANIFEST_SCHEMA,
+        _read_ivfpq_manifest,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        refresh_ivfpq_manifest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    cents = similarity.train_centroids_exact(
+        base, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    live = [tuple(r) for r in _read_ivfpq_manifest(spark, path).collect()]
+    # rewrite the sidecar in the LEGACY 8-column shape
+    spark.createDataFrame(live, _MANIFEST_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}_manifest")
+    got = sorted(tuple(r) for r in _read_ivfpq_manifest(spark, path).collect())
+    assert got == sorted(live)
+    # no-change refresh over the legacy sidecar: nothing re-stat'ed
+    again = sorted(
+        tuple(r)
+        for r in refresh_ivfpq_manifest(spark, path).collect()
+    )
+    assert again == sorted(live)
+    # an append DIFFS against the legacy rows and appends one segment
+    append_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), path
+    )
+    after = _read_ivfpq_manifest(spark, path).collect()
+    assert {r["suffix"] for r in after} > {r[1] for r in live}
+    assert sum(r["n_rows"] for r in after) == spark.read.parquet(path).count()
