@@ -1314,6 +1314,12 @@ def _size_cat(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """FF-marker segment framing (length includes its own two bytes) —
+    shared by the grayscale and color synthesizers."""
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
 def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload binary): a real 16x16 grayscale baseline JFIF per
     row, quantized coefficients from `jpeg_coef`. Differential DC,
@@ -1329,9 +1335,6 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     dc_codes = _canonical_codes(dc_bits, dc_syms)
     ac_codes = _canonical_codes(ac_bits, ac_syms)
     q = jpeg_qtab()
-
-    def _seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     def _encode_one(i: int) -> bytes:
         bw = _BitWriter()
@@ -1370,17 +1373,17 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
         out = b"\xff\xd8"  # SOI
-        out += _seg(0xDB, b"\x00" + zz_q)  # DQT, Pq=0 Tq=0
-        out += _seg(
+        out += _jpeg_seg(0xDB, b"\x00" + zz_q)  # DQT, Pq=0 Tq=0
+        out += _jpeg_seg(
             0xC0,
             b"\x08"
             + JPEG_H.to_bytes(2, "big")
             + JPEG_W.to_bytes(2, "big")
             + b"\x01\x01\x11\x00",  # 1 component, 1x1 sampling, Tq 0
         )
-        out += _seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
-        out += _seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
-        out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        out += _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
         out += scan
         out += b"\xff\xd9"  # EOI
         return out
@@ -1395,143 +1398,198 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _jpeg_parse_dht(body: bytes) -> dict:
+    """DHT segment -> {Tc<<4|Th: symbol -> (code, length)} via the
+    general ISO C.2 canonical construction (any table content)."""
+    tables = {}
+    off = 0
+    while off < len(body):
+        tc_th = body[off]
+        bits = list(body[off + 1 : off + 17])
+        n = sum(bits)
+        vals = list(body[off + 17 : off + 17 + n])
+        tables[tc_th] = _canonical_codes(bits, vals)
+        off += 17 + n
+    return tables
+
+
+def _jpeg_decode_planes(buf: bytes, D):
+    """Shared baseline-JPEG core, BYTES ONLY — one decoder for the
+    grayscale and color kernels (they diverged once and a marker-walk
+    fix would have had to land twice): marker walk (SOI/DQT(xN)/SOF0/
+    DHT(xN)/SOS/EOI), multi-component SOF0 sampling factors + quant
+    ids, SOS Huffman selectors, byte-unstuffed bit reader, interleaved
+    MCU entropy decode with per-component DC predictors + EXTEND,
+    dezigzag, per-component dequant, Q14 integer IDCT
+    (p = floor(S / 2^30) + 128, clamped). Returns (w, h, comps,
+    planes): comps = [(comp_id, h_i, v_i, tq)] in SOF order, planes =
+    {comp_id: int64 array (8*v_i*mcuy, 8*h_i*mcux)}."""
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[list[int]]] = {}
+    huff = {}
+    w = h = None
+    comps = []  # (comp_id, h_i, v_i, tq)
+    sos = []  # (comp_id, dc_table, ac_table)
+    scan_off = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        m = buf[pos + 1]
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        body = buf[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            off = 0
+            while off < len(body):
+                if body[off] >> 4 != 0:
+                    raise ValueError("only 8-bit DQT supported")
+                tq = body[off] & 0x0F
+                zz = list(body[off + 1 : off + 65])
+                q = [[0] * 8 for _ in range(8)]
+                for k, nat in enumerate(_ZIGZAG):
+                    q[nat // 8][nat % 8] = zz[k]
+                qtabs[tq] = q
+                off += 65
+        elif m == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+        elif m == 0xC4:
+            huff.update(_jpeg_parse_dht(body))
+        elif m == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                sos.append((cid, tt >> 4, tt & 0x0F))
+            scan_off = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if not qtabs or w is None or scan_off is None or not comps:
+        raise ValueError("missing DQT/SOF0/SOS")
+
+    rev = {key: {v: k for k, v in tab.items()} for key, tab in huff.items()}
+
+    # byte-unstuffed bitstream up to EOI
+    bits = []
+    p = scan_off
+    while p < len(buf):
+        byte = buf[p]
+        if byte == 0xFF:
+            nxt = buf[p + 1]
+            if nxt == 0x00:
+                bits.append(byte)
+                p += 2
+                continue
+            break  # a real marker (EOI) ends the scan
+        bits.append(byte)
+        p += 1
+    stream = bits
+    bitpos = [0]
+
+    def read_bit() -> int:
+        bp = bitpos[0]
+        byte = stream[bp >> 3]
+        bit = (byte >> (7 - (bp & 7))) & 1
+        bitpos[0] = bp + 1
+        return bit
+
+    def read_code(table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            sym = table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def read_extend(size: int) -> int:
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    sel = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in sos}
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        planes[cid] = np.zeros((8 * vi * mcuy, 8 * hi * mcux), dtype=np.int64)
+    prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, tq in comps:
+                dc = rev[0x00 | sel[cid][0]]
+                ac = rev[0x10 | sel[cid][1]]
+                Q = np.array(qtabs[tq], dtype=np.int64)
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = [0] * 64
+                        s = read_code(dc)
+                        prev_dc[cid] += read_extend(s)
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = read_code(ac)
+                            if sym == 0x00:
+                                break  # EOB
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            zz[k] = read_extend(sym & 0x0F)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.int64)
+                        for k2, nat in enumerate(_ZIGZAG):
+                            coef[nat // 8, nat % 8] = zz[k2]
+                        dq = coef * Q
+                        # S[y][x] = sum_uv dq[u,v] D[u,y] D[v,x]
+                        S = D.T @ dq @ D
+                        blk = np.clip(S // (1 << 30) + 128, 0, 255)
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+    return w, h, comps, planes
+
+
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
     """REAL baseline-JPEG decode over (id, payload) — BYTES ONLY, no
-    consultation of the generator: marker walk (SOI/DQT/SOF0/DHT/SOS/
-    EOI), canonical Huffman tables rebuilt from DHT (general ISO C.2
-    construction, any table content), byte-unstuffed bit reader,
-    differential DC with EXTEND, dezigzag, dequant via the DQT table,
-    Q14 integer IDCT (p = floor(S / 2^30) + 128, clamped) — every
-    pixel an exact integer the oracle re-derives. Emits per image:
-    (id, w, h, sum_pix, checksum) with checksum =
-    sum p(x, y) * (1 + x + 2y) over global coords."""
+    consultation of the generator: the shared _jpeg_decode_planes core
+    (marker walk, general ISO C.2 canonical Huffman construction from
+    DHT, byte-unstuffed bit reader, differential DC with EXTEND,
+    dezigzag, dequant via the DQT table, Q14 integer IDCT with
+    p = floor(S / 2^30) + 128, clamped) — every pixel an exact integer
+    the oracle re-derives. Refuses multi-component payloads (use
+    decode_jpeg_color_features). Emits per image: (id, w, h, sum_pix,
+    checksum) with checksum = sum p(x, y) * (1 + x + 2y) over global
+    coords."""
     import numpy as np
 
     D = np.array(jpeg_idct_table(), dtype=np.int64)
 
-    def _parse_dht(body: bytes):
-        tables = {}
-        off = 0
-        while off < len(body):
-            tc_th = body[off]
-            bits = list(body[off + 1 : off + 17])
-            n = sum(bits)
-            vals = list(body[off + 17 : off + 17 + n])
-            tables[tc_th] = _canonical_codes(bits, vals)
-            off += 17 + n
-        return tables
-
     def _decode_one(i: int, buf: bytes):
-        if buf[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (missing SOI)")
-        pos = 2
-        qtab = None
-        huff = {}
-        w = h = None
-        scan_off = None
-        while pos < len(buf):
-            if buf[pos] != 0xFF:
-                raise ValueError("bad marker alignment")
-            m = buf[pos + 1]
-            if m == 0xD9:
-                break
-            ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
-            body = buf[pos + 4 : pos + 2 + ln]
-            if m == 0xDB:
-                if body[0] != 0:
-                    raise ValueError("only 8-bit DQT supported")
-                zz = list(body[1:65])
-                qtab = [[0] * 8 for _ in range(8)]
-                for k, nat in enumerate(_ZIGZAG):
-                    qtab[nat // 8][nat % 8] = zz[k]
-            elif m == 0xC0:
-                h = int.from_bytes(body[1:3], "big")
-                w = int.from_bytes(body[3:5], "big")
-                if body[5] != 1:
-                    raise ValueError("only 1-component baseline supported")
-            elif m == 0xC4:
-                huff.update(_parse_dht(body))
-            elif m == 0xDA:
-                scan_off = pos + 2 + ln
-                break
-            pos += 2 + ln
-        if qtab is None or w is None or scan_off is None:
-            raise ValueError("missing DQT/SOF0/SOS")
-        dc = {v: k for k, v in huff[0x00].items()}  # (code,len)->symbol
-        ac = {v: k for k, v in huff[0x10].items()}
-
-        # byte-unstuffed bitstream up to EOI
-        bits = []
-        p = scan_off
-        while p < len(buf):
-            byte = buf[p]
-            if byte == 0xFF:
-                nxt = buf[p + 1]
-                if nxt == 0x00:
-                    bits.append(byte)
-                    p += 2
-                    continue
-                break  # a real marker (EOI) ends the scan
-            bits.append(byte)
-            p += 1
-        stream = bits
-        bitpos = [0]
-
-        def read_bit() -> int:
-            bp = bitpos[0]
-            byte = stream[bp >> 3]
-            bit = (byte >> (7 - (bp & 7))) & 1
-            bitpos[0] = bp + 1
-            return bit
-
-        def read_code(table) -> int:
-            code, ln = 0, 0
-            while ln < 16:
-                code = (code << 1) | read_bit()
-                ln += 1
-                sym = table.get((code, ln))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code in scan")
-
-        def read_extend(size: int) -> int:
-            if size == 0:
-                return 0
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | read_bit()
-            if v < (1 << (size - 1)):
-                v -= (1 << size) - 1
-            return v
-
-        bx_n, by_n = w // 8, h // 8
-        pix = np.zeros((h, w), dtype=np.int64)
-        Q = np.array(qtab, dtype=np.int64)
-        prev_dc = 0
-        for by in range(by_n):
-            for bx in range(bx_n):
-                zz = [0] * 64
-                s = read_code(dc)
-                prev_dc += read_extend(s)
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = read_code(ac)
-                    if sym == 0x00:
-                        break  # EOB
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    zz[k] = read_extend(sym & 0x0F)
-                    k += 1
-                coef = np.zeros((8, 8), dtype=np.int64)
-                for k2, nat in enumerate(_ZIGZAG):
-                    coef[nat // 8, nat % 8] = zz[k2]
-                dq = coef * Q
-                S = D.T @ dq @ D  # S[y][x] = sum_uv dq[u,v] D[u,y] D[v,x]
-                blk = np.clip(S // (1 << 30) + 128, 0, 255)
-                pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        w, h, comps, planes = _jpeg_decode_planes(buf, D)
+        if len(comps) != 1:
+            raise ValueError(
+                "multi-component JPEG: use decode_jpeg_color_features"
+            )
+        pix = planes[comps[0][0]][:h, :w]
         xg = np.arange(w)[None, :]
         yg = np.arange(h)[:, None]
         return (
@@ -1617,9 +1675,6 @@ def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     qy = jpeg_qtab()
     qc = jpeg_qtab_chroma()
 
-    def _seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
     def _write_block(bw, zz, prev_dc, dcc, acc):
         diff = zz[0] - prev_dc
         s = _size_cat(diff)
@@ -1665,9 +1720,9 @@ def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         zzq_y = bytes(qy[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
         zzq_c = bytes(qc[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
         out = b"\xff\xd8"
-        out += _seg(0xDB, b"\x00" + zzq_y)  # DQT Tq0 (luma)
-        out += _seg(0xDB, b"\x01" + zzq_c)  # DQT Tq1 (chroma)
-        out += _seg(
+        out += _jpeg_seg(0xDB, b"\x00" + zzq_y)  # DQT Tq0 (luma)
+        out += _jpeg_seg(0xDB, b"\x01" + zzq_c)  # DQT Tq1 (chroma)
+        out += _jpeg_seg(
             0xC0,
             b"\x08"
             + JPEG_H.to_bytes(2, "big")
@@ -1677,11 +1732,11 @@ def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             + b"\x02\x11\x01"  # Cb: id 2, 1x1, Tq1
             + b"\x03\x11\x01",  # Cr: id 3, 1x1, Tq1
         )
-        out += _seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
-        out += _seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
-        out += _seg(0xC4, b"\x01" + bytes(cdc_bits) + bytes(cdc_syms))
-        out += _seg(0xC4, b"\x11" + bytes(cac_bits) + bytes(cac_syms))
-        out += _seg(
+        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        out += _jpeg_seg(0xC4, b"\x01" + bytes(cdc_bits) + bytes(cdc_syms))
+        out += _jpeg_seg(0xC4, b"\x11" + bytes(cac_bits) + bytes(cac_syms))
+        out += _jpeg_seg(
             0xDA,
             b"\x03"
             + b"\x01\x00"  # Y -> DC0/AC0
@@ -1723,168 +1778,18 @@ def decode_jpeg_color_features(media: DataFrame) -> DataFrame:
     replication rule), and exact fixed-point YCbCr->RGB (floor((y<<16
     + k*(c-128) + 32768) / 2^16), clamped — every channel an integer
     the oracle re-derives). Grayscale payloads decode too (1
-    component; R=G=B=Y). Emits per image: (id, w, h, sum_r, sum_g,
-    sum_b, checksum), checksum = sum (r + 2g + 3b) * (1 + x + 2y)
-    over global coords."""
+    component; R=G=B=Y). Entropy/transform machinery is the shared
+    _jpeg_decode_planes core — one decoder for both kernels. Emits per
+    image: (id, w, h, sum_r, sum_g, sum_b, checksum), checksum =
+    sum (r + 2g + 3b) * (1 + x + 2y) over global coords."""
     import numpy as np
 
     D = np.array(jpeg_idct_table(), dtype=np.int64)
 
-    def _parse_dht(body: bytes):
-        tables = {}
-        off = 0
-        while off < len(body):
-            tc_th = body[off]
-            bits = list(body[off + 1 : off + 17])
-            n = sum(bits)
-            vals = list(body[off + 17 : off + 17 + n])
-            tables[tc_th] = _canonical_codes(bits, vals)
-            off += 17 + n
-        return tables
-
     def _decode_one(i: int, buf: bytes):
-        if buf[:2] != b"\xff\xd8":
-            raise ValueError("not a JPEG (missing SOI)")
-        pos = 2
-        qtabs: dict[int, list[list[int]]] = {}
-        huff = {}
-        w = h = None
-        comps = []  # (comp_id, h_i, v_i, tq)
-        sos = []  # (comp_id, dc_table, ac_table)
-        scan_off = None
-        while pos < len(buf):
-            if buf[pos] != 0xFF:
-                raise ValueError("bad marker alignment")
-            m = buf[pos + 1]
-            if m == 0xD9:
-                break
-            ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
-            body = buf[pos + 4 : pos + 2 + ln]
-            if m == 0xDB:
-                off = 0
-                while off < len(body):
-                    if body[off] >> 4 != 0:
-                        raise ValueError("only 8-bit DQT supported")
-                    tq = body[off] & 0x0F
-                    zz = list(body[off + 1 : off + 65])
-                    q = [[0] * 8 for _ in range(8)]
-                    for k, nat in enumerate(_ZIGZAG):
-                        q[nat // 8][nat % 8] = zz[k]
-                    qtabs[tq] = q
-                    off += 65
-            elif m == 0xC0:
-                h = int.from_bytes(body[1:3], "big")
-                w = int.from_bytes(body[3:5], "big")
-                nc = body[5]
-                for c in range(nc):
-                    cid = body[6 + 3 * c]
-                    hv = body[7 + 3 * c]
-                    comps.append(
-                        (cid, hv >> 4, hv & 0x0F, body[8 + 3 * c])
-                    )
-            elif m == 0xC4:
-                huff.update(_parse_dht(body))
-            elif m == 0xDA:
-                ns = body[0]
-                for c in range(ns):
-                    cid = body[1 + 2 * c]
-                    tt = body[2 + 2 * c]
-                    sos.append((cid, tt >> 4, tt & 0x0F))
-                scan_off = pos + 2 + ln
-                break
-            pos += 2 + ln
-        if not qtabs or w is None or scan_off is None or not comps:
-            raise ValueError("missing DQT/SOF0/SOS")
-
-        rev = {
-            key: {v: k for k, v in tab.items()} for key, tab in huff.items()
-        }
-
-        bits = []
-        p = scan_off
-        while p < len(buf):
-            byte = buf[p]
-            if byte == 0xFF:
-                nxt = buf[p + 1]
-                if nxt == 0x00:
-                    bits.append(byte)
-                    p += 2
-                    continue
-                break
-            bits.append(byte)
-            p += 1
-        stream = bits
-        bitpos = [0]
-
-        def read_bit() -> int:
-            bp = bitpos[0]
-            byte = stream[bp >> 3]
-            bit = (byte >> (7 - (bp & 7))) & 1
-            bitpos[0] = bp + 1
-            return bit
-
-        def read_code(table) -> int:
-            code, ln = 0, 0
-            while ln < 16:
-                code = (code << 1) | read_bit()
-                ln += 1
-                sym = table.get((code, ln))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code in scan")
-
-        def read_extend(size: int) -> int:
-            if size == 0:
-                return 0
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | read_bit()
-            if v < (1 << (size - 1)):
-                v -= (1 << size) - 1
-            return v
-
+        w, h, comps, planes = _jpeg_decode_planes(buf, D)
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        sel = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in sos}
-        planes = {}
-        for cid, hi, vi, tq in comps:
-            pw, ph = 8 * hi * mcux, 8 * vi * mcuy
-            planes[cid] = np.zeros((ph, pw), dtype=np.int64)
-        prev_dc = {cid: 0 for cid, _, _, _ in comps}
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for cid, hi, vi, tq in comps:
-                    dc = rev[0x00 | sel[cid][0]]
-                    ac = rev[0x10 | sel[cid][1]]
-                    Q = np.array(qtabs[tq], dtype=np.int64)
-                    for byy in range(vi):
-                        for bxx in range(hi):
-                            zz = [0] * 64
-                            s = read_code(dc)
-                            prev_dc[cid] += read_extend(s)
-                            zz[0] = prev_dc[cid]
-                            k = 1
-                            while k < 64:
-                                sym = read_code(ac)
-                                if sym == 0x00:
-                                    break
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                k += sym >> 4
-                                zz[k] = read_extend(sym & 0x0F)
-                                k += 1
-                            coef = np.zeros((8, 8), dtype=np.int64)
-                            for k2, nat in enumerate(_ZIGZAG):
-                                coef[nat // 8, nat % 8] = zz[k2]
-                            dq = coef * Q
-                            S = D.T @ dq @ D
-                            blk = np.clip(S // (1 << 30) + 128, 0, 255)
-                            y0 = (my * vi + byy) * 8
-                            x0 = (mx * hi + bxx) * 8
-                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
 
         xg = np.arange(w)[None, :]
         yg = np.arange(h)[:, None]

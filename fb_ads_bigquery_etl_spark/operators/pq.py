@@ -929,9 +929,12 @@ def split_ivfpq_bucket(
         hot = (
             man.groupBy("bucket")
             .agg(F.sum("n_rows").alias("_n"))
+            .filter(F.col("_n") > 0)
             .orderBy(F.col("_n").desc(), F.col("bucket").asc())
             .head()
         )
+        if hot is None:
+            raise ValueError("empty index: nothing to split")
         bucket = int(hot["bucket"])
     # the rebuild below overwrites the centroid sidecar this reads
     cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
@@ -950,6 +953,12 @@ def split_ivfpq_bucket(
     members = src.join(
         member_ids, F.col(id_col) == F.col("id"), "left_semi"
     )
+    if members.limit(1).isEmpty():
+        raise ValueError(
+            f"bucket {bucket} has no member vectors in src: nothing to "
+            "train children on (empty bucket, or src is missing the "
+            "bucket's indexed ids)"
+        )
     sub = train_centroids_exact(
         members, k=nsplit, iters=iters, vec_col=vec_col, id_col=id_col
     )
@@ -971,17 +980,35 @@ def split_ivfpq_bucket(
     old_assign = spark.read.parquet(path).select(
         "id", F.col("bucket").alias("_ob")
     )
-    moved = (
-        old_assign.join(
-            new_assign.select("id", F.col("bucket").alias("_nb")), "id"
+    new_assign = new_assign.select("id", F.col("bucket").alias("_nb"))
+    # guard the symmetric drift to the tombstone refusal: an indexed id
+    # MISSING from src would silently stay behind in the retired parent
+    # partition — unreachable by any probe (no centroid), diverging
+    # from the pinned rebuild equality. Refuse loudly instead.
+    stranded = (
+        old_assign.join(new_assign, "id", "left_anti").limit(5).collect()
+    )
+    if stranded:
+        raise ValueError(
+            f"ids {sorted(r['id'] for r in stranded)} (first 5) are "
+            "indexed but absent from src; splitting would strand them "
+            "in the retired bucket — delete them from the index (or "
+            "pass the full corpus) first"
         )
+    moved = (
+        old_assign.join(new_assign, "id")
         .filter(F.col("_nb") != F.col("_ob"))
         .localCheckpoint(eager=True)  # reads files the rewrite replaces
     )
+    # one job for the touched set AND the moved count: the distinct
+    # (_ob, _nb) pairs are bounded by the movement structure
+    # (parent->child, parent->other, other->child), not by rows
+    pair_rows = moved.groupBy("_ob", "_nb").count().collect()
     touched = sorted(
-        {int(r["_ob"]) for r in moved.select("_ob").distinct().collect()}
-        | {int(r["_nb"]) for r in moved.select("_nb").distinct().collect()}
+        {int(r["_ob"]) for r in pair_rows}
+        | {int(r["_nb"]) for r in pair_rows}
     )
+    n_moved = int(sum(r["count"] for r in pair_rows))
 
     # re-encode ONLY the moved rows against frozen codebooks
     moved_src = src.join(moved.select("id"), F.col(id_col) == F.col("id"),
@@ -1024,7 +1051,7 @@ def split_ivfpq_bucket(
         "bucket": bucket,
         "children": [max_id + 1 + i for i in range(nsplit)],
         "touched": touched,
-        "moved": int(moved.count()),
+        "moved": n_moved,
     }
 
 
@@ -1288,6 +1315,12 @@ def refresh_ivfpq_manifest(
     ]
     mode = "overwrite" if (reset or not have_sidecar) else "append"
     _write_manifest_segment(spark, seg_rows, path, mode)
+    if mode == "append":
+        # fold piled-up segments HERE, on the writer's own refresh —
+        # an append-only/streaming workload that is never compacted
+        # must not accumulate one sidecar file per batch forever (the
+        # fold threshold bounds the history every refresh replays)
+        compact_ivfpq_manifest(spark, path)
     out_rows = [tuple(live[s])[:8] for s in sorted(live)] + add_rows
     return spark.createDataFrame(out_rows, _MANIFEST_SCHEMA)
 
@@ -1301,8 +1334,10 @@ def compact_ivfpq_manifest(
     history the refresh diff replays (the refresh itself is O(changed)
     per call; this keeps its metadata read O(live files) over time).
     Returns the number of segment files folded (0 = under threshold,
-    nothing touched). Runs inside compact_ivfpq_index; safe standalone
-    under the same single-writer contract."""
+    nothing touched). Runs automatically on every appending refresh —
+    an append-only/streaming workload that never compacts the INDEX
+    still gets its sidecar folded; safe standalone under the same
+    single-writer contract."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -1548,10 +1583,8 @@ def compact_ivfpq_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     if man is not None:
+        # the refresh folds piled-up manifest segments itself
         man = refresh_ivfpq_manifest(spark, path, precomputed=pre)
-        # fold appended manifest segments once they pile up — the
-        # natural home: compaction already owns the single-writer lock
-        compact_ivfpq_manifest(spark, path)
     _prune_tombstones(spark, path, tomb, man)
     return buckets
 

@@ -1768,3 +1768,43 @@ def test_ivfpq_manifest_legacy_sidecar_reads_and_upgrades(spark, tmp_path):
     after = _read_ivfpq_manifest(spark, path).collect()
     assert {r["suffix"] for r in after} > {r[1] for r in live}
     assert sum(r["n_rows"] for r in after) == spark.read.parquet(path).count()
+
+
+def test_ivfpq_manifest_segments_auto_fold_bounds_history(spark, tmp_path):
+    """An append-only workload that never compacts the INDEX must still
+    get its manifest sidecar folded: after many appends the segment
+    file count stays bounded by the fold threshold (+1 for the newest
+    segment), and the live view stays correct."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _read_ivfpq_manifest,
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 13 == 0)
+    cents = similarity.train_centroids_exact(
+        base, k=4, iters=1
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    for i in range(12):
+        append_ivfpq_index(
+            spark,
+            emb.filter(
+                (F.col("vec_id") % 13 != 0) & (F.col("vec_id") % 12 == i)
+            ),
+            path,
+        )
+    segs = [
+        f
+        for f in os.listdir(f"{path}_manifest")
+        if f.endswith(".parquet")
+    ]
+    assert len(segs) <= 9, f"{len(segs)} segment files survived 12 appends"
+    man = _read_ivfpq_manifest(spark, path).collect()
+    assert sum(r["n_rows"] for r in man) == spark.read.parquet(path).count()
