@@ -1320,11 +1320,21 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_jpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    restart_interval: int | None = None,
+) -> DataFrame:
     """(id, payload binary): a real 16x16 grayscale baseline JFIF per
     row, quantized coefficients from `jpeg_coef`. Differential DC,
     run-length ACs with EOB/ZRL, byte-stuffed entropy stream, custom
-    canonical Huffman tables declared in DHT."""
+    canonical Huffman tables declared in DHT. `restart_interval`
+    (MCUs; a single-component scan's MCU is one block, so 16x16 has 4)
+    emits a DRI segment and RSTn markers with byte-aligned flushes and
+    DC-predictor resets — the framing real encoders emit so huge scans
+    can be entropy-decoded in parallel chunks; pixels are identical
+    with or without it (pytest-pinned)."""
     from pyspark.sql.functions import pandas_udf
 
     dc_syms, ac_syms = _jpeg_huff_tables()
@@ -1337,9 +1347,14 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     q = jpeg_qtab()
 
     def _encode_one(i: int) -> bytes:
+        intervals = []
         bw = _BitWriter()
         prev_dc = 0
         for b in range(4):
+            if restart_interval and b and b % restart_interval == 0:
+                intervals.append(bw.flush())
+                bw = _BitWriter()
+                prev_dc = 0  # RST resets the DC predictor
             coefs = [
                 jpeg_coef(i, b, n // 8, n % 8) for n in range(64)
             ]  # natural order
@@ -1369,7 +1384,10 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if run:
                 code, ln = ac_codes[0x00]
                 bw.write(code, ln)  # EOB
-        scan = bw.flush()
+        intervals.append(bw.flush())
+        scan = intervals[0]
+        for k, seg in enumerate(intervals[1:]):
+            scan += bytes([0xFF, 0xD0 + (k % 8)]) + seg
 
         zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
         out = b"\xff\xd8"  # SOI
@@ -1383,6 +1401,10 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
         out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        if restart_interval:
+            out += _jpeg_seg(
+                0xDD, int(restart_interval).to_bytes(2, "big")
+            )
         out += _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
         out += scan
         out += b"\xff\xd9"  # EOI
@@ -1434,6 +1456,7 @@ def _jpeg_decode_planes(buf: bytes, D):
     w = h = None
     comps = []  # (comp_id, h_i, v_i, tq)
     sos = []  # (comp_id, dc_table, ac_table)
+    ri = 0  # DRI restart interval in MCUs (0 = none)
     scan_off = None
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -1465,6 +1488,8 @@ def _jpeg_decode_planes(buf: bytes, D):
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
         elif m == 0xC4:
             huff.update(_jpeg_parse_dht(body))
+        elif m == 0xDD:
+            ri = int.from_bytes(body[:2], "big")
         elif m == 0xDA:
             ns = body[0]
             for c in range(ns):
@@ -1479,28 +1504,36 @@ def _jpeg_decode_planes(buf: bytes, D):
 
     rev = {key: {v: k for k, v in tab.items()} for key, tab in huff.items()}
 
-    # byte-unstuffed bitstream up to EOI
-    bits = []
+    # byte-unstuffed bitstream up to EOI, split into restart
+    # segments at RSTn markers (0xFFD0-0xFFD7) — each segment is
+    # independently decodable (byte-aligned start, DC predictors
+    # reset), the property that lets a production decoder chunk a
+    # huge scan across tasks
+    segments = [[]]
     p = scan_off
     while p < len(buf):
         byte = buf[p]
         if byte == 0xFF:
             nxt = buf[p + 1]
             if nxt == 0x00:
-                bits.append(byte)
+                segments[-1].append(byte)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append([])
                 p += 2
                 continue
             break  # a real marker (EOI) ends the scan
-        bits.append(byte)
+        segments[-1].append(byte)
         p += 1
-    stream = bits
-    bitpos = [0]
+    state = {"seg": 0, "bp": 0}
 
     def read_bit() -> int:
-        bp = bitpos[0]
-        byte = stream[bp >> 3]
+        seg = segments[state["seg"]]
+        bp = state["bp"]
+        byte = seg[bp >> 3]
         bit = (byte >> (7 - (bp & 7))) & 1
-        bitpos[0] = bp + 1
+        state["bp"] = bp + 1
         return bit
 
     def read_code(table) -> int:
@@ -1532,8 +1565,17 @@ def _jpeg_decode_planes(buf: bytes, D):
     for cid, hi, vi, tq in comps:
         planes[cid] = np.zeros((8 * vi * mcuy, 8 * hi * mcux), dtype=np.int64)
     prev_dc = {cid: 0 for cid, _, _, _ in comps}
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                # restart boundary: next segment, byte-aligned, DC
+                # predictors reset (ISO 10918 E.2.4)
+                state["seg"] += 1
+                state["bp"] = 0
+                for cid in prev_dc:
+                    prev_dc[cid] = 0
+            n_mcu += 1
             for cid, hi, vi, tq in comps:
                 dc = rev[0x00 | sel[cid][0]]
                 ac = rev[0x10 | sel[cid][1]]

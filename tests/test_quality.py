@@ -1039,3 +1039,34 @@ def test_jpeg_color_decode_matches_coefficient_replay(spark):
     gray = M.decode_jpeg_color_features(M.synth_jpeg(ids)).collect()
     assert len(gray) == 40
     assert all(r["sum_r"] == r["sum_g"] == r["sum_b"] for r in gray)
+
+
+def test_jpeg_restart_markers_decode_identically(spark):
+    """DRI/RSTn framing (what real encoders emit so huge scans can be
+    entropy-decoded in parallel chunks) must not change a single
+    pixel: payloads synthesized with restart intervals 1, 2 and 3
+    (a 16x16 single-component scan has 4 MCUs) decode to exactly the
+    features of the unframed payloads — byte-aligned segment starts,
+    RSTn stripping, and per-restart DC-predictor resets all exercised.
+    The framed payloads really do contain RST markers."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    want = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(M.synth_jpeg(ids)).collect()
+    }
+    for ri in (1, 2, 3):
+        framed = M.synth_jpeg(ids, restart_interval=ri)
+        raw = framed.limit(1).collect()[0]["payload"]
+        assert any(
+            bytes(raw)[k] == 0xFF and 0xD0 <= bytes(raw)[k + 1] <= 0xD7
+            for k in range(len(raw) - 1)
+        ), f"ri={ri}: no RST marker emitted"
+        got = {
+            r["id"]: tuple(r)
+            for r in M.decode_jpeg_features(framed).collect()
+        }
+        assert got == want, f"restart_interval={ri} changed pixels"
