@@ -4175,6 +4175,30 @@ def q_media_decode_jpeg(spark, sf_dir):
     return decode_jpeg_features(synth_jpeg(d)).orderBy("id")
 
 
+def q_media_decode_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG decode (operators/multimodal.
+    synth_jpeg_progressive / the shared _jpeg_decode_planes core) —
+    spectral-selection mode: SOF2, a DC scan plus four AC band scans
+    per image, EOBn end-of-band run codes accumulated across blocks
+    (the default band split makes ~86% of images carry an n>=1 EOBRUN,
+    so the progressive-only entropy path really executes). The
+    decoder's multi-scan walk accumulates COEFFICIENTS and transforms
+    once at the end, so a progressive stream of the same quantized
+    coefficients reconstructs bit-identical pixels to its baseline
+    encoding — which is why this gate's oracle IS the baseline
+    arithmetic replay (_jpeg_oracle_sql): hash parity against it
+    proves the whole SOF2/multi-SOS/EOBRUN chain byte-correct. The
+    remaining stub boundary is successive-approximation JPEG
+    (explicitly refused) and ffmpeg-class A/V codecs."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_progressive,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_features(synth_jpeg_progressive(d)).orderBy("id")
+
+
 def q_media_decode_jpeg_color(spark, sf_dir):
     """REAL COLOR baseline-JPEG decode (operators/multimodal.
     synth_jpeg_color / decode_jpeg_color_features) — the r11 verdict's
@@ -12910,6 +12934,10 @@ def _oracle() -> dict[str, str]:
         # color variant: per-component coefficient replay + 4:2:0
         # upsample + the fixed-point colorspace floor conversion
         "media_decode_jpeg_color": _jpeg_color_oracle_sql(),
+        # progressive decodes the SAME coefficients to the SAME
+        # pixels: the baseline replay IS the oracle (that identity
+        # is the correctness claim)
+        "media_decode_jpeg_progressive": _jpeg_oracle_sql(),
         "ivfpq_index_query": f"""
             WITH {_trained_cents_cte(16, 2)},
             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -14530,6 +14558,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_oracle_parity.py like every other entry. ---
     "ivfpq_bucket_split": q_ivfpq_bucket_split,
     "media_decode_jpeg_color": q_media_decode_jpeg_color,
+    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
 }
 
 

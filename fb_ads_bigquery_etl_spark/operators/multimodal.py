@@ -1420,6 +1420,134 @@ def synth_jpeg(
     )
 
 
+def synth_jpeg_progressive(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: tuple[tuple[int, int], ...] = (
+        (1, 5), (6, 29), (30, 40), (41, 63),
+    ),
+) -> DataFrame:
+    """(id, payload binary): a real 16x16 grayscale PROGRESSIVE JFIF
+    per row — SOF2, spectral-selection mode (Ah=Al=0): one DC scan
+    (Ss=Se=0) followed by one AC scan per `bands` entry, each a
+    separate SOS over the zigzag band [Ss, Se]. AC scans use EOBn
+    end-of-band RUN codes accumulated ACROSS blocks (flushed before
+    the next non-EOB symbol and at scan end) — the part of progressive
+    entropy coding baseline doesn't have; the default band split is
+    chosen so the (30, 40) band is all-zero across >=2 consecutive
+    blocks in ~86% of gate images, really exercising EOBn with n >= 1. Coefficients are the same
+    `jpeg_coef` closed form as synth_jpeg, so the progressive payload
+    decodes to bit-identical pixels (pytest-pinned; the gate reuses
+    the baseline oracle for exactly that reason)."""
+    from pyspark.sql.functions import pandas_udf
+
+    dc_syms, _ = _jpeg_huff_tables()
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_syms)
+    # AC table with the EOBn symbols progressive needs (runs up to 4
+    # blocks here -> n <= 2); 6-bit flat like the baseline table
+    ac_syms = [0x00, 0x10, 0x20, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 4)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[5] = len(ac_syms)
+    ac_codes = _canonical_codes(ac_bits, ac_syms)
+    q = jpeg_qtab()
+
+    def _encode_one(i: int) -> bytes:
+        blocks = []
+        for b in range(4):
+            coefs = [jpeg_coef(i, b, n // 8, n % 8) for n in range(64)]
+            blocks.append([coefs[_ZIGZAG[k]] for k in range(64)])
+
+        # DC scan (Ss=Se=0)
+        bw = _BitWriter()
+        prev_dc = 0
+        for zz in blocks:
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _size_cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        scans = [(0, 0, bw.flush())]
+
+        # AC band scans with cross-block EOBRUN accumulation
+        for ss, se in bands:
+            bw = _BitWriter()
+            eobrun = [0]
+
+            def flush_eobrun():
+                if not eobrun[0]:
+                    return
+                n = eobrun[0].bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(eobrun[0] - (1 << n), n)
+                eobrun[0] = 0
+
+            for zz in blocks:
+                band = zz[ss : se + 1]
+                if not any(band):
+                    eobrun[0] += 1
+                    continue
+                flush_eobrun()
+                run = 0
+                last = max(k for k, a in enumerate(band) if a)
+                for k, a in enumerate(band):
+                    if k > last:
+                        break
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _size_cat(a)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(a if a > 0 else a + (1 << s) - 1, s)
+                    run = 0
+                if last < len(band) - 1:
+                    eobrun[0] += 1  # trailing zeros end this band
+            flush_eobrun()
+            scans.append((ss, se, bw.flush()))
+
+        zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
+        out = b"\xff\xd8"
+        out += _jpeg_seg(0xDB, b"\x00" + zz_q)
+        out += _jpeg_seg(
+            0xC2,  # SOF2: progressive DCT
+            b"\x08"
+            + JPEG_H.to_bytes(2, "big")
+            + JPEG_W.to_bytes(2, "big")
+            + b"\x01\x01\x11\x00",
+        )
+        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        for ss, se, data in scans:
+            out += _jpeg_seg(
+                0xDA, b"\x01\x01\x00" + bytes([ss, se, 0x00])
+            )
+            out += data
+        out += b"\xff\xd9"
+        return out
+
+    def _mk_fn(ids):
+        return pd.Series([_encode_one(int(i)) for i in ids])
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
 def _jpeg_parse_dht(body: bytes) -> dict:
     """DHT segment -> {Tc<<4|Th: symbol -> (code, length)} via the
     general ISO C.2 canonical construction (any table content)."""
@@ -1435,16 +1563,48 @@ def _jpeg_parse_dht(body: bytes) -> dict:
     return tables
 
 
+def _jpeg_entropy_segments(buf: bytes, start: int):
+    """Byte-unstuffed entropy data of ONE scan, split into restart
+    segments at RSTn markers (each byte-aligned, independently
+    decodable). Returns (segments, next_pos) with next_pos at the
+    first non-RST marker so the caller's walk continues — progressive
+    streams carry several SOS scans."""
+    segments = [[]]
+    p = start
+    while p < len(buf):
+        byte = buf[p]
+        if byte == 0xFF:
+            nxt = buf[p + 1]
+            if nxt == 0x00:
+                segments[-1].append(byte)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append([])
+                p += 2
+                continue
+            break  # a real marker ends the scan
+        segments[-1].append(byte)
+        p += 1
+    return segments, p
+
+
 def _jpeg_decode_planes(buf: bytes, D):
-    """Shared baseline-JPEG core, BYTES ONLY — one decoder for the
-    grayscale and color kernels (they diverged once and a marker-walk
-    fix would have had to land twice): marker walk (SOI/DQT(xN)/SOF0/
-    DHT(xN)/SOS/EOI), multi-component SOF0 sampling factors + quant
-    ids, SOS Huffman selectors, byte-unstuffed bit reader, interleaved
-    MCU entropy decode with per-component DC predictors + EXTEND,
-    dezigzag, per-component dequant, Q14 integer IDCT
-    (p = floor(S / 2^30) + 128, clamped). Returns (w, h, comps,
-    planes): comps = [(comp_id, h_i, v_i, tq)] in SOF order, planes =
+    """Shared JPEG core, BYTES ONLY — one decoder for the grayscale,
+    color and progressive kernels (they diverged once and a
+    marker-walk fix would have had to land twice): marker walk
+    (SOI/DQT(xN)/SOF0|SOF2/DHT(xN)/DRI/SOS(xN)/EOI), multi-component
+    sampling factors + quant ids, per-scan Huffman selectors and
+    spectral band (Ss, Se), byte-unstuffed restart-segmented bit
+    reader, interleaved-MCU or single-component block order per scan,
+    differential DC + EXTEND, progressive EOBRUN (baseline EOB is its
+    n=0 case), dezigzag into a per-block COEFFICIENT store — scans
+    accumulate coefficients; dequant + Q14 integer IDCT run once at
+    the end (p = floor(S / 2^30) + 128, clamped), so a progressive
+    stream of the same coefficients reconstructs bit-identical pixels
+    to its baseline encoding. Successive approximation (Ah/Al != 0)
+    is refused — the declared boundary. Returns (w, h, comps, planes):
+    comps = [(comp_id, h_i, v_i, tq)] in SOF order, planes =
     {comp_id: int64 array (8*v_i*mcuy, 8*h_i*mcux)}."""
     import numpy as np
 
@@ -1455,9 +1615,8 @@ def _jpeg_decode_planes(buf: bytes, D):
     huff = {}
     w = h = None
     comps = []  # (comp_id, h_i, v_i, tq)
-    sos = []  # (comp_id, dc_table, ac_table)
-    ri = 0  # DRI restart interval in MCUs (0 = none)
-    scan_off = None
+    ri = 0  # DRI restart interval (0 = none)
+    scans = []  # (scan_comps, Ss, Se, Ah, Al, ri, segments)
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1478,7 +1637,7 @@ def _jpeg_decode_planes(buf: bytes, D):
                     q[nat // 8][nat % 8] = zz[k]
                 qtabs[tq] = q
                 off += 65
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC2):  # baseline / progressive frame
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -1492,121 +1651,159 @@ def _jpeg_decode_planes(buf: bytes, D):
             ri = int.from_bytes(body[:2], "big")
         elif m == 0xDA:
             ns = body[0]
-            for c in range(ns):
-                cid = body[1 + 2 * c]
-                tt = body[2 + 2 * c]
-                sos.append((cid, tt >> 4, tt & 0x0F))
-            scan_off = pos + 2 + ln
-            break
+            sc = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                 body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            segments, pos = _jpeg_entropy_segments(buf, pos + 2 + ln)
+            scans.append(
+                (sc, ss, se, ah_al >> 4, ah_al & 0x0F, ri, segments)
+            )
+            continue  # pos already advanced past the entropy data
         pos += 2 + ln
-    if not qtabs or w is None or scan_off is None or not comps:
+    if not qtabs or w is None or not comps or not scans:
         raise ValueError("missing DQT/SOF0/SOS")
 
     rev = {key: {v: k for k, v in tab.items()} for key, tab in huff.items()}
-
-    # byte-unstuffed bitstream up to EOI, split into restart
-    # segments at RSTn markers (0xFFD0-0xFFD7) — each segment is
-    # independently decodable (byte-aligned start, DC predictors
-    # reset), the property that lets a production decoder chunk a
-    # huge scan across tasks
-    segments = [[]]
-    p = scan_off
-    while p < len(buf):
-        byte = buf[p]
-        if byte == 0xFF:
-            nxt = buf[p + 1]
-            if nxt == 0x00:
-                segments[-1].append(byte)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append([])
-                p += 2
-                continue
-            break  # a real marker (EOI) ends the scan
-        segments[-1].append(byte)
-        p += 1
-    state = {"seg": 0, "bp": 0}
-
-    def read_bit() -> int:
-        seg = segments[state["seg"]]
-        bp = state["bp"]
-        byte = seg[bp >> 3]
-        bit = (byte >> (7 - (bp & 7))) & 1
-        state["bp"] = bp + 1
-        return bit
-
-    def read_code(table) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | read_bit()
-            ln += 1
-            sym = table.get((code, ln))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
-
-    def read_extend(size: int) -> int:
-        if size == 0:
-            return 0
-        v = 0
-        for _ in range(size):
-            v = (v << 1) | read_bit()
-        if v < (1 << (size - 1)):
-            v -= (1 << size) - 1
-        return v
-
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    sel = {cid: (dc_t, ac_t) for cid, dc_t, ac_t in sos}
+    # per-component COEFFICIENT store (natural order); scans accumulate
+    coef = {
+        cid: np.zeros((vi * mcuy, hi * mcux, 8, 8), dtype=np.int64)
+        for cid, hi, vi, tq in comps
+    }
+
+    for sc, ss, se, ah, al, sri, segments in scans:
+        if ah != 0 or al != 0:
+            raise ValueError(
+                "successive-approximation JPEG not supported "
+                "(spectral-selection progressive only)"
+            )
+        state = {"seg": 0, "bp": 0}
+
+        def read_bit() -> int:
+            seg = segments[state["seg"]]
+            bp = state["bp"]
+            byte = seg[bp >> 3]
+            bit = (byte >> (7 - (bp & 7))) & 1
+            state["bp"] = bp + 1
+            return bit
+
+        def read_code(table) -> int:
+            code, ln2 = 0, 0
+            while ln2 < 16:
+                code = (code << 1) | read_bit()
+                ln2 += 1
+                sym = table.get((code, ln2))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in scan")
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_extend(size: int) -> int:
+            if size == 0:
+                return 0
+            v = read_bits(size)
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        prev_dc = {cid: 0 for cid, _, _ in sc}
+        eobrun = [0]
+
+        def decode_block(cid, by, bx, dc_t, ac_t):
+            store = coef[cid][by, bx]
+            k = ss
+            if ss == 0:
+                s = read_code(rev[0x00 | dc_t])
+                prev_dc[cid] += read_extend(s)
+                store[0, 0] = prev_dc[cid]
+                k = 1
+            if k > se:
+                return
+            if eobrun[0] > 0:  # progressive end-of-band run
+                eobrun[0] -= 1
+                return
+            ac = rev[0x10 | ac_t]
+            while k <= se:
+                sym = read_code(ac)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    run = 1 << r  # EOBn (baseline EOB = n=0)
+                    if r:
+                        run += read_bits(r)
+                    eobrun[0] = run - 1
+                    return
+                k += r
+                nat = _ZIGZAG[k]
+                store[nat // 8, nat % 8] = read_extend(s)
+                k += 1
+
+        def restart() -> None:
+            state["seg"] += 1
+            state["bp"] = 0
+            for c in prev_dc:
+                prev_dc[c] = 0
+            eobrun[0] = 0  # EOBRUN cannot cross a restart (E.2.4)
+
+        n_units = 0
+        if len(sc) > 1:  # interleaved: one MCU per unit
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if sri and n_units and n_units % sri == 0:
+                        restart()
+                    n_units += 1
+                    for cid, dc_t, ac_t in sc:
+                        hi, vi, _ = by_id[cid]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                decode_block(
+                                    cid,
+                                    my * vi + byy,
+                                    mx * hi + bxx,
+                                    dc_t,
+                                    ac_t,
+                                )
+        else:  # single-component scan: non-interleaved block raster
+            cid, dc_t, ac_t = sc[0]
+            hi, vi, _ = by_id[cid]
+            bw_n = -(-(w * hi) // (8 * hmax))
+            bh_n = -(-(h * vi) // (8 * vmax))
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if sri and n_units and n_units % sri == 0:
+                        restart()
+                    n_units += 1
+                    decode_block(cid, by, bx, dc_t, ac_t)
+
+    # dequant + IDCT once, after every scan has landed its band
     planes = {}
     for cid, hi, vi, tq in comps:
-        planes[cid] = np.zeros((8 * vi * mcuy, 8 * hi * mcux), dtype=np.int64)
-    prev_dc = {cid: 0 for cid, _, _, _ in comps}
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and n_mcu and n_mcu % ri == 0:
-                # restart boundary: next segment, byte-aligned, DC
-                # predictors reset (ISO 10918 E.2.4)
-                state["seg"] += 1
-                state["bp"] = 0
-                for cid in prev_dc:
-                    prev_dc[cid] = 0
-            n_mcu += 1
-            for cid, hi, vi, tq in comps:
-                dc = rev[0x00 | sel[cid][0]]
-                ac = rev[0x10 | sel[cid][1]]
-                Q = np.array(qtabs[tq], dtype=np.int64)
-                for byy in range(vi):
-                    for bxx in range(hi):
-                        zz = [0] * 64
-                        s = read_code(dc)
-                        prev_dc[cid] += read_extend(s)
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            sym = read_code(ac)
-                            if sym == 0x00:
-                                break  # EOB
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            zz[k] = read_extend(sym & 0x0F)
-                            k += 1
-                        coef = np.zeros((8, 8), dtype=np.int64)
-                        for k2, nat in enumerate(_ZIGZAG):
-                            coef[nat // 8, nat % 8] = zz[k2]
-                        dq = coef * Q
-                        # S[y][x] = sum_uv dq[u,v] D[u,y] D[v,x]
-                        S = D.T @ dq @ D
-                        blk = np.clip(S // (1 << 30) + 128, 0, 255)
-                        y0 = (my * vi + byy) * 8
-                        x0 = (mx * hi + bxx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+        Q = np.array(qtabs[tq], dtype=np.int64)
+        arr = np.zeros((8 * vi * mcuy, 8 * hi * mcux), dtype=np.int64)
+        store = coef[cid]
+        for by in range(store.shape[0]):
+            for bx in range(store.shape[1]):
+                dq = store[by, bx] * Q
+                # S[y][x] = sum_uv dq[u,v] D[u,y] D[v,x]
+                S = D.T @ dq @ D
+                blk = np.clip(S // (1 << 30) + 128, 0, 255)
+                arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        planes[cid] = arr
     return w, h, comps, planes
 
 

@@ -1070,3 +1070,53 @@ def test_jpeg_restart_markers_decode_identically(spark):
             for r in M.decode_jpeg_features(framed).collect()
         }
         assert got == want, f"restart_interval={ri} changed pixels"
+
+
+def test_jpeg_progressive_decodes_identically_and_guards(spark):
+    """A progressive (SOF2, spectral-selection) encoding of the SAME
+    quantized coefficients must decode to exactly the baseline
+    features — DC scan + AC band scans, cross-block EOBn runs and all.
+    A nonzero successive-approximation scan must be refused loudly
+    (the declared boundary), not mis-decoded."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    ids = spark.range(50).select(F.col("id").alias("doc_id"))
+    want = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(M.synth_jpeg(ids)).collect()
+    }
+    got = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(
+            M.synth_jpeg_progressive(ids)
+        ).collect()
+    }
+    assert got == want
+    # single-band split (forces plain EOB-per-block) must also agree
+    got1 = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(
+            M.synth_jpeg_progressive(ids, bands=((1, 63),))
+        ).collect()
+    }
+    assert got1 == want
+
+    # successive approximation (Ah/Al != 0) is refused
+    payload = bytes(
+        M.synth_jpeg_progressive(
+            spark.range(1).select(F.col("id").alias("doc_id"))
+        ).collect()[0]["payload"]
+    )
+    # flip the last scan's AhAl byte (SOS body: 01 01 00 Ss Se AhAl)
+    k = payload.rindex(b"\xff\xda")
+    mut = bytearray(payload)
+    mut[k + 9] = 0x01  # Al = 1
+    with _pytest.raises(Exception, match="successive-approximation"):
+        M.decode_jpeg_features(
+            spark.createDataFrame(
+                [(1, bytes(mut))], "id long, payload binary"
+            )
+        ).collect()
