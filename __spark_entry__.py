@@ -14290,58 +14290,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # §2.1): never-driver-checked entries first, then ascending last-green
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
-    # --- last driver-green r06 ---
-    "idle_customers": q_idle_customers,
-    "streaming_hourly": q_streaming_hourly,
-    "priority_count": q_priority_count,
-    "local_supplier_volume": q_local_supplier_volume,
-    "shipping_delay_priority": q_shipping_delay_priority,
+    # --- never driver-checked (new queries first) ---
+    "ivfpq_bucket_split": q_ivfpq_bucket_split,
+    "media_decode_jpeg_color": q_media_decode_jpeg_color,
+    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
     # --- last driver-green r07 ---
-    "streaming_restart_recovery": q_streaming_restart_recovery,
-    "zorder_manifest_scan": q_zorder_manifest_scan,
-    "media_decode_png": q_media_decode_png,
-    "media_decode_video": q_media_decode_video,
-    "media_decode_audio": q_media_decode_audio,
-    "media_decode_features": q_media_decode_features,
-    "ivm_agg_delete": q_ivm_agg_delete,
-    "ann_jl_recall": q_ann_jl_recall,
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "bloom_file_index": q_bloom_file_index,
-    "bloom_semi_join": q_bloom_semi_join,
-    "table_profile": q_table_profile,
-    "dq_checks": q_dq_checks,
-    "scd2_history": q_scd2_history,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "ivm_dim_delete": q_ivm_dim_delete,
-    "manifest_incremental": q_manifest_incremental,
-    "zorder_multi": q_zorder_multi,
-    "epoch_shuffle": q_epoch_shuffle,
-    "quality_classifier": q_quality_classifier,
-    "excess_shippers": q_excess_shippers,
-    "knn_join": q_knn_join,
-    "quartile_bucket": q_quartile_bucket,
-    "conversion_funnel": q_conversion_funnel,
-    "cohort_retention": q_cohort_retention,
-    "lang_distribution": q_lang_distribution,
-    "null_safe_join": q_null_safe_join,
-    "corr_price_qty": q_corr_price_qty,
-    "sliding_windows": q_sliding_windows,
-    "pivot_source_lang": q_pivot_source_lang,
-    "streaming_sessions": q_streaming_sessions,
-    "gap_fill_daily": q_gap_fill_daily,
-    "dedup_levenshtein": q_dedup_levenshtein,
-    "weighted_sample": q_weighted_sample,
-    "trend_by_nation": q_trend_by_nation,
-    "anomaly_zscore": q_anomaly_zscore,
-    "lang_gini_by_source": q_lang_gini_by_source,
-    "streaming_interval_join": q_streaming_interval_join,
-    "dedup_apply": q_dedup_apply,
-    "streaming_dedup": q_streaming_dedup,
-    "reservoir_per_group": q_reservoir_per_group,
-    "pack_sequences": q_pack_sequences,
-    "streaming_user_totals": q_streaming_user_totals,
-    "cdc_changelog_apply": q_cdc_changelog_apply,
-    "skew_salted_join": q_skew_salted_join,
     "dedup_url_canonical": q_dedup_url_canonical,
     "attribution_linear": q_attribution_linear,
     "inverted_index": q_inverted_index,
@@ -14551,14 +14504,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier": q_top_supplier,
     "parts_supplier_cnt": q_parts_supplier_cnt,
     "large_orders": q_large_orders,
-    # --- new in r12, deliberately placed BEHIND the window: the r12
-    # window is reserved for banking the r06/r07 stale-evidence backlog
-    # (r11 verdict task 1); the next reorder_registry run moves this to
-    # the head of the r13 window. Parity-guarded meanwhile by
-    # tests/test_oracle_parity.py like every other entry. ---
-    "ivfpq_bucket_split": q_ivfpq_bucket_split,
-    "media_decode_jpeg_color": q_media_decode_jpeg_color,
-    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
+    # --- last driver-green r12 ---
+    "idle_customers": q_idle_customers,
+    "streaming_hourly": q_streaming_hourly,
+    "priority_count": q_priority_count,
+    "local_supplier_volume": q_local_supplier_volume,
+    "shipping_delay_priority": q_shipping_delay_priority,
+    "streaming_restart_recovery": q_streaming_restart_recovery,
+    "zorder_manifest_scan": q_zorder_manifest_scan,
+    "media_decode_png": q_media_decode_png,
+    "media_decode_video": q_media_decode_video,
+    "media_decode_audio": q_media_decode_audio,
+    "media_decode_features": q_media_decode_features,
+    "ivm_agg_delete": q_ivm_agg_delete,
+    "ann_jl_recall": q_ann_jl_recall,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "bloom_file_index": q_bloom_file_index,
+    "bloom_semi_join": q_bloom_semi_join,
+    "table_profile": q_table_profile,
+    "dq_checks": q_dq_checks,
+    "scd2_history": q_scd2_history,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "ivm_dim_delete": q_ivm_dim_delete,
+    "manifest_incremental": q_manifest_incremental,
+    "zorder_multi": q_zorder_multi,
+    "epoch_shuffle": q_epoch_shuffle,
+    "quality_classifier": q_quality_classifier,
+    "excess_shippers": q_excess_shippers,
+    "knn_join": q_knn_join,
+    "quartile_bucket": q_quartile_bucket,
+    "conversion_funnel": q_conversion_funnel,
+    "cohort_retention": q_cohort_retention,
+    "lang_distribution": q_lang_distribution,
+    "null_safe_join": q_null_safe_join,
+    "corr_price_qty": q_corr_price_qty,
+    "sliding_windows": q_sliding_windows,
+    "pivot_source_lang": q_pivot_source_lang,
+    "streaming_sessions": q_streaming_sessions,
+    "gap_fill_daily": q_gap_fill_daily,
+    "dedup_levenshtein": q_dedup_levenshtein,
+    "weighted_sample": q_weighted_sample,
+    "trend_by_nation": q_trend_by_nation,
+    "anomaly_zscore": q_anomaly_zscore,
+    "lang_gini_by_source": q_lang_gini_by_source,
+    "streaming_interval_join": q_streaming_interval_join,
+    "dedup_apply": q_dedup_apply,
+    "streaming_dedup": q_streaming_dedup,
+    "reservoir_per_group": q_reservoir_per_group,
+    "pack_sequences": q_pack_sequences,
+    "streaming_user_totals": q_streaming_user_totals,
+    "cdc_changelog_apply": q_cdc_changelog_apply,
+    "skew_salted_join": q_skew_salted_join,
 }
 
 
