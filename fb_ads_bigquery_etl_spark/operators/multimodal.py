@@ -1427,6 +1427,7 @@ def synth_jpeg_progressive(
     bands: tuple[tuple[int, int], ...] = (
         (1, 5), (6, 29), (30, 40), (41, 63),
     ),
+    redefine_ac_table: bool = False,
 ) -> DataFrame:
     """(id, payload binary): a real 16x16 grayscale PROGRESSIVE JFIF
     per row — SOF2, spectral-selection mode (Ah=Al=0): one DC scan
@@ -1439,7 +1440,13 @@ def synth_jpeg_progressive(
     blocks in ~86% of gate images, really exercising EOBn with n >= 1. Coefficients are the same
     `jpeg_coef` closed form as synth_jpeg, so the progressive payload
     decodes to bit-identical pixels (pytest-pinned; the gate reuses
-    the baseline oracle for exactly that reason)."""
+    the baseline oracle for exactly that reason). With
+    `redefine_ac_table` each AC scan after the first re-emits a DHT
+    for slot Tc=1/Th=0 with the symbol list ROTATED by the scan index
+    (different canonical code assignment, same lengths) and encodes
+    with the new codes — the per-scan table redefinition T.81 permits
+    and libjpeg progressive output performs, which a decoder that
+    accumulates DHT globally before decoding mis-reads."""
     from pyspark.sql.functions import pandas_udf
 
     dc_syms, _ = _jpeg_huff_tables()
@@ -1473,10 +1480,16 @@ def synth_jpeg_progressive(
             bw.write(code, ln)
             if s:
                 bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        scans = [(0, 0, bw.flush())]
+        scans = [(0, 0, None, bw.flush())]
 
         # AC band scans with cross-block EOBRUN accumulation
-        for ss, se in bands:
+        for j, (ss, se) in enumerate(bands):
+            if redefine_ac_table and j:
+                syms = ac_syms[j:] + ac_syms[:j]
+                codes = _canonical_codes(ac_bits, syms)
+                dht_body = b"\x10" + bytes(ac_bits) + bytes(syms)
+            else:
+                codes, dht_body = ac_codes, None
             bw = _BitWriter()
             eobrun = [0]
 
@@ -1484,7 +1497,7 @@ def synth_jpeg_progressive(
                 if not eobrun[0]:
                     return
                 n = eobrun[0].bit_length() - 1
-                code, ln = ac_codes[n << 4]
+                code, ln = codes[n << 4]
                 bw.write(code, ln)
                 if n:
                     bw.write(eobrun[0] - (1 << n), n)
@@ -1505,18 +1518,18 @@ def synth_jpeg_progressive(
                         run += 1
                         continue
                     while run > 15:
-                        code, ln = ac_codes[0xF0]
+                        code, ln = codes[0xF0]
                         bw.write(code, ln)
                         run -= 16
                     s = _size_cat(a)
-                    code, ln = ac_codes[(run << 4) | s]
+                    code, ln = codes[(run << 4) | s]
                     bw.write(code, ln)
                     bw.write(a if a > 0 else a + (1 << s) - 1, s)
                     run = 0
                 if last < len(band) - 1:
                     eobrun[0] += 1  # trailing zeros end this band
             flush_eobrun()
-            scans.append((ss, se, bw.flush()))
+            scans.append((ss, se, dht_body, bw.flush()))
 
         zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
         out = b"\xff\xd8"
@@ -1530,7 +1543,9 @@ def synth_jpeg_progressive(
         )
         out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
         out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
-        for ss, se, data in scans:
+        for ss, se, dht_body, data in scans:
+            if dht_body is not None:
+                out += _jpeg_seg(0xC4, dht_body)
             out += _jpeg_seg(
                 0xDA, b"\x01\x01\x00" + bytes([ss, se, 0x00])
             )
@@ -1579,6 +1594,19 @@ def _jpeg_entropy_segments(buf: bytes, start: int):
                 segments[-1].append(byte)
                 p += 2
                 continue
+            if nxt == 0xFF:
+                # fill byte(s) before a marker (T.81 B.1.1.2); real
+                # encoders may pad. Look past the run: an RSTn there
+                # continues the scan, anything else ends it with p at
+                # the run start (the caller's walk skips the fill).
+                q = p + 1
+                while q + 1 < len(buf) and buf[q + 1] == 0xFF:
+                    q += 1
+                if q + 1 < len(buf) and 0xD0 <= buf[q + 1] <= 0xD7:
+                    segments.append([])
+                    p = q + 2
+                    continue
+                break
             if 0xD0 <= nxt <= 0xD7:
                 segments.append([])
                 p += 2
@@ -1620,6 +1648,8 @@ def _jpeg_decode_planes(buf: bytes, D):
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1  # skip fill bytes before the marker id (B.1.1.2)
         m = buf[pos + 1]
         if m == 0xD9:
             break
@@ -1659,15 +1689,19 @@ def _jpeg_decode_planes(buf: bytes, D):
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
             segments, pos = _jpeg_entropy_segments(buf, pos + 2 + ln)
+            # snapshot the Huffman table state AT this SOS (like ri):
+            # later DHT segments may redefine slots 0/1 for the next
+            # scan (T.81 permits it; libjpeg progressive output does
+            # it routinely) and must not retroactively change this one
             scans.append(
-                (sc, ss, se, ah_al >> 4, ah_al & 0x0F, ri, segments)
+                (sc, ss, se, ah_al >> 4, ah_al & 0x0F, ri, segments,
+                 dict(huff))
             )
             continue  # pos already advanced past the entropy data
         pos += 2 + ln
     if not qtabs or w is None or not comps or not scans:
         raise ValueError("missing DQT/SOF0/SOS")
 
-    rev = {key: {v: k for k, v in tab.items()} for key, tab in huff.items()}
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1679,7 +1713,11 @@ def _jpeg_decode_planes(buf: bytes, D):
         for cid, hi, vi, tq in comps
     }
 
-    for sc, ss, se, ah, al, sri, segments in scans:
+    for sc, ss, se, ah, al, sri, segments, huff_s in scans:
+        rev = {
+            key: {v: k for k, v in tab.items()}
+            for key, tab in huff_s.items()
+        }
         if ah != 0 or al != 0:
             raise ValueError(
                 "successive-approximation JPEG not supported "

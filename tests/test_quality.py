@@ -1120,3 +1120,116 @@ def test_jpeg_progressive_decodes_identically_and_guards(spark):
                 [(1, bytes(mut))], "id long, payload binary"
             )
         ).collect()
+
+
+def test_jpeg_per_scan_dht_redefinition(spark):
+    """T.81 permits a DHT between scans to REDEFINE a table slot for
+    the scans that follow; libjpeg progressive output reuses slots
+    0/1 this way routinely. Each scan must therefore be decoded with
+    the Huffman state AT its SOS, not the final accumulated state —
+    synth_jpeg_progressive(redefine_ac_table=True) rotates the AC
+    symbol list per scan (same code lengths, different canonical
+    assignment), so a decoder that keeps one global table mis-reads
+    every AC scan but the last."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    want = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(M.synth_jpeg(ids)).collect()
+    }
+    redefined = M.synth_jpeg_progressive(ids, redefine_ac_table=True)
+    # the payload really carries a mid-stream DHT: more DHT segments
+    # than the 2 up-front ones
+    raw = bytes(redefined.limit(1).collect()[0]["payload"])
+    n_dht = raw.count(b"\xff\xc4")
+    assert n_dht >= 4, f"expected per-scan DHTs, found {n_dht}"
+    got = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(redefined).collect()
+    }
+    assert got == want
+
+
+def _with_fill_bytes(buf: bytes) -> bytes:
+    """Re-frame a JPEG payload with 0xFF fill bytes (T.81 B.1.1.2)
+    before every marker — segment markers, RSTn inside the scan, and
+    EOI — without touching entropy bits or segment bodies."""
+    out = bytearray(buf[:2])  # SOI
+    pos = 2
+    in_scan = False
+    while pos < len(buf):
+        b = buf[pos]
+        if not in_scan:
+            assert b == 0xFF, "bad marker alignment in fixture"
+            m = buf[pos + 1]
+            out += b"\xff\xff" + buf[pos : pos + 2]
+            if m == 0xD9:
+                break
+            ln = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+            out += buf[pos + 2 : pos + 2 + ln]
+            pos += 2 + ln
+            if m == 0xDA:
+                in_scan = True
+            continue
+        if b == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00:
+                out += buf[pos : pos + 2]
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                out += b"\xff" + buf[pos : pos + 2]
+                pos += 2
+                continue
+            in_scan = False  # real marker: let the outer branch frame it
+            continue
+        out.append(b)
+        pos += 1
+    return bytes(out)
+
+
+def test_jpeg_fill_bytes_before_markers(spark):
+    """0xFF fill bytes may pad any marker (T.81 B.1.1.2) — before
+    segment markers, before RSTn inside entropy data, and before EOI.
+    Payloads re-framed with fills everywhere must decode to exactly
+    the unpadded features, for baseline, restart-framed, progressive
+    and color streams."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+
+    for synth, decode in (
+        (lambda d: M.synth_jpeg(d), M.decode_jpeg_features),
+        (
+            lambda d: M.synth_jpeg(d, restart_interval=1),
+            M.decode_jpeg_features,
+        ),
+        (lambda d: M.synth_jpeg_progressive(d), M.decode_jpeg_features),
+        (lambda d: M.synth_jpeg_color(d), M.decode_jpeg_color_features),
+    ):
+        plain = [
+            (r["id"], bytes(r["payload"]))
+            for r in synth(ids).collect()
+        ]
+        padded = [(i, _with_fill_bytes(p)) for i, p in plain]
+        assert any(
+            b"\xff\xff" in p for _, p in padded
+        ), "fixture added no fill bytes"
+        want = {
+            r["id"]: tuple(r)
+            for r in decode(
+                spark.createDataFrame(plain, "id long, payload binary")
+            ).collect()
+        }
+        got = {
+            r["id"]: tuple(r)
+            for r in decode(
+                spark.createDataFrame(padded, "id long, payload binary")
+            ).collect()
+        }
+        assert got == want
