@@ -664,6 +664,13 @@ def build_ivfpq_index(
     harness uses it (an O(batch) append encodes against the FROZEN
     sidecars; a rebuild comparing against it must freeze the same
     ones)."""
+    # a full rebuild supersedes any interrupted split: clear its
+    # staged commit so the fresh index is not gated on recovery
+    spark = df.sparkSession
+    fs, P = _split_fs(spark, path)
+    for leftover in _split_paths(path):
+        if fs.exists(P(leftover)):
+            fs.delete(P(leftover), True)
     cents, resid = _residuals(
         df, centroids, vec_col=vec_col, id_col=id_col
     )
@@ -748,6 +755,7 @@ def append_ivfpq_index(
     with the same frozen sidecars is file-for-file probe-equal
     (pytest-pinned; the `ivfpq_index_append` oracle gate replays the
     whole pipeline)."""
+    _check_no_split_inflight(spark, path)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         # tombstones carry no sequence numbers, so a tombstoned id
@@ -822,6 +830,7 @@ def retrain_ivfpq_codebooks(
     one absent from `df` would leave its tombstone a phantom —
     compact_ivfpq_index first (same ordering contract as re-adds).
     Single-writer, like every other index mutation."""
+    _check_no_split_inflight(spark, path)
     tomb = _read_tombstones(spark, path)
     if tomb is not None and tomb.count() > 0:
         raise ValueError(
@@ -859,6 +868,92 @@ def retrain_ivfpq_codebooks(
         id_col=id_col,
     )
     return new_cb
+
+
+_SPLIT_COMMIT_SCHEMA = (
+    "bucket int, op string, n_rows long, min_id long, max_id long"
+)
+
+
+def _split_paths(path: str) -> tuple[str, str, str]:
+    return (
+        f"{path}_split_staged",
+        f"{path}_split_staged_centroids",
+        f"{path}_split_commit",
+    )
+
+
+def _split_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    return P(path).getFileSystem(hconf), P
+
+
+def _check_no_split_inflight(spark, path: str) -> None:
+    """Refuse to read or mutate an index whose bucket split crashed
+    mid-commit: between the code-bucket swap and the centroid-sidecar
+    swap the pair is mutually inconsistent (duplicate or unreachable
+    probe results), so the commit marker gates EVERY public verb until
+    the staged commit is rolled forward."""
+    fs, P = _split_fs(spark, path)
+    if fs.exists(P(_split_paths(path)[2])):
+        raise ValueError(
+            f"interrupted bucket split/merge on {path}: a staged "
+            "commit is in flight — run recover_ivfpq_split(spark, "
+            f"{path!r}) to roll it forward before touching the index"
+        )
+
+
+def _replay_split_commit(spark, path: str) -> dict | None:
+    """Idempotently execute a staged split commit: per plan row,
+    rename the staged bucket dir over the live one ('commit') or
+    delete the vacated live dir ('drop'), swap the staged centroid
+    sidecar in, refresh the manifest from the plan's precomputed
+    stats, then drop the marker + staging. Every step is a driver-side
+    FS rename/delete conditioned on what still exists, so a crash at
+    ANY point re-replays to the same final state (a staged dir
+    disappears exactly when its swap lands). Returns the precomputed
+    stats, or None when no commit is in flight."""
+    staged, staged_cents, commit = _split_paths(path)
+    fs, P = _split_fs(spark, path)
+    if not fs.exists(P(commit)):
+        return None
+    rows = spark.read.schema(_SPLIT_COMMIT_SCHEMA).parquet(commit).collect()
+    pre: dict[int, tuple[int, int, int]] = {}
+    for r in rows:
+        b = int(r["bucket"])
+        live = P(f"{path}/bucket={b}")
+        if r["op"] == "commit":
+            pre[b] = (int(r["n_rows"]), int(r["min_id"]), int(r["max_id"]))
+            src_dir = P(f"{staged}/bucket={b}")
+            if fs.exists(src_dir):
+                if fs.exists(live):
+                    fs.delete(live, True)
+                fs.rename(src_dir, live)
+        elif fs.exists(live):
+            fs.delete(live, True)
+    scents, lcents = P(staged_cents), P(f"{path}_centroids")
+    if fs.exists(scents):
+        if fs.exists(lcents):
+            fs.delete(lcents, True)
+        fs.rename(scents, lcents)
+    refresh_ivfpq_manifest(spark, path, precomputed=pre)
+    fs.delete(P(commit), True)
+    fs.delete(P(staged), True)
+    return pre
+
+
+def recover_ivfpq_split(spark, path: str) -> bool:
+    """Roll forward a bucket split OR merge interrupted after its
+    commit point (marker present — both verbs publish through the same
+    staged commit): replay the staged swaps, refresh the manifest,
+    clear the marker. Returns True if a commit was replayed, False if
+    the index was already clean. Crashes BEFORE the commit point left
+    the live index untouched (staging without a marker is garbage the
+    next split overwrites), so roll-forward is always the right
+    direction — there is nothing to roll back."""
+    return _replay_split_commit(spark, path) is not None
 
 
 def split_ivfpq_bucket(
@@ -911,12 +1006,23 @@ def split_ivfpq_bucket(
     compact_ivfpq_index first. Single-writer, like every other index
     mutation. A vacated partition dir (the parent always; a donor
     bucket emptied by strays in theory) is deleted through the
-    Hadoop FS API, and the manifest refresh records the drops."""
+    Hadoop FS API, and the manifest refresh records the drops.
+
+    Crash-consistent publish: the rewritten buckets and the grown
+    centroid table are STAGED, a commit marker lands, and only then do
+    idempotent FS swaps make them live — so a crash anywhere leaves
+    either the old consistent pair (no marker) or a marker every
+    public verb refuses on until recover_ivfpq_split rolls the commit
+    forward. The mismatched centroid/code window the in-place rewrite
+    had cannot be read. (On rename-as-copy object stores the swap is
+    still correct, just not cheap — same caveat as the partitioned
+    overwrite it replaces.)"""
     from fb_ads_bigquery_etl_spark.operators.similarity import (
         assign_ivf_buckets,
         train_centroids_exact,
     )
 
+    _check_no_split_inflight(spark, path)
     tomb = _read_tombstones(spark, path)
     if tomb is not None and tomb.count() > 0:
         raise ValueError(
@@ -973,9 +1079,42 @@ def split_ivfpq_bucket(
         .localCheckpoint(eager=True)
     )
 
+    touched, n_moved = _reassign_and_publish(
+        spark, src, path, grown, cb,
+        verb="splitting", vec_col=vec_col, id_col=id_col,
+    )
+    return {
+        "bucket": bucket,
+        "children": [max_id + 1 + i for i in range(nsplit)],
+        "touched": touched,
+        "moved": n_moved,
+    }
+
+
+def _reassign_and_publish(
+    spark,
+    src: DataFrame,
+    path: str,
+    new_cents: DataFrame,
+    cb: list[list[list[int]]],
+    *,
+    verb: str,
+    vec_col: str,
+    id_col: str,
+) -> tuple[list[int], int]:
+    """Shared tail of the centroid-set-changing maintenance verbs
+    (split grows nlist, merge shrinks it): full-assignment audit at
+    the NEW centroid set, stranded-id refusal, moved-set computation,
+    re-encode of ONLY the moved rows against the frozen codebooks, and
+    the crash-consistent staged publish of the touched buckets + new
+    centroid sidecar. Returns (touched buckets, moved row count)."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        assign_ivf_buckets,
+    )
+
     # the full-assignment audit: one narrow broadcast-join pass
     _, new_assign = assign_ivf_buckets(
-        src, vec_col=vec_col, id_col=id_col, centroids=grown
+        src, vec_col=vec_col, id_col=id_col, centroids=new_cents
     )
     old_assign = spark.read.parquet(path).select(
         "id", F.col("bucket").alias("_ob")
@@ -991,7 +1130,7 @@ def split_ivfpq_bucket(
     if stranded:
         raise ValueError(
             f"ids {sorted(r['id'] for r in stranded)} (first 5) are "
-            "indexed but absent from src; splitting would strand them "
+            f"indexed but absent from src; {verb} would strand them "
             "in the retired bucket — delete them from the index (or "
             "pass the full corpus) first"
         )
@@ -1013,7 +1152,9 @@ def split_ivfpq_bucket(
     # re-encode ONLY the moved rows against frozen codebooks
     moved_src = src.join(moved.select("id"), F.col(id_col) == F.col("id"),
                          "left_semi")
-    _, resid = _residuals(moved_src, grown, vec_col=vec_col, id_col=id_col)
+    _, resid = _residuals(
+        moved_src, new_cents, vec_col=vec_col, id_col=id_col
+    )
     arrivals = encode_ints(
         resid, cb, int_col="_r", id_col="id", extra_cols=("bucket",)
     )
@@ -1027,29 +1168,150 @@ def split_ivfpq_bucket(
     )
     pre = _bucket_stats(out)
 
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # crash-consistent publish: stage the touched buckets AND the
+    # new centroid sidecar, then write a commit marker, then roll
+    # the swaps forward (idempotent FS renames/deletes). A crash
+    # BEFORE the marker leaves the live index untouched (staging is
+    # garbage the next publish overwrites); a crash AFTER it is
+    # detected by every public verb (_check_no_split_inflight) and
+    # finished by recover_ivfpq_split — the code buckets and the
+    # centroid table can never be read as a mismatched pair.
+    staged, staged_cents, commit = _split_paths(path)
+    fs, P = _split_fs(spark, path)
+    for stale in (staged, staged_cents):
+        if fs.exists(P(stale)):
+            fs.delete(P(stale), True)
+    out.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    new_cents.write.mode("overwrite").parquet(staged_cents)
+    plan = [
+        (b,) + (("commit",) + pre[b] if b in pre else
+                ("drop", None, None, None))
+        for b in touched
+    ]
+    rdd = spark.sparkContext.parallelize(plan, 1)  # single-slice: see
+    spark.createDataFrame(rdd, _SPLIT_COMMIT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(commit)  # _write_manifest_segment's tiny-write note
+    _replay_split_commit(spark, path)
+    return touched, n_moved
+
+
+def merge_ivfpq_buckets(
+    spark,
+    src: DataFrame,
+    path: str,
+    *,
+    buckets: tuple[int, int] | None = None,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Shrink the coarse quantizer: fold two cold buckets (default:
+    the 2 coldest by live row count, INCLUDING zero-row centroids the
+    manifest has no files for) into one centroid trained on the union
+    of their member vectors — the inverse capacity valve to
+    `split_ivfpq_bucket`. Without it a long-lived index under churn
+    (deletes + compactions + splits) accretes near-empty lists that
+    each pay per-bucket probe and maintenance overhead forever; with
+    it the index CONVERGES: cold lists fold away, nlist tracks the
+    live distribution in both directions.
+
+    Same exactness discipline as the split, via the shared
+    _reassign_and_publish tail: the merged centroid trains on the
+    union members (train_centroids_exact, k=1 — the exact-integer
+    mean, so a SQL oracle replays it), the parent centroid rows
+    retire, and ONE narrow full-assignment audit computes the true
+    moved set — the parents' members by construction, plus any
+    near-boundary vectors of OTHER buckets that now prefer the merged
+    centroid (it sits between the parents) and, symmetrically, parent
+    members that now prefer some OTHER existing centroid. Only moved
+    rows re-encode (frozen codebooks), only touched buckets rewrite;
+    the result is file-content-equal per bucket to a from-scratch
+    build at the shrunk centroid set (pytest-pinned + oracle-gated),
+    untouched buckets byte-identical (pytest-pinned).
+
+    Degenerate case: BOTH buckets empty (no member vectors in src) —
+    the centroids simply retire with no replacement (no row's nearest
+    centroid can be an empty list's, so nothing moves); nlist shrinks
+    by 2. Tombstone contract, single-writer, and the crash-consistent
+    staged publish (commit marker + recover_ivfpq_split) are exactly
+    the split's."""
+    from fb_ads_bigquery_etl_spark.operators.similarity import (
+        train_centroids_exact,
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    # vacated partitions (always the parent; dynamic overwrite cannot
-    # delete a partition absent from the write) — FS-agnostic delete
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for b in touched:
-        if b not in pre:
-            p = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}")
-            p.getFileSystem(hconf).delete(p, True)
+    _check_no_split_inflight(spark, path)
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None and tomb.count() > 0:
+        raise ValueError(
+            "pending tombstones: compact_ivfpq_index before merging "
+            "(moved rows re-encode from the caller's corpus and would "
+            "bypass logical deletes)"
+        )
+    man = refresh_ivfpq_manifest(spark, path)
+    cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
+        eager=True
+    )
+    if buckets is None:
+        counts = (
+            cents.select("centroid_id")
+            .join(
+                man.groupBy("bucket").agg(F.sum("n_rows").alias("_n")),
+                cents["centroid_id"] == F.col("bucket"),
+                "left",
+            )
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+            )
+            .orderBy(F.col("_n").asc(), F.col("centroid_id").asc())
+            .limit(2)
+            .collect()
+        )
+        if len(counts) < 2:
+            raise ValueError(
+                "need at least 2 centroids to merge; nlist is "
+                f"{len(counts)}"
+            )
+        buckets = (int(counts[0]["centroid_id"]),
+                   int(counts[1]["centroid_id"]))
+    b1, b2 = int(buckets[0]), int(buckets[1])
+    if b1 == b2:
+        raise ValueError("merge needs two DISTINCT buckets")
+    cb = load_codebooks(spark, path)
+    max_id = int(cents.agg(F.max("centroid_id")).head()[0])
 
-    grown.write.mode("overwrite").parquet(f"{path}_centroids")
-    refresh_ivfpq_manifest(spark, path, precomputed=pre)
+    member_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin([b1, b2]))
+        .select("id")
+    )
+    members = src.join(
+        member_ids, F.col(id_col) == F.col("id"), "left_semi"
+    )
+    parents_gone = cents.filter(~F.col("centroid_id").isin([b1, b2]))
+    if members.limit(1).isEmpty():
+        # both lists empty: retire the centroids, nothing can move
+        merged_ids: list[int] = []
+        new_cents = parents_gone.localCheckpoint(eager=True)
+    else:
+        one = train_centroids_exact(
+            members, k=1, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        merged_ids = [max_id + 1]
+        new_cents = parents_gone.unionByName(
+            one.select(
+                F.lit(max_id + 1).alias("centroid_id"), "cvec", "cnorm"
+            )
+        ).localCheckpoint(eager=True)
+
+    touched, n_moved = _reassign_and_publish(
+        spark, src, path, new_cents, cb,
+        verb="merging", vec_col=vec_col, id_col=id_col,
+    )
     return {
-        "bucket": bucket,
-        "children": [max_id + 1 + i for i in range(nsplit)],
+        "buckets": [b1, b2],
+        "merged": merged_ids,
         "touched": touched,
         "moved": n_moved,
     }
@@ -1426,6 +1688,7 @@ def delete_from_ivfpq_index(
     discipline: logical-now, physical-at-compaction). The one pass is
     over the delete batch itself; the sidecar grows by one small file
     per call and is bounded by compaction cadence."""
+    _check_no_split_inflight(spark, path)
     ids.select(F.col(id_col).cast("long").alias("id")).distinct().write.mode(
         "append"
     ).parquet(f"{path}_tombstones")
@@ -1496,6 +1759,7 @@ def compact_ivfpq_index(
     the fresh-checkpoint re-drain recovery (streaming/ingest.py) is
     only valid up to the last compaction — after one, recover a lost
     checkpoint+ledger by rebuilding, not by re-draining history."""
+    _check_no_split_inflight(spark, path)
     tomb = _read_tombstones(spark, path)
     man = None
     if use_manifest is not False:
@@ -1643,6 +1907,7 @@ def ivfpq_index_stats(
     publish and refresh) it falls back to the exact scan instead of
     healing in place. `use_manifest=True` opts into refresh-then-read
     (a WRITE — caller owns the single-writer contract)."""
+    _check_no_split_inflight(spark, path)
     man = None
     if use_manifest is True:
         man = refresh_ivfpq_manifest(spark, path)
@@ -1752,6 +2017,7 @@ def query_ivfpq_index(
     luts = spark.createDataFrame(
         lut_rows, "b long, term1 long, lut array<array<long>>"
     )
+    _check_no_split_inflight(spark, path)
     codes = spark.read.parquet(path).filter(
         F.col("bucket").isin([b for b, _, _ in lut_rows])
     )
@@ -1865,6 +2131,7 @@ def query_ivfpq_index_batch(
         lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
     )
     buckets = sorted({b for _, b, _, _ in lut_rows})
+    _check_no_split_inflight(spark, path)
     codes = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
@@ -1953,11 +2220,13 @@ def query_ivfpq_index_batch_distributed(
     not broadcastable by assumption; AQE still broadcasts small
     batches). The only driver materialization is the DISTINCT probed
     bucket list (bounded by nlist — metadata, not queries), which
-    keeps the code scan partition-pruned. Same tombstone anti-join,
-    per-query top-k*expand window, and distributed exact rerank
-    against `rerank_src`. Row-for-row equal to the collect-based
-    batch path (pytest-pinned; the oracle replays the full pipeline
-    per query).
+    keeps the code scan partition-pruned. Same tombstone anti-join;
+    candidate selection is a TWO-PHASE hash-agg top-(k*expand)
+    (topk_per_group_structs — no window over query_id, so one giant
+    query cannot serialize a task over ~nprobe/nlist of the corpus);
+    the final exact rerank window ranks at most k*expand survivors
+    per query. Row-for-row equal to the collect-based batch path
+    (pytest-pinned; the oracle replays the full pipeline per query).
 
     Probe scoring uses the STORED cnorm column (dot / (cnorm *
     l2(q))), the same float expression the collect-based paths
@@ -2120,6 +2389,7 @@ def query_ivfpq_index_batch_distributed(
     buckets = sorted(
         int(r[0]) for r in luts.select("b").distinct().collect()
     )
+    _check_no_split_inflight(spark, path)
     codes = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
@@ -2155,14 +2425,30 @@ def query_ivfpq_index_batch_distributed(
         F.col("id"),
         adc.alias("adc_score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("id").asc()
+    # two-phase hash-agg top-(k*expand), NO window over query_id: a
+    # window would funnel EVERY scored candidate of a query (all codes
+    # in its probed buckets — ~nprobe/nlist of the corpus) into one
+    # task, so a single giant query serializes at scale. The
+    # topk_per_group_structs core keeps only k*expand survivors per
+    # (query, subshard) map-side before the per-query merge sees
+    # subshards * k * expand structs — metadata-sized. Struct field
+    # order IS the ranking: (-adc_score, id) ascending == the window's
+    # (adc_score desc, id asc); adc_score is an exact long, so
+    # negation is lossless and the two forms are row-identical
+    # (pytest-pinned against the collect-based path).
+    from fb_ads_bigquery_etl_spark.operators.sampling import (
+        topk_per_group_structs,
     )
-    cand = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k * expand)
-        .select("query_id", "id")
-    )
+
+    cand = topk_per_group_structs(
+        scored,
+        "query_id",
+        F.struct(
+            (-F.col("adc_score")).alias("_negs"), F.col("id").alias("id")
+        ),
+        F.hash(F.col("id")),
+        k * expand,
+    ).select("query_id", F.col("entry.id").alias("id"))
     reranked = (
         rerank_src.select(F.col(id_col).alias("id"), vec_d.alias("_cv"))
         .join(cand, "id")

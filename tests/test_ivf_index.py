@@ -1344,6 +1344,14 @@ def test_ivfpq_batch_distributed_equals_collect_path(spark, tmp_path):
     ]
     plan = PI.explain_str(got)
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+    # candidate selection is the TWO-PHASE hash-agg (partial+final
+    # ObjectHashAggregate), not a window over every scored candidate:
+    # exactly 2 windows remain — the nlist-bounded probe rank and the
+    # k*expand-bounded exact-rerank rank — so one giant query can no
+    # longer serialize a single task over its probed buckets' codes
+    nc = PI.node_counts(got)
+    assert nc["Window"] == 2, nc
+    assert nc["ObjectHashAggregate"] >= 2, nc
 
 
 def test_ivfpq_manifest_segments_append_only(spark, tmp_path):
@@ -1808,3 +1816,303 @@ def test_ivfpq_manifest_segments_auto_fold_bounds_history(spark, tmp_path):
     assert len(segs) <= 9, f"{len(segs)} segment files survived 12 appends"
     man = _read_ivfpq_manifest(spark, path).collect()
     assert sum(r["n_rows"] for r in man) == spark.read.parquet(path).count()
+
+
+def test_ivfpq_split_crash_recovery(spark, tmp_path, monkeypatch):
+    """A split interrupted AFTER its commit marker lands must (a) gate
+    every public verb with a loud 'interrupted bucket split' error —
+    the mismatched centroid/code window can never be read — (b) roll
+    forward via recover_ivfpq_split to EXACTLY the state an
+    uninterrupted split of the same index produces (codes, centroids,
+    manifest-vs-exact stats), and (c) recover is a no-op (False) on a
+    clean index and idempotent after a real recovery."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import pq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        pq.build_ivfpq_index(
+            emb, p, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+
+    # (c) clean index: nothing to recover
+    assert pq.recover_ivfpq_split(spark, a) is False
+
+    res_a = pq.split_ivfpq_bucket(spark, emb, a)  # reference outcome
+
+    # crash b's split right after the commit point: the marker and
+    # staging are on disk, no live file has been swapped yet
+    def boom(spark_, path_):
+        raise RuntimeError("simulated crash after commit marker")
+
+    monkeypatch.setattr(pq, "_replay_split_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pq.split_ivfpq_bucket(spark, emb, b)
+    monkeypatch.undo()
+
+    # (a) every public verb refuses while the commit is in flight
+    qs = emb.filter(F.col("vec_id").isin([2, 3, 7]))
+    for fn in (
+        lambda: pq.ivfpq_index_stats(spark, b),
+        lambda: pq.compact_ivfpq_index(spark, b),
+        lambda: pq.append_ivfpq_index(spark, qs, b),
+        lambda: pq.delete_from_ivfpq_index(
+            spark, qs.select("vec_id"), b
+        ),
+        lambda: pq.query_ivfpq_index_batch(
+            spark, b, qs, k=5, nprobe=2, rerank_src=emb
+        ).collect(),
+        lambda: pq.split_ivfpq_bucket(spark, emb, b),
+    ):
+        with pytest.raises(ValueError, match="interrupted bucket split"):
+            fn()
+
+    # (b) roll forward, then the two indexes are state-identical
+    assert pq.recover_ivfpq_split(spark, b) is True
+    assert pq.recover_ivfpq_split(spark, b) is False  # idempotent
+
+    def state(path):
+        codes = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("id", "codes", F.col("bucket").cast("long"))
+            .collect()
+        )
+        cents_rows = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}_centroids").collect()
+        )
+        stats = [
+            tuple(r) for r in pq.ivfpq_index_stats(spark, path).collect()
+        ]
+        return codes, cents_rows, stats
+
+    assert state(b) == state(a)
+    # manifest agrees with the exact scan after recovery
+    exact = [
+        tuple(r)
+        for r in pq.ivfpq_index_stats(
+            spark, b, use_manifest=False
+        ).collect()
+    ]
+    assert [tuple(r) for r in pq.ivfpq_index_stats(spark, b).collect()] == exact
+    # the parent partition dir is gone on both
+    import os
+
+    assert not os.path.isdir(os.path.join(b, f"bucket={res_a['bucket']}"))
+
+
+def test_ivfpq_distributed_lut_auto_join_at_realistic_ksub(spark, tmp_path):
+    """The LUT join-strategy fallback at the PQ shape that motivates
+    it: m=8, ksub=256, sub=8 -> m*ksub*sub = 16384 literals, 4x past
+    _LUT_UNROLL_MAX_LITERALS, where the unrolled form's generated code
+    would blow Janino/constant-pool limits. lut_strategy='auto' must
+    pick the join path (asserted from the loaded codebook shape
+    against the documented threshold) and the probe must run end to
+    end ROW-IDENTICAL to the collect-based batch path, whose LUTs are
+    built driver-side with numpy and are codegen-free — the strongest
+    available cross-check at this shape (recall parity follows from
+    row identity). Codebooks are pinned, not trained: the shape is
+    what is under test, and build/encode are Arrow-batched kernels
+    indifferent to ksub."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _LUT_UNROLL_MAX_LITERALS,
+        build_ivfpq_index,
+        load_codebooks,
+        query_ivfpq_index_batch,
+        query_ivfpq_index_batch_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=8, iters=2
+    ).localCheckpoint(eager=True)
+    m, ksub, sub = 8, 256, 8
+    cb = [
+        [
+            [((mm * 997 + c * 17 + j * 31) % 2001) - 1000
+             for j in range(sub)]
+            for c in range(ksub)
+        ]
+        for mm in range(m)
+    ]
+    path = str(tmp_path / "ivfpq256")
+    build_ivfpq_index(
+        emb, path, in_dim=64, m=m, ksub=ksub, centroids=cents,
+        codebooks=cb,
+    )
+    got_cb = load_codebooks(spark, path)
+    n_literals = (
+        len(got_cb) * len(got_cb[0]) * len(got_cb[0][0])
+    )
+    assert n_literals == 16384 > _LUT_UNROLL_MAX_LITERALS  # auto->join
+
+    qs = emb.filter(F.col("vec_id").isin([2, 3, 7, 19, 42]))
+    got = query_ivfpq_index_batch_distributed(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb,
+        lut_strategy="auto",
+    )
+    want = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=emb
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_ivfpq_bucket_merge_exact_scoped_and_degenerate(spark, tmp_path):
+    """merge_ivfpq_buckets must (a) refuse with pending tombstones,
+    (b) produce a code table + probe results EXACTLY equal to a
+    from-scratch build at the SHRUNK centroid set with the same frozen
+    codebooks (the audit: parents' members may prefer OTHER existing
+    centroids, and other buckets' near-boundary vectors may prefer the
+    merged centroid), (c) rewrite ONLY the touched buckets with the
+    parents' partition dirs gone and the manifest consistent, and (d)
+    handle the degenerate both-parents-empty case — the default cold
+    pick must SEE zero-row centroids, retire them with no replacement,
+    and move nothing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+        load_codebooks,
+        merge_ivfpq_buckets,
+        query_ivfpq_index_batch,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_centroids_exact(
+        emb, k=16, iters=2
+    ).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, in_dim=64, m=4, ksub=8, centroids=cents)
+    cb = load_codebooks(spark, path)
+
+    # (a) tombstone refusal
+    delete_from_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") == 5).select("vec_id"), path
+    )
+    with _pytest.raises(ValueError, match="pending tombstones"):
+        merge_ivfpq_buckets(spark, emb, path)
+    compact_ivfpq_index(spark, path)
+    live = emb.filter(F.col("vec_id") != 5)
+
+    def file_stats():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("bucket="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                p = os.path.join(path, d, f)
+                out[f"{d}/{f}"] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = file_stats()
+    res = merge_ivfpq_buckets(spark, live, path)
+    after = file_stats()
+
+    # (c) untouched buckets byte-identical; both parent dirs gone
+    untouched = {
+        s for s in before
+        if int(s.split("/")[0].split("=")[1]) not in res["touched"]
+    }
+    assert untouched
+    for s in untouched:
+        assert after[s] == before[s], f"untouched file {s} rewritten"
+    for b in res["buckets"]:
+        assert not os.path.isdir(os.path.join(path, f"bucket={b}"))
+
+    # (b) exact equality to the from-scratch build at shrunk centroids
+    shrunk = spark.read.parquet(f"{path}_centroids").localCheckpoint(
+        eager=True
+    )
+    assert shrunk.count() == 15  # 16 - 2 parents + 1 merged
+    assert res["merged"] == [
+        int(shrunk.agg(F.max("centroid_id")).head()[0])
+    ]
+    path2 = str(tmp_path / "rebuild")
+    build_ivfpq_index(
+        live, path2, in_dim=64, m=4, ksub=8, centroids=shrunk,
+        codebooks=cb,
+    )
+    merge_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("id", "codes", F.col("bucket").cast("long"))
+        .collect()
+    )
+    rebuild_codes = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path2)
+        .select("id", "codes", F.col("bucket").cast("long"))
+        .collect()
+    )
+    assert merge_codes == rebuild_codes
+    qs = live.filter(F.col("vec_id").isin([2, 3, 7, 19]))
+    got = query_ivfpq_index_batch(
+        spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=live
+    )
+    want = query_ivfpq_index_batch(
+        spark, path2, qs, k=10, nprobe=2, expand=10, rerank_src=live
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    a = [tuple(r) for r in ivfpq_index_stats(spark, path).collect()]
+    b = [
+        tuple(r)
+        for r in ivfpq_index_stats(
+            spark, path, use_manifest=False
+        ).collect()
+    ]
+    assert a == b
+
+    # (d) degenerate: an index built over a corpus that leaves two
+    # centroids memberless — the default cold pick must find exactly
+    # those two, retire them with no replacement, move nothing
+    _, assign = similarity.assign_ivf_buckets(
+        emb, vec_col="embedding", id_col="vec_id", centroids=cents
+    )
+    hot2 = [
+        int(r["bucket"])
+        for r in assign.groupBy("bucket").count()
+        .orderBy(F.col("count").asc(), F.col("bucket").asc())
+        .limit(2)
+        .collect()
+    ]
+    keep_ids = assign.filter(~F.col("bucket").isin(hot2)).select("id")
+    sub_corpus = emb.join(
+        keep_ids, emb["vec_id"] == keep_ids["id"], "left_semi"
+    ).localCheckpoint(eager=True)
+    path3 = str(tmp_path / "holes")
+    build_ivfpq_index(
+        sub_corpus, path3, in_dim=64, m=4, ksub=8, centroids=cents
+    )
+    before3 = {
+        d for d in os.listdir(path3) if d.startswith("bucket=")
+    }
+    res3 = merge_ivfpq_buckets(spark, sub_corpus, path3)
+    assert sorted(res3["buckets"]) == sorted(hot2)
+    assert res3["merged"] == [] and res3["moved"] == 0
+    assert res3["touched"] == []
+    assert {
+        d for d in os.listdir(path3) if d.startswith("bucket=")
+    } == before3  # no code dir existed for the empty pair; none touched
+    shrunk3 = spark.read.parquet(f"{path3}_centroids")
+    assert shrunk3.count() == 14
+    assert (
+        shrunk3.filter(F.col("centroid_id").isin(hot2)).count() == 0
+    )
