@@ -4747,6 +4747,55 @@ def q_ivfpq_bucket_split(spark, sf_dir):
     return out
 
 
+def q_ivfpq_bucket_merge(spark, sf_dir):
+    """Coarse-quantizer capacity SHRINK (operators/pq.
+    merge_ivfpq_buckets) — the inverse valve to the round-12 split: a
+    long-lived index under churn (deletes, compactions, splits)
+    accretes near-empty lists that each pay per-bucket probe and
+    maintenance overhead; the merge folds the 2 coldest lists (zero-
+    row centroids included in the cold pick) into one centroid trained
+    on the union of their members (exact-integer k=1 Lloyd — the
+    floor-div mean), retires the parents, and runs the SAME narrow
+    full-assignment audit as the split so the true moved set — parent
+    members that prefer some OTHER centroid, other buckets'
+    near-boundary vectors that prefer the merged one — re-encodes
+    against the FROZEN codebook sidecar with only touched buckets
+    rewritten. Result is file-content-equal to build_ivfpq_index at
+    the shrunk centroid set (pytest-pinned; untouched buckets
+    byte-identical), published through the same crash-consistent
+    staged commit. Harness: full-corpus build (nlist=16) -> merge the
+    2 coldest -> batch probe at the shrunk nlist=15. The oracle
+    replays the ENTIRE pipeline: coarse training, cold-pair selection,
+    k=1 merged-centroid training on the union members, shrunk-set
+    assignment of every vector, residual re-encode against the
+    base-trained codebooks, probe, ADC, rerank."""
+    import shutil
+    import tempfile
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        merge_ivfpq_buckets,
+        query_ivfpq_index_batch,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="_q_ivfpq_merge_")
+    try:
+        path = os.path.join(tmp, "index")
+        cents = similarity.train_centroids_exact(e, k=16, iters=2)
+        build_ivfpq_index(
+            e, path, in_dim=64, m=4, ksub=8, centroids=cents
+        )
+        merge_ivfpq_buckets(spark, e, path)
+        qs = e.filter(F.col("vec_id").isin(list(_IVFPQ_BATCH_QIDS)))
+        out = query_ivfpq_index_batch(
+            spark, path, qs, k=10, nprobe=2, expand=10, rerank_src=e
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_ivfpq_manifest_compact(spark, sf_dir):
     """Manifest-driven maintenance of the persisted IVF-PQ index
     (operators/pq.refresh_ivfpq_manifest + compact_ivfpq_index +
@@ -6889,6 +6938,173 @@ def _ivfpq_split_oracle_sql(
           WHERE centroid_id <> (SELECT bucket FROM hot)
           UNION ALL
           SELECT 16 + centroid_id AS centroid_id, ce FROM scents),
+        wv AS (SELECT vec_id,
+                      list_transform(e,
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+               FROM v),
+        wcn AS (SELECT centroid_id,
+                       list_transform(ce,
+                         x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                FROM cents),
+        rv AS MATERIALIZED (
+          SELECT a.vec_id, a.bucket,
+                 list_transform(generate_series(1, 64),
+                   i -> wv.w[i] - wcn.w[i]) AS r
+          FROM asn a JOIN wv USING (vec_id)
+          JOIN wcn ON a.bucket = wcn.centroid_id),
+        ms AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+        seeds AS (
+          SELECT ms.m, sr.c,
+                 list_transform(generate_series(1, 16),
+                   d -> sr.r[ms.m * 16 + d]) AS cw
+          FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, r
+                FROM rv ORDER BY vec_id LIMIT 8) sr, ms),
+        asg AS (
+          SELECT vec_id, m, c FROM (
+            SELECT rv.vec_id, s.m, s.c,
+                   ROW_NUMBER() OVER (PARTITION BY rv.vec_id, s.m
+                     ORDER BY list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> (rv.r[s.m * 16 + d] - s.cw[d])
+                            * (rv.r[s.m * 16 + d] - s.cw[d])),
+                       (x, y) -> x + y) ASC, s.c ASC) AS rn
+            FROM rv, seeds s) WHERE rn = 1),
+        upd AS (
+          SELECT a.m, a.c, u.d,
+                 CAST(SUM(rv.r[a.m * 16 + u.d]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM asg a JOIN rv USING (vec_id),
+               UNNEST(generate_series(1, 16)) AS u(d)
+          GROUP BY a.m, a.c, u.d),
+        cw1 AS (
+          SELECT m, c,
+                 list((s - ((s % n) + n) % n) // n ORDER BY d) AS cw
+          FROM upd GROUP BY m, c),
+        cb1 AS (
+          SELECT s.m, s.c, COALESCE(u.cw, s.cw) AS cw
+          FROM seeds s LEFT JOIN cw1 u ON s.m = u.m AND s.c = u.c),
+        asn2 AS (
+          SELECT vec_id, bucket FROM (
+            SELECT v.vec_id, c.centroid_id AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM v, gcents c) WHERE rn = 1),
+        wgc AS (SELECT centroid_id,
+                       list_transform(ce,
+                         x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+                FROM gcents),
+        rv2 AS MATERIALIZED (
+          SELECT a.vec_id, a.bucket,
+                 list_transform(generate_series(1, 64),
+                   i -> wv.w[i] - wgc.w[i]) AS r
+          FROM asn2 a JOIN wv USING (vec_id)
+          JOIN wgc ON a.bucket = wgc.centroid_id),
+        enc AS MATERIALIZED (
+          SELECT vec_id, m, c FROM (
+            SELECT rv2.vec_id, b.m, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY rv2.vec_id, b.m
+                     ORDER BY list_reduce(list_transform(
+                       generate_series(1, 16),
+                       d -> (rv2.r[b.m * 16 + d] - b.cw[d])
+                            * (rv2.r[b.m * 16 + d] - b.cw[d])),
+                       (x, y) -> x + y) ASC, b.c ASC) AS rn
+            FROM rv2, cb1 b) WHERE rn = 1),
+        probed AS (
+          SELECT qid, centroid_id FROM (
+            SELECT qs.qid, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY qs.qid
+                     ORDER BY {_cos_sql('c.ce', 'qs.qe')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM gcents c, qs) WHERE rn <= {nprobe}),
+        qw AS (SELECT qid, w FROM wv JOIN qs ON wv.vec_id = qs.qid),
+        t1 AS (
+          SELECT p.qid, p.centroid_id,
+                 CAST(list_reduce(list_transform(
+                   generate_series(1, 64),
+                   i -> qw.w[i] * wgc.w[i]), (x, y) -> x + y)
+                   AS BIGINT) AS term1
+          FROM probed p JOIN wgc USING (centroid_id)
+          JOIN qw ON qw.qid = p.qid),
+        adcs AS (
+          SELECT t1.qid, e2.vec_id,
+                 CAST(MAX(t1.term1)
+                      + SUM(list_reduce(list_transform(
+                          generate_series(1, 16),
+                          d -> qw.w[e2.m * 16 + d] * b.cw[d]),
+                          (x, y) -> x + y)) AS BIGINT) AS adc
+          FROM enc e2
+          JOIN asn2 a ON e2.vec_id = a.vec_id
+          JOIN t1 ON t1.centroid_id = a.bucket
+          JOIN qw ON qw.qid = t1.qid
+          JOIN cb1 b ON e2.m = b.m AND e2.c = b.c
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY adc DESC, vec_id ASC) AS rn
+            FROM adcs) WHERE rn <= {k * expand}),
+        rrk AS (
+          SELECT cand.qid, cand.vec_id,
+                 {_cos_sql('cv.e', 'qs.qe')} AS score
+          FROM cand JOIN v cv USING (vec_id)
+          JOIN qs ON qs.qid = cand.qid)
+        SELECT qid AS query_id, vec_id, score
+        FROM rrk
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, vec_id ASC) <= {k}
+        ORDER BY qid, score DESC, vec_id ASC"""
+
+
+def _ivfpq_merge_oracle_sql(
+    qids: tuple[int, ...], *, k: int = 10, nprobe: int = 2, expand: int = 10
+) -> str:
+    """DuckDB replay of pq.merge_ivfpq_buckets on top of a full-corpus
+    build — the split oracle's inverse: coarse training (16 centroids,
+    2 integer Lloyd iters), assignment of every vector, residual
+    codebook training on ALL residuals (the frozen sidecar), then the
+    merge — the 2 COLDEST centroids by assignment count with
+    zero-member centroids counted as 0 via LEFT JOIN (ties to the
+    lowest centroid id), k=1 merged-centroid training on the union of
+    their members (seed = first member by id, 2 floor-div Lloyd iters
+    = the exact-integer mean), the SHRUNK centroid set (parents
+    retired, merged centroid at id 16), re-assignment of EVERY vector
+    against the shrunk set (the audit made global), residual re-encode
+    against the FROZEN cb1, and the standard batch probe at nlist=15."""
+    qlist = ", ".join(str(q) for q in qids)
+    return f"""
+        WITH {_trained_cents_cte(16, 2)},
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+        qs AS (SELECT vec_id AS qid, e AS qe FROM v
+               WHERE vec_id IN ({qlist})),
+        asn AS (
+          SELECT vec_id, bucket FROM (
+            SELECT v.vec_id, c.centroid_id AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_cos_sql('v.e', 'c.ce')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM v, cents c) WHERE rn = 1),
+        cold AS (
+          SELECT centroid_id AS bucket FROM cents c
+          LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM asn GROUP BY 1) t
+            ON c.centroid_id = t.bucket
+          ORDER BY COALESCE(t.n, 0) ASC, centroid_id ASC LIMIT 2),
+        {_trained_cents_cte(
+            1, 2,
+            src_where=(
+                "WHERE vec_id IN (SELECT a.vec_id FROM asn a "
+                "WHERE a.bucket IN (SELECT bucket FROM cold))"
+            ),
+            prefix="mm",
+            cents_name="mcents",
+        )},
+        gcents AS (
+          SELECT centroid_id, ce FROM cents
+          WHERE centroid_id NOT IN (SELECT bucket FROM cold)
+          UNION ALL
+          SELECT 16 + centroid_id AS centroid_id, ce FROM mcents),
         wv AS (SELECT vec_id,
                       list_transform(e,
                         x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
@@ -10487,6 +10703,7 @@ def _oracle() -> dict[str, str]:
         # audit), re-encode against frozen codebooks, probe at the
         # grown nlist.
         "ivfpq_bucket_split": _ivfpq_split_oracle_sql(_IVFPQ_BATCH_QIDS),
+        "ivfpq_bucket_merge": _ivfpq_merge_oracle_sql(_IVFPQ_BATCH_QIDS),
         # Per-bucket live/tombstoned audit: coarse training on the
         # base + assignment of every vector, counts split by the %7
         # delete predicate.
@@ -14555,6 +14772,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_totals": q_streaming_user_totals,
     "cdc_changelog_apply": q_cdc_changelog_apply,
     "skew_salted_join": q_skew_salted_join,
+    # round-13 additions, registered at the TAIL on purpose: the r13
+    # window (first 50) banks the 3 r12 gates + the 5 r07 + 42 r08
+    # stale-evidence entries; the next reorder pulls this to the head
+    "ivfpq_bucket_merge": q_ivfpq_bucket_merge,
 }
 
 
