@@ -17,6 +17,36 @@ real and oracle-gated byte-correct: magic-byte format detection
 five filters), GIF (variable-width LZW), and baseline JPEG (canonical
 Huffman + dezigzag + dequant + Q14 integer IDCT) — plus the
 pHash-dedup composition over decoded pixels.
+
+CODEC BOUNDARY — FINAL (declared round 13 after six honest retreats:
+PPM -> PNG -> GIF -> JPEG grayscale -> color 4:2:0 -> restart markers
+-> spectral-selection progressive). What remains outside the boundary,
+and why each is out rather than next:
+
+* Successive-approximation progressive JPEG (Ah/Al != 0): refused
+  loudly at the scan header. Implementable in principle from T.81
+  Annex G's refinement flow, but it shares a release gate with the
+  item below — real-world progressive output (libjpeg) combines both
+  modes, so shipping one without the other would claim a format this
+  decoder still cannot read off the shelf.
+* Arithmetic-coded JPEG (SOF9/10/..., DAC): refused loudly at the SOF
+  marker. The QM-coder is specified by T.81 Annex D's NORMATIVE
+  113-row Qe probability-state table — constants, not derivable
+  structure. Without the spec text in the build environment, a
+  from-memory reconstruction would self-roundtrip (our encoder, our
+  decoder) while being silently nonconformant on real streams; a
+  decoder that returns confident wrong pixels is strictly worse than
+  one that refuses.
+* ffmpeg-class codecs (H.264/VP9/AAC/MP3...): external-library
+  territory by any engineering standard — motion compensation, CABAC,
+  psychoacoustic transforms; a from-scratch build is a codec project,
+  not an analytics-engine component. These stay behind the documented
+  decode_stub seam, which keeps the Spark-side plumbing (schema,
+  Arrow batching, partitioning) fully real and swappable for the real
+  libraries in a production image.
+
+The boundary is enforced, not aspirational: every refusal is a loud,
+message-specific error (pytest-pinned), never a silent wrong decode.
 """
 
 from __future__ import annotations
@@ -1675,6 +1705,23 @@ def _jpeg_decode_planes(buf: bytes, D):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+        elif m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF) or m == 0xCC:
+            # SOF9/10/11/13/14/15 + DAC: arithmetic entropy coding.
+            # Declared FINAL boundary (module docstring): a conformant
+            # QM-coder needs T.81 Annex D's normative 113-row Qe state
+            # table — constants that cannot be re-derived from first
+            # principles, and a from-memory reconstruction would decode
+            # plausibly while being silently nonconformant on real
+            # streams (the worst failure mode for a data engine).
+            raise ValueError(
+                "arithmetic-coded JPEG not supported (declared codec "
+                "boundary: T.81 Annex D QM-coder)"
+            )
+        elif 0xC1 <= m <= 0xC7 and m != 0xC4:
+            raise ValueError(
+                f"unsupported SOF marker 0xFF{m:02X}: only baseline "
+                "(SOF0) and spectral-selection progressive (SOF2)"
+            )
         elif m == 0xC4:
             huff.update(_jpeg_parse_dht(body))
         elif m == 0xDD:

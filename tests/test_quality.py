@@ -1233,3 +1233,40 @@ def test_jpeg_fill_bytes_before_markers(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_jpeg_arithmetic_and_exotic_sof_refused_loudly(spark):
+    """The FINAL codec boundary is enforced, not aspirational: an
+    arithmetic-coded frame header (SOF9/SOF10) or a DAC segment must
+    raise the message-specific boundary error, and any other
+    non-baseline/non-progressive SOF must name the marker — never a
+    silent wrong decode (the QM-coder's normative Qe table cannot be
+    reconstructed honestly; see the module docstring)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    payload = bytes(
+        M.synth_jpeg(spark.range(1).select(F.col("id").alias("doc_id")))
+        .collect()[0]["payload"]
+    )
+    k = payload.index(b"\xff\xc0")
+
+    def decode(buf: bytes):
+        M.decode_jpeg_features(
+            spark.createDataFrame(
+                [(1, buf)], "id long, payload binary"
+            )
+        ).collect()
+
+    for sof in (0xC9, 0xCA, 0xCC):  # arith sequential/progressive, DAC
+        mut = bytearray(payload)
+        mut[k + 1] = sof
+        with _pytest.raises(Exception, match="arithmetic-coded JPEG"):
+            decode(bytes(mut))
+    for sof in (0xC1, 0xC3):  # extended sequential, lossless
+        mut = bytearray(payload)
+        mut[k + 1] = sof
+        with _pytest.raises(Exception, match="unsupported SOF marker"):
+            decode(bytes(mut))
