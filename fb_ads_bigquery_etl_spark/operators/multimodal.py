@@ -1625,13 +1625,21 @@ def _jpeg_entropy_segments(buf: bytes, start: int):
                 p += 2
                 continue
             if nxt == 0xFF:
-                # fill byte(s) before a marker (T.81 B.1.1.2); real
-                # encoders may pad. Look past the run: an RSTn there
-                # continues the scan, anything else ends it with p at
-                # the run start (the caller's walk skips the fill).
+                # 0xFF run: fill byte(s) (T.81 B.1.1.2) before whatever
+                # the byte after the run is. Look past the run: a 0x00
+                # there means the run's LAST 0xFF + 0x00 is a stuffed
+                # data byte (fills precede it — the reading libjpeg
+                # also applies), an RSTn continues the scan with a new
+                # segment, anything else is a real marker and ends the
+                # scan with p at the run start (the caller's walk
+                # skips the fill).
                 q = p + 1
                 while q + 1 < len(buf) and buf[q + 1] == 0xFF:
                     q += 1
+                if q + 1 < len(buf) and buf[q + 1] == 0x00:
+                    segments[-1].append(0xFF)
+                    p = q + 2
+                    continue
                 if q + 1 < len(buf) and 0xD0 <= buf[q + 1] <= 0xD7:
                     segments.append([])
                     p = q + 2

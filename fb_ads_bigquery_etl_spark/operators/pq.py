@@ -668,7 +668,7 @@ def build_ivfpq_index(
     # staged commit so the fresh index is not gated on recovery
     spark = df.sparkSession
     fs, P = _split_fs(spark, path)
-    for leftover in _split_paths(path):
+    for leftover in _split_paths(path) + (f"{_split_paths(path)[2]}_tmp",):
         if fs.exists(P(leftover)):
             fs.delete(P(leftover), True)
     cents, resid = _residuals(
@@ -1178,7 +1178,7 @@ def _reassign_and_publish(
     # centroid table can never be read as a mismatched pair.
     staged, staged_cents, commit = _split_paths(path)
     fs, P = _split_fs(spark, path)
-    for stale in (staged, staged_cents):
+    for stale in (staged, staged_cents, f"{commit}_tmp"):
         if fs.exists(P(stale)):
             fs.delete(P(stale), True)
     out.write.mode("overwrite").partitionBy("bucket").parquet(staged)
@@ -1188,10 +1188,17 @@ def _reassign_and_publish(
                 ("drop", None, None, None))
         for b in touched
     ]
+    # the marker's EXISTENCE is the commit point, but the parquet job
+    # that writes it is not atomic (a crash mid-job leaves the dir
+    # with no data files — recovery would read an EMPTY plan and swap
+    # centroids without the bucket swaps). Write the plan to a temp
+    # dir and FS-RENAME it into place: the marker path exists iff the
+    # plan inside it is complete.
     rdd = spark.sparkContext.parallelize(plan, 1)  # single-slice: see
     spark.createDataFrame(rdd, _SPLIT_COMMIT_SCHEMA).write.mode(
         "overwrite"
-    ).parquet(commit)  # _write_manifest_segment's tiny-write note
+    ).parquet(f"{commit}_tmp")  # _write_manifest_segment's tiny-write note
+    fs.rename(P(f"{commit}_tmp"), P(commit))
     _replay_split_commit(spark, path)
     return touched, n_moved
 
@@ -1248,11 +1255,13 @@ def merge_ivfpq_buckets(
             "(moved rows re-encode from the caller's corpus and would "
             "bypass logical deletes)"
         )
-    man = refresh_ivfpq_manifest(spark, path)
     cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
         eager=True
     )
     if buckets is None:
+        # the manifest is only consulted by the cold pick; an
+        # explicit-pair merge skips the refresh (a write) entirely
+        man = refresh_ivfpq_manifest(spark, path)
         counts = (
             cents.select("centroid_id")
             .join(
@@ -1278,6 +1287,16 @@ def merge_ivfpq_buckets(
     b1, b2 = int(buckets[0]), int(buckets[1])
     if b1 == b2:
         raise ValueError("merge needs two DISTINCT buckets")
+    known = {
+        int(r["centroid_id"])
+        for r in cents.select("centroid_id").collect()  # nlist-bounded
+    }
+    missing = [b for b in (b1, b2) if b not in known]
+    if missing:
+        raise ValueError(
+            f"bucket(s) {missing} not in the centroid set: merging a "
+            "nonexistent bucket would silently retrain the other one"
+        )
     cb = load_codebooks(spark, path)
     max_id = int(cents.agg(F.max("centroid_id")).head()[0])
 

@@ -1893,6 +1893,20 @@ def test_ivfpq_split_crash_recovery(spark, tmp_path, monkeypatch):
         return codes, cents_rows, stats
 
     assert state(b) == state(a)
+    # a crash DURING the marker write leaves only the tmp dir (the
+    # marker itself lands by FS-rename): that is a PRE-commit crash —
+    # no verb refuses, recover is a no-op, and the next split cleans
+    # the stale tmp and succeeds
+    import os as _os
+
+    tmp_marker = f"{b}_split_commit_tmp"
+    _os.makedirs(tmp_marker, exist_ok=True)
+    with open(_os.path.join(tmp_marker, "garbage"), "w") as fh:
+        fh.write("partial")
+    pq.ivfpq_index_stats(spark, b)  # no refusal
+    assert pq.recover_ivfpq_split(spark, b) is False
+    pq.split_ivfpq_bucket(spark, emb, b)  # cleans stale tmp, succeeds
+    assert not _os.path.exists(tmp_marker)
     # manifest agrees with the exact scan after recovery
     exact = [
         tuple(r)
@@ -2009,6 +2023,11 @@ def test_ivfpq_bucket_merge_exact_scoped_and_degenerate(spark, tmp_path):
         merge_ivfpq_buckets(spark, emb, path)
     compact_ivfpq_index(spark, path)
     live = emb.filter(F.col("vec_id") != 5)
+
+    # explicit pair must name real centroids (merging a nonexistent
+    # bucket would silently retrain the other one)
+    with _pytest.raises(ValueError, match="not in the centroid set"):
+        merge_ivfpq_buckets(spark, live, path, buckets=(3, 99))
 
     def file_stats():
         out = {}

@@ -1155,8 +1155,11 @@ def test_jpeg_per_scan_dht_redefinition(spark):
 
 def _with_fill_bytes(buf: bytes) -> bytes:
     """Re-frame a JPEG payload with 0xFF fill bytes (T.81 B.1.1.2)
-    before every marker — segment markers, RSTn inside the scan, and
-    EOI — without touching entropy bits or segment bodies."""
+    before every marker — segment markers, RSTn inside the scan, EOI —
+    AND before every stuffed FF 00 data byte inside entropy data (the
+    FF FF 00 shape mainstream decoders accept by skipping the fill run
+    and keeping the trailing stuffed byte), without touching entropy
+    bits or segment bodies."""
     out = bytearray(buf[:2])  # SOI
     pos = 2
     in_scan = False
@@ -1177,7 +1180,7 @@ def _with_fill_bytes(buf: bytes) -> bytes:
         if b == 0xFF:
             nxt = buf[pos + 1]
             if nxt == 0x00:
-                out += buf[pos : pos + 2]
+                out += b"\xff" + buf[pos : pos + 2]  # FF FF 00
                 pos += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
@@ -1203,6 +1206,7 @@ def test_jpeg_fill_bytes_before_markers(spark):
 
     ids = spark.range(12).select(F.col("id").alias("doc_id"))
 
+    stuffed_padded = 0  # FF FF 00 (fill before a stuffed data byte)
     for synth, decode in (
         (lambda d: M.synth_jpeg(d), M.decode_jpeg_features),
         (
@@ -1220,6 +1224,9 @@ def test_jpeg_fill_bytes_before_markers(spark):
         assert any(
             b"\xff\xff" in p for _, p in padded
         ), "fixture added no fill bytes"
+        stuffed_padded += sum(
+            p.count(b"\xff\xff\x00") for _, p in padded
+        )
         want = {
             r["id"]: tuple(r)
             for r in decode(
@@ -1233,6 +1240,10 @@ def test_jpeg_fill_bytes_before_markers(spark):
             ).collect()
         }
         assert got == want
+    # the FF FF 00 shape (fill run ending in a stuffed data byte) was
+    # really present somewhere across the four stream variants — the
+    # dedicated decode branch is exercised, not vacuously green
+    assert stuffed_padded > 0, "no stuffed FF 00 byte got fill-padded"
 
 
 def test_jpeg_arithmetic_and_exotic_sof_refused_loudly(spark):
