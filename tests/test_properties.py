@@ -856,3 +856,105 @@ def test_ivfpq_maintenance_matches_python_replay(deleted):
         for side in ("", "_centroids", "_codebooks", "_manifest",
                      "_tombstones"):
             shutil.rmtree(work + side, ignore_errors=True)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=600), max_size=60),
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ivfpq_merge_after_churn_matches_rebuild(deleted):
+    """Extends the maintenance property through the round-13 MERGE
+    verb: for ARBITRARY delete sets (phantoms included), delete ->
+    compact -> merge-the-2-coldest must either (a) REFUSE when
+    compaction retained tombstones (a fully-dead bucket's ids are
+    still indexed but absent from the live corpus — the documented
+    tombstone/stranded contract; rebuild is the escape), or (b)
+    produce a code table EXACTLY equal to a from-scratch build over
+    the live corpus at the shrunk centroid set with the same frozen
+    codebooks — the rebuild-equality invariant under churn."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        load_codebooks,
+        merge_ivfpq_buckets,
+    )
+    from tests.conftest import SF_DIR
+
+    spark = _get_spark()
+    tpl = _ivfpq_template(spark)
+    asgn = _ivfpq_assignment(spark)
+
+    work = tpl["path"] + f"_g{abs(hash(frozenset(deleted))) % (1 << 30)}"
+    ref = work + "_rebuild"
+    sides = ("", "_centroids", "_codebooks", "_manifest", "_tombstones")
+    for side in sides[:4]:
+        if os.path.exists(work + side):
+            shutil.rmtree(work + side)
+        shutil.copytree(tpl["path"] + side, work + side)
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        live = emb
+        if deleted:
+            delete_from_ivfpq_index(
+                spark,
+                spark.createDataFrame(
+                    [(int(i),) for i in sorted(deleted)], "vec_id long"
+                ),
+                work,
+            )
+            compact_ivfpq_index(spark, work)
+            live = emb.filter(
+                ~F.col("vec_id").isin([int(i) for i in deleted])
+            )
+
+        total: dict[int, int] = {}
+        dead: dict[int, int] = {}
+        for i, b in asgn.items():
+            total[b] = total.get(b, 0) + 1
+            if i in deleted:
+                dead[b] = dead.get(b, 0) + 1
+        fully_dead = any(total[b] == dead.get(b, 0) for b in total)
+
+        if fully_dead:
+            with _pytest.raises(
+                ValueError, match="pending tombstones|absent from src"
+            ):
+                merge_ivfpq_buckets(spark, live, work)
+            return
+        merge_ivfpq_buckets(spark, live, work)
+        shrunk = spark.read.parquet(f"{work}_centroids").localCheckpoint(
+            eager=True
+        )
+        cb = load_codebooks(spark, work)
+        build_ivfpq_index(
+            live, ref, in_dim=64, m=4, ksub=8, centroids=shrunk,
+            codebooks=cb,
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(work)
+            .select("id", "codes", F.col("bucket").cast("long"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(ref)
+            .select("id", "codes", F.col("bucket").cast("long"))
+            .collect()
+        )
+        assert got == want
+    finally:
+        for base in (work, ref):
+            for side in sides:
+                shutil.rmtree(base + side, ignore_errors=True)
