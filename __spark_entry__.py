@@ -4188,8 +4188,10 @@ def q_media_decode_jpeg_progressive(spark, sf_dir):
     encoding — which is why this gate's oracle IS the baseline
     arithmetic replay (_jpeg_oracle_sql): hash parity against it
     proves the whole SOF2/multi-SOS/EOBRUN chain byte-correct. The
-    remaining stub boundary is successive-approximation JPEG
-    (explicitly refused) and ffmpeg-class A/V codecs."""
+    remaining stub boundary is arithmetic-coded JPEG (explicitly
+    refused; needs T.81 Annex D's normative Qe table) and ffmpeg-class
+    A/V codecs — successive approximation joined the decoded set in
+    round 13 (`media_decode_jpeg_sa`)."""
     from fb_ads_bigquery_etl_spark.operators.multimodal import (
         decode_jpeg_features,
         synth_jpeg_progressive,
@@ -4197,6 +4199,36 @@ def q_media_decode_jpeg_progressive(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return decode_jpeg_features(synth_jpeg_progressive(d)).orderBy("id")
+
+
+def q_media_decode_jpeg_sa(spark, sf_dir):
+    """REAL successive-approximation progressive JPEG decode
+    (operators/multimodal.synth_jpeg_progressive_sa / the shared
+    _jpeg_decode_planes core) — T.81 G.1.2, the scan-script shape
+    libjpeg emits BY DEFAULT for progressive output, which closes
+    Huffman JPEG decode in full: a reduced-precision DC first scan
+    (diffs of dc >> Al) with raw-bit refinement scans, AC first scans
+    coding sign * (abs >> Al) per band, and AC REFINEMENT scans where
+    run/size symbols cover only zero-history coefficients, every
+    already-nonzero coefficient consumes a correction bit interleaved
+    in position order (through ZRL advances, and DEFERRED across
+    multi-block EOB runs exactly as a conformant decoder reads them
+    back), and newly significant coefficients land at +-(1 << Al).
+    The decoder accumulates magnitude bits per coefficient and
+    transforms once at the end, so the SA stream reconstructs the
+    SAME quantized coefficients as the baseline encoding — which is
+    why this gate's oracle IS the baseline arithmetic replay
+    (_jpeg_oracle_sql): hash parity proves the whole
+    first-scan/refinement/correction-bit chain byte-correct."""
+    from fb_ads_bigquery_etl_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_progressive_sa,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_jpeg_features(synth_jpeg_progressive_sa(d)).orderBy(
+        "id"
+    )
 
 
 def q_media_decode_jpeg_color(spark, sf_dir):
@@ -13155,6 +13187,7 @@ def _oracle() -> dict[str, str]:
         # pixels: the baseline replay IS the oracle (that identity
         # is the correctness claim)
         "media_decode_jpeg_progressive": _jpeg_oracle_sql(),
+        "media_decode_jpeg_sa": _jpeg_oracle_sql(),
         "ivfpq_index_query": f"""
             WITH {_trained_cents_cte(16, 2)},
             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -14774,8 +14807,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     # round-13 additions, registered at the TAIL on purpose: the r13
     # window (first 50) banks the 3 r12 gates + the 5 r07 + 42 r08
-    # stale-evidence entries; the next reorder pulls this to the head
+    # stale-evidence entries; the next reorder pulls these to the head
     "ivfpq_bucket_merge": q_ivfpq_bucket_merge,
+    "media_decode_jpeg_sa": q_media_decode_jpeg_sa,
 }
 
 

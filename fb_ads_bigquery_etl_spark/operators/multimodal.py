@@ -18,17 +18,13 @@ five filters), GIF (variable-width LZW), and baseline JPEG (canonical
 Huffman + dezigzag + dequant + Q14 integer IDCT) — plus the
 pHash-dedup composition over decoded pixels.
 
-CODEC BOUNDARY — FINAL (declared round 13 after six honest retreats:
-PPM -> PNG -> GIF -> JPEG grayscale -> color 4:2:0 -> restart markers
--> spectral-selection progressive). What remains outside the boundary,
-and why each is out rather than next:
+CODEC BOUNDARY — FINAL (declared round 13 after seven honest
+retreats: PPM -> PNG -> GIF -> JPEG grayscale -> color 4:2:0 ->
+restart markers -> spectral-selection progressive -> successive
+approximation, which closes libjpeg's default progressive output
+entirely — Huffman JPEG is now decoded in FULL). What remains outside
+the boundary, and why each is out rather than next:
 
-* Successive-approximation progressive JPEG (Ah/Al != 0): refused
-  loudly at the scan header. Implementable in principle from T.81
-  Annex G's refinement flow, but it shares a release gate with the
-  item below — real-world progressive output (libjpeg) combines both
-  modes, so shipping one without the other would claim a format this
-  decoder still cannot read off the shelf.
 * Arithmetic-coded JPEG (SOF9/10/..., DAC): refused loudly at the SOF
   marker. The QM-coder is specified by T.81 Annex D's NORMATIVE
   113-row Qe probability-state table — constants, not derivable
@@ -36,7 +32,11 @@ and why each is out rather than next:
   from-memory reconstruction would self-roundtrip (our encoder, our
   decoder) while being silently nonconformant on real streams; a
   decoder that returns confident wrong pixels is strictly worse than
-  one that refuses.
+  one that refuses. (Successive approximation carries no such
+  normative-constant dependency — its refinement flow is structure,
+  self-checked here by exact coefficient reconstruction against the
+  baseline coding of the same values — which is why it could land
+  honestly and arithmetic cannot.)
 * ffmpeg-class codecs (H.264/VP9/AAC/MP3...): external-library
   territory by any engineering standard — motion compensation, CABAC,
   psychoacoustic transforms; a from-scratch build is a codec project,
@@ -1593,6 +1593,228 @@ def synth_jpeg_progressive(
     )
 
 
+def synth_jpeg_progressive_sa(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 2,
+) -> DataFrame:
+    """(id, payload binary): a real 16x16 grayscale progressive JFIF
+    using SUCCESSIVE APPROXIMATION (T.81 G.1.2) — the scan script
+    shape libjpeg emits by default for progressive output: DC first
+    scan at reduced precision (diffs of dc >> dc_al), AC first scans
+    per band at Al=ac_al (spectral coding of sign * (abs >> Al)), then
+    AC REFINEMENT scans (Ah = Al+1) walking Al down to 0 — run/size
+    symbols over zero-history coefficients only, one correction bit
+    per already-nonzero coefficient interleaved in position order
+    through ZRL advances and EOB runs (deferred and flushed after the
+    EOBn symbol, exactly as a conformant decoder consumes them), newly
+    significant coefficients as s=1 + explicit sign landing at
+    +-(1 << Al) — and DC refinement scans appending one raw bit per
+    block. Coefficients are the same `jpeg_coef` closed form, so the
+    SA payload reconstructs them EXACTLY and decodes to bit-identical
+    pixels with the baseline encoding (pytest-pinned; the gate reuses
+    the baseline oracle for exactly that reason)."""
+    from pyspark.sql.functions import pandas_udf
+
+    dc_syms, _ = _jpeg_huff_tables()
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)
+    dc_codes = _canonical_codes(dc_bits, dc_syms)
+    ac_syms = [0x00, 0x10, 0x20, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 4)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[5] = len(ac_syms)
+    ac_codes = _canonical_codes(ac_bits, ac_syms)
+    q = jpeg_qtab()
+
+    def _first_ac_scan(blocks, ss, se, al):
+        """Spectral-selection coding of t = sign * (abs >> al)."""
+        bw = _BitWriter()
+        eobrun = [0]
+
+        def flush_eobrun():
+            if not eobrun[0]:
+                return
+            n = eobrun[0].bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw.write(code, ln)
+            if n:
+                bw.write(eobrun[0] - (1 << n), n)
+            eobrun[0] = 0
+
+        for zz in blocks:
+            band = [
+                (1 if a > 0 else -1) * (abs(a) >> al)
+                for a in zz[ss : se + 1]
+            ]
+            if not any(band):
+                eobrun[0] += 1
+                continue
+            flush_eobrun()
+            run = 0
+            last = max(k for k, a in enumerate(band) if a)
+            for k, a in enumerate(band):
+                if k > last:
+                    break
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _size_cat(a)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(a if a > 0 else a + (1 << s) - 1, s)
+                run = 0
+            if last < len(band) - 1:
+                eobrun[0] += 1
+        flush_eobrun()
+        return bw.flush()
+
+    def _refine_ac_scan(blocks, ss, se, al):
+        """Refinement pass: mirrors the decoder's advance exactly —
+        symbols cover zero-history coefficients; correction bits for
+        nonzero-history ones interleave in position order and defer
+        across EOB runs."""
+        bw = _BitWriter()
+        eobrun = [0]
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            if not eobrun[0]:
+                return
+            n = eobrun[0].bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw.write(code, ln)
+            if n:
+                bw.write(eobrun[0] - (1 << n), n)
+            for b in eob_bits:
+                bw.write(b, 1)
+            eob_bits.clear()
+            eobrun[0] = 0
+
+        for zz in blocks:
+            band = zz[ss : se + 1]
+            temps = [abs(a) >> al for a in band]
+            hist = [abs(a) >> (al + 1) for a in band]
+            new = [h == 0 and t == 1 for t, h in zip(temps, hist)]
+            if not any(new):
+                eobrun[0] += 1
+                eob_bits.extend(
+                    t & 1 for t, h in zip(temps, hist) if h
+                )
+                continue
+            flush_eob()
+            last_new = max(k for k, x in enumerate(new) if x)
+            i = 0
+            while i <= last_new:
+                r = 0
+                bits: list[int] = []
+                while True:
+                    if hist[i]:
+                        bits.append(temps[i] & 1)
+                        i += 1
+                        continue
+                    if new[i]:
+                        code, ln = ac_codes[(r << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if band[i] > 0 else 0, 1)
+                        for b in bits:
+                            bw.write(b, 1)
+                        i += 1
+                        break
+                    if r == 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        for b in bits:
+                            bw.write(b, 1)
+                        i += 1
+                        break
+                    r += 1
+                    i += 1
+            if last_new < len(band) - 1:
+                # block tail: covered by a (possibly multi-block) EOB
+                # run; its correction bits defer until the run flushes
+                eobrun[0] += 1
+                eob_bits.extend(
+                    temps[k] & 1
+                    for k in range(last_new + 1, len(band))
+                    if hist[k]
+                )
+        flush_eob()
+        return bw.flush()
+
+    def _encode_one(i: int) -> bytes:
+        blocks = []
+        for b in range(4):
+            coefs = [jpeg_coef(i, b, n // 8, n % 8) for n in range(64)]
+            blocks.append([coefs[_ZIGZAG[k]] for k in range(64)])
+
+        scans = []  # (ss, se, ah, al, data)
+        # DC first scan at reduced precision
+        bw = _BitWriter()
+        prev = 0
+        for zz in blocks:
+            v = zz[0] >> dc_al  # arithmetic shift: floor toward -inf
+            diff = v - prev
+            prev = v
+            s = _size_cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        scans.append((0, 0, 0, dc_al, bw.flush()))
+        # AC first scans per band, then refinements walking Al down
+        for ss, se in bands:
+            scans.append((ss, se, 0, ac_al,
+                          _first_ac_scan(blocks, ss, se, ac_al)))
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+                scans.append((ss, se, al + 1, al,
+                              _refine_ac_scan(blocks, ss, se, al)))
+        # DC refinement scans: one raw bit per block
+        for al in range(dc_al - 1, -1, -1):
+            bw = _BitWriter()
+            for zz in blocks:
+                bw.write((zz[0] >> al) & 1, 1)
+            scans.append((0, 0, al + 1, al, bw.flush()))
+
+        zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
+        out = b"\xff\xd8"
+        out += _jpeg_seg(0xDB, b"\x00" + zz_q)
+        out += _jpeg_seg(
+            0xC2,
+            b"\x08"
+            + JPEG_H.to_bytes(2, "big")
+            + JPEG_W.to_bytes(2, "big")
+            + b"\x01\x01\x11\x00",
+        )
+        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        for ss, se, ah, al, data in scans:
+            out += _jpeg_seg(
+                0xDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
+            )
+            out += data
+        out += b"\xff\xd9"
+        return out
+
+    def _mk_fn(ids):
+        return pd.Series([_encode_one(int(i)) for i in ids])
+
+    _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    _mk = pandas_udf(_mk_fn, "binary")
+    return df.select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
 def _jpeg_parse_dht(body: bytes) -> dict:
     """DHT segment -> {Tc<<4|Th: symbol -> (code, length)} via the
     general ISO C.2 canonical construction (any table content)."""
@@ -1668,9 +1890,15 @@ def _jpeg_decode_planes(buf: bytes, D):
     accumulate coefficients; dequant + Q14 integer IDCT run once at
     the end (p = floor(S / 2^30) + 128, clamped), so a progressive
     stream of the same coefficients reconstructs bit-identical pixels
-    to its baseline encoding. Successive approximation (Ah/Al != 0)
-    is refused — the declared boundary. Returns (w, h, comps, planes):
-    comps = [(comp_id, h_i, v_i, tq)] in SOF order, planes =
+    to its baseline encoding. SUCCESSIVE APPROXIMATION (T.81 G.1.2,
+    libjpeg's default progressive mode) decodes fully: first scans
+    land values << Al (point transform), refinement scans append one
+    magnitude bit per coefficient — raw DC bits OR-ed in at Al, AC
+    run/size symbols over zero-history coefficients with correction
+    bits interleaved through ZRL advances and EOB runs. Arithmetic
+    entropy coding is refused — the declared boundary (the QM-coder
+    needs Annex D's normative Qe table). Returns (w, h, comps,
+    planes): comps = [(comp_id, h_i, v_i, tq)] in SOF order, planes =
     {comp_id: int64 array (8*v_i*mcuy, 8*h_i*mcux)}."""
     import numpy as np
 
@@ -1773,11 +2001,6 @@ def _jpeg_decode_planes(buf: bytes, D):
             key: {v: k for k, v in tab.items()}
             for key, tab in huff_s.items()
         }
-        if ah != 0 or al != 0:
-            raise ValueError(
-                "successive-approximation JPEG not supported "
-                "(spectral-selection progressive only)"
-            )
         state = {"seg": 0, "bp": 0}
 
         def read_bit() -> int:
@@ -1814,14 +2037,18 @@ def _jpeg_decode_planes(buf: bytes, D):
 
         prev_dc = {cid: 0 for cid, _, _ in sc}
         eobrun = [0]
+        p1, m1 = 1 << al, -(1 << al)  # refinement increments
 
         def decode_block(cid, by, bx, dc_t, ac_t):
+            # first pass (Ah=0): baseline, progressive spectral, and
+            # successive-approximation FIRST scans — values arrive at
+            # reduced precision (point transform) and store << Al
             store = coef[cid][by, bx]
             k = ss
             if ss == 0:
                 s = read_code(rev[0x00 | dc_t])
                 prev_dc[cid] += read_extend(s)
-                store[0, 0] = prev_dc[cid]
+                store[0, 0] = prev_dc[cid] << al
                 k = 1
             if k > se:
                 return
@@ -1843,8 +2070,70 @@ def _jpeg_decode_planes(buf: bytes, D):
                     return
                 k += r
                 nat = _ZIGZAG[k]
-                store[nat // 8, nat % 8] = read_extend(s)
+                store[nat // 8, nat % 8] = read_extend(s) << al
                 k += 1
+
+        def decode_block_refine(cid, by, bx, dc_t, ac_t):
+            # refinement pass (Ah = Al+1): one more magnitude bit per
+            # coefficient (T.81 G.1.2). DC: one raw bit OR-ed in at Al
+            # (exact on signed values — Python's infinite-precision
+            # two's complement makes v == (v >> n << n) | low-bits).
+            # AC: run/size symbols cover ZERO-HISTORY coefficients
+            # only; every already-nonzero coefficient encountered while
+            # advancing consumes a correction bit (1 -> grow magnitude
+            # by 1 << Al), including across ZRL and EOB runs; a newly
+            # significant coefficient carries s=1 + an explicit sign
+            # bit and lands as +-(1 << Al).
+            store = coef[cid][by, bx]
+            if ss == 0:
+                if read_bit():
+                    store[0, 0] = int(store[0, 0]) | p1
+                return
+            k = ss
+            if eobrun[0] == 0:
+                ac = rev[0x10 | ac_t]
+                while k <= se:
+                    sym = read_code(ac)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            run = 1 << r  # EOBn
+                            if r:
+                                run += read_bits(r)
+                            eobrun[0] = run
+                            break
+                        # ZRL: advance past 16 zero-history coeffs
+                    else:
+                        newval = p1 if read_bit() else m1
+                    while k <= se:
+                        nat = _ZIGZAG[k]
+                        v = int(store[nat // 8, nat % 8])
+                        if v != 0:
+                            if read_bit() and (v & p1) == 0:
+                                store[nat // 8, nat % 8] = (
+                                    v + p1 if v >= 0 else v + m1
+                                )
+                            k += 1
+                            continue
+                        if r == 0:
+                            if s:
+                                store[nat // 8, nat % 8] = newval
+                            k += 1
+                            break
+                        r -= 1
+                        k += 1
+            if eobrun[0] > 0:
+                # rest of this block's band: correction bits only
+                while k <= se:
+                    nat = _ZIGZAG[k]
+                    v = int(store[nat // 8, nat % 8])
+                    if v != 0 and read_bit() and (v & p1) == 0:
+                        store[nat // 8, nat % 8] = (
+                            v + p1 if v >= 0 else v + m1
+                        )
+                    k += 1
+                eobrun[0] -= 1
 
         def restart() -> None:
             state["seg"] += 1
@@ -1853,6 +2142,7 @@ def _jpeg_decode_planes(buf: bytes, D):
                 prev_dc[c] = 0
             eobrun[0] = 0  # EOBRUN cannot cross a restart (E.2.4)
 
+        block_fn = decode_block_refine if ah != 0 else decode_block
         n_units = 0
         if len(sc) > 1:  # interleaved: one MCU per unit
             for my in range(mcuy):
@@ -1864,7 +2154,7 @@ def _jpeg_decode_planes(buf: bytes, D):
                         hi, vi, _ = by_id[cid]
                         for byy in range(vi):
                             for bxx in range(hi):
-                                decode_block(
+                                block_fn(
                                     cid,
                                     my * vi + byy,
                                     mx * hi + bxx,
@@ -1881,7 +2171,7 @@ def _jpeg_decode_planes(buf: bytes, D):
                     if sri and n_units and n_units % sri == 0:
                         restart()
                     n_units += 1
-                    decode_block(cid, by, bx, dc_t, ac_t)
+                    block_fn(cid, by, bx, dc_t, ac_t)
 
     # dequant + IDCT once, after every scan has landed its band
     planes = {}

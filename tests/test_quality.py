@@ -1075,10 +1075,8 @@ def test_jpeg_restart_markers_decode_identically(spark):
 def test_jpeg_progressive_decodes_identically_and_guards(spark):
     """A progressive (SOF2, spectral-selection) encoding of the SAME
     quantized coefficients must decode to exactly the baseline
-    features — DC scan + AC band scans, cross-block EOBn runs and all.
-    A nonzero successive-approximation scan must be refused loudly
-    (the declared boundary), not mis-decoded."""
-    import pytest as _pytest
+    features — DC scan + AC band scans, cross-block EOBn runs and
+    all."""
     from pyspark.sql import functions as F
 
     from fb_ads_bigquery_etl_spark.operators import multimodal as M
@@ -1104,22 +1102,53 @@ def test_jpeg_progressive_decodes_identically_and_guards(spark):
     }
     assert got1 == want
 
-    # successive approximation (Ah/Al != 0) is refused
-    payload = bytes(
-        M.synth_jpeg_progressive(
+
+def test_jpeg_successive_approximation_decodes_identically(spark):
+    """Successive approximation (T.81 G.1.2 — libjpeg's DEFAULT
+    progressive scan-script shape) must reconstruct the coefficients
+    EXACTLY: DC first scan at dc >> Al with raw-bit refinements, AC
+    first scans at sign * (abs >> Al), AC refinement scans whose
+    correction bits interleave through ZRL advances and defer across
+    multi-block EOB runs, newly significant coefficients landing at
+    +-(1 << Al). Pixel features must equal the baseline encoding of
+    the same coefficients across several scan scripts (deeper Al
+    chains, single-band, default)."""
+    from pyspark.sql import functions as F
+
+    from fb_ads_bigquery_etl_spark.operators import multimodal as M
+
+    ids = spark.range(50).select(F.col("id").alias("doc_id"))
+    want = {
+        r["id"]: tuple(r)
+        for r in M.decode_jpeg_features(M.synth_jpeg(ids)).collect()
+    }
+    for kwargs in (
+        {},  # default: bands (1,5)(6,63), dc_al=1, ac_al=2
+        {"bands": ((1, 63),), "dc_al": 2, "ac_al": 3},
+        {"bands": ((1, 5), (6, 29), (30, 63)), "dc_al": 0, "ac_al": 1},
+    ):
+        payload_df = M.synth_jpeg_progressive_sa(ids, **kwargs)
+        got = {
+            r["id"]: tuple(r)
+            for r in M.decode_jpeg_features(payload_df).collect()
+        }
+        assert got == want, f"SA mismatch for {kwargs}"
+    # the default payload really carries refinement scans (Ah != 0)
+    raw = bytes(
+        M.synth_jpeg_progressive_sa(
             spark.range(1).select(F.col("id").alias("doc_id"))
         ).collect()[0]["payload"]
     )
-    # flip the last scan's AhAl byte (SOS body: 01 01 00 Ss Se AhAl)
-    k = payload.rindex(b"\xff\xda")
-    mut = bytearray(payload)
-    mut[k + 9] = 0x01  # Al = 1
-    with _pytest.raises(Exception, match="successive-approximation"):
-        M.decode_jpeg_features(
-            spark.createDataFrame(
-                [(1, bytes(mut))], "id long, payload binary"
-            )
-        ).collect()
+    ahals = []
+    k = 0
+    while True:
+        k = raw.find(b"\xff\xda", k)
+        if k < 0:
+            break
+        ahals.append(raw[k + 9])  # SOS body: 01 01 00 Ss Se AhAl
+        k += 2
+    assert any(b >> 4 for b in ahals), ahals  # refinement scans present
+    assert any(b & 0x0F for b in ahals), ahals  # reduced-precision firsts
 
 
 def test_jpeg_per_scan_dht_redefinition(spark):
