@@ -1450,6 +1450,45 @@ def synth_jpeg(
     )
 
 
+def _jpeg_prog_tables():
+    """Shared grayscale progressive Huffman table set — DC size
+    categories 0..8 at 4 bits, AC (run, size<=3) plus EOB/EOB1/EOB2/
+    ZRL at 6 bits (EOBn runs span <= 4 blocks here, so n <= 2) — used
+    by BOTH progressive synthesizers so table shape fixes land once.
+    Returns (dc_bits, dc_syms, dc_codes, ac_bits, ac_syms,
+    ac_codes)."""
+    dc_syms, _ = _jpeg_huff_tables()
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)
+    ac_syms = [0x00, 0x10, 0x20, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 4)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[5] = len(ac_syms)
+    return (
+        dc_bits, dc_syms, _canonical_codes(dc_bits, dc_syms),
+        ac_bits, ac_syms, _canonical_codes(ac_bits, ac_syms),
+    )
+
+
+def _jpeg_gray_prog_header(q, dc_bits, dc_syms, ac_bits, ac_syms) -> bytes:
+    """SOI/DQT/SOF2/DHTx2 framing of a 16x16 grayscale progressive
+    JFIF — shared by both progressive synthesizers."""
+    zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xDB, b"\x00" + zz_q)
+    out += _jpeg_seg(
+        0xC2,  # SOF2: progressive DCT
+        b"\x08"
+        + JPEG_H.to_bytes(2, "big")
+        + JPEG_W.to_bytes(2, "big")
+        + b"\x01\x01\x11\x00",
+    )
+    out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
+    out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+    return out
+
+
 def synth_jpeg_progressive(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1479,18 +1518,8 @@ def synth_jpeg_progressive(
     accumulates DHT globally before decoding mis-reads."""
     from pyspark.sql.functions import pandas_udf
 
-    dc_syms, _ = _jpeg_huff_tables()
-    dc_bits = [0] * 16
-    dc_bits[3] = len(dc_syms)
-    dc_codes = _canonical_codes(dc_bits, dc_syms)
-    # AC table with the EOBn symbols progressive needs (runs up to 4
-    # blocks here -> n <= 2); 6-bit flat like the baseline table
-    ac_syms = [0x00, 0x10, 0x20, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 4)
-    ]
-    ac_bits = [0] * 16
-    ac_bits[5] = len(ac_syms)
-    ac_codes = _canonical_codes(ac_bits, ac_syms)
+    (dc_bits, dc_syms, dc_codes,
+     ac_bits, ac_syms, ac_codes) = _jpeg_prog_tables()
     q = jpeg_qtab()
 
     def _encode_one(i: int) -> bytes:
@@ -1561,18 +1590,7 @@ def synth_jpeg_progressive(
             flush_eobrun()
             scans.append((ss, se, dht_body, bw.flush()))
 
-        zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
-        out = b"\xff\xd8"
-        out += _jpeg_seg(0xDB, b"\x00" + zz_q)
-        out += _jpeg_seg(
-            0xC2,  # SOF2: progressive DCT
-            b"\x08"
-            + JPEG_H.to_bytes(2, "big")
-            + JPEG_W.to_bytes(2, "big")
-            + b"\x01\x01\x11\x00",
-        )
-        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
-        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        out = _jpeg_gray_prog_header(q, dc_bits, dc_syms, ac_bits, ac_syms)
         for ss, se, dht_body, data in scans:
             if dht_body is not None:
                 out += _jpeg_seg(0xC4, dht_body)
@@ -1619,16 +1637,8 @@ def synth_jpeg_progressive_sa(
     the baseline oracle for exactly that reason)."""
     from pyspark.sql.functions import pandas_udf
 
-    dc_syms, _ = _jpeg_huff_tables()
-    dc_bits = [0] * 16
-    dc_bits[3] = len(dc_syms)
-    dc_codes = _canonical_codes(dc_bits, dc_syms)
-    ac_syms = [0x00, 0x10, 0x20, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 4)
-    ]
-    ac_bits = [0] * 16
-    ac_bits[5] = len(ac_syms)
-    ac_codes = _canonical_codes(ac_bits, ac_syms)
+    (dc_bits, dc_syms, dc_codes,
+     ac_bits, ac_syms, ac_codes) = _jpeg_prog_tables()
     q = jpeg_qtab()
 
     def _first_ac_scan(blocks, ss, se, al):
@@ -1785,18 +1795,7 @@ def synth_jpeg_progressive_sa(
                 bw.write((zz[0] >> al) & 1, 1)
             scans.append((0, 0, al + 1, al, bw.flush()))
 
-        zz_q = bytes(q[_ZIGZAG[k] // 8][_ZIGZAG[k] % 8] for k in range(64))
-        out = b"\xff\xd8"
-        out += _jpeg_seg(0xDB, b"\x00" + zz_q)
-        out += _jpeg_seg(
-            0xC2,
-            b"\x08"
-            + JPEG_H.to_bytes(2, "big")
-            + JPEG_W.to_bytes(2, "big")
-            + b"\x01\x01\x11\x00",
-        )
-        out += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_syms))
-        out += _jpeg_seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_syms))
+        out = _jpeg_gray_prog_header(q, dc_bits, dc_syms, ac_bits, ac_syms)
         for ss, se, ah, al, data in scans:
             out += _jpeg_seg(
                 0xDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
@@ -1956,7 +1955,8 @@ def _jpeg_decode_planes(buf: bytes, D):
         elif 0xC1 <= m <= 0xC7 and m != 0xC4:
             raise ValueError(
                 f"unsupported SOF marker 0xFF{m:02X}: only baseline "
-                "(SOF0) and spectral-selection progressive (SOF2)"
+                "(SOF0) and Huffman progressive incl. successive "
+                "approximation (SOF2)"
             )
         elif m == 0xC4:
             huff.update(_jpeg_parse_dht(body))

@@ -668,7 +668,8 @@ def build_ivfpq_index(
     # staged commit so the fresh index is not gated on recovery
     spark = df.sparkSession
     fs, P = _split_fs(spark, path)
-    for leftover in _split_paths(path) + (f"{_split_paths(path)[2]}_tmp",):
+    staged_p, scents_p, commit_p = _split_paths(path)
+    for leftover in (staged_p, scents_p, commit_p, f"{commit_p}_tmp"):
         if fs.exists(P(leftover)):
             fs.delete(P(leftover), True)
     cents, resid = _residuals(
@@ -930,18 +931,28 @@ def _replay_split_commit(spark, path: str) -> dict | None:
             if fs.exists(src_dir):
                 if fs.exists(live):
                     fs.delete(live, True)
-                fs.rename(src_dir, live)
+                _rename_or_raise(fs, src_dir, live)
         elif fs.exists(live):
             fs.delete(live, True)
     scents, lcents = P(staged_cents), P(f"{path}_centroids")
     if fs.exists(scents):
         if fs.exists(lcents):
             fs.delete(lcents, True)
-        fs.rename(scents, lcents)
+        _rename_or_raise(fs, scents, lcents)
     refresh_ivfpq_manifest(spark, path, precomputed=pre)
     fs.delete(P(commit), True)
     fs.delete(P(staged), True)
     return pre
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename signals failure by RETURNING FALSE
+    (dst exists, missing parent, cross-FS move), not by raising — an
+    unchecked call would let a publish report success with nothing
+    swapped. The marker stays in place on failure, so a retry /
+    recover_ivfpq_split replays the commit."""
+    if not fs.rename(src, dst):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")
 
 
 def recover_ivfpq_split(spark, path: str) -> bool:
@@ -1198,7 +1209,12 @@ def _reassign_and_publish(
     spark.createDataFrame(rdd, _SPLIT_COMMIT_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{commit}_tmp")  # _write_manifest_segment's tiny-write note
-    fs.rename(P(f"{commit}_tmp"), P(commit))
+    # the commit point: checked rename (Hadoop signals failure by
+    # returning false). NOTE: directory rename is atomic on HDFS and
+    # local FS; on rename-as-copy object stores (S3A) this commit
+    # protocol needs the store's own committer — same caveat class as
+    # every rename-based Spark output committer.
+    _rename_or_raise(fs, P(f"{commit}_tmp"), P(commit))
     _replay_split_commit(spark, path)
     return touched, n_moved
 
@@ -1258,6 +1274,7 @@ def merge_ivfpq_buckets(
     cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
         eager=True
     )
+    explicit = buckets is not None
     if buckets is None:
         # the manifest is only consulted by the cold pick; an
         # explicit-pair merge skips the refresh (a write) entirely
@@ -1291,14 +1308,16 @@ def merge_ivfpq_buckets(
         int(r["centroid_id"])
         for r in cents.select("centroid_id").collect()  # nlist-bounded
     }
-    missing = [b for b in (b1, b2) if b not in known]
-    if missing:
-        raise ValueError(
-            f"bucket(s) {missing} not in the centroid set: merging a "
-            "nonexistent bucket would silently retrain the other one"
-        )
+    if explicit:  # the cold pick draws from cents by construction
+        missing = [b for b in (b1, b2) if b not in known]
+        if missing:
+            raise ValueError(
+                f"bucket(s) {missing} not in the centroid set: merging "
+                "a nonexistent bucket would silently retrain the other "
+                "one"
+            )
     cb = load_codebooks(spark, path)
-    max_id = int(cents.agg(F.max("centroid_id")).head()[0])
+    max_id = max(known)
 
     member_ids = (
         spark.read.parquet(path)
