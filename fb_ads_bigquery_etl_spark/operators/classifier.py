@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import hash32, tokens
+from fb_ads_bigquery_etl_spark.session import coalesce_by_bytes, local_df
 
 
 def hashed_text_features(text: Column, *, include_bigrams: bool = True) -> Column:
@@ -248,88 +249,99 @@ def train_classifier(
         .persist()
     )
     try:
-        # featureless docs never enter `feats`: they are permanent
-        # mistakes (score 0) with zero update contribution, so they add
-        # a constant to every iteration's count. Two one-off counts
-        # (the distinct ride the persisted doc-partitioning).
-        n_featureless = (
-            df.count() - feats.select("_doc").distinct().count()
-        )
-        w: dict[int, int] = {}
-        pocket: dict[int, int] = {}
-        acc: dict[int, int] = {}  # averaged variant: sum of w_1..w_iters
-        pocket_mistakes = None
-        for _ in range(iters):
-            if w:
-                wdf = spark.createDataFrame(
-                    sorted(w.items()), "bucket long, w long"
-                )
-                # groupBy(_doc) alone (label recovered via first():
-                # it is doc-functional) so the persisted frame's hash
-                # partitioning on _doc satisfies the agg's required
-                # distribution — NO per-iteration shuffle; the mistake
-                # join below is co-partitioned the same way
-                scored = (
-                    feats.join(
-                        F.broadcast(wdf),
-                        feats["_bucket"] == wdf["bucket"],
-                        "left",
-                    )
-                    .groupBy("_doc")
-                    .agg(
-                        F.first("_y").alias("_y"),
-                        F.sum(
-                            F.col("_c") * F.coalesce(F.col("w"), F.lit(0))
-                        )
-                        .cast("long")
-                        .alias("_s"),
-                    )
-                )
-            else:
-                scored = feats.groupBy("_doc").agg(
-                    F.first("_y").alias("_y"),
-                    F.lit(0).cast("long").alias("_s"),
-                )
-            scored = scored.localCheckpoint(eager=True)  # reused twice
-            mis = scored.select(
-                "_doc",
-                F.when(F.col("_y") * F.col("_s") <= 0, F.col("_y"))
-                .otherwise(F.lit(0))
-                .cast("long")
-                .alias("_m"),
-            ).filter(F.col("_m") != 0)
-            upd = (
-                feats.join(mis, "_doc")
-                .groupBy("_bucket")
-                .agg(
-                    F.sum(F.col("_c") * F.col("_m"))
-                    .cast("long")
-                    .alias("_u")
-                )
+        # every reduce stage in this loop is bounded by vocab/doc-sample
+        # cardinality, so coalesce its shuffles by bytes, not core count
+        # (session.coalesce_by_bytes; scoped — restored on exit)
+        with coalesce_by_bytes(spark):
+            # featureless docs never enter `feats`: they are permanent
+            # mistakes (score 0) with zero update contribution, so they
+            # add a constant to every iteration's count. Two one-off
+            # counts (the distinct ride the persisted doc-partitioning).
+            n_featureless = (
+                df.count() - feats.select("_doc").distinct().count()
             )
-            # the mistake COUNT rides along as a bucket=-1 sentinel row
-            # (real buckets are >= 0), so each iteration is exactly two
-            # jobs: materialize scores, collect updates+count
-            sentinel = mis.agg(
-                F.count("*").cast("long").alias("_u")
-            ).select(F.lit(-1).cast("long").alias("_bucket"), "_u")
-            w_prev = dict(w)
-            n_mis = 0
-            for r in upd.unionByName(sentinel).collect():
-                if r["_bucket"] == -1:
-                    n_mis = r["_u"] + n_featureless
+            w: dict[int, int] = {}
+            pocket: dict[int, int] = {}
+            acc: dict[int, int] = {}  # averaged: sum of w_1..w_iters
+            pocket_mistakes = None
+            for _ in range(iters):
+                if w:
+                    # vocab-sized weight table: one slice
+                    # (session.local_df) — the default-parallelism
+                    # split costs a full task wave per broadcast
+                    # build, every iteration
+                    wdf = local_df(
+                        spark, sorted(w.items()), "bucket long, w long"
+                    )
+                    # groupBy(_doc) alone (label recovered via first():
+                    # it is doc-functional) so the persisted frame's
+                    # hash partitioning on _doc satisfies the agg's
+                    # required distribution — NO per-iteration shuffle;
+                    # the mistake join below is co-partitioned the
+                    # same way
+                    scored = (
+                        feats.join(
+                            F.broadcast(wdf),
+                            feats["_bucket"] == wdf["bucket"],
+                            "left",
+                        )
+                        .groupBy("_doc")
+                        .agg(
+                            F.first("_y").alias("_y"),
+                            F.sum(
+                                F.col("_c")
+                                * F.coalesce(F.col("w"), F.lit(0))
+                            )
+                            .cast("long")
+                            .alias("_s"),
+                        )
+                    )
                 else:
-                    w[r["_bucket"]] = w.get(r["_bucket"], 0) + r["_u"]
-            if pocket_mistakes is None or n_mis < pocket_mistakes:
-                pocket_mistakes, pocket = n_mis, dict(w_prev)
-            if variant == "averaged":
-                for b, v in w.items():
-                    acc[b] = acc.get(b, 0) + v
+                    scored = feats.groupBy("_doc").agg(
+                        F.first("_y").alias("_y"),
+                        F.lit(0).cast("long").alias("_s"),
+                    )
+                scored = scored.localCheckpoint(eager=True)  # used twice
+                mis = scored.select(
+                    "_doc",
+                    F.when(F.col("_y") * F.col("_s") <= 0, F.col("_y"))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("_m"),
+                ).filter(F.col("_m") != 0)
+                upd = (
+                    feats.join(mis, "_doc")
+                    .groupBy("_bucket")
+                    .agg(
+                        F.sum(F.col("_c") * F.col("_m"))
+                        .cast("long")
+                        .alias("_u")
+                    )
+                )
+                # the mistake COUNT rides along as a bucket=-1 sentinel
+                # row (real buckets are >= 0), so each iteration is
+                # exactly two jobs: materialize scores, collect
+                # updates+count
+                sentinel = mis.agg(
+                    F.count("*").cast("long").alias("_u")
+                ).select(F.lit(-1).cast("long").alias("_bucket"), "_u")
+                w_prev = dict(w)
+                n_mis = 0
+                for r in upd.unionByName(sentinel).collect():
+                    if r["_bucket"] == -1:
+                        n_mis = r["_u"] + n_featureless
+                    else:
+                        w[r["_bucket"]] = w.get(r["_bucket"], 0) + r["_u"]
+                if pocket_mistakes is None or n_mis < pocket_mistakes:
+                    pocket_mistakes, pocket = n_mis, dict(w_prev)
+                if variant == "averaged":
+                    for b, v in w.items():
+                        acc[b] = acc.get(b, 0) + v
     finally:
         feats.unpersist()
     chosen = acc if variant == "averaged" else pocket
-    weights = spark.createDataFrame(
-        sorted(chosen.items()), "bucket long, weight_milli long"
+    weights = local_df(
+        spark, sorted(chosen.items()), "bucket long, weight_milli long"
     )
     return weights, int(pocket_mistakes)
 

@@ -33,6 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from fb_ads_bigquery_etl_spark.session import (
+    coalesce_metadata_stages,
+    local_df,
+)
+
 PQ_SCALE = 1_000_000
 
 
@@ -153,15 +158,21 @@ def train_codebooks_ints(
                  "s": out_s, "n": out_n}
             )
 
-    parts = (
-        df.select(int_col)
-        .mapInPandas(
-            _partials, schema="m int, cluster int, dim int, s long, n long"
+    from fb_ads_bigquery_etl_spark.session import coalesce_by_bytes
+
+    # reduce side is m*ksub*sub partial-sum rows — metadata-bounded,
+    # so coalesce the shuffle by bytes, not core count
+    with coalesce_by_bytes(df.sparkSession):
+        parts = (
+            df.select(int_col)
+            .mapInPandas(
+                _partials,
+                schema="m int, cluster int, dim int, s long, n long",
+            )
+            .groupBy("m", "cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        .groupBy("m", "cluster", "dim")
-        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-        .collect()
-    )
     new_cb = [[list(cw) for cw in cb_m] for cb_m in cb]  # default: seeds
     sums: dict[tuple[int, int], list[int]] = {}
     counts: dict[tuple[int, int], int] = {}
@@ -272,8 +283,8 @@ def pq_adc_topk(
         ]
         lut_rows.append((int(r["qid"]), lut))
     spark = corpus.sparkSession
-    luts = spark.createDataFrame(
-        lut_rows, "qid long, lut array<array<long>>"
+    luts = local_df(
+        spark, lut_rows, "qid long, lut array<array<long>>"
     )
     codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
     score = F.aggregate(
@@ -505,8 +516,8 @@ def ivfpq_recall(
         ]
         lut_rows.append((qid, b, term1, lut))
     spark = df.sparkSession
-    luts = spark.createDataFrame(
-        lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
+    luts = local_df(
+        spark, lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
     )
     adc = F.col("term1") + F.aggregate(
         F.zip_with(
@@ -624,6 +635,7 @@ def load_codebooks(spark, path: str) -> list[list[list[int]]]:
     return cb  # type: ignore[return-value]
 
 
+@coalesce_metadata_stages
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -726,14 +738,15 @@ def build_ivfpq_index(
         for mm, cb_m in enumerate(cb)
         for c, cw in enumerate(cb_m)
     ]
-    spark.createDataFrame(
-        cb_rows, "m int, c int, cw array<long>"
+    local_df(
+        spark, cb_rows, "m int, c int, cw array<long>"
     ).write.mode("overwrite").parquet(f"{path}_codebooks")
     # per-file stats sidecar: a fresh seq=0 snapshot from the write-
     # time stats (reset: the overwrite above retired every prior file)
     refresh_ivfpq_manifest(spark, path, precomputed=pre, reset=True)
 
 
+@coalesce_metadata_stages
 def append_ivfpq_index(
     spark,
     delta: DataFrame,
@@ -800,6 +813,7 @@ def append_ivfpq_index(
     refresh_ivfpq_manifest(spark, path, precomputed=pre)
 
 
+@coalesce_metadata_stages
 def retrain_ivfpq_codebooks(
     spark,
     df: DataFrame,
@@ -967,6 +981,7 @@ def recover_ivfpq_split(spark, path: str) -> bool:
     return _replay_split_commit(spark, path) is not None
 
 
+@coalesce_metadata_stages
 def split_ivfpq_bucket(
     spark,
     src: DataFrame,
@@ -1219,6 +1234,7 @@ def _reassign_and_publish(
     return touched, n_moved
 
 
+@coalesce_metadata_stages
 def merge_ivfpq_buckets(
     spark,
     src: DataFrame,
@@ -1517,6 +1533,7 @@ def _write_manifest_segment(spark, rows: list, path: str, mode: str) -> None:
     ).parquet(f"{path}_manifest")
 
 
+@coalesce_metadata_stages
 def refresh_ivfpq_manifest(
     spark,
     path: str,
@@ -1577,8 +1594,9 @@ def refresh_ivfpq_manifest(
     gone = sorted(set(known) - {s for _, s, _, _ in listed})
     if have_sidecar and not new and not gone:
         # nothing changed: no segment written, no files re-stat'ed
-        return spark.createDataFrame(
-            [tuple(live[s])[:8] for s in sorted(live)], _MANIFEST_SCHEMA
+        return local_df(
+            spark, [tuple(live[s])[:8] for s in sorted(live)],
+            _MANIFEST_SCHEMA,
         )
     add_rows = []
     need_scan = []
@@ -1622,9 +1640,10 @@ def refresh_ivfpq_manifest(
         # fold threshold bounds the history every refresh replays)
         compact_ivfpq_manifest(spark, path)
     out_rows = [tuple(live[s])[:8] for s in sorted(live)] + add_rows
-    return spark.createDataFrame(out_rows, _MANIFEST_SCHEMA)
+    return local_df(spark, out_rows, _MANIFEST_SCHEMA)
 
 
+@coalesce_metadata_stages
 def compact_ivfpq_manifest(
     spark, path: str, *, max_segments: int = 8
 ) -> int:
@@ -1709,6 +1728,7 @@ def _read_tombstones(spark, path: str) -> DataFrame | None:
         return None
 
 
+@coalesce_metadata_stages
 def delete_from_ivfpq_index(
     spark,
     ids: DataFrame,
@@ -1732,6 +1752,7 @@ def delete_from_ivfpq_index(
     ).parquet(f"{path}_tombstones")
 
 
+@coalesce_metadata_stages
 def compact_ivfpq_index(
     spark, path: str, *, use_manifest: bool | None = None
 ) -> list[int]:
@@ -2052,8 +2073,8 @@ def query_ivfpq_index(
             for mm in range(m)
         ]
         lut_rows.append((int(r["centroid_id"]), term1, lut))
-    luts = spark.createDataFrame(
-        lut_rows, "b long, term1 long, lut array<array<long>>"
+    luts = local_df(
+        spark, lut_rows, "b long, term1 long, lut array<array<long>>"
     )
     _check_no_split_inflight(spark, path)
     codes = spark.read.parquet(path).filter(
@@ -2165,8 +2186,8 @@ def query_ivfpq_index_batch(
             lut_rows.append(
                 (int(qr["qid"]), int(r["centroid_id"]), term1, lut)
             )
-    luts = spark.createDataFrame(
-        lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
+    luts = local_df(
+        spark, lut_rows, "qid long, b long, term1 long, lut array<array<long>>"
     )
     buckets = sorted({b for _, b, _, _ in lut_rows})
     _check_no_split_inflight(spark, path)
@@ -2200,7 +2221,8 @@ def query_ivfpq_index_batch(
         .select("query_id", "id")
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qvecs = spark.createDataFrame(
+    qvecs = local_df(
+        spark,
         [(int(r["qid"]), [float(x) for x in r["qv"]]) for r in qrows],
         "query_id long, _qv array<double>",
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import dot_product, l2_norm
+from fb_ads_bigquery_etl_spark.session import local_df
 
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str, *extra: str) -> DataFrame:
@@ -131,8 +132,8 @@ def train_centroids(
 
     _, cents, _ = kmeans(df, vec_col, id_col, k=k, max_iter=max_iter)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    cdf = df.sparkSession.createDataFrame(
-        rows, "centroid_id bigint, cvec array<double>"
+    cdf = local_df(
+        df.sparkSession, rows, "centroid_id bigint, cvec array<double>"
     )
     return cdf.select(
         "centroid_id", "cvec", l2_norm(F.col("cvec")).alias("cnorm")
@@ -190,8 +191,8 @@ def train_centroids_exact(
         df, vec_col, id_col, k=k, iters=iters, init=init_ints
     )
     rows = [(j, [c / float(QSCALE) for c in cv]) for j, cv in enumerate(cents)]
-    cdf = df.sparkSession.createDataFrame(
-        rows, "centroid_id bigint, cvec array<double>"
+    cdf = local_df(
+        df.sparkSession, rows, "centroid_id bigint, cvec array<double>"
     )
     return cdf.select(
         "centroid_id", "cvec", l2_norm(F.col("cvec")).alias("cnorm")

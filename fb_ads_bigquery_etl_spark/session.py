@@ -8,8 +8,67 @@ partition coalescing on) — only sizes change.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """createDataFrame for METADATA-SIZED driver-side row lists (LUTs,
+    centroid/codebook sidecars, per-iteration weight tables): one
+    explicit slice instead of the default-parallelism split. The
+    default scatters 16 rows over 32 empty partitions, so every
+    downstream action (broadcast build, sidecar write) schedules 32
+    tasks for a handful of rows — measured 0.5 s per sidecar write at
+    local[32], ~0.15 s with one slice; same story on a cluster, where
+    default parallelism is far larger. Row order and typing are
+    identical to the multi-slice form (guide §2.4: remove work the
+    operation never needed)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    return spark.createDataFrame(rdd, schema)
+
+
+def coalesce_metadata_stages(fn):
+    """Decorator form of `coalesce_by_bytes` for operator entry points
+    whose eager actions all reduce to metadata-bounded stages (nlist /
+    vocab / k-centroid cardinality). The first positional argument must
+    be a SparkSession or carry `.sparkSession` (a DataFrame)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        first = args[0]
+        spark = getattr(first, "sparkSession", None) or first
+        with coalesce_by_bytes(spark):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@contextmanager
+def coalesce_by_bytes(spark: SparkSession):
+    """Scope AQE partition coalescing to advisory BYTES (instead of the
+    core-count floor) for operators whose reduce stages are
+    METADATA-BOUNDED BY CONSTRUCTION — nlist buckets, vocab buckets,
+    k centroids, per-file manifest rows. For those stages the Spark
+    default (parallelismFirst=true) schedules core-count reduce tasks
+    for a handful of groups at ANY cluster size; honoring the advisory
+    size collapses them to the few tasks the data warrants. Kept
+    SCOPED because the same flag session-wide serializes CPU-heavy
+    byte-light stages (pair-verification joins measured x1.8-2.9
+    slower — OPTIMIZATION_r13.md). Restores the previous value."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
@@ -36,6 +95,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at the Spark default (true): an
+        # isolated A/B (OPTIMIZATION_r13.md) measured that flipping it
+        # session-wide serializes CPU-heavy byte-light reduce stages
+        # (pair-verification joins went x1.8-2.9) while only the
+        # metadata-bounded stages win. Those get the scoped
+        # `coalesce_by_bytes` context below instead; both knobs stay
+        # env-parameterised for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
