@@ -57,6 +57,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+# spread(): a small single-file scan yields ONE input partition, which
+# would serialize every per-payload synth/decode kernel below on one
+# core; at real scale inputs already have >= cores partitions and it
+# is a no-op (see fuzzy_dedup.spread's docstring).
+from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), nullable=False),
@@ -290,7 +296,9 @@ def synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload"))
+    return spread(df).select(
+        F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
+    )
 
 
 _DECODE_SCHEMA = (
@@ -398,7 +406,7 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -511,7 +519,7 @@ def synth_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -674,7 +682,7 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -890,7 +898,7 @@ def synth_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -1110,7 +1118,7 @@ def synth_ppm_groups(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -1445,7 +1453,7 @@ def synth_jpeg(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -1606,7 +1614,7 @@ def synth_jpeg_progressive(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -1809,7 +1817,7 @@ def synth_jpeg_progressive_sa(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -2375,7 +2383,7 @@ def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -2539,7 +2547,7 @@ def synth_wav_groups(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -2698,7 +2706,7 @@ def synth_y4m_groups(
 
     _mk_fn.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     _mk = pandas_udf(_mk_fn, "binary")
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), _mk(F.col(id_col)).alias("payload")
     )
 
