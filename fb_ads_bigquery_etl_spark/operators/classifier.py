@@ -99,7 +99,11 @@ def score_documents(
     corpus just to recover them, a full extra corpus-keyset shuffle at
     100 TB.
     """
-    feats = df.select(
+    # the tokenize+hash explode below is the CPU-heavy map side; a
+    # single-file scan would run it all on one core (no-op at scale)
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import spread
+
+    feats = spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.explode_outer(
@@ -228,8 +232,14 @@ def train_classifier(
         num_partitions = (
             min(shuffle_n, max(8, n_files)) if n_files else shuffle_n
         )
+    # spread(): the tokenize+hash explode is the CPU-heavy map side of
+    # the feature agg; a single-file scan would run it on one core
+    # (no-op at scale — checkpointed eval-split inputs already carry
+    # their join parallelism)
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import spread
+
     feats = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("_doc"),
             (F.col(label_col).cast("long") * 2 - 1).alias("_y"),
             F.explode(

@@ -204,6 +204,13 @@ def analyze_documents(
         }
         return F.struct(*[makers[c]().alias(c) for c in fields])
 
+    # the tokenize + higher-order derivations are CodegenFallback
+    # (interpreted) — CPU-heavy per row. spread(): a single-file scan
+    # otherwise runs the whole corpus on ONE core; no-op at real scale
+    # (every caller passes a scan-shaped documents frame).
+    from fb_ads_bigquery_etl_spark.operators.fuzzy_dedup import spread
+
+    df = spread(df)
     staged = df.select("*", bind(tokens(text), packed_of).alias("_ta"))
     return staged.select(
         *df.columns, *[F.col(f"_ta.{c}").alias(c) for c in fields]
