@@ -4256,6 +4256,36 @@ def q_media_decode_jpeg_color(spark, sf_dir):
     return decode_jpeg_color_features(synth_jpeg_color(d)).orderBy("id")
 
 
+def _write_landing_batches(delta, b1, b2, tmp, landing):
+    """Stage the streaming gates' 3 landing files with ONE partitioned
+    write instead of three coalesce(1) write jobs (r14 — the harness
+    itself was a third of these gates' job count): partition the delta
+    by its batch bound, write once, move each partition's single file
+    to its b<i>.parquet landing name. Same three row sets, same landing
+    schema (partitionBy keeps the split column out of the files)."""
+    import shutil
+
+    d = os.path.join(tmp, "w")
+    (
+        delta.withColumn(
+            "_b",
+            F.when(F.col("vec_id") <= b1, 0)
+            .when(F.col("vec_id") <= b2, 1)
+            .otherwise(2),
+        )
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .parquet(d)
+    )
+    for i in range(3):
+        pdir = os.path.join(d, f"_b={i}")
+        f = next(x for x in os.listdir(pdir) if x.endswith(".parquet"))
+        shutil.copyfile(
+            os.path.join(pdir, f), os.path.join(landing, f"b{i}.parquet")
+        )
+    shutil.rmtree(d)
+
+
 def q_streaming_ivf_ingest(spark, sf_dir):
     """Streaming vector-index ingest (streaming/ingest.py
     stream_ivf_ingest): the composition of the two maintenance
@@ -4293,19 +4323,7 @@ def q_streaming_ivf_ingest(spark, sf_dir):
         os.makedirs(landing)
         cents = similarity.train_centroids_exact(base, k=16, iters=2)
         similarity.build_ivf_index(base, path, centroids=cents)
-        parts = [
-            delta.filter(F.col("vec_id") <= b1),
-            delta.filter((F.col("vec_id") > b1) & (F.col("vec_id") <= b2)),
-            delta.filter(F.col("vec_id") > b2),
-        ]
-        for i, p in enumerate(parts):
-            d = os.path.join(tmp, f"w{i}")
-            p.coalesce(1).write.parquet(d)
-            f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
-            shutil.copyfile(
-                os.path.join(d, f), os.path.join(landing, f"b{i}.parquet")
-            )
-            shutil.rmtree(d)
+        _write_landing_batches(delta, b1, b2, tmp, landing)
         stream_ivf_ingest(
             spark,
             landing,
@@ -4413,19 +4431,7 @@ def q_streaming_ivfpq_ingest(spark, sf_dir):
         build_ivfpq_index(
             base, path, in_dim=64, m=4, ksub=8, centroids=cents
         )
-        parts = [
-            delta.filter(F.col("vec_id") <= b1),
-            delta.filter((F.col("vec_id") > b1) & (F.col("vec_id") <= b2)),
-            delta.filter(F.col("vec_id") > b2),
-        ]
-        for i, p in enumerate(parts):
-            d = os.path.join(tmp, f"w{i}")
-            p.coalesce(1).write.parquet(d)
-            f = next(x for x in os.listdir(d) if x.endswith(".parquet"))
-            shutil.copyfile(
-                os.path.join(d, f), os.path.join(landing, f"b{i}.parquet")
-            )
-            shutil.rmtree(d)
+        _write_landing_batches(delta, b1, b2, tmp, landing)
         stream_ivfpq_ingest(
             spark,
             landing,
@@ -5154,9 +5160,16 @@ def q_classifier_eval_split(spark, sf_dir):
     ).withColumn(
         "nsplit", assign_split(F.col("doc_id"), _EVAL_SPLITS, salt="cl:")
     ).localCheckpoint(eager=True)
-    parts = []
-    for scheme, col in (("cluster", "split"), ("naive", "nsplit")):
-        weights, _ = train_classifier(
+    # the two schemes' training chains are INDEPENDENT driver-coordinated
+    # loops (each iteration is one job + a vocab-sized collect): running
+    # them from two driver threads lets each chain's jobs back-fill the
+    # other's per-iteration driver gaps (guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially); results
+    # are deterministic integer weights either way
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(col):
+        return train_classifier(
             withsplits.filter(F.col(col) == "train"),
             label_col="label",
             buckets=4096,
@@ -5164,9 +5177,17 @@ def q_classifier_eval_split(spark, sf_dir):
             # the checkpointed split frame reports no input files, so
             # the library would keep the session shuffle parallelism
             # (the safe large-input default); this sample is small —
-            # pin the task grid so 2*iters stages stay cheap
+            # pin the task grid so per-iteration stages stay cheap
             num_partitions=8,
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        trained = {
+            col: pool.submit(_train, col) for col in ("split", "nsplit")
+        }
+    parts = []
+    for scheme, col in (("cluster", "split"), ("naive", "nsplit")):
+        weights, _ = trained[col].result()
         scored = score_documents(
             withsplits.filter(F.col(col) != "train"),
             weights,
@@ -5274,18 +5295,22 @@ def q_classifier_averaged_eval(spark, sf_dir):
     ).localCheckpoint(eager=True)
     train = withsplits.filter(F.col("split") == "train")
     heldout = withsplits.filter(F.col("split") != "train")
+    # ONE training pass serves both variants (r14): the weight
+    # trajectory is variant-independent — pocket and averaged are just
+    # different snapshots of the same unrolled iterations, so training
+    # twice was pure redundancy (train_classifier variant="both").
+    both, _ = train_classifier(
+        train,
+        label_col="label",
+        buckets=4096,
+        iters=6,
+        num_partitions=8,  # known-small checkpointed sample
+        variant="both",
+    )
     parts = []
     for variant in ("averaged", "pocket"):
-        weights, _ = train_classifier(
-            train,
-            label_col="label",
-            buckets=4096,
-            iters=6,
-            num_partitions=8,  # known-small checkpointed sample
-            variant=variant,
-        )
         scored = score_documents(
-            heldout, weights, buckets=4096, bias_milli=0,
+            heldout, both[variant], buckets=4096, bias_milli=0,
             extra_cols=("label",),
         )
         parts.append(
@@ -14541,58 +14566,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Maintained mechanically by scripts/reorder_registry.py —
     # rerun it after adding queries (new entries go at the top).
     # --- never driver-checked (new queries first) ---
-    "ivfpq_bucket_split": q_ivfpq_bucket_split,
-    "media_decode_jpeg_color": q_media_decode_jpeg_color,
-    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
-    # --- last driver-green r07 ---
-    "dedup_url_canonical": q_dedup_url_canonical,
-    "attribution_linear": q_attribution_linear,
-    "inverted_index": q_inverted_index,
-    "pagerank": q_pagerank,
-    "table_diff": q_table_diff,
+    "ivfpq_bucket_merge": q_ivfpq_bucket_merge,
+    "media_decode_jpeg_sa": q_media_decode_jpeg_sa,
     # --- last driver-green r08 ---
-    "phrase_search": q_phrase_search,
-    "ivf_index_append": q_ivf_index_append,
-    "ann_ivfpq_recall": q_ann_ivfpq_recall,
-    "ann_pq_recall": q_ann_pq_recall,
-    "manifest_unified": q_manifest_unified,
-    "media_decode_gif": q_media_decode_gif,
-    "ivm_distinct_delete": q_ivm_distinct_delete,
-    "ndcg_mrr_eval": q_ndcg_mrr_eval,
-    "streaming_interval_full_join": q_streaming_interval_full_join,
-    "profile_columns": q_profile_columns,
-    "topk_per_group_agg": q_topk_per_group_agg,
-    "global_rank": q_global_rank,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
-    "array_hof_suite": q_array_hof_suite,
-    "datetime_suite": q_datetime_suite,
-    "fk_integrity": q_fk_integrity,
-    "reachability": q_reachability,
-    "balanced_mix": q_balanced_mix,
-    "truncation_stats": q_truncation_stats,
-    "full_schema_join": q_full_schema_join,
-    "embedding_centroids": q_embedding_centroids,
-    "top_terms": q_top_terms,
-    "bigram_counts": q_bigram_counts,
-    "tfidf_top": q_tfidf_top,
-    "unpivot_metrics": q_unpivot_metrics,
-    "kmeans_clusters": q_kmeans_clusters,
-    "array_ops": q_array_ops,
-    "weekday_revenue": q_weekday_revenue,
-    "waiting_suppliers": q_waiting_suppliers,
-    "value_concentration": q_value_concentration,
-    "overlap_pairs": q_overlap_pairs,
-    "dq_audit": q_dq_audit,
-    "join_full_outer": q_join_full_outer,
-    "set_except_all": q_set_except_all,
-    "window_funcs": q_window_funcs,
-    "contamination_check": q_contamination_check,
-    "price_histogram": q_price_histogram,
-    "frequent_pairs": q_frequent_pairs,
-    "mode_brand": q_mode_brand,
-    "ewma_daily": q_ewma_daily,
-    "triangle_count": q_triangle_count,
-    "embedding_outliers": q_embedding_outliers,
     "distinctive_terms": q_distinctive_terms,
     "centroid_distances": q_centroid_distances,
     "degree_histogram": q_degree_histogram,
@@ -14805,11 +14781,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_totals": q_streaming_user_totals,
     "cdc_changelog_apply": q_cdc_changelog_apply,
     "skew_salted_join": q_skew_salted_join,
-    # round-13 additions, registered at the TAIL on purpose: the r13
-    # window (first 50) banks the 3 r12 gates + the 5 r07 + 42 r08
-    # stale-evidence entries; the next reorder pulls these to the head
-    "ivfpq_bucket_merge": q_ivfpq_bucket_merge,
-    "media_decode_jpeg_sa": q_media_decode_jpeg_sa,
+    # --- last driver-green r13 ---
+    "ivfpq_bucket_split": q_ivfpq_bucket_split,
+    "media_decode_jpeg_color": q_media_decode_jpeg_color,
+    "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
+    "dedup_url_canonical": q_dedup_url_canonical,
+    "attribution_linear": q_attribution_linear,
+    "inverted_index": q_inverted_index,
+    "pagerank": q_pagerank,
+    "table_diff": q_table_diff,
+    "phrase_search": q_phrase_search,
+    "ivf_index_append": q_ivf_index_append,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "ann_pq_recall": q_ann_pq_recall,
+    "manifest_unified": q_manifest_unified,
+    "media_decode_gif": q_media_decode_gif,
+    "ivm_distinct_delete": q_ivm_distinct_delete,
+    "ndcg_mrr_eval": q_ndcg_mrr_eval,
+    "streaming_interval_full_join": q_streaming_interval_full_join,
+    "profile_columns": q_profile_columns,
+    "topk_per_group_agg": q_topk_per_group_agg,
+    "global_rank": q_global_rank,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "array_hof_suite": q_array_hof_suite,
+    "datetime_suite": q_datetime_suite,
+    "fk_integrity": q_fk_integrity,
+    "reachability": q_reachability,
+    "balanced_mix": q_balanced_mix,
+    "truncation_stats": q_truncation_stats,
+    "full_schema_join": q_full_schema_join,
+    "embedding_centroids": q_embedding_centroids,
+    "top_terms": q_top_terms,
+    "bigram_counts": q_bigram_counts,
+    "tfidf_top": q_tfidf_top,
+    "unpivot_metrics": q_unpivot_metrics,
+    "kmeans_clusters": q_kmeans_clusters,
+    "array_ops": q_array_ops,
+    "weekday_revenue": q_weekday_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "value_concentration": q_value_concentration,
+    "overlap_pairs": q_overlap_pairs,
+    "dq_audit": q_dq_audit,
+    "join_full_outer": q_join_full_outer,
+    "set_except_all": q_set_except_all,
+    "window_funcs": q_window_funcs,
+    "contamination_check": q_contamination_check,
+    "price_histogram": q_price_histogram,
+    "frequent_pairs": q_frequent_pairs,
+    "mode_brand": q_mode_brand,
+    "ewma_daily": q_ewma_daily,
+    "triangle_count": q_triangle_count,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 

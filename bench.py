@@ -133,6 +133,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # scaling observability (r14): the core count the harness was
+        # ASKED for ($SPARK_GRAFT_CPUS) and the parallelism the session
+        # actually runs with — so a scaling probe can confirm from the
+        # artifact alone that the env contract is honored
+        "cpus": int(cpus),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         # single-core speed probe (seconds for a fixed 30M-add loop),
         # sampled before warmup and after the timed suite: <~1.6 s is
         # a healthy box; ~2x that means the run landed in a stolen
@@ -159,6 +165,8 @@ def main() -> None:
         "queries": slowest,
         "queries_file": "bench_full.json",
         "sf": full["sf"],
+        "cpus": full["cpus"],
+        "default_parallelism": full["default_parallelism"],
         "probe_before_s": probe_before,
         "probe_after_s": probe_after,
         "io_probe_before_s": io_before,

@@ -29,7 +29,7 @@ No reference counterpart (north-star extension, BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.functions.portable import hash32, tokens
 from fb_ads_bigquery_etl_spark.session import coalesce_by_bytes, local_df
@@ -147,6 +147,11 @@ def train_classifier(
     table straight into `score_documents` with bias_milli=0
     (prediction = score > 0 against the y in {-1, +1} encoding).
 
+    `variant="both"` returns ({"pocket": weights, "averaged": weights},
+    pocket_mistakes) from ONE training pass — the weight trajectory is
+    variant-independent, so an A/B of the two iterates costs one
+    training, not two.
+
     `variant="averaged"` returns the AVERAGED-perceptron weights
     instead (Freund & Schapire 1999, the standard fix for the pocket
     iterate memorizing — measured here: the pocket variant hit 80.5%
@@ -174,22 +179,27 @@ def train_classifier(
     0.33<->0.92 accuracy per iteration); keeping the best-scoring
     iterate is the standard deterministic fix.
 
-    Scale shape, per iteration: the (doc, bucket, multiplicity)
-    feature frame materializes ONCE (one narrow explode + pre-agg,
-    persisted hash-partitioned by doc); scoring joins it against the
-    BROADCAST vocab-sized weight table and reduces doc-keyed; the
-    mistake flags stay doc-partitioned so the update join is
-    co-located (no new data-sized shuffle), and the bucket-keyed
-    update reduce is map-side-combined down to <= `buckets` rows —
-    per-iteration driver traffic is vocab-sized (the kmeans
-    partial-sum discipline; weights are the in-memory fastText-style
-    vector between iterations), plus one scalar mistake count.
+    Scale shape, per iteration (ONE Spark job): the (doc, bucket,
+    multiplicity) feature frame materializes ONCE (one narrow explode
+    + pre-agg, persisted hash-partitioned by doc and pre-sorted by
+    (doc, bucket)); scoring joins it against the BROADCAST vocab-sized
+    weight table and computes the per-doc score as a WINDOW sum over
+    the existing doc partitioning (no exchange, no checkpoint — every
+    row of a doc carries its score, so the doc-level mistake flag is a
+    plain row filter and nothing is computed twice); the bucket-keyed
+    update reduce is map-side-combined down to <= `buckets` rows, with
+    the mistake count riding the same aggregation (sum of one
+    first-row flag per mistake doc) — per-iteration driver traffic is
+    vocab-sized (the kmeans partial-sum discipline; weights are the
+    in-memory fastText-style vector between iterations).
 
     Featureless docs (empty/whitespace text) always score 0, so they
     are mistakes EVERY iteration (y * 0 <= 0); they contribute nothing
-    to any weight update (no features), but their constant count is
-    included in each iteration's mistake total and in the returned
-    pocket_mistakes — matching a replay that scores every input doc.
+    to any weight update (no features), and their count is a CONSTANT
+    shift of every iteration's mistake total — the pocket argmin
+    (strict <) is shift-invariant, so the loop counts featured docs
+    only and the constant is added once to the returned
+    pocket_mistakes, matching a replay that scores every input doc.
 
     Production note: these are FULL-BATCH passes — `iters` complete
     scans of `df` per training run. At 100 TB train on a labeled
@@ -197,7 +207,7 @@ def train_classifier(
     labeled seed docs), then run `score_documents` over the corpus
     exactly once; each pass here is linear, but nothing about the
     algorithm needs the whole corpus as its training set."""
-    if variant not in ("pocket", "averaged"):
+    if variant not in ("pocket", "averaged", "both"):
         raise ValueError(f"unknown variant {variant!r}")
     spark = df.sparkSession
     if not num_partitions:
@@ -255,26 +265,43 @@ def train_classifier(
         )
         .groupBy("_doc", "_y", "_bucket")
         .agg(F.count("*").cast("long").alias("_c"))
+        # pre-sorted within the persisted doc partitions so the
+        # per-iteration window's required (_doc, _bucket) order is
+        # already established at cache time instead of re-sorted
+        # every iteration
         .repartition(num_partitions, "_doc")
+        .sortWithinPartitions("_doc", "_bucket")
         .persist()
+    )
+    # ONE job per iteration (r14: was two — a localCheckpoint of the
+    # per-doc scores plus a join-back collect). The per-doc score is a
+    # WINDOW sum over the persisted doc-partitioning (no exchange, no
+    # checkpoint, nothing computed twice): every row of a mistake doc
+    # carries the doc's score, the doc-level mistake flag is a row
+    # filter, the bucket-keyed update reduce is the only shuffle
+    # (vocab-bounded, coalesced by bytes), and the mistake COUNT rides
+    # the same aggregation as sum(_rn == 1) — one row per mistake doc.
+    # Featureless docs never enter `feats`; they are permanent mistakes
+    # (score 0) adding the SAME constant to every iteration's count, so
+    # the pocket argmin is unchanged by counting them at the end only
+    # (strict < is shift-invariant) — which removes the up-front
+    # df.count()/distinct jobs from the loop entirely; the first
+    # iteration's _nd sum IS the featured-doc count.
+    wspec = Window.partitionBy("_doc").orderBy("_bucket")
+    wfull = wspec.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     try:
         # every reduce stage in this loop is bounded by vocab/doc-sample
         # cardinality, so coalesce its shuffles by bytes, not core count
         # (session.coalesce_by_bytes; scoped — restored on exit)
         with coalesce_by_bytes(spark):
-            # featureless docs never enter `feats`: they are permanent
-            # mistakes (score 0) with zero update contribution, so they
-            # add a constant to every iteration's count. Two one-off
-            # counts (the distinct ride the persisted doc-partitioning).
-            n_featureless = (
-                df.count() - feats.select("_doc").distinct().count()
-            )
             w: dict[int, int] = {}
             pocket: dict[int, int] = {}
             acc: dict[int, int] = {}  # averaged: sum of w_1..w_iters
-            pocket_mistakes = None
-            for _ in range(iters):
+            pocket_mistakes = None  # featured-doc mistakes only (see above)
+            n_feat_docs = 0
+            for it in range(iters):
                 if w:
                     # vocab-sized weight table: one slice
                     # (session.local_df) — the default-parallelism
@@ -283,77 +310,75 @@ def train_classifier(
                     wdf = local_df(
                         spark, sorted(w.items()), "bucket long, w long"
                     )
-                    # groupBy(_doc) alone (label recovered via first():
-                    # it is doc-functional) so the persisted frame's
-                    # hash partitioning on _doc satisfies the agg's
-                    # required distribution — NO per-iteration shuffle;
-                    # the mistake join below is co-partitioned the
-                    # same way
-                    scored = (
-                        feats.join(
-                            F.broadcast(wdf),
-                            feats["_bucket"] == wdf["bucket"],
-                            "left",
-                        )
-                        .groupBy("_doc")
-                        .agg(
-                            F.first("_y").alias("_y"),
-                            F.sum(
-                                F.col("_c")
-                                * F.coalesce(F.col("w"), F.lit(0))
-                            )
-                            .cast("long")
-                            .alias("_s"),
-                        )
+                    base = feats.join(
+                        F.broadcast(wdf),
+                        feats["_bucket"] == wdf["bucket"],
+                        "left",
+                    )
+                    contrib = F.col("_c") * F.coalesce(
+                        F.col("w"), F.lit(0)
                     )
                 else:
-                    scored = feats.groupBy("_doc").agg(
-                        F.first("_y").alias("_y"),
-                        F.lit(0).cast("long").alias("_s"),
-                    )
-                scored = scored.localCheckpoint(eager=True)  # used twice
-                mis = scored.select(
-                    "_doc",
-                    F.when(F.col("_y") * F.col("_s") <= 0, F.col("_y"))
-                    .otherwise(F.lit(0))
-                    .cast("long")
-                    .alias("_m"),
-                ).filter(F.col("_m") != 0)
+                    # w0 = 0: every doc scores 0 and is a mistake
+                    base = feats
+                    contrib = F.lit(0)
+                scored = base.select(
+                    "_y",
+                    "_bucket",
+                    "_c",
+                    F.sum(contrib).over(wfull).cast("long").alias("_s"),
+                    F.row_number().over(wspec).alias("_rn"),
+                )
                 upd = (
-                    feats.join(mis, "_doc")
+                    scored.filter(F.col("_y") * F.col("_s") <= 0)
                     .groupBy("_bucket")
                     .agg(
-                        F.sum(F.col("_c") * F.col("_m"))
+                        # _m = _y for every row of a mistake doc
+                        F.sum(F.col("_c") * F.col("_y"))
                         .cast("long")
-                        .alias("_u")
+                        .alias("_u"),
+                        F.sum(
+                            F.when(F.col("_rn") == 1, 1).otherwise(0)
+                        )
+                        .cast("long")
+                        .alias("_nd"),
                     )
                 )
-                # the mistake COUNT rides along as a bucket=-1 sentinel
-                # row (real buckets are >= 0), so each iteration is
-                # exactly two jobs: materialize scores, collect
-                # updates+count
-                sentinel = mis.agg(
-                    F.count("*").cast("long").alias("_u")
-                ).select(F.lit(-1).cast("long").alias("_bucket"), "_u")
                 w_prev = dict(w)
                 n_mis = 0
-                for r in upd.unionByName(sentinel).collect():
-                    if r["_bucket"] == -1:
-                        n_mis = r["_u"] + n_featureless
-                    else:
-                        w[r["_bucket"]] = w.get(r["_bucket"], 0) + r["_u"]
+                for r in upd.collect():
+                    n_mis += r["_nd"]
+                    w[r["_bucket"]] = w.get(r["_bucket"], 0) + r["_u"]
+                if it == 0:
+                    n_feat_docs = n_mis
                 if pocket_mistakes is None or n_mis < pocket_mistakes:
                     pocket_mistakes, pocket = n_mis, dict(w_prev)
-                if variant == "averaged":
+                if variant in ("averaged", "both"):
                     for b, v in w.items():
                         acc[b] = acc.get(b, 0) + v
+        # featureless docs (empty/whitespace text): permanent mistakes,
+        # zero update contribution — added once here so the RETURNED
+        # count matches a replay that scores every input doc
+        n_featureless = df.count() - n_feat_docs
+        pocket_mistakes = int(pocket_mistakes) + int(n_featureless)
     finally:
         feats.unpersist()
+
+    def _wdf(d: dict[int, int]) -> DataFrame:
+        return local_df(
+            spark, sorted(d.items()), "bucket long, weight_milli long"
+        )
+
+    if variant == "both":
+        # one training pass, both iterates: the weight TRAJECTORY is
+        # variant-independent (the variant only selects which snapshot
+        # is returned), so callers comparing pocket vs averaged train
+        # ONCE instead of twice (r14: halves the eval gates' training)
+        return {"pocket": _wdf(pocket), "averaged": _wdf(acc)}, int(
+            pocket_mistakes
+        )
     chosen = acc if variant == "averaged" else pocket
-    weights = local_df(
-        spark, sorted(chosen.items()), "bucket long, weight_milli long"
-    )
-    return weights, int(pocket_mistakes)
+    return _wdf(chosen), int(pocket_mistakes)
 
 
 def synthetic_weights(spark, *, buckets: int, seed_mult: int = 2654435761, mod: int = 2001) -> DataFrame:

@@ -63,13 +63,24 @@ def spread(df: DataFrame) -> DataFrame:
     would run the whole hash/shingle projection on one core. At real
     scale inputs already have >= cores partitions and this is a no-op.
 
-    Call this on SCAN-SHAPED inputs only (its callers here all do):
-    `df.rdd` finalizes the AQE plan, which materializes any upstream
-    exchanges — on a scan there are none and the probe is free, but on
-    a joined/aggregated frame it would execute the upstream pipeline
-    just to read a partition count (see train_classifier's
-    inputFiles-based probe for the exchange-safe variant).
+    EXCHANGE-SAFE: the partition-count probe (`df.rdd`) finalizes the
+    AQE plan, which materializes any upstream exchanges — free on a
+    scan or a checkpoint-backed frame (no exchanges), but on a
+    joined/aggregated frame it would EXECUTE the upstream pipeline
+    just to read a number. So the probe only runs when the frame's
+    physical plan is EXCHANGE-FREE (a narrow pipeline over a scan or
+    localCheckpoint — planning the string costs nothing and runs
+    nothing); frames with pending exchanges pass through untouched —
+    they already carry the parallelism their producing shuffle chose
+    (r13 ADVICE item; the guard closes the footgun for arbitrary
+    caller frames reaching score_documents/analyze_documents).
     """
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:
+        return df
+    if "Exchange" in plan:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -84,6 +84,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        # the change flag is computed INSIDE the checkpointed frame
+        # (old and new label are both in scope right here), so the
+        # convergence probe is a narrow count over checkpoint blocks —
+        # not the join-back against the previous labels it used to be
+        # (one shuffle join per iteration removed, r14)
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
@@ -91,16 +96,14 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
+                (
+                    F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

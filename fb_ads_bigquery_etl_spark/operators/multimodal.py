@@ -1183,6 +1183,16 @@ def phash_dedup(
             f"banding with {bands} bands only guarantees completeness "
             f"up to Hamming {bands - 1}, got max_hamming={max_hamming}"
         )
+    # persist the (id, phash) input: BOTH sides of the band self-join
+    # consume it, and Catalyst does not reuse exchanges/subtrees across
+    # self-join sides — without the cache the whole upstream fingerprint
+    # pipeline (synth + decode kernels for the media gates) executes
+    # once per side (measured 2x on media_video_dedup, r14). 16 B/row,
+    # so the cache is id-table-sized at any corpus scale; same
+    # discipline as fuzzy_dedup.shared().
+    from pyspark.storagelevel import StorageLevel
+
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     bexpr = F.explode(
         F.array(
             *[

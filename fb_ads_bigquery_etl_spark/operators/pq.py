@@ -31,6 +31,8 @@ No reference counterpart (north-star extension, BASELINE.json).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from fb_ads_bigquery_etl_spark.session import (
@@ -622,11 +624,100 @@ def _residuals(
     return cents, resid
 
 
+def _write_sidecar_parquet_local(dirpath: str, table) -> None:
+    """Overwrite a LOCAL metadata sidecar dir with one pyarrow-written
+    parquet file (temp name + atomic rename — a crash never leaves a
+    torn file a later fast-path read would trip on). Caller has already
+    checked _local_fs_dir. Spark reads the result like any parquet
+    dir."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    if os.path.isdir(dirpath):
+        shutil.rmtree(dirpath)
+    os.makedirs(dirpath, exist_ok=True)
+    final = os.path.join(dirpath, f"part-{uuid.uuid4().hex}.parquet")
+    tmp = f"{final}.tmp"
+    papq.write_table(table, tmp)
+    os.rename(tmp, final)
+
+
+def _write_centroid_sidecar(spark, cents: DataFrame, dirpath: str) -> None:
+    """Overwrite the centroid sidecar — driver-side pyarrow on a local
+    store (the table is nlist-sized metadata; a Spark write job only
+    added fixed latency per build/publish — r14), Spark write
+    elsewhere. Values round-trip exactly: the collect returns the
+    computed doubles."""
+    base = _local_fs_dir(dirpath)
+    if base is not None:
+        import pyarrow as pa
+
+        rows = cents.select("centroid_id", "cvec", "cnorm").collect()
+        table = pa.Table.from_arrays(
+            [
+                pa.array(
+                    [int(r["centroid_id"]) for r in rows], type=pa.int64()
+                ),
+                pa.array(
+                    [[float(x) for x in r["cvec"]] for r in rows],
+                    type=pa.list_(pa.float64()),
+                ),
+                pa.array(
+                    [float(r["cnorm"]) for r in rows], type=pa.float64()
+                ),
+            ],
+            names=["centroid_id", "cvec", "cnorm"],
+        )
+        _write_sidecar_parquet_local(base, table)
+        return
+    cents.write.mode("overwrite").parquet(dirpath)
+
+
+def _write_codebook_sidecar(spark, cb_rows: list, dirpath: str) -> None:
+    """Overwrite the codebook sidecar from driver-side (m, c, cw) rows —
+    pyarrow on a local store (zero jobs — r14), Spark write elsewhere."""
+    base = _local_fs_dir(dirpath)
+    if base is not None:
+        import pyarrow as pa
+
+        table = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in cb_rows], type=pa.int32()),
+                pa.array([r[1] for r in cb_rows], type=pa.int32()),
+                pa.array(
+                    [[int(x) for x in r[2]] for r in cb_rows],
+                    type=pa.list_(pa.int64()),
+                ),
+            ],
+            names=["m", "c", "cw"],
+        )
+        _write_sidecar_parquet_local(base, table)
+        return
+    local_df(spark, cb_rows, "m int, c int, cw array<long>").write.mode(
+        "overwrite"
+    ).parquet(dirpath)
+
+
+def _read_sidecar_rows(spark, dirpath: str) -> list[dict]:
+    """Collect a metadata-sized sidecar table (centroids, codebooks):
+    driver-side pyarrow on a local store (no job — r14), Spark read +
+    collect elsewhere. Raises if the sidecar is missing, matching the
+    Spark read's AnalysisException contract."""
+    base = _local_fs_dir(dirpath)
+    if base is not None:
+        rows = _read_parquet_rows_local(base)
+        if rows is not None:
+            return rows
+    return [r.asDict() for r in spark.read.parquet(dirpath).collect()]
+
+
 def load_codebooks(spark, path: str) -> list[list[list[int]]]:
     """Read the codebook sidecar back into the list[m][ksub][sub_dim]
     shape every PQ kernel consumes — a metadata-sized collect (m*ksub
-    rows)."""
-    cb_rows = spark.read.parquet(f"{path}_codebooks").collect()
+    rows; pure driver work on a local store)."""
+    cb_rows = _read_sidecar_rows(spark, f"{path}_codebooks")
     m = 1 + max(r["m"] for r in cb_rows)
     ksub = 1 + max(r["c"] for r in cb_rows)
     cb: list[list[list[int] | None]] = [[None] * ksub for _ in range(m)]
@@ -731,16 +822,14 @@ def build_ivfpq_index(
             codes.unpersist()
     finally:
         resid.unpersist()
-    cents.write.mode("overwrite").parquet(f"{path}_centroids")
     spark = df.sparkSession
+    _write_centroid_sidecar(spark, cents, f"{path}_centroids")
     cb_rows = [
         (mm, c, [int(x) for x in cw])
         for mm, cb_m in enumerate(cb)
         for c, cw in enumerate(cb_m)
     ]
-    local_df(
-        spark, cb_rows, "m int, c int, cw array<long>"
-    ).write.mode("overwrite").parquet(f"{path}_codebooks")
+    _write_codebook_sidecar(spark, cb_rows, f"{path}_codebooks")
     # per-file stats sidecar: a fresh seq=0 snapshot from the write-
     # time stats (reset: the overwrite above retired every prior file)
     refresh_ivfpq_manifest(spark, path, precomputed=pre, reset=True)
@@ -1068,12 +1157,21 @@ def split_ivfpq_bucket(
         if hot is None:
             raise ValueError("empty index: nothing to split")
         bucket = int(hot["bucket"])
-    # the rebuild below overwrites the centroid sidecar this reads
-    cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
-        eager=True
+    # the rebuild below overwrites the centroid sidecar this reads —
+    # collected to a local frame (metadata-sized; pure driver work on
+    # a local store, and no max-agg job: the max is a Python max, r14)
+    crows = _read_sidecar_rows(spark, f"{path}_centroids")
+    cents = local_df(
+        spark,
+        [
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]],
+             float(r["cnorm"]))
+            for r in crows
+        ],
+        "centroid_id bigint, cvec array<double>, cnorm double",
     )
     cb = load_codebooks(spark, path)
-    max_id = int(cents.agg(F.max("centroid_id")).head()[0])
+    max_id = max(int(r["centroid_id"]) for r in crows)
 
     # member vectors via the index's id set: a partition-pruned scan
     # of ONE bucket's narrow codes, then a semi-join into src
@@ -1208,7 +1306,7 @@ def _reassign_and_publish(
         if fs.exists(P(stale)):
             fs.delete(P(stale), True)
     out.write.mode("overwrite").partitionBy("bucket").parquet(staged)
-    new_cents.write.mode("overwrite").parquet(staged_cents)
+    _write_centroid_sidecar(spark, new_cents, staged_cents)
     plan = [
         (b,) + (("commit",) + pre[b] if b in pre else
                 ("drop", None, None, None))
@@ -1287,8 +1385,19 @@ def merge_ivfpq_buckets(
             "(moved rows re-encode from the caller's corpus and would "
             "bypass logical deletes)"
         )
-    cents = spark.read.parquet(f"{path}_centroids").localCheckpoint(
-        eager=True
+    # collected to a local frame (metadata-sized; pure driver work on
+    # a local store — r14): the cold pick, the known-id check and the
+    # parent retirement all read it without touching the files the
+    # publish below replaces
+    crows = _read_sidecar_rows(spark, f"{path}_centroids")
+    cents = local_df(
+        spark,
+        [
+            (int(r["centroid_id"]), [float(x) for x in r["cvec"]],
+             float(r["cnorm"]))
+            for r in crows
+        ],
+        "centroid_id bigint, cvec array<double>, cnorm double",
     )
     explicit = buckets is not None
     if buckets is None:
@@ -1320,10 +1429,7 @@ def merge_ivfpq_buckets(
     b1, b2 = int(buckets[0]), int(buckets[1])
     if b1 == b2:
         raise ValueError("merge needs two DISTINCT buckets")
-    known = {
-        int(r["centroid_id"])
-        for r in cents.select("centroid_id").collect()  # nlist-bounded
-    }
+    known = {int(r["centroid_id"]) for r in crows}  # nlist-bounded
     if explicit:  # the cold pick draws from cents by construction
         missing = [b for b in (b1, b2) if b not in known]
         if missing:
@@ -1371,17 +1477,81 @@ def merge_ivfpq_buckets(
     }
 
 
+def _local_fs_dir(path: str) -> str | None:
+    """The plain local-filesystem directory behind `path` when it IS
+    local (bare path or file: URI), else None. Gate for the driver-side
+    metadata fast paths below: sidecar/manifest reads and writes are
+    METADATA-SIZED BY CONSTRUCTION (nlist buckets, per-file stats,
+    m*ksub codebook rows), so on a local store they are pure driver
+    work — scheduling a Spark job per listing/read/write only added
+    fixed job latency to every maintenance verb (guide §5: the driver
+    should do no DATA work; this is not data). Non-local stores keep
+    the JVM-side implementations unchanged."""
+    if "://" in path:
+        return None
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+def _read_parquet_rows_local(dirpath: str) -> list[dict] | None:
+    """Driver-side read of a LOCAL metadata-sized parquet dir via
+    pyarrow: list of row dicts, or None when the dir doesn't exist
+    (mirroring the AnalysisException contract of the Spark read).
+    Missing columns across files (legacy segments) read as None."""
+    import pyarrow.parquet as papq
+
+    if not os.path.isdir(dirpath):
+        return None
+    rows: list[dict] = []
+    for name in sorted(os.listdir(dirpath)):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        table = papq.read_table(os.path.join(dirpath, name))
+        rows.extend(table.to_pylist())
+    return rows
+
+
 def _list_code_files(spark, path: str) -> list[tuple[str, str, int, int]]:
     """Listing of the index's bucket-partitioned code files —
-    (full_path, 'bucket=X/name' suffix, size, mtime) per file. The
-    walk runs JVM-SIDE through the binaryFile source with only the
-    metadata columns selected (content is never read), so the cost is
-    one small job + a file-count collect instead of ~8 py4j round
-    trips per file (measured: 2.9 s -> ~0.2 s at 473 files). Works
-    against any supported store. The suffix (NOT the basename) is the
-    file's identity: streaming publishes deterministic b<id>-<seq>
-    names whose seq resets PER BUCKET DIR, so basenames alone can
-    collide across buckets."""
+    (full_path, 'bucket=X/name' suffix, size, mtime) per file. On a
+    local store the walk is one os.scandir pass on the driver (no job
+    at all — r14); elsewhere it runs JVM-SIDE through the binaryFile
+    source with only the metadata columns selected (content is never
+    read), so the cost is one small job + a file-count collect instead
+    of ~8 py4j round trips per file (measured: 2.9 s -> ~0.2 s at 473
+    files). The suffix (NOT the basename) is the file's identity:
+    streaming publishes deterministic b<id>-<seq> names whose seq
+    resets PER BUCKET DIR, so basenames alone can collide across
+    buckets."""
+    base = _local_fs_dir(path)
+    if base is not None:
+        out = []
+        if os.path.isdir(base):
+            for bdir in os.listdir(base):
+                if not bdir.startswith("bucket="):
+                    continue
+                d = os.path.join(base, bdir)
+                if not os.path.isdir(d):
+                    continue
+                with os.scandir(d) as it:
+                    for e in it:
+                        if e.name.startswith(("_", ".")) or not e.is_file():
+                            continue
+                        st = e.stat()
+                        out.append(
+                            (
+                                e.path,
+                                f"{bdir}/{e.name}",
+                                int(st.st_size),
+                                # Hadoop's LocalFileStatus mtime is
+                                # java.io.File.lastModified() — whole
+                                # milliseconds; integer ns floor-div
+                                # reproduces it exactly
+                                st.st_mtime_ns // 1_000_000,
+                            )
+                        )
+        return sorted(out, key=lambda t: t[1])
     from pyspark.errors import AnalysisException
 
     try:
@@ -1442,6 +1612,45 @@ def _read_ivfpq_manifest_segments(spark, path: str) -> DataFrame | None:
     )
 
 
+def _read_manifest_segment_rows(spark, path: str) -> list[dict] | None:
+    """Raw manifest segment rows as driver-side dicts — the refresh /
+    fold hot path. LOCAL store: one pyarrow read on the driver (no
+    Spark job); otherwise the JVM-side segment read + collect. Legacy
+    rows (no seq/op columns) normalize to seq=0 / op='add' exactly as
+    the DataFrame reader does. None = no sidecar."""
+    base = _local_fs_dir(f"{path}_manifest")
+    if base is not None:
+        raw = _read_parquet_rows_local(base)
+        if raw is None:
+            return None
+        return [
+            {
+                "file": r.get("file"),
+                "suffix": r.get("suffix"),
+                "size": r.get("size"),
+                "mtime": r.get("mtime"),
+                "bucket": r.get("bucket"),
+                "n_rows": r.get("n_rows"),
+                "min_id": r.get("min_id"),
+                "max_id": r.get("max_id"),
+                "seq": r["seq"] if r.get("seq") is not None else 0,
+                "op": r["op"] if r.get("op") is not None else "add",
+            }
+            for r in raw
+        ]
+    seg = _read_ivfpq_manifest_segments(spark, path)
+    return None if seg is None else [r.asDict() for r in seg.collect()]
+
+
+def _manifest_row8(r) -> tuple:
+    """The 8 live-view columns of a manifest row (dict or Row), in
+    _MANIFEST_SCHEMA order."""
+    return (
+        r["file"], r["suffix"], r["size"], r["mtime"],
+        r["bucket"], r["n_rows"], r["min_id"], r["max_id"],
+    )
+
+
 def _reconcile_manifest_rows(rows) -> dict:
     """Fold raw segment rows to the live view: per suffix the
     highest-seq row wins (a later 'add' supersedes an older stat, a
@@ -1459,7 +1668,20 @@ def _read_ivfpq_manifest(spark, path: str) -> DataFrame | None:
     """Live view of the per-file stats sidecar (`<path>_manifest`) if
     one exists, else None: segments reconciled to one row per live
     file in the original 8-column schema, so every consumer (stats,
-    compaction, envelope pruning, the gates) is segment-agnostic."""
+    compaction, envelope pruning, the gates) is segment-agnostic.
+    LOCAL store: read + reconcile on the driver (the fold is
+    metadata-sized by construction), returned as a one-slice local
+    frame — no scan job, no window shuffle (r14)."""
+    if _local_fs_dir(path) is not None:
+        rows = _read_manifest_segment_rows(spark, path)
+        if rows is None:
+            return None
+        live = _reconcile_manifest_rows(rows)
+        return local_df(
+            spark,
+            [_manifest_row8(live[s]) for s in sorted(live)],
+            _MANIFEST_SCHEMA,
+        )
     seg = _read_ivfpq_manifest_segments(spark, path)
     if seg is None:
         return None
@@ -1501,6 +1723,24 @@ def _scan_code_file_stats(spark, path: str, files: list[str]) -> dict:
     precomputed stats and never lands here. Returns {suffix: (n_rows,
     min_id, max_id)}; callers backfill (0, None, None) for zero-row
     files the grouped scan cannot see."""
+    if all(_local_fs_dir(f) is not None for f in files):
+        # self-heal fallback over a handful of LOCAL files: pyarrow
+        # column reads on the driver (the files are delete-bounded by
+        # construction; no job needed — r14)
+        import pyarrow.parquet as papq
+
+        out = {}
+        for f in files:
+            ids = papq.read_table(
+                _local_fs_dir(f), columns=["id"]
+            ).column("id").to_pylist()
+            suffix = "/".join(f.rsplit("/", 2)[-2:])
+            out[suffix] = (
+                len(ids),
+                min(ids) if ids else None,
+                max(ids) if ids else None,
+            )
+        return out
     grouped = (
         spark.read.option("basePath", path)
         .parquet(*files)
@@ -1522,11 +1762,53 @@ def _scan_code_file_stats(spark, path: str, files: list[str]) -> dict:
 
 def _write_manifest_segment(spark, rows: list, path: str, mode: str) -> None:
     """Write one manifest segment as a SINGLE file from driver-side
-    rows. Deliberately parallelize(rows, 1): coalesce(1) over a
-    default-parallelism local collection stalls on locality scheduling
-    (measured 5.5 s vs 0.3 s for a 16-row segment on local[32]) — the
-    rows are metadata-sized, so one slice is the right plan, not a
-    merge of 32 empty ones."""
+    rows. LOCAL store: a pyarrow write on the driver (temp file +
+    atomic rename, so a crash never leaves a torn segment; r14 — the
+    rows are metadata-sized, a Spark write job only added fixed
+    latency per refresh). Otherwise deliberately parallelize(rows, 1):
+    coalesce(1) over a default-parallelism local collection stalls on
+    locality scheduling (measured 5.5 s vs 0.3 s for a 16-row segment
+    on local[32]) — one slice is the right plan, not a merge of 32
+    empty ones."""
+    base = _local_fs_dir(f"{path}_manifest")
+    if base is not None:
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        schema = pa.schema(
+            [
+                ("file", pa.string()),
+                ("suffix", pa.string()),
+                ("size", pa.int64()),
+                ("mtime", pa.int64()),
+                ("bucket", pa.int32()),
+                ("n_rows", pa.int64()),
+                ("min_id", pa.int64()),
+                ("max_id", pa.int64()),
+                ("seq", pa.int64()),
+                ("op", pa.string()),
+            ]
+        )
+        cols = (
+            [list(c) for c in zip(*[tuple(r) for r in rows])]
+            if rows
+            else [[] for _ in schema]
+        )
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+        if mode == "overwrite" and os.path.isdir(base):
+            shutil.rmtree(base)
+        os.makedirs(base, exist_ok=True)
+        final = os.path.join(base, f"seg-{uuid.uuid4().hex}.parquet")
+        tmp = f"{final}.tmp"
+        papq.write_table(table, tmp)
+        os.rename(tmp, final)
+        return
     rdd = spark.sparkContext.parallelize([tuple(r) for r in rows], 1)
     spark.createDataFrame(rdd, _MANIFEST_SEG_SCHEMA).write.mode(
         mode
@@ -1574,11 +1856,11 @@ def refresh_ivfpq_manifest(
     if reset:
         known, maxseq, have_sidecar = {}, -1, False
     else:
-        seg = _read_ivfpq_manifest_segments(spark, path)
-        raw_rows = [] if seg is None else seg.collect()  # metadata-sized
+        raw_rows = _read_manifest_segment_rows(spark, path)  # metadata
+        have_sidecar = raw_rows is not None
+        raw_rows = raw_rows or []
         maxseq = max((r["seq"] for r in raw_rows), default=-1)
         known = _reconcile_manifest_rows(raw_rows)
-        have_sidecar = seg is not None
     live = {
         suffix: known[suffix]
         for _, suffix, size, mtime in listed
@@ -1595,7 +1877,7 @@ def refresh_ivfpq_manifest(
     if have_sidecar and not new and not gone:
         # nothing changed: no segment written, no files re-stat'ed
         return local_df(
-            spark, [tuple(live[s])[:8] for s in sorted(live)],
+            spark, [_manifest_row8(live[s]) for s in sorted(live)],
             _MANIFEST_SCHEMA,
         )
     add_rows = []
@@ -1639,7 +1921,7 @@ def refresh_ivfpq_manifest(
         # must not accumulate one sidecar file per batch forever (the
         # fold threshold bounds the history every refresh replays)
         compact_ivfpq_manifest(spark, path)
-    out_rows = [tuple(live[s])[:8] for s in sorted(live)] + add_rows
+    out_rows = [_manifest_row8(live[s]) for s in sorted(live)] + add_rows
     return local_df(spark, out_rows, _MANIFEST_SCHEMA)
 
 
@@ -1657,6 +1939,27 @@ def compact_ivfpq_manifest(
     an append-only/streaming workload that never compacts the INDEX
     still gets its sidecar folded; safe standalone under the same
     single-writer contract."""
+    base = _local_fs_dir(f"{path}_manifest")
+    if base is not None:
+        # driver-side fold: count, reconcile and rewrite without a
+        # single Spark job (metadata-sized by construction — r14)
+        if not os.path.isdir(base):
+            return 0
+        n_seg = sum(
+            1
+            for n in os.listdir(base)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        if n_seg <= max_segments:
+            return 0
+        live = _reconcile_manifest_rows(
+            _read_manifest_segment_rows(spark, path) or []
+        )
+        rows = [
+            _manifest_row8(live[s]) + (0, "add") for s in sorted(live)
+        ]
+        _write_manifest_segment(spark, rows, path, "overwrite")
+        return int(n_seg)
     from pyspark.errors import AnalysisException
 
     try:
@@ -1716,12 +2019,20 @@ def _pruned_tombstoned_codes(
 
 def _read_tombstones(spark, path: str) -> DataFrame | None:
     """Read the tombstone sidecar (`<path>_tombstones`, schema
-    `id long`) if one exists, else None. FS-agnostic: probes the
-    parquet reader rather than a local-path check, so the same code
-    works against HDFS/S3 paths on a real cluster (where the sidecar
-    existence check is a single namenode/list call either way)."""
+    `id long`) if one exists, else None. The returned frame stays a
+    Spark read (the pending-delete set is not metadata-sized in
+    general — it feeds distributed joins), but the ABSENT probe is a
+    plain os.path check on a local store (r14: the AnalysisException
+    the reader raises for a missing path is a py4j exception round
+    trip with a serialized JVM stack — measured in the 0.1 s class,
+    and this probe runs per maintenance verb AND per probe query/
+    micro-batch). Non-local paths keep the reader probe (a single
+    namenode/list call either way)."""
     from pyspark.errors import AnalysisException
 
+    base = _local_fs_dir(f"{path}_tombstones")
+    if base is not None and not os.path.isdir(base):
+        return None
     try:
         return spark.read.schema("id long").parquet(f"{path}_tombstones")
     except AnalysisException:
@@ -2049,7 +2360,7 @@ def query_ivfpq_index(
     )
     from pyspark.sql import Window  # noqa: F401  (parity with siblings)
 
-    cents = spark.read.parquet(f"{path}_centroids").collect()
+    cents = _read_sidecar_rows(spark, f"{path}_centroids")
     cb = load_codebooks(spark, path)
     m = len(cb)
     sub = len(cb[0][0])
@@ -2151,7 +2462,7 @@ def query_ivfpq_index_batch(
         cosine_similarity,
     )
 
-    cents = spark.read.parquet(f"{path}_centroids").collect()
+    cents = _read_sidecar_rows(spark, f"{path}_centroids")
     cb = load_codebooks(spark, path)
     m = len(cb)
     sub = len(cb[0][0])

@@ -210,7 +210,10 @@ def assign_ivf_buckets(
     """IVF clustering: assignment = broadcast nested-loop join vectors ×
     centroids keeping the nearest (max cosine, tie-break smallest
     centroid id). One dot product per (vector, centroid): both sides
-    carry precomputed norms.
+    carry precomputed norms; the argmax aggregate is keyed on id alone
+    (see inline note) so the hash aggregate never hashes the vector
+    payload, and map-side combine collapses the nlist candidate rows
+    per vector before the one exchange.
 
     Centroid source: pass `centroids` (the (centroid_id, cvec, cnorm)
     shape `train_centroids` produces) for k-means-trained buckets —
@@ -237,11 +240,25 @@ def assign_ivf_buckets(
             / (F.col("norm") * F.col("cnorm"))
         ).alias("c_score"),
     )
-    best = scored.groupBy("id", "vec", "norm").agg(
+    # argmax keyed on id ALONE (r14; was groupBy(id, vec, norm)): the
+    # payload columns ride as first() aggregates instead of grouping
+    # keys, so the hash aggregate hashes one long per candidate row
+    # rather than a 64-double array — the map-side combine already
+    # collapsed the nlist candidate rows per vector before the
+    # exchange in both shapes (crossJoin output is partition-local),
+    # so the exchange carries each vector once either way. (An r14
+    # experiment replacing the join+agg with an nlist-literal argmax
+    # projection removed the exchange but measured SLOWER end-to-end —
+    # lazy 16-dot expressions re-evaluate per consumer and bloat every
+    # plan with k*dim literals; reverted, evidence in
+    # OPTIMIZATION_r14.md.)
+    best = scored.groupBy("id").agg(
+        F.first("vec").alias("vec"),
+        F.first("norm").alias("norm"),
         F.max_by(
             F.col("centroid_id"), F.struct(F.col("c_score"), -F.col("centroid_id"))
-        ).alias("bucket")
-    )
+        ).alias("bucket"),
+    ).select("id", "vec", "norm", "bucket")
     return centroids, best
 
 
@@ -324,7 +341,15 @@ def build_ivf_index(
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(path)
-    centroids.write.mode("overwrite").parquet(f"{path}_centroids")
+    # nlist-sized sidecar: driver-side pyarrow write on a local store
+    # (no job), Spark write elsewhere (shared fast path, r14)
+    from fb_ads_bigquery_etl_spark.operators.pq import (
+        _write_centroid_sidecar,
+    )
+
+    _write_centroid_sidecar(
+        df.sparkSession, centroids, f"{path}_centroids"
+    )
 
 
 def append_ivf_index(

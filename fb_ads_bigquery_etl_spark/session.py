@@ -47,6 +47,19 @@ def coalesce_metadata_stages(fn):
     return wrapper
 
 
+# coalesce_by_bytes nesting state, keyed per SparkSession: overlapping
+# scopes (nested calls, or independent driver threads overlapping their
+# jobs per guide §2.6) must not restore a stale value — only the
+# OUTERMOST exit restores the session default. The conf itself is still
+# session-global SQL conf: any unrelated query running concurrently
+# inside someone's scope is also coalesced by bytes; acceptable here
+# because every deliberate overlap in this engine runs metadata-bounded
+# stages on both sides (classifier chains, sidecar writes).
+_CBB_LOCK = __import__("threading").RLock()
+_CBB_DEPTH: dict[int, int] = {}
+_CBB_PREV: dict[int, str] = {}
+
+
 @contextmanager
 def coalesce_by_bytes(spark: SparkSession):
     """Scope AQE partition coalescing to advisory BYTES (instead of the
@@ -58,17 +71,27 @@ def coalesce_by_bytes(spark: SparkSession):
     size collapses them to the few tasks the data warrants. Kept
     SCOPED because the same flag session-wide serializes CPU-heavy
     byte-light stages (pair-verification joins measured x1.8-2.9
-    slower — OPTIMIZATION_r13.md). Restores the previous value."""
+    slower — OPTIMIZATION_r13.md). Restores the previous value;
+    REENTRANT and overlap-safe via a per-session depth counter (r13
+    ADVICE: overlapping scopes used to restore a stale value)."""
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = "true"
-    spark.conf.set(key, "false")
+    sid = id(spark)
+    with _CBB_LOCK:
+        if _CBB_DEPTH.get(sid, 0) == 0:
+            try:
+                _CBB_PREV[sid] = spark.conf.get(key)
+            except Exception:
+                _CBB_PREV[sid] = "true"
+            spark.conf.set(key, "false")
+        _CBB_DEPTH[sid] = _CBB_DEPTH.get(sid, 0) + 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _CBB_LOCK:
+            _CBB_DEPTH[sid] -= 1
+            if _CBB_DEPTH[sid] == 0:
+                spark.conf.set(key, _CBB_PREV.pop(sid))
+                del _CBB_DEPTH[sid]
 
 
 def get_spark(
@@ -115,16 +138,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # v2 commit: task outputs rename straight to the final dir at
-        # task commit instead of a second job-commit rename pass —
-        # one rename per file instead of two. Our multi-step writers
-        # (streaming ingest, bucket split) already layer their own
-        # staging/marker protocols for atomicity, so the v1
-        # all-or-nothing job commit buys nothing here. Env-tunable for
-        # object stores that need a real committer.
+        # Commit algorithm v1 (the Spark default) — r14 reverts the
+        # r13 v2 default: v2 renames task output straight into the
+        # final dir at task commit, so a mid-job failure leaves partial
+        # task files VISIBLE, and two writers rely on job-level
+        # atomicity with no staging protocol of their own —
+        # append_ivfpq_index appends into the live bucket dirs and
+        # delete_from_ivfpq_index appends tombstones (a partial
+        # tombstone batch silently hides live rows from every probe;
+        # an orphan append file is adopted by the manifest's fallback
+        # scan, so a retry duplicates rows). v2 was also never measured
+        # to win (r14 A/B: see OPTIMIZATION_r14.md). Env-tunable for
+        # deployments whose writers all stage-and-rename.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
-            os.environ.get("SPARK_GRAFT_COMMITTER_ALGORITHM", "2"),
+            os.environ.get("SPARK_GRAFT_COMMITTER_ALGORITHM", "1"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
