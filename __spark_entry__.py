@@ -757,7 +757,17 @@ def _stage_sentinels(spark, sf_dir, landing):
                 far = mx + hours * 3600 * 10**9  # raw nanos (<=4.0 read)
             else:
                 far = mx + datetime.timedelta(hours=hours)
-            srow = spark.createDataFrame(
+            # one explicit slice (session.local_df): createDataFrame's
+            # default-parallelism split + coalesce(1) stalled ~6 s PER
+            # SENTINEL WRITE on scheduling 32 empty parent slices into
+            # one task (r14 jobs profile; the _write_manifest_segment
+            # note measured the same pathology) — the cold first
+            # streaming gate of every session paid ~12 s for two 2-row
+            # files
+            from fb_ads_bigquery_etl_spark.session import local_df
+
+            srow = local_df(
+                spark,
                 [
                     (10**9 + 2 * i, far, -1, "view", 0.0, "{}"),
                     (10**9 + 2 * i + 1, far, -1, "purchase", 0.0, "{}"),
@@ -765,7 +775,7 @@ def _stage_sentinels(spark, sf_dir, landing):
                 schema,
             )
             tmp_out = os.path.join(cache_dir, f"w{i}")
-            srow.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+            srow.write.mode("overwrite").parquet(tmp_out)
             part = next(
                 f for f in os.listdir(tmp_out) if f.endswith(".parquet")
             )
@@ -3379,7 +3389,13 @@ def q_incremental_rollup(spark, sf_dir):
     try:
         fact_path = os.path.join(tmp, "fact")
         roll_path = os.path.join(tmp, "rollup")
-        fact.write.partitionBy("date_start").parquet(fact_path)
+        # one file per day-partition instead of one per (task, day)
+        # pair (r14, guide §6) — this staged fact is re-listed and
+        # re-read three times below, and the default-parallelism write
+        # fanned ~90 day dirs x 32 tasks of KB-files
+        fact.repartition(F.col("date_start")).write.partitionBy(
+            "date_start"
+        ).parquet(fact_path)
         incremental_rollup(
             spark, fact_path, roll_path,
             changed_dates=["1995-01-15", "1995-02-15", "1995-03-15"],

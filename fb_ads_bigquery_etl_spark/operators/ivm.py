@@ -32,6 +32,18 @@ BUCKET_COL = "_kb"
 META_FILE = "_ivm_meta.json"  # leading _ => invisible to parquet readers
 
 
+def _by_bucket(df: DataFrame) -> DataFrame:
+    """ONE task per bucket ahead of a partitionBy(BUCKET_COL) write ->
+    one file per bucket dir instead of one per (task, bucket) pair
+    (r14, guide §6: every maintenance verb re-lists and re-reads these
+    dirs, and the default-parallelism writers were fanning each write
+    into up to tasks x buckets small files). The added hash shuffle is
+    bucket-count-bounded; at scale `buckets` is sized so a bucket fits
+    a task — the same one-file-per-partition discipline (and the same
+    documented skew valve) as sinks.merge_upsert."""
+    return df.repartition(F.col(BUCKET_COL))
+
+
 def _with_bucket(df: DataFrame, key: str, buckets: int) -> DataFrame:
     return df.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(buckets))
@@ -102,7 +114,7 @@ def build_join_view(
     rewrite only affected buckets. (key, buckets) is persisted beside
     the view and validated by every maintenance entry point."""
     view = _with_bucket(fact, key, buckets).join(F.broadcast(dim), key)
-    view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    _by_bucket(view).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
     _write_meta(fact.sparkSession, path, key, buckets)
 
 
@@ -118,7 +130,7 @@ def apply_fact_append(
     """view' = view ∪ (delta ⋈ dim) — O(delta), append-only."""
     _check_meta(spark, path, key, buckets)
     rows = _with_bucket(delta, key, buckets).join(F.broadcast(dim), key)
-    rows.write.partitionBy(BUCKET_COL).mode("append").parquet(path)
+    _by_bucket(rows).write.partitionBy(BUCKET_COL).mode("append").parquet(path)
 
 
 def apply_dim_update(
@@ -170,7 +182,7 @@ def apply_dim_update(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        rebuilt.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+        _by_bucket(rebuilt).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     empty = [b for b in touched if b not in nonempty]
@@ -217,14 +229,14 @@ def build_max_view(
     fb = _with_bucket(
         fact.select(rid_col, key, val_col), key, buckets
     )
-    fb.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
+    _by_bucket(fb).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
     spark = fact.sparkSession
     _write_meta(spark, store_path, key, buckets)
     view = fb.groupBy(BUCKET_COL, key).agg(
         F.max(val_col).alias(f"max_{val_col}"),
         F.count("*").alias("n_rows"),
     )
-    view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
+    _by_bucket(view).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
     _write_meta(spark, view_path, key, buckets)
 
 
@@ -239,7 +251,7 @@ def _overwrite_touched(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+        _by_bucket(out).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     empty = [b for b in touched if b not in nonempty]
@@ -272,7 +284,7 @@ def apply_max_view_append(
     _check_meta(spark, store_path, key, buckets)
     _check_meta(spark, view_path, key, buckets)
     db = _with_bucket(delta.select(rid_col, key, val_col), key, buckets)
-    db.write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
+    _by_bucket(db).write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
     touched = [
         r[0] for r in db.select(BUCKET_COL).distinct().collect()
     ]
@@ -371,14 +383,14 @@ def build_distinct_view(
     change touches, which bucket-aligning the store with the view
     makes O(touched), never O(view)."""
     fb = _with_bucket(fact.select(rid_col, key, val_col), key, buckets)
-    fb.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
+    _by_bucket(fb).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(store_path)
     spark = fact.sparkSession
     _write_meta(spark, store_path, key, buckets)
     view = fb.groupBy(BUCKET_COL, key).agg(
         F.countDistinct(val_col).alias(f"n_distinct_{val_col}"),
         F.count("*").alias("n_rows"),
     )
-    view.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
+    _by_bucket(view).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(view_path)
     _write_meta(spark, view_path, key, buckets)
 
 
@@ -420,7 +432,7 @@ def apply_distinct_view_append(
     _check_meta(spark, store_path, key, buckets)
     _check_meta(spark, view_path, key, buckets)
     db = _with_bucket(delta.select(rid_col, key, val_col), key, buckets)
-    db.write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
+    _by_bucket(db).write.partitionBy(BUCKET_COL).mode("append").parquet(store_path)
     touched = [r[0] for r in db.select(BUCKET_COL).distinct().collect()]
     if not touched:
         return

@@ -262,8 +262,33 @@ def merge_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_is_update")
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        winners.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(path)
+        # the conf must land on the session that EXECUTES the write —
+        # under streaming foreachBatch `winners` descends from the
+        # micro-batch session CLONE, whose conf snapshot (not the outer
+        # session's) governs the insert. Setting the outer session and
+        # restoring it turned the second stream's merges into static
+        # overwrites (the r13 code only worked because it leaked
+        # `dynamic` onto the outer session for the next stream to clone).
+        sess = winners.sparkSession
+        prev_mode = sess.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # one narrow shuffle puts each date partition in exactly one
+            # task -> ONE file per rewritten partition instead of one
+            # per (window task, partition) pair (r14, guide §6: the
+            # window's 32 tasks each wrote into every touched date dir —
+            # ~30x the files, which every later merge re-lists and
+            # re-reads; same one-file-per-partition discipline as the
+            # pq bucket writers, same documented skew valve)
+            winners.repartition(F.col(PARTITION_COLUMN)).write.mode(
+                "overwrite"
+            ).partitionBy(PARTITION_COLUMN).parquet(path)
+        finally:
+            sess.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
         return spark.read.parquet(path)
     finally:
         updates.unpersist()
