@@ -5,6 +5,8 @@ two tables bucketed on the join key plans ZERO shuffle exchanges.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -15,6 +17,15 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
+    # self-heal after an interrupted run: a killed session can leave the
+    # managed-table DIRECTORY behind with no catalog entry, and the next
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     write_bucketed(

@@ -710,13 +710,17 @@ def test_round7_plan_shapes(spark):
     # the doc-key shuffle; no cartesian anywhere. `source` rides
     # THROUGH the doc-keyed groupBy (extra_cols), so there is no
     # SortMergeJoin back to documents and exchanges stay at the two
-    # agg shuffles + the final orderBy
+    # agg shuffles + the final orderBy, PLUS (at this test scale only)
+    # the round-robin spread() of the single-file documents scan — the
+    # tokenize+hash explode would otherwise run on one core; at real
+    # scale the scan already carries >= cores partitions and spread is
+    # a no-op, so the shape there is 3
     df = _q(spark, "quality_classifier")
     nc = PI.node_counts(df)
     assert nc["BroadcastHashJoin"] >= 1, nc
     assert nc["HashAggregate"] >= 2, nc
     assert nc["SortMergeJoin"] == 0, nc
-    assert PI.exchange_count(df) <= 3, PI.exchange_count(df)
+    assert PI.exchange_count(df) <= 4, PI.exchange_count(df)
     assert not PI.has_cartesian(df)
     # zorder_multi: unrolled 3-column interleave is pure arithmetic —
     # one map-side-combined agg, no joins/windows on the fact scan
